@@ -1,0 +1,123 @@
+"""Last-writer-wins keyed merge — the engine's crown-jewel operator.
+
+Generalizes the reference's priority-ordered dedup-merge
+(combine_subtables.py:42-172: first source in a fixed priority list wins
+on key (person_id, concept_id); A1 in SURVEY.md §2.5) to CDC semantics:
+per key (repo, path), the event with the greatest LSN wins; a winning
+tombstone (op='D') removes the key; duplicate deliveries of the same LSN
+are idempotent (identical payload).
+
+Distributed shape — a *salted two-stage* merge so hot keys never serialize:
+
+  stage 0 (combiner, stateless ``map_batches``): partial LWW inside each
+      delivery batch.  A key receiving 10^6 events across 10^4 blocks
+      reaches the shuffle as ≤10^4 rows — the all-to-all exchange moves
+      per-key partials, not raw events.  This *is* the salt stage: the
+      salt is the (arbitrary) block boundary, valid because max-by-LSN is
+      associative and commutative.
+  stage 1 (optional extra salting for pathological skew): groupby
+      (part, salt) with salt = key_hash-independent sub-bucket, partial
+      LWW per group, before
+  stage 2 (final): ``groupby(part).map_groups`` — one group per hash
+      partition, LWW per key inside the group via a vectorized window
+      (DuckDB C++ over zero-copy Arrow).
+
+Determinism: the winner depends only on (key, max lsn) — independent of
+partition count, block boundaries, salting and arrival order, which the
+tests assert against the single-process oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions import hashing
+from ..spec import TableSpec
+
+
+def lww_reduce_table(t: pa.Table, key_cols=("repo", "path"), lsn_col="lsn") -> pa.Table:
+    """Vectorized LWW within one in-memory table: keep, per key, the row
+    with max lsn (ties: duplicates are identical; commit DESC as a stable
+    tiebreak).  DuckDB window over zero-copy Arrow."""
+    if t.num_rows == 0:
+        return t
+    keys = ", ".join(key_cols)
+    con = hashing._con()
+    out = con.execute(
+        f"""
+        SELECT * EXCLUDE (__rn) FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {keys} ORDER BY {lsn_col} DESC, commit DESC
+            ) AS __rn FROM t
+        ) WHERE __rn = 1
+        """
+    ).fetch_arrow_table()
+    return out.cast(t.schema)
+
+
+def drop_tombstones(t: pa.Table, op_col: str = "op") -> pa.Table:
+    import pyarrow.compute as pc
+
+    return t.filter(pc.not_equal(t.column(op_col), "D"))
+
+
+def _partial(spec: TableSpec):
+    key_cols, lsn = spec.key_cols, spec.lsn_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return lww_reduce_table(batch, key_cols, lsn)
+
+    return fn
+
+
+def _group_final(spec: TableSpec, keep_tombstones: bool):
+    key_cols, lsn, op = spec.key_cols, spec.lsn_col, spec.op_col
+
+    def fn(group: pa.Table) -> pa.Table:
+        out = lww_reduce_table(group, key_cols, lsn)
+        if not keep_tombstones:
+            out = drop_tombstones(out, op)
+        return out
+
+    return fn
+
+
+def add_salt(batch: pa.Table, salt_factor: int) -> pa.Table:
+    """Sub-bucket rows by a content-independent salt (row position), used
+    by the optional stage-1 pre-reduce for pathological key skew."""
+    n = batch.num_rows
+    salt = pa.array((np.arange(n) % salt_factor).astype(np.int32))
+    return batch.append_column("salt", salt)
+
+
+def lww_merge(
+    events: rd.Dataset,
+    spec: TableSpec | None = None,
+    *,
+    keep_tombstones: bool = False,
+    salt_factor: int = 0,
+) -> rd.Dataset:
+    """Full salted two-stage LWW merge over standardized events.
+
+    ``events`` must already carry key_hash/part columns (see
+    stages/standardize.py).  Returns one row per surviving key.
+    ``keep_tombstones=True`` keeps winning deletes as rows (the lake's
+    delta files need them); default drops them (final state view).
+    """
+    spec = spec or TableSpec(name="cdc")
+    ev = events.map_batches(_partial(spec), batch_format="pyarrow")
+    if salt_factor > 1:
+        ev = ev.map_batches(
+            lambda b: add_salt(b, salt_factor), batch_format="pyarrow"
+        )
+        ev = (
+            ev.groupby(["part", "salt"])
+            .map_groups(_group_final(spec, True), batch_format="pyarrow")
+            .drop_columns(["salt"])
+        )
+    return ev.groupby("part").map_groups(
+        _group_final(spec, keep_tombstones), batch_format="pyarrow"
+    )

@@ -1,0 +1,69 @@
+"""Standardize stage: raw change events → target-schema rows.
+
+The Ray-Data analog of the reference's per-table transform scripts
+(read CSV → build records → guarantee output columns; e.g.
+demographics--person.py:228-250, vital_signs--measurement.py:461-481):
+one vectorized ``map_batches`` pass that
+
+  * applies declarative column renames (schema-evolution field remapping,
+    reference analog: person_id_map.py / transform_ids.py rekeys),
+  * pads missing target columns with typed nulls (reference analog:
+    add_missing_columns.py:26-53 pad-to-canonical),
+  * computes the per-row invariant ``content_sha = sha256(content)``,
+  * computes the stable ``key_hash`` and shuffle ``part`` columns.
+
+Zero-copy Arrow in/out; the sha256 kernel is DuckDB's vectorized C++
+implementation (see functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.hashing import key_hash_u64, partition_of, sha256_hex
+from ..spec import TableSpec
+
+
+def make_standardizer(spec: TableSpec):
+    """Return a batch fn (pa.Table -> pa.Table) for ``spec``.
+
+    Use as ``ds.map_batches(make_standardizer(spec), batch_format="pyarrow")``.
+    """
+    rename = dict(spec.rename)
+    key_cols = list(spec.key_cols)
+    content_col = spec.content_col
+    num_parts = spec.num_partitions
+    target = spec.schema
+
+    def standardize(batch: pa.Table) -> pa.Table:
+        if rename:
+            batch = batch.rename_columns(
+                [rename.get(c, c) for c in batch.column_names]
+            )
+        # pad missing target columns with typed nulls (schema evolution:
+        # older events lack columns added later)
+        n = batch.num_rows
+        for f in target:
+            if f.name not in batch.column_names:
+                batch = batch.append_column(f.name, pa.nulls(n, f.type))
+        # widen any column whose declared type is wider than delivered
+        casts = {}
+        for f in target:
+            col = batch.column(f.name)
+            if col.type != f.type:
+                casts[f.name] = f.type
+        if casts:
+            new_schema = pa.schema(
+                [
+                    pa.field(name, casts.get(name, batch.schema.field(name).type))
+                    for name in batch.column_names
+                ]
+            )
+            batch = batch.cast(new_schema)
+        kh = key_hash_u64(*[batch.column(c) for c in key_cols])
+        batch = batch.append_column("content_sha", sha256_hex(batch.column(content_col)))
+        batch = batch.append_column("key_hash", kh)
+        batch = batch.append_column("part", partition_of(kh, num_parts))
+        return batch
+
+    return standardize
