@@ -1,0 +1,331 @@
+"""CDC replay pipeline: micro-batch tail → standardize → LWW merge →
+copy-on-write Parquet lake with two-phase manifest commit.
+
+This is the engine's flagship (SURVEY.md §7).  One ``CDCLake`` instance
+is the single writer for one lake table:
+
+    lake = CDCLake("/lake", spec)
+    for batch in micro_batches(events, ...):          # binlog tailing
+        lake.apply_events(ray.data.from_arrow(batch)) # one epoch each
+    state = lake.read_state()                         # merge-on-read view
+
+Guarantees (tested in tests/test_lake.py):
+  * exactly-once: re-applying an already-committed window is a no-op
+    (per-partition LSN watermarks); a crash between phase 1 (delta files
+    + epoch markers written) and phase 2 (manifest swap) leaves invisible
+    orphans that the retry overwrites deterministically;
+  * determinism: final state is independent of parallelism, partition
+    count, micro-batch sizing and salting;
+  * schema evolution: later batches may add / widen columns
+    (pa.unify_schemas-based, narrowing rejected), resolved at read.
+
+Scale notes (100 TB design): every stage is a streaming ``map_batches``
+over zero-copy Arrow; the only all-to-all exchange per epoch is the
+``groupby(part)`` whose input was already reduced to ≤ one row per key
+per block by the combiner stage; delta files are written inside the
+per-partition merge tasks (no driver materialization — only the P-row
+stats table returns to the driver).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions import hashing
+from ..spec import TableSpec
+from ..stages.merge import drop_tombstones, lww_merge, lww_reduce_table
+from ..stages.standardize import make_standardizer
+from ..state import manifest as mf
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("epoch", pa.int64()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("tombstones", pa.int64()),
+        ("bytes", pa.int64()),
+        ("watermark", pa.int64()),
+        ("sha_rollup", pa.string()),
+        ("events_seen", pa.int64()),
+    ]
+)
+
+
+def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
+    """Per-partition merge + phase-1 write, run inside map_groups tasks.
+
+    Output file name is deterministic per (partition, epoch): a task retry
+    overwrites the same path via atomic rename → idempotent.
+    """
+    key_cols, lsn_col = spec.key_cols, spec.lsn_col
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        events_seen = group.num_rows
+        delta = lww_reduce_table(group, key_cols, lsn_col)
+        # deterministic file bytes: stable row order
+        delta = delta.sort_by([(c, "ascending") for c in key_cols])
+        pdir = Path(root) / table / f"part={part:05d}" / f"epoch={epoch:06d}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        fpath = pdir / "delta.parquet"
+        tmp = pdir / f"delta.parquet.tmp"
+        pq.write_table(delta, tmp)
+        tmp.replace(fpath)
+        n_tomb = int(pc.sum(pc.equal(delta.column(spec.op_col), "D")).as_py() or 0)
+        wm = int(pc.max(delta.column(lsn_col)).as_py())
+        # partition-level content checksum (lineage): sha over ordered row shas
+        con = hashing._con()
+        roll = con.execute(
+            "SELECT sha256(string_agg(coalesce(content_sha, 'D'), ''"
+            " ORDER BY repo, path)) FROM delta"
+        ).fetchone()[0]
+        rel = str(fpath.relative_to(Path(root) / table))
+        info = {
+            "part": part,
+            "epoch": epoch,
+            "file": rel,
+            "rows": delta.num_rows,
+            "tombstones": n_tomb,
+            "bytes": fpath.stat().st_size,
+            "watermark": wm,
+            "sha_rollup": roll,
+            "events_seen": events_seen,
+        }
+        mf.write_marker(root, table, epoch, part, info)
+        return pa.Table.from_pylist([info], schema=_STATS_SCHEMA)
+
+    return write_group
+
+
+def _watermark_filter(wm_array: np.ndarray):
+    """Drop events at or below the committed watermark of their partition
+    (idempotent re-apply on replay/resume)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy()
+        lsns = batch.column("lsn").to_numpy()
+        return batch.filter(pa.array(lsns > wm_array[parts]))
+
+    return fn
+
+
+class CDCLake:
+    """Single-writer CDC lake table (copy-on-write Parquet + manifests)."""
+
+    def __init__(self, root: str, spec: TableSpec | None = None):
+        self.root = str(root)
+        self.spec = spec or TableSpec(name="cdc")
+        m = mf.read_manifest(self.root, self.spec.name)
+        if m is not None:
+            # restore persisted schema + partitioning (must not drift);
+            # the manifest stores the state schema = event schema + engine
+            # columns, which standardize re-derives — strip them here
+            state_schema = mf.schema_from_b64(m["schema"])
+            engine_cols = {"content_sha", "key_hash", "part"}
+            self.spec.schema = pa.schema(
+                [f for f in state_schema if f.name not in engine_cols]
+            )
+            self.spec.num_partitions = m["num_partitions"]
+
+    # -- write path -------------------------------------------------------
+
+    def apply_events(
+        self,
+        events: rd.Dataset,
+        *,
+        salt_factor: int = 0,
+        _fail_before_commit: bool = False,
+    ) -> dict:
+        """Apply one micro-batch (one epoch).  Returns the commit record."""
+        t0 = time.time()
+        m = mf.read_manifest(self.root, self.spec.name)
+        epoch = (m["epoch"] + 1) if m else 1
+        P = self.spec.num_partitions
+
+        # schema evolution: unify incoming event schema into the spec
+        incoming = events.schema()
+        inc_schema = pa.schema(list(zip(incoming.names, incoming.types)))
+        self.spec.schema = self.spec.evolve(inc_schema)
+
+        wm = np.full(P, -1, dtype=np.int64)
+        if m:
+            for p, pinfo in m["partitions"].items():
+                wm[int(p)] = pinfo["watermark"]
+
+        std = events.map_batches(
+            make_standardizer(self.spec), batch_format="pyarrow"
+        ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
+
+        # same salted two-stage shape as stages.merge.lww_merge, but the
+        # final per-partition group fn also performs the phase-1 write:
+        writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
+        ev = std.map_batches(
+            lambda b: lww_reduce_table(b, self.spec.key_cols, self.spec.lsn_col),
+            batch_format="pyarrow",
+        )
+        if salt_factor > 1:
+            from ..stages.merge import add_salt, _group_final
+
+            ev = ev.map_batches(
+                lambda b: add_salt(b, salt_factor), batch_format="pyarrow"
+            )
+            ev = (
+                ev.groupby(["part", "salt"])
+                .map_groups(_group_final(self.spec, True), batch_format="pyarrow")
+                .drop_columns(["salt"])
+            )
+        stats_ds = ev.groupby("part").map_groups(writer, batch_format="pyarrow")
+        stats = stats_ds.take_all()  # ≤ P tiny rows — phase 1 complete here
+
+        record = {
+            "epoch": epoch,
+            "partitions_touched": len(stats),
+            "rows_upserted": int(sum(s["rows"] - s["tombstones"] for s in stats)),
+            "tombstones": int(sum(s["tombstones"] for s in stats)),
+            "events_seen": int(sum(s["events_seen"] for s in stats)),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        if _fail_before_commit:  # test hook: die between phase 1 and 2
+            record["committed"] = False
+            return record
+
+        self._commit(m, epoch, stats, record)
+        record["committed"] = True
+        return record
+
+    def _commit(self, prev: dict | None, epoch: int, stats: list[dict], record: dict):
+        partitions = dict(prev["partitions"]) if prev else {}
+        lineage = list(prev.get("lineage", [])) if prev else []
+        for s in stats:
+            p = str(s["part"])
+            old = partitions.get(p, {"files": [], "watermark": -1, "rows": 0})
+            partitions[p] = {
+                "files": old["files"] + [s["file"]],
+                "watermark": max(old["watermark"], s["watermark"]),
+                "rows": old["rows"] + s["rows"],
+                "sha_rollup": s["sha_rollup"],
+            }
+        lineage.append(record)
+        manifest = {
+            "table": self.spec.name,
+            "epoch": epoch,
+            "num_partitions": self.spec.num_partitions,
+            "schema": mf.schema_to_b64(self._state_schema()),
+            "partitions": partitions,
+            "lineage": lineage,
+            "compacted": False,
+        }
+        mf.commit_manifest(self.root, self.spec.name, manifest)
+
+    def _state_schema(self) -> pa.Schema:
+        """Delta-file schema = evolved event schema + engine columns."""
+        fields = list(self.spec.schema)
+        extra = [
+            pa.field("content_sha", pa.string()),
+            pa.field("key_hash", pa.uint64()),
+            pa.field("part", pa.int32()),
+        ]
+        names = {f.name for f in fields}
+        return pa.schema(fields + [f for f in extra if f.name not in names])
+
+    # -- read path --------------------------------------------------------
+
+    def read_deltas(self) -> rd.Dataset | None:
+        m = mf.read_manifest(self.root, self.spec.name)
+        if not m or not m["partitions"]:
+            return None
+        files = mf.live_files(self.root, self.spec.name, m)
+        if not files:
+            return None
+        schema = mf.schema_from_b64(m["schema"])
+        return rd.read_parquet(files, schema=schema)
+
+    def read_state(self, drop_engine_cols: bool = False) -> rd.Dataset:
+        """Merge-on-read current state: LWW-resolve all live delta files,
+        drop tombstones.  After compact() this is a plain scan."""
+        m = mf.read_manifest(self.root, self.spec.name)
+        ds = self.read_deltas()
+        if ds is None:
+            return rd.from_arrow(self._state_schema().empty_table())
+        if m.get("compacted"):
+            out = ds
+        else:
+            out = lww_merge(ds, self.spec, keep_tombstones=False)
+        if drop_engine_cols:
+            out = out.drop_columns(["content_sha", "key_hash", "part"])
+        return out
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Rewrite each partition's deltas into one base file (new epoch),
+        then swap the manifest.  Old files stay until gc() — snapshots are
+        retained (COW), readers of the old manifest are unaffected."""
+        m = mf.read_manifest(self.root, self.spec.name)
+        if not m:
+            return {"epoch": 0, "partitions_touched": 0}
+        epoch = m["epoch"] + 1
+        ds = self.read_deltas()
+        resolved = lww_merge(ds, self.spec, keep_tombstones=False)
+        writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
+        stats = (
+            resolved.groupby("part")
+            .map_groups(writer, batch_format="pyarrow")
+            .take_all()
+        )
+        partitions = {}
+        for s in stats:
+            partitions[str(s["part"])] = {
+                "files": [s["file"]],
+                "watermark": max(
+                    s["watermark"],
+                    m["partitions"].get(str(s["part"]), {}).get("watermark", -1),
+                ),
+                "rows": s["rows"],
+                "sha_rollup": s["sha_rollup"],
+            }
+        # partitions whose keys were all deleted produce no group: keep a
+        # file-less entry so the LSN watermark survives (a replayed stale
+        # event must not resurrect a deleted key)
+        for p, pinfo in m["partitions"].items():
+            if p not in partitions:
+                partitions[p] = {
+                    "files": [],
+                    "watermark": pinfo["watermark"],
+                    "rows": 0,
+                    "sha_rollup": None,
+                }
+        record = {
+            "epoch": epoch,
+            "compaction": True,
+            "partitions_touched": len(stats),
+            "rows": int(sum(s["rows"] for s in stats)),
+        }
+        lineage = list(m.get("lineage", [])) + [record]
+        manifest = {
+            "table": self.spec.name,
+            "epoch": epoch,
+            "num_partitions": self.spec.num_partitions,
+            "schema": m["schema"],
+            "partitions": partitions,
+            "lineage": lineage,
+            "compacted": True,
+        }
+        mf.commit_manifest(self.root, self.spec.name, manifest)
+        return record
+
+    def gc(self) -> list[str]:
+        return mf.gc(self.root, self.spec.name)
+
+    def lineage(self) -> list[dict]:
+        m = mf.read_manifest(self.root, self.spec.name)
+        return m.get("lineage", []) if m else []

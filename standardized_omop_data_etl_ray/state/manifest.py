@@ -1,0 +1,131 @@
+"""Two-phase manifest commit for the copy-on-write Parquet lake.
+
+The reference's persistence model is "staging directories as stage
+boundaries" with destructive restart (cleanup_folders at
+pipeline_process_subtables_to_final.py:11-54,156-158).  Ours upgrades that
+to an idempotent two-phase commit (SURVEY.md §7.3 step 4):
+
+  phase 1  each partition's merge task writes its epoch delta file under a
+           DETERMINISTIC name (`part=<p>/epoch=<e>/delta.parquet`, written
+           to a tmp name then os.replace → atomic, retry-idempotent) plus a
+           per-partition epoch marker JSON
+           (`_markers/epoch-<e>.part-<p>.json`: file list, watermark LSN,
+           row/tombstone/byte counts, content-sha rollup = lineage);
+  phase 2  the driver writes a new root manifest
+           (`_manifests/manifest-<e>.json`) referencing exactly the files
+           named by the markers, then atomically swaps the `MANIFEST`
+           pointer file via rename.
+
+Readers resolve `MANIFEST` → root manifest → file list; any file not in
+the current manifest (e.g. written by a crashed epoch between phase 1 and
+phase 2) is invisible and is removed by `gc()`.  Resume = read the last
+committed manifest and re-apply the open window; events with
+lsn ≤ the partition watermark are skipped (idempotent, exactly-once
+effect).  Single-writer: one driver commits epochs serially.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def table_root(root: str | Path, table: str) -> Path:
+    return Path(root) / table
+
+
+def pointer_path(root: str | Path, table: str) -> Path:
+    return table_root(root, table) / "MANIFEST"
+
+
+def read_manifest(root: str | Path, table: str) -> dict | None:
+    """Follow the MANIFEST pointer to the current root manifest (or None)."""
+    ptr = pointer_path(root, table)
+    if not ptr.exists():
+        return None
+    name = ptr.read_text().strip()
+    with open(table_root(root, table) / "_manifests" / name) as f:
+        return json.load(f)
+
+
+def commit_manifest(root: str | Path, table: str, manifest: dict) -> None:
+    """Phase 2: persist the root manifest, then atomic pointer swap."""
+    troot = table_root(root, table)
+    mdir = troot / "_manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+    name = f"manifest-{manifest['epoch']:06d}.json"
+    tmp = mdir / (name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mdir / name)
+    ptmp = troot / "MANIFEST.tmp"
+    ptmp.write_text(name)
+    os.replace(ptmp, troot / "MANIFEST")  # atomic: readers see old or new
+
+
+def write_marker(root: str | Path, table: str, epoch: int, part: int, info: dict) -> None:
+    """Phase 1 (called from the partition merge task): durable per-partition
+    epoch marker — the lineage record for this (epoch, partition)."""
+    mdir = table_root(root, table) / "_markers"
+    mdir.mkdir(parents=True, exist_ok=True)
+    name = f"epoch-{epoch:06d}.part-{part:05d}.json"
+    tmp = mdir / (name + f".tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(info, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mdir / name)
+
+
+def read_markers(root: str | Path, table: str, epoch: int) -> dict[int, dict]:
+    mdir = table_root(root, table) / "_markers"
+    out: dict[int, dict] = {}
+    if not mdir.exists():
+        return out
+    prefix = f"epoch-{epoch:06d}.part-"
+    for p in mdir.glob(prefix + "*.json"):
+        with open(p) as f:
+            info = json.load(f)
+        out[int(info["part"])] = info
+    return out
+
+
+def live_files(root: str | Path, table: str, manifest: dict) -> list[str]:
+    troot = table_root(root, table)
+    files: list[str] = []
+    for pinfo in manifest["partitions"].values():
+        files.extend(str(troot / f) for f in pinfo["files"])
+    return files
+
+
+def gc(root: str | Path, table: str) -> list[str]:
+    """Delete data files not referenced by the CURRENT manifest (orphans
+    from crashed epochs, superseded pre-compaction deltas).  Markers and
+    old manifests are kept as the audit/lineage trail."""
+    m = read_manifest(root, table)
+    troot = table_root(root, table)
+    keep = set(live_files(root, table, m)) if m else set()
+    removed: list[str] = []
+    for p in troot.rglob("*.parquet"):
+        if str(p) not in keep:
+            p.unlink()
+            removed.append(str(p))
+    # drop now-empty epoch dirs
+    for d in sorted(troot.rglob("epoch=*"), reverse=True):
+        if d.is_dir() and not any(d.iterdir()):
+            d.rmdir()
+    return removed

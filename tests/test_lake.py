@@ -1,0 +1,173 @@
+"""Lake semantics: exactly-once, crash/resume, schema evolution, compaction.
+
+The north rule's sink guarantees (BASELINE.json): idempotent two-phase
+manifest commit, per-partition epoch markers + lineage, resumability from
+the last checkpoint manifest after induced failures, replay-equivalence
+to the single-process oracle.
+"""
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.datagen import make_change_events, micro_batches
+from standardized_omop_data_etl_ray.oracle import (
+    assert_states_equal,
+    canonical_state,
+    oracle_apply,
+)
+from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+from standardized_omop_data_etl_ray.spec import SchemaEvolutionError, TableSpec
+from standardized_omop_data_etl_ray.state import manifest as mf
+
+WINDOW = 400
+EVENTS = make_change_events(n_keys=300, n_events=4000, seed=13, window=WINDOW)
+ORACLE = oracle_apply(EVENTS)
+BATCHES = list(micro_batches(EVENTS, batch_windows=3, window=WINDOW))
+
+
+def _state(lake: CDCLake) -> pa.Table:
+    refs = lake.read_state().to_arrow_refs()
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def _spec(p=8):
+    return TableSpec(name="cdc", num_partitions=p)
+
+
+def test_replay_matches_oracle_and_lineage(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES:
+        rec = lake.apply_events(rd.from_arrow(b))
+        assert rec["committed"]
+    assert_states_equal(_state(lake), ORACLE)
+    lin = lake.lineage()
+    assert len(lin) == len(BATCHES)
+    assert all("rows_upserted" in r and "wall_sec" in r for r in lin)
+    # per-partition epoch markers exist on disk (phase-1 lineage)
+    markers = list((Path(tmp_path) / "cdc" / "_markers").glob("*.json"))
+    assert markers
+    info = json.loads(markers[0].read_text())
+    assert {"part", "epoch", "watermark", "sha_rollup"} <= set(info)
+
+
+def test_exactly_once_replay_is_noop(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    before = canonical_state(_state(lake))
+    epoch_before = mf.read_manifest(str(tmp_path), "cdc")["epoch"]
+    # re-deliver the first batch (at-least-once source): watermark skips all
+    rec = lake.apply_events(rd.from_arrow(BATCHES[0]))
+    assert rec["events_seen"] == 0 and rec["partitions_touched"] == 0
+    after = canonical_state(_state(lake))
+    assert before.equals(after)
+    assert mf.read_manifest(str(tmp_path), "cdc")["epoch"] == epoch_before + 1
+
+
+def test_crash_between_phase1_and_phase2_then_resume(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    committed = canonical_state(_state(lake))
+
+    # crash: phase-1 files + markers written, manifest NOT swapped
+    rec = lake.apply_events(rd.from_arrow(BATCHES[1]), _fail_before_commit=True)
+    assert rec["committed"] is False
+    # orphan delta files exist on disk but are invisible to readers
+    assert canonical_state(_state(lake)).equals(committed)
+
+    # resume: a NEW lake instance (fresh driver) re-applies the open window
+    lake2 = CDCLake(tmp_path, _spec())
+    rec2 = lake2.apply_events(rd.from_arrow(BATCHES[1]))
+    assert rec2["committed"]
+    for b in BATCHES[2:]:
+        lake2.apply_events(rd.from_arrow(b))
+    assert_states_equal(_state(lake2), ORACLE)
+
+
+def test_micro_batch_sizing_invariance(tmp_path):
+    a = CDCLake(tmp_path / "a", _spec(5))
+    for b in micro_batches(EVENTS, batch_windows=1, window=WINDOW):
+        a.apply_events(rd.from_arrow(b))
+    b_ = CDCLake(tmp_path / "b", _spec(16))
+    b_.apply_events(rd.from_arrow(EVENTS))  # one giant epoch
+    assert canonical_state(_state(a)).equals(canonical_state(_state(b_)))
+
+
+def test_salted_apply_matches(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b), salt_factor=4)
+    assert_states_equal(_state(lake), ORACLE)
+
+
+def test_schema_evolution_column_add(tmp_path):
+    ev = make_change_events(
+        n_keys=600, n_events=1500, seed=21, window=250, evolve_after_frac=0.5
+    )
+    early = ev.filter(pa.compute.less(ev["lsn"], 750)).drop_columns(["size_bytes"])
+    late = ev.filter(pa.compute.greater_equal(ev["lsn"], 750))
+    lake = CDCLake(tmp_path, _spec())
+    lake.apply_events(rd.from_arrow(early))       # no size_bytes column yet
+    lake.apply_events(rd.from_arrow(late))        # column appears mid-stream
+    state = _state(lake)
+    assert "size_bytes" in state.column_names
+    assert_states_equal(state, oracle_apply(ev))
+    # rows whose winner predates the evolution have null size_bytes
+    assert state.column("size_bytes").null_count > 0
+
+
+def test_schema_narrowing_rejected():
+    spec = TableSpec(name="t", schema=pa.schema([("a", pa.int64())]))
+    with pytest.raises(SchemaEvolutionError):
+        spec.evolve(pa.schema([("a", pa.string())]))
+    widened = spec.evolve(pa.schema([("a", pa.int32()), ("b", pa.float64())]))
+    assert widened.field("a").type == pa.int64()
+    assert widened.field("b").type == pa.float64()
+
+
+def test_compact_and_gc(tmp_path):
+    lake = CDCLake(tmp_path, _spec(4))
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    pre = canonical_state(_state(lake))
+    rec = lake.compact()
+    assert rec["compaction"]
+    post = canonical_state(_state(lake))
+    assert pre.equals(post)
+    removed = lake.gc()
+    assert removed, "gc should reclaim superseded delta files"
+    assert pre.equals(canonical_state(_state(lake)))
+    # no tombstones survive compaction
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    assert m["compacted"]
+
+
+def test_watermark_survives_all_deleted_partition(tmp_path):
+    """A partition whose keys are all deleted keeps its watermark across
+    compaction; replaying a stale pre-delete event must not resurrect."""
+    t = pa.table(
+        {
+            "op": ["I", "U", "D"],
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "repo": ["r", "r", "r"],
+            "path": ["p", "p", "p"],
+            "commit": ["a", "b", "b"],
+            "lang": ["py", "py", None],
+            "content": ["x", "y", None],
+        }
+    )
+    lake = CDCLake(tmp_path, _spec(2))
+    lake.apply_events(rd.from_arrow(t))
+    lake.compact()
+    assert _state(lake).num_rows == 0
+    # stale redelivery of the U(2) event
+    lake2 = CDCLake(tmp_path, _spec(2))
+    rec = lake2.apply_events(rd.from_arrow(t.slice(1, 1)))
+    assert rec["events_seen"] == 0
+    assert _state(lake2).num_rows == 0
