@@ -1,0 +1,152 @@
+"""Aggregations: per-key spans, deterministic ids, redundancy audit.
+
+Reference analogs (SURVEY.md §2.5): A4 per-person min/max date span
+(create_observation_periods.py:38-166 — O(persons × tables) re-reading
+every CSV per person; ours is one shuffle), A5 sequential id assignment
+(create_table_ids.py:27-48 — arrival-order range(1, n+1); ours offers
+both a deterministic key-hash id and an explicit global-order variant),
+A6 cross-table redundancy report (find_redundant.py:30-109).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+from ..functions.dates import INDEX_DATE, exclude_sentinel
+
+
+def observation_periods(
+    tables: list[tuple[rd.Dataset, list[str]]],
+    person_col: str = "person_id",
+    default_date=INDEX_DATE,
+) -> rd.Dataset:
+    """(person, min date, max date) across many tables' date columns,
+    excluding the 1900-01-01 sentinel; persons with no valid date get the
+    default single-day span (A4).  One union + one groupby shuffle."""
+    projected = []
+    for ds, date_cols in tables:
+        for dc in date_cols:
+            def proj(batch: pa.Table, dc=dc) -> pa.Table:
+                d = exclude_sentinel(batch.column(dc))
+                t = pa.table({person_col: batch.column(person_col), "d": d})
+                return t.filter(pa.compute.is_valid(t.column("d")))
+
+            projected.append(
+                ds.select_columns([person_col, dc]).map_batches(
+                    proj, batch_format="pyarrow"
+                )
+            )
+    u = projected[0]
+    for p in projected[1:]:
+        u = u.union(p)
+    agg = u.groupby(person_col).aggregate(
+        Min("d", alias_name="observation_period_start_date"),
+        Max("d", alias_name="observation_period_end_date"),
+    )
+    return agg
+
+
+def deterministic_ids(
+    ds: rd.Dataset, id_col: str, key_cols: list[str]
+) -> rd.Dataset:
+    """Key-derived surrogate id (scale-safe replacement for A5: stable
+    under any parallelism / arrival order)."""
+    from ..functions.ids import stable_key_id
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            id_col, stable_key_id(*[batch.column(c) for c in key_cols])
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sequential_ids(
+    ds: rd.Dataset, id_col: str, sort_col: str | None = None, start: int = 1
+) -> rd.Dataset:
+    """Exact reference semantics (A5): global 1..N enumeration.  Requires
+    a defined global order — pass ``sort_col`` (the reference's implicit
+    order is concat order, which is not reproducible at scale).
+
+    Implementation: per-block counts → prefix-sum offsets → add offset
+    per block (two passes, no shuffle beyond the sort)."""
+    if sort_col is not None:
+        ds = ds.sort(sort_col)
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _with_ids(t: pa.Table, offset: int) -> pa.Table:
+        ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
+        return t.append_column(id_col, ids)
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
+    out_refs = [
+        _with_ids.remote(r, int(off)) for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def redundancy_report(
+    ds: rd.Dataset,
+    person_col: str,
+    concept_col: str,
+    source_col: str,
+) -> rd.Dataset:
+    """Concept ids appearing for the same person in >1 source (A6)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        sources = sorted(g[source_col].unique())
+        if len(sources) < 2:
+            return g.head(0)[[person_col, concept_col, source_col]].assign(
+                n_sources=pd.Series(dtype="int64")
+            )
+        return pd.DataFrame(
+            {
+                person_col: [g[person_col].iloc[0]],
+                concept_col: [g[concept_col].iloc[0]],
+                source_col: [", ".join(map(str, sources))],
+                "n_sources": [len(sources)],
+            }
+        )
+
+    return (
+        ds.select_columns([person_col, concept_col, source_col])
+        .groupby([person_col, concept_col])
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def partial_then_global_agg(
+    ds: rd.Dataset,
+    key: str,
+    value: str,
+    aggs: tuple[str, ...] = ("sum", "count", "min", "max"),
+) -> rd.Dataset:
+    """Pre-aggregate inside map_batches then groupby over the partials —
+    the scale pattern for high-cardinality-input / low-cardinality-key
+    aggregation (SURVEY.md §4: push aggregation partial)."""
+    from ray.data.aggregate import Max as RMax, Min as RMin, Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, value]).to_pandas()
+        g = df.groupby(key)[value].agg(["sum", "count", "min", "max"]).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key).aggregate(
+        RSum("sum", alias_name=f"{value}_sum"),
+        RSum("count", alias_name=f"{value}_count"),
+        RMin("min", alias_name=f"{value}_min"),
+        RMax("max", alias_name=f"{value}_max"),
+    )

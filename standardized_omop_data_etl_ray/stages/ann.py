@@ -1,0 +1,123 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the exactness baseline (one numpy matmul per
+batch against a broadcast query matrix — no shuffle, embarrassingly
+parallel); the IVF variant is the scale path (coarse k-means-ish
+centroids → probe the nearest ``nprobe`` cells only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    emb_col: str,
+    id_col: str,
+    k: int = 5,
+) -> rd.Dataset:
+    """Exact cosine top-k: each batch scores all queries against its rows
+    (matmul), emits per-(query, row) partial top-k; a final per-query
+    group keeps the global top-k.  The broadcast is the QUERY matrix
+    (small); the corpus streams — correct orientation at 100 TB."""
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put((np.asarray(query_ids), Q))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _cached_get
+
+        qids, Qm = _cached_get(qref)
+        ids = batch[id_col].to_numpy()
+        M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        S = Qm @ M.T  # (q, n)
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for qi in range(S.shape[0]):
+            for j in top[qi]:
+                rows.append((qids[qi], ids[j], float(S[qi, j])))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+
+    partials = ds.map_batches(score, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, ["cosine", "vec_id"]).sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        )
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+class IVFIndex:
+    """IVF-flat index built with a deterministic k-means (few iterations).
+
+    Build: sample → centroids (driver, small) → assign cells in
+    map_batches (one shuffle to group by cell).  Query: probe the
+    ``nprobe`` nearest cells only."""
+
+    def __init__(self, n_cells: int = 16, n_iter: int = 5, seed: int = 42):
+        self.n_cells, self.n_iter, self.seed = n_cells, n_iter, seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IVFIndex":
+        X = _normalize(np.asarray(sample, dtype=np.float32))
+        rng = np.random.default_rng(self.seed)
+        c = X[rng.choice(len(X), min(self.n_cells, len(X)), replace=False)]
+        for _ in range(self.n_iter):
+            assign = (X @ c.T).argmax(axis=1)
+            for j in range(len(c)):
+                members = X[assign == j]
+                if len(members):
+                    c[j] = _normalize(members.mean(axis=0, keepdims=True))[0]
+        self.centroids = c
+        return self
+
+    def assign_cells(self, ds: rd.Dataset, emb_col: str) -> rd.Dataset:
+        cref = ray.put(self.centroids)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            from .joins import _cached_get
+
+            c = _cached_get(cref)
+            M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+            batch = batch.copy()
+            batch["cell"] = (M @ c.T).argmax(axis=1).astype(np.int32)
+            return batch
+
+        return ds.map_batches(fn, batch_format="pandas")
+
+    def probe_cells(self, query: np.ndarray, nprobe: int = 4) -> np.ndarray:
+        q = _normalize(query.reshape(1, -1).astype(np.float32))[0]
+        return np.argsort(-(self.centroids @ q))[:nprobe].astype(np.int32)
+
+
+def ivf_topk(
+    ds_with_cells: rd.Dataset,
+    index: IVFIndex,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    emb_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+) -> rd.Dataset:
+    """ANN top-k probing only the nearest cells per query."""
+    cells = set()
+    for q in np.asarray(queries):
+        cells.update(index.probe_cells(q, nprobe).tolist())
+    pruned = ds_with_cells.filter(
+        expr=f"cell in {sorted(cells)}"
+    )
+    return brute_force_topk(pruned, queries, query_ids, emb_col, id_col, k)

@@ -1,0 +1,319 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup generalizes the reference's full-row distinct (A3:
+drop_duplicates at aalshxfx--observation.py:614) and keyed dedup-merge
+(A1) to content scale; the near-dup family (MinHash-LSH, SimHash,
+n-gram Jaccard, embedding cosine) is the standard pretraining-corpus
+stack (Broder'97 MinHash; Charikar'02 SimHash; Lee et al.'22
+"Deduplicating Training Data Makes Language Models Better").
+
+Scale shapes:
+  exact    — content hash in map_batches → per-batch combiner keeps the
+             min-id candidate per hash → one small groupby (the shuffle
+             moves ≤1 row per distinct hash per block, not the corpus).
+  minhash  — signature per doc (vectorized numpy) → explode to
+             (band, band_hash, doc_id) rows → groupby(band, band_hash)
+             → candidate pairs → exact-Jaccard verify on the pair set.
+  simhash  — 64-bit fingerprint per doc; near-dups = Hamming ≤ k within
+             bucket prefixes.
+  embedding— cosine against block-broadcast normalized matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions import text as T
+from ..functions.hashing import sha256_hex
+
+
+# ---------------------------------------------------------------- exact --
+
+def add_content_hash(
+    ds: rd.Dataset, text_col: str, out_col: str = "content_sha"
+) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col, sha256_hex(batch.column(text_col)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup(
+    ds: rd.Dataset, text_col: str, id_col: str, keep: str = "min"
+) -> rd.Dataset:
+    """Keep one row per distinct ``text_col`` (deterministic: min id wins).
+
+    Two-stage: per-batch combiner first (keeps ≤1 row per hash per
+    block) so the groupby shuffles pre-reduced data."""
+    hashed = add_content_hash(ds, text_col)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(id_col, ascending=keep == "min")
+        return pa.Table.from_pandas(
+            df.drop_duplicates("content_sha", keep="first"), preserve_index=False
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, ascending=keep == "min")
+        return g.head(1)
+
+    return (
+        hashed.map_batches(combiner, batch_format="pyarrow")
+        .groupby("content_sha")
+        .map_groups(final, batch_format="pandas")
+        .drop_columns(["content_sha"])
+    )
+
+
+# -------------------------------------------------------------- minhash --
+
+class MinHasher:
+    """Actor-pool stage: MinHash signature + LSH band rows per document.
+
+    Stateful setup (permutation params) happens once per actor
+    (__init__), per the actor-pool pattern for stateful stages."""
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        num_hashes: int = 128,
+        bands: int = 32,
+        shingle_k: int = 3,
+        seed: int = 1,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.a, self.b = T.minhash_params(num_hashes, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        out_id, out_band, out_bh = [], [], []
+        for i, txt in zip(ids, texts):
+            sh = T.word_shingles(txt or "", self.shingle_k)
+            hh = T.hash_u64(np.array(sh, dtype=object)) if sh else np.array([], np.uint64)
+            sig = T.minhash_signature(hh, self.a, self.b)
+            bh = T.band_hashes(sig, self.bands)
+            out_id.extend([i] * self.bands)
+            out_band.extend(range(self.bands))
+            out_bh.extend(bh.tolist())
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_bh, pa.uint64()),
+            }
+        )
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    bucket.  Returns distinct (id_a, id_b) with id_a < id_b."""
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            bands=bands, shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    pairs = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # distinct pairs (a doc pair can collide in many bands)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def verify_jaccard_pairs(
+    pairs: rd.Dataset,
+    docs: pa.Table,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> rd.Dataset:
+    """Exact n-gram Jaccard verification of candidate pairs against a
+    broadcast doc table (valid when the candidate set's doc universe fits
+    a broadcast; at full scale, join pair ids back to shingle sets
+    instead)."""
+    import ray
+
+    lookup = dict(
+        zip(docs.column(id_col).to_pylist(), docs.column(text_col).to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _cached_get
+
+        lk = _cached_get(ref)
+        sims = []
+        cache: dict[int, set] = {}
+
+        def sh(i):
+            if i not in cache:
+                cache[i] = set(T.word_shingles(lk.get(i, "") or "", shingle_k))
+            return cache[i]
+
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            sims.append(T.jaccard(sh(a), sh(b)))
+        batch = batch.copy()
+        batch["jaccard"] = sims
+        return batch[batch["jaccard"] >= threshold]
+
+    return pairs.map_batches(fn, batch_format="pandas")
+
+
+# -------------------------------------------------------------- simhash --
+
+class SimHasher:
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        fps = []
+        for txt in texts:
+            toks = (txt or "").split()
+            hh = T.hash_u64(np.array(toks, dtype=object)) if toks else np.array([], np.uint64)
+            fps.append(T.simhash64(hh))
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(np.array(fps, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+
+def simhash_fingerprints(
+    ds: rd.Dataset, text_col: str, id_col: str, concurrency: int = 4
+) -> rd.Dataset:
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def simhash_near_pairs(
+    fps: rd.Dataset, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+) -> rd.Dataset:
+    """Near-dup pairs among simhash fingerprints: bucket by bit-prefix
+    (rotated ``64/prefix_bits`` ways so any ≤k-bit difference lands in a
+    shared bucket with high probability), verify Hamming inside buckets."""
+    rotations = max(1, 64 // prefix_bits)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        fp = batch.column("simhash").to_numpy().astype(np.uint64)
+        out_i, out_b, out_f = [], [], []
+        for r in range(rotations):
+            rot = (fp << np.uint64(r * prefix_bits)) | (
+                fp >> np.uint64(64 - r * prefix_bits)
+            ) if r else fp
+            bucket = (rot >> np.uint64(64 - prefix_bits)).astype(np.uint64)
+            out_i.append(ids)
+            out_b.append(bucket + np.uint64(r) * np.uint64(1 << prefix_bits))
+            out_f.append(fp)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_i)),
+                "bucket": pa.array(np.concatenate(out_b), pa.uint64()),
+                "simhash": pa.array(np.concatenate(out_f), pa.uint64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        fp = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.unpackbits(
+            np.bitwise_xor(fp[ia], fp[ib]).view(np.uint8).reshape(-1, 8), axis=1
+        ).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}
+        )
+
+    exploded = fps.map_batches(explode, batch_format="pyarrow")
+    pairs = exploded.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------------ embedding --
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    block_size: int = 4096,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs.  In-sandbox shape: normalize per
+    batch, compare each block against the (broadcast) full normalized
+    matrix with one numpy matmul — O(n²/B) blocked, the brute-force
+    baseline.  Scale path: LSH-bucket (random hyperplane signs) first,
+    then this within buckets."""
+    import ray
+
+    mat_t = ds.select_columns([id_col, emb_col])
+    tbl = mat_t.to_pandas()
+    ids_all = tbl[id_col].to_numpy()
+    M = np.stack(tbl[emb_col].to_numpy())
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, M.astype(np.float32)))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _cached_get
+
+        ids_a, Ma = _cached_get(ref)
+        ids = batch[id_col].to_numpy()
+        V = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = V @ Ma.T
+        ii, jj = np.nonzero(S >= threshold)
+        a, b = ids[ii], ids_a[jj]
+        keep = a < b
+        return pd.DataFrame(
+            {"id_a": a[keep], "id_b": b[keep], "cosine": S[ii, jj][keep]}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=block_size)

@@ -1,0 +1,132 @@
+"""Joins and lookups: broadcast small sides, Usagi-style mapping joins.
+
+Reference analogs (SURVEY.md §2.4): J1 demographics⟕subjects
+(demographics--person.py:53), J2 Usagi mapping join — case-insensitive
+key, one-to-many fan-out, anti-drop or default-zero on miss
+(medical_history--condition_occurrence.py:22-41,85-106;
+answer_als_medications_log--drug_exposure.py:184-195;
+neurolog--condition_occurrence.py:27-42 first-match variant),
+J3/J4 dict lookups, J6 global rekey (person_id_map.py:42-55).
+
+Scale pattern: the small side is ``ray.put`` ONCE on the driver; each
+worker process materializes it at most once (process-local cache keyed
+by the object ref) — never re-shipped per batch.  Large-large joins use
+``Dataset.join`` (hash shuffle) — see pipelines using it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref: "ray.ObjectRef"):
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table | pd.DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Equi-join against a broadcast small side inside ``map_batches``.
+
+    ``how``: left | inner | semi | anti.  No shuffle — the big side
+    streams; the small side is shipped once via the object store.
+    """
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    on_cols = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(small)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        sm: pd.DataFrame = _cached_get(ref)
+        if how in ("semi", "anti"):
+            keys = sm[on_cols].drop_duplicates()
+            marked = batch.merge(keys, on=on_cols, how="left", indicator=True)
+            keep = marked["_merge"] == ("both" if how == "semi" else "left_only")
+            return batch[keep.to_numpy()]
+        return batch.merge(sm, on=on_cols, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def broadcast_rekey(
+    ds: rd.Dataset, mapping: dict, cols: list[str], default=None
+) -> rd.Dataset:
+    """Apply a small key→key mapping to one or more columns (J6: the
+    person rekey applied to person + 9 fact tables)."""
+    ref = ray.put(mapping)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m: dict = _cached_get(ref)
+        for c in cols:
+            mapped = batch[c].map(m)
+            batch[c] = mapped if default is None else mapped.fillna(default)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def usagi_join(
+    ds: rd.Dataset,
+    mapping: pa.Table | pd.DataFrame,
+    source_col: str,
+    domain: str | None = None,
+    mode: str = "one_to_many",
+    concept_id_col: str = "conceptId",
+    concept_name_col: str = "conceptName",
+    map_source_col: str = "sourceName",
+    domain_col: str = "domainId",
+) -> rd.Dataset:
+    """Usagi-style concept-mapping join (J2).
+
+    Key is case-insensitive, whitespace-stripped equality on the mapping's
+    sourceName, optionally filtered to one domain.  Modes:
+      one_to_many — a row duplicates per matching concept
+                    (medical_history--*: 1 source term → N concepts)
+      first       — first match only (neurolog--condition_occurrence.py:27-42)
+      anti_drop   — unmatched rows are DROPPED (medical_history--*)
+      default_zero — unmatched rows keep concept 0 / 'No Matching Concept'
+                    (answer_als_medications_log--drug_exposure.py:184-195)
+    """
+    if isinstance(mapping, pa.Table):
+        mapping = mapping.to_pandas()
+    m = mapping.copy()
+    if domain is not None:
+        m = m[m[domain_col] == domain]
+    m["__key"] = m[map_source_col].astype(str).str.strip().str.lower()
+    m = m[["__key", concept_id_col, concept_name_col]].rename(
+        columns={concept_id_col: "concept_id", concept_name_col: "concept_name"}
+    )
+    if mode == "first":
+        m = m.drop_duplicates("__key", keep="first")
+    ref = ray.put(m)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        mm: pd.DataFrame = _cached_get(ref)
+        batch = batch.copy()
+        batch["__key"] = batch[source_col].astype(str).str.strip().str.lower()
+        joined = batch.merge(mm, on="__key", how="left")
+        if mode in ("one_to_many", "first"):
+            pass
+        if mode == "anti_drop":
+            joined = joined[joined["concept_id"].notna()]
+        elif mode == "default_zero":
+            joined["concept_id"] = joined["concept_id"].fillna(0).astype("int64")
+            joined["concept_name"] = joined["concept_name"].fillna(
+                "No Matching Concept"
+            )
+        return joined.drop(columns="__key")
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -93,6 +93,49 @@ def add_salt(batch: pa.Table, salt_factor: int) -> pa.Table:
     return batch.append_column("salt", salt)
 
 
+def priority_merge(
+    sources: list[tuple[str, rd.Dataset]],
+    key_cols: list[str],
+    source_col: str = "__source",
+    rank_col: str = "__rank",
+) -> rd.Dataset:
+    """The reference's A1 merge semantics exactly (combine_subtables.py:42-172):
+    sources carry a fixed priority order; ALL rows of the highest-priority
+    source holding a key win; rows of lower-priority sources whose key
+    already exists are flagged redundant with source attribution
+    (the reference's ``redundant/`` audit tables).
+
+    Returns one Dataset with ``__redundant: bool`` — filter it for the
+    winners and the audit log (priority-as-LSN makes this a special case
+    of LWW, but within-source duplicate keys all survive here, matching
+    the reference's key-set — not row-level — dedup).
+    """
+    import pandas as pd
+
+    tagged = []
+    for rank, (name, ds) in enumerate(sources):
+        def tag(batch: pa.Table, rank=rank, name=name) -> pa.Table:
+            n = batch.num_rows
+            batch = batch.append_column(source_col, pa.array([name] * n))
+            return batch.append_column(rank_col, pa.array([rank] * n, pa.int32()))
+
+        tagged.append(ds.map_batches(tag, batch_format="pyarrow"))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.union(t)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["__redundant"] = g[rank_col] > g[rank_col].min()
+        return g
+
+    return (
+        u.groupby(key_cols)
+        .map_groups(resolve, batch_format="pandas")
+        .drop_columns([rank_col])
+    )
+
+
 def lww_merge(
     events: rd.Dataset,
     spec: TableSpec | None = None,

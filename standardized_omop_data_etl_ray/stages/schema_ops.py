@@ -1,0 +1,149 @@
+"""Schema operations: pad-to-canonical, union-by-name (C1/C2/C3/C4).
+
+Reference analogs: add_missing_columns.py:12-57 pads every OMOP table to
+the published CDM 5.4 column list (full lists hardcoded at
+add_missing_columns.py:64-261); pd.concat union-by-name with NaN fill at
+combine_subtables.py:124; type re-coercion at combine_subtables.py:35-38.
+The CDM 5.4 column lists below come from the public OHDSI CDM 5.4 spec
+(the same source the reference hardcodes).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+# Public OMOP CDM v5.4 canonical column order (subset of tables the
+# reference emits; add_missing_columns.py:64-261 carries the same lists).
+CDM54_SCHEMAS: dict[str, list[str]] = {
+    "person": [
+        "person_id", "gender_concept_id", "year_of_birth", "month_of_birth",
+        "day_of_birth", "birth_datetime", "race_concept_id",
+        "ethnicity_concept_id", "location_id", "provider_id", "care_site_id",
+        "person_source_value", "gender_source_value",
+        "gender_source_concept_id", "race_source_value",
+        "race_source_concept_id", "ethnicity_source_value",
+        "ethnicity_source_concept_id",
+    ],
+    "condition_occurrence": [
+        "condition_occurrence_id", "person_id", "condition_concept_id",
+        "condition_start_date", "condition_start_datetime",
+        "condition_end_date", "condition_end_datetime",
+        "condition_type_concept_id", "condition_status_concept_id",
+        "stop_reason", "provider_id", "visit_occurrence_id",
+        "visit_detail_id", "condition_source_value",
+        "condition_source_concept_id", "condition_status_source_value",
+    ],
+    "death": [
+        "person_id", "death_date", "death_datetime", "death_type_concept_id",
+        "cause_concept_id", "cause_source_value", "cause_source_concept_id",
+    ],
+    "observation_period": [
+        "observation_period_id", "person_id", "observation_period_start_date",
+        "observation_period_end_date", "period_type_concept_id",
+    ],
+    "measurement": [
+        "measurement_id", "person_id", "measurement_concept_id",
+        "measurement_date", "measurement_datetime", "measurement_time",
+        "measurement_type_concept_id", "operator_concept_id",
+        "value_as_number", "value_as_concept_id", "unit_concept_id",
+        "range_low", "range_high", "provider_id", "visit_occurrence_id",
+        "visit_detail_id", "measurement_source_value",
+        "measurement_source_concept_id", "unit_source_value",
+        "unit_source_concept_id", "value_source_value",
+        "measurement_event_id", "meas_event_field_concept_id",
+    ],
+    "observation": [
+        "observation_id", "person_id", "observation_concept_id",
+        "observation_date", "observation_datetime",
+        "observation_type_concept_id", "value_as_number", "value_as_string",
+        "value_as_concept_id", "qualifier_concept_id", "unit_concept_id",
+        "provider_id", "visit_occurrence_id", "visit_detail_id",
+        "observation_source_value", "observation_source_concept_id",
+        "unit_source_value", "qualifier_source_value", "value_source_value",
+        "observation_event_id", "obs_event_field_concept_id",
+    ],
+    "drug_exposure": [
+        "drug_exposure_id", "person_id", "drug_concept_id",
+        "drug_exposure_start_date", "drug_exposure_start_datetime",
+        "drug_exposure_end_date", "drug_exposure_end_datetime",
+        "verbatim_end_date", "drug_type_concept_id", "stop_reason",
+        "refills", "quantity", "days_supply", "sig", "route_concept_id",
+        "lot_number", "provider_id", "visit_occurrence_id",
+        "visit_detail_id", "drug_source_value", "drug_source_concept_id",
+        "route_source_value", "dose_unit_source_value",
+    ],
+    "procedure_occurrence": [
+        "procedure_occurrence_id", "person_id", "procedure_concept_id",
+        "procedure_date", "procedure_datetime", "procedure_end_date",
+        "procedure_end_datetime", "procedure_type_concept_id",
+        "modifier_concept_id", "quantity", "provider_id",
+        "visit_occurrence_id", "visit_detail_id", "procedure_source_value",
+        "procedure_source_concept_id", "modifier_source_value",
+    ],
+    "device_exposure": [
+        "device_exposure_id", "person_id", "device_concept_id",
+        "device_exposure_start_date", "device_exposure_start_datetime",
+        "device_exposure_end_date", "device_exposure_end_datetime",
+        "device_type_concept_id", "unique_device_id",
+        "production_id", "quantity", "provider_id", "visit_occurrence_id",
+        "visit_detail_id", "device_source_value", "device_source_concept_id",
+        "unit_concept_id", "unit_source_value", "unit_source_concept_id",
+    ],
+}
+
+
+def pad_to_columns(
+    batch: pa.Table, columns: list[str], keep_extras: bool = True
+) -> pa.Table:
+    """Add missing columns as nulls, reorder to canonical order, keep
+    extras at the end (add_missing_columns.py:26-53)."""
+    n = batch.num_rows
+    present = set(batch.column_names)
+    out_cols, out_names = [], []
+    for c in columns:
+        if c in present:
+            out_cols.append(batch.column(c))
+        else:
+            out_cols.append(pa.nulls(n, pa.string()))
+        out_names.append(c)
+    if keep_extras:
+        for c in batch.column_names:
+            if c not in columns:
+                out_cols.append(batch.column(c))
+                out_names.append(c)
+    return pa.table(dict(zip(out_names, out_cols)))
+
+
+def pad_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Typed variant: pad + cast to an explicit pa.Schema (C2/C4)."""
+    n = batch.num_rows
+    cols = []
+    for f in schema:
+        if f.name in batch.column_names:
+            cols.append(batch.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def union_by_name(datasets: list[rd.Dataset]) -> rd.Dataset:
+    """Union heterogeneous-schema Datasets by column name with null fill
+    (combine_subtables.py:124 / auxiliary_chemistry_labs S3) — computes
+    the unified schema from the inputs, pads each side, then unions."""
+    schemas = []
+    for ds in datasets:
+        s = ds.schema()
+        schemas.append(pa.schema(list(zip(s.names, s.types))))
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    padded = [
+        ds.map_batches(
+            lambda b, sch=unified: pad_to_schema(b, sch), batch_format="pyarrow"
+        )
+        for ds in datasets
+    ]
+    out = padded[0]
+    for ds in padded[1:]:
+        out = out.union(ds)
+    return out

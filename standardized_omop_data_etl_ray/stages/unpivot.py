@@ -1,0 +1,93 @@
+"""Wide→long unpivot with conditional fan-out (M7 — the reference's core
+standardize transform).
+
+The reference turns one wide survey row into K records with per-item
+concept ids, skipping nulls and gating on magic values, via iterrows()
+(alsfrs_r--observation.py:52-269 — 13 items;
+aalsdxfx--observation.py:263-543 — 24 indicators;
+als_gene_mutations--measurement.py:38-171 — 11 gene tests gated on
+value ∈ {1,2}; vital_signs--measurement.py:105-453 — 8 vitals; …).
+
+Ours is a declarative item spec + one vectorized ``map_batches`` pass
+that emits a longer Arrow table than its input: per item, a filtered
+projection with constant concept columns; the per-item outputs concat.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass
+class UnpivotItem:
+    source_col: str
+    concept_id: int
+    concept_name: str | None = None
+    # only emit when the value is one of these (e.g. gene tests: {1, 2})
+    gate_values: tuple | None = None
+    # constant extra columns for this item, e.g. {"unit_concept_id": 8582}
+    constants: dict = field(default_factory=dict)
+    # how many rows one match fans out to (aalsdxfx alsdx1 is tripled,
+    # aalshxfx bilateral site-of-onset doubles)
+    repeat: int = 1
+
+
+def make_unpivoter(
+    items: list[UnpivotItem],
+    id_cols: list[str],
+    value_col: str = "value_as_number",
+    concept_col: str = "concept_id",
+    name_col: str | None = "concept_name",
+    source_col_name: str | None = "source_variable",
+    drop_nulls: bool = True,
+):
+    """Return a batch fn: wide pa.Table → long pa.Table (1 row → ≤K rows)."""
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        outs = []
+        for it in items:
+            if it.source_col not in batch.column_names:
+                continue
+            val = batch.column(it.source_col)
+            mask = pc.is_valid(val) if drop_nulls else pa.array(
+                [True] * batch.num_rows
+            )
+            if it.gate_values is not None:
+                mask = pc.and_(mask, pc.is_in(val, value_set=pa.array(it.gate_values)))
+            sub = batch.filter(mask)
+            if sub.num_rows == 0:
+                continue
+            cols = {c: sub.column(c) for c in id_cols}
+            cols[value_col] = sub.column(it.source_col)
+            n = sub.num_rows
+            cols[concept_col] = pa.array([it.concept_id] * n, pa.int64())
+            if name_col:
+                cols[name_col] = pa.array([it.concept_name] * n, pa.string())
+            if source_col_name:
+                cols[source_col_name] = pa.array([it.source_col] * n, pa.string())
+            for k, v in it.constants.items():
+                cols[k] = pa.array([v] * n)
+            t = pa.table(cols)
+            for _ in range(it.repeat):
+                outs.append(t)
+        if not outs:
+            # empty long table with the right schema
+            probe = items[0]
+            cols = {c: batch.column(c).slice(0, 0) for c in id_cols}
+            cols[value_col] = batch.column(probe.source_col).slice(0, 0) if (
+                probe.source_col in batch.column_names
+            ) else pa.array([], pa.int64())
+            cols[concept_col] = pa.array([], pa.int64())
+            if name_col:
+                cols[name_col] = pa.array([], pa.string())
+            if source_col_name:
+                cols[source_col_name] = pa.array([], pa.string())
+            for k, v in probe.constants.items():
+                cols[k] = pa.array([], pa.array([v]).type)
+            return pa.table(cols)
+        return pa.concat_tables(outs, promote_options="permissive")
+
+    return unpivot

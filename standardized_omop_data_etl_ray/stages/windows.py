@@ -1,0 +1,66 @@
+"""Windowed aggregates over event streams.
+
+The reference has no windows (SURVEY.md §2.7 — full-batch only); this is
+the streaming-shaped operator a CDC/training-data engine needs.  Ray Data
+has no event-time watermarks, so windows are expressed as: assign a
+window column vectorized in ``map_batches``, then ``groupby`` — one
+shuffle, oracle-expressible as ``GROUP BY date_trunc(...)``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def add_tumbling_window(
+    ds: rd.Dataset, ts_col: str, unit: str = "hour", out_col: str = "window_start"
+) -> rd.Dataset:
+    """Assign each row its tumbling-window start (calendar-aligned)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column(ts_col), unit=unit)
+        return batch.append_column(out_col, w)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tumbling_aggregate(
+    ds: rd.Dataset,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+    extra_keys: list[str] | None = None,
+) -> rd.Dataset:
+    """count + sum + mean of ``value_col`` per tumbling window
+    (optionally per extra key)."""
+    keys = ["window_start"] + (extra_keys or [])
+    w = add_tumbling_window(ds, ts_col, unit)
+    return w.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
+        Count(alias_name="n_events"),
+        Sum(value_col, alias_name="sum_value"),
+        Mean(value_col, alias_name="avg_value"),
+    )
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+) -> rd.Dataset:
+    """Session windows per key: events closer than ``gap_seconds`` chain
+    into one session.  Needs per-key time order → one groupby shuffle,
+    then a vectorized cumulative split inside each group."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
+        g["session_id"] = (gaps > gap_seconds).cumsum().astype("int64")
+        return g
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,134 @@
+"""Dedup family + ANN: planted duplicates/near-dups must be found."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.stages.ann import (
+    IVFIndex,
+    brute_force_topk,
+    ivf_topk,
+)
+from standardized_omop_data_etl_ray.stages.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+    verify_jaccard_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "while the cat watches from the tall green tree nearby "
+)
+
+
+def _docs() -> pa.Table:
+    texts, ids = [], []
+    for i in range(30):
+        ids.append(i)
+        texts.append(f"document {i}: " + BASE + f"unique trailer {i} " * 3)
+    # exact duplicate of doc 0
+    ids.append(100)
+    texts.append(texts[0])
+    # near duplicate of doc 1 (one word changed)
+    ids.append(101)
+    texts.append(texts[1].replace("lazy", "sleepy"))
+    # distinct doc
+    ids.append(102)
+    texts.append("totally different content with other words entirely " * 5)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = rd.from_arrow(_docs()).repartition(3)
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert 100 not in set(out["doc_id"])  # dup of 0 dropped
+    assert 0 in set(out["doc_id"])
+    assert len(out) == 32  # 33 rows - 1 exact dup
+
+
+def test_minhash_lsh_finds_near_dup_and_jaccard_verifies():
+    docs = _docs()
+    ds = rd.from_arrow(docs).repartition(2)
+    pairs = minhash_candidate_pairs(ds, "text", "doc_id", concurrency=2)
+    pdf = pairs.to_pandas()
+    assert (0, 100) in set(zip(pdf["id_a"], pdf["id_b"]))
+    assert (1, 101) in set(zip(pdf["id_a"], pdf["id_b"]))
+    verified = verify_jaccard_pairs(
+        rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False)),
+        docs, "text", "doc_id", threshold=0.5,
+    ).to_pandas()
+    got = set(zip(verified["id_a"], verified["id_b"]))
+    assert (0, 100) in got and (1, 101) in got
+    # the distinct doc must not pair with anything after verification
+    assert not any(102 in p for p in got)
+
+
+def test_simhash_near_pairs():
+    docs = _docs()
+    fps = simhash_fingerprints(rd.from_arrow(docs), "text", "doc_id")
+    pairs = simhash_near_pairs(fps, "doc_id", max_hamming=4).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 100) in got  # identical docs: hamming 0
+
+
+def _embeddings(n=50, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    # plant near-dup: vec 40 ≈ vec 0
+    M[40] = M[0] + rng.normal(scale=1e-3, size=d).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in M], pa.list_(pa.float32())),
+        }
+    ), M
+
+
+def test_embedding_near_dup_pairs():
+    tbl, M = _embeddings()
+    pairs = embedding_near_dup_pairs(
+        rd.from_arrow(tbl), "embedding", "vec_id", threshold=0.999
+    ).to_pandas()
+    assert (0, 40) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_brute_force_topk_matches_numpy():
+    tbl, M = _embeddings()
+    Q = M[:3]
+    out = brute_force_topk(
+        rd.from_arrow(tbl).repartition(4), Q, np.array([0, 1, 2]),
+        "embedding", "vec_id", k=4,
+    ).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Mn.T
+    for q in range(3):
+        expect = set(np.argsort(-S[q])[:4].tolist())
+        got = set(out[out["query_id"] == q]["vec_id"].tolist())
+        assert got == expect
+    # query 0's top hit set contains its planted near-dup
+    assert 40 in set(out[out["query_id"] == 0]["vec_id"])
+
+
+def test_ivf_topk_recall():
+    tbl, M = _embeddings(n=200, d=16)
+    idx = IVFIndex(n_cells=8).fit(M)
+    with_cells = idx.assign_cells(rd.from_arrow(tbl), "embedding")
+    Q = M[:5]
+    exact = brute_force_topk(
+        rd.from_arrow(tbl), Q, np.arange(5), "embedding", "vec_id", k=3
+    ).to_pandas()
+    approx = ivf_topk(
+        with_cells, idx, Q, np.arange(5), "embedding", "vec_id", k=3, nprobe=4
+    ).to_pandas()
+    recall = 0
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recall += len(e & a) / 3
+    assert recall / 5 >= 0.6  # probing half the cells recovers most

@@ -1,0 +1,213 @@
+"""Stage-level tests: unpivot, schema ops, joins, aggregates, windows,
+priority merge (reference semantics on FIXTURES.md §B-shaped minis)."""
+
+from datetime import date, datetime
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.stages.aggregates import (
+    deterministic_ids,
+    observation_periods,
+    partial_then_global_agg,
+    redundancy_report,
+    sequential_ids,
+)
+from standardized_omop_data_etl_ray.stages.joins import (
+    broadcast_join,
+    broadcast_rekey,
+    usagi_join,
+)
+from standardized_omop_data_etl_ray.stages.merge import priority_merge
+from standardized_omop_data_etl_ray.stages.schema_ops import (
+    CDM54_SCHEMAS,
+    pad_to_columns,
+    union_by_name,
+)
+from standardized_omop_data_etl_ray.stages.unpivot import UnpivotItem, make_unpivoter
+from standardized_omop_data_etl_ray.stages.windows import (
+    sessionize,
+    tumbling_aggregate,
+)
+
+
+def test_unpivot_fanout_gating_and_nulls():
+    # FIXTURES B5-like: wide survey row → K long records, nulls skipped,
+    # gene-test gate on value ∈ {1,2} (als_gene_mutations--measurement.py:38-171)
+    wide = pa.table(
+        {
+            "pid": ["P1", "P2"],
+            "item1": pa.array([4, None], pa.int64()),
+            "item2": pa.array([3, 2], pa.int64()),
+            "gene1": pa.array([9, 1], pa.int64()),
+        }
+    )
+    items = [
+        UnpivotItem("item1", 1001, "Item 1"),
+        UnpivotItem("item2", 1002, "Item 2", constants={"unit_concept_id": 8582}),
+        UnpivotItem("gene1", 2001, "Gene 1", gate_values=(1, 2)),
+    ]
+    fn = make_unpivoter(items, ["pid"])
+    out = fn(wide).to_pandas().sort_values(["pid", "concept_id"])
+    # P1: item1+item2 (gene gated out, 9∉{1,2}); P2: item2+gene1 (item1 null)
+    assert list(zip(out["pid"], out["concept_id"])) == [
+        ("P1", 1001), ("P1", 1002), ("P2", 1002), ("P2", 2001),
+    ]
+    assert out[out["concept_id"] == 1002]["unit_concept_id"].tolist() == [8582, 8582]
+
+
+def test_unpivot_repeat():
+    wide = pa.table({"pid": ["P1"], "x": pa.array([1], pa.int64())})
+    fn = make_unpivoter([UnpivotItem("x", 5, repeat=2)], ["pid"])
+    assert fn(wide).num_rows == 2  # aalsdxfx alsdx1 tripling analog
+
+
+def test_pad_to_columns_canonical_order():
+    t = pa.table({"person_id": [1], "extra": ["x"], "death_date": ["2020-01-01"]})
+    out = pad_to_columns(t, CDM54_SCHEMAS["death"])
+    assert out.column_names == CDM54_SCHEMAS["death"] + ["extra"]
+    assert out.column("cause_concept_id").null_count == 1
+
+
+def test_union_by_name():
+    a = rd.from_arrow(pa.table({"x": [1, 2], "y": ["a", "b"]}))
+    b = rd.from_arrow(pa.table({"y": ["c"], "z": pa.array([1.5])}))
+    out = union_by_name([a, b]).to_pandas()
+    assert sorted(out.columns) == ["x", "y", "z"]
+    assert len(out) == 3
+
+
+def test_broadcast_join_modes():
+    big = rd.from_arrow(pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]}))
+    small = pa.table({"k": ["a", "b"], "grp": ["G1", "G2"]})
+    left = broadcast_join(big, small, "k").to_pandas().sort_values("k")
+    assert left["grp"].fillna("-").tolist() == ["G1", "G2", "-"]
+    semi = broadcast_join(big, small, "k", how="semi").to_pandas()
+    assert sorted(semi["k"]) == ["a", "b"]
+    anti = broadcast_join(big, small, "k", how="anti").to_pandas()
+    assert anti["k"].tolist() == ["c"]
+
+
+def test_usagi_join_modes():
+    # FIXTURES B3: case-variant sourceName + one-to-many mapping rows
+    mapping = pa.table(
+        {
+            "sourceName": ["Aspirin", "aspirin", "HTN"],
+            "domainId": ["Drug", "Drug", "Condition"],
+            "conceptId": pa.array([100, 101, 200], pa.int64()),
+            "conceptName": ["asp-a", "asp-b", "hyper"],
+        }
+    )
+    rows = rd.from_arrow(pa.table({"term": ["  ASPIRIN ", "unknown"], "pid": [1, 2]}))
+    o2m = usagi_join(rows, mapping, "term", domain="Drug").to_pandas()
+    # one-to-many fan-out: ASPIRIN matches both case-variant rows
+    assert sorted(o2m[o2m["pid"] == 1]["concept_id"].dropna()) == [100, 101]
+    first = usagi_join(rows, mapping, "term", domain="Drug", mode="first").to_pandas()
+    assert first[first["pid"] == 1]["concept_id"].tolist() == [100]
+    anti = usagi_join(rows, mapping, "term", domain="Drug", mode="anti_drop").to_pandas()
+    assert anti["pid"].unique().tolist() == [1]
+    dz = usagi_join(rows, mapping, "term", domain="Drug", mode="default_zero").to_pandas()
+    assert dz[dz["pid"] == 2]["concept_id"].tolist() == [0]
+    assert dz[dz["pid"] == 2]["concept_name"].tolist() == ["No Matching Concept"]
+
+
+def test_broadcast_rekey():
+    ds = rd.from_arrow(pa.table({"person_id": ["A", "B", "C"]}))
+    out = broadcast_rekey(ds, {"A": 1, "B": 2}, ["person_id"], default=-1)
+    assert sorted(out.to_pandas()["person_id"]) == [-1, 1, 2]
+
+
+def test_priority_merge_reference_semantics():
+    """combine_subtables.py:89-157: first source in priority order wins a
+    key; later sources' clashing rows diverted to the redundant log."""
+    s1 = rd.from_arrow(
+        pa.table({"person_id": [1, 2], "concept_id": [10, 20], "v": ["a1", "a2"]})
+    )
+    s2 = rd.from_arrow(
+        pa.table({"person_id": [1, 3], "concept_id": [10, 30], "v": ["b1", "b3"]})
+    )
+    merged = priority_merge(
+        [("srcA", s1), ("srcB", s2)], ["person_id", "concept_id"]
+    ).to_pandas()
+    winners = merged[~merged["__redundant"]].sort_values("person_id")
+    losers = merged[merged["__redundant"]]
+    assert list(zip(winners["person_id"], winners["v"])) == [
+        (1, "a1"), (2, "a2"), (3, "b3"),
+    ]
+    assert losers["v"].tolist() == ["b1"]
+    assert losers["__source"].tolist() == ["srcB"]
+
+
+def test_observation_periods_sentinel_and_default():
+    t1 = rd.from_arrow(
+        pa.table(
+            {
+                "person_id": ["P1", "P1", "P2"],
+                "d1": pa.array(
+                    [date(2016, 3, 1), date(2017, 5, 1), date(1900, 1, 1)],
+                    pa.date32(),
+                ),
+            }
+        )
+    )
+    out = observation_periods([(t1, ["d1"])]).to_pandas()
+    p1 = out[out["person_id"] == "P1"].iloc[0]
+    assert p1["observation_period_start_date"] == date(2016, 3, 1)
+    assert p1["observation_period_end_date"] == date(2017, 5, 1)
+    # P2's only date is the sentinel → excluded → no row (caller defaults)
+    assert "P2" not in set(out["person_id"])
+
+
+def test_sequential_and_deterministic_ids():
+    t = pa.table({"k": ["c", "a", "b"]})
+    out = sequential_ids(rd.from_arrow(t).repartition(2), "rid", sort_col="k")
+    df = out.to_pandas().sort_values("k")
+    assert df["rid"].tolist() == [1, 2, 3]
+    d1 = deterministic_ids(rd.from_arrow(t), "id", ["k"]).to_pandas()
+    d2 = deterministic_ids(rd.from_arrow(t).repartition(3), "id", ["k"]).to_pandas()
+    m1 = dict(zip(d1["k"], d1["id"]))
+    m2 = dict(zip(d2["k"], d2["id"]))
+    assert m1 == m2 and len(set(m1.values())) == 3
+
+
+def test_redundancy_report():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "person_id": [1, 1, 1, 2],
+                "concept_id": [10, 10, 11, 10],
+                "src": ["a", "b", "a", "a"],
+            }
+        )
+    )
+    out = redundancy_report(ds, "person_id", "concept_id", "src").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_sources"] == 2
+
+
+def test_partial_then_global_agg():
+    ds = rd.from_arrow(
+        pa.table({"k": ["a", "a", "b"], "v": [1.0, 2.0, 5.0]})
+    ).repartition(3)
+    out = partial_then_global_agg(ds, "k", "v").to_pandas().set_index("k")
+    assert out.loc["a", "v_sum"] == 3.0 and out.loc["a", "v_count"] == 2
+    assert out.loc["b", "v_min"] == 5.0 and out.loc["b", "v_max"] == 5.0
+
+
+def test_tumbling_and_session_windows():
+    ts = [
+        datetime(2024, 1, 1, 0, 5), datetime(2024, 1, 1, 0, 55),
+        datetime(2024, 1, 1, 2, 0), datetime(2024, 1, 1, 2, 10),
+    ]
+    ds = rd.from_arrow(
+        pa.table({"u": [1, 1, 1, 1], "ts": pa.array(ts), "v": [1.0, 2.0, 3.0, 4.0]})
+    )
+    agg = tumbling_aggregate(ds, "ts", "v", unit="hour").to_pandas()
+    assert len(agg) == 2
+    hour2 = agg[agg["window_start"] == datetime(2024, 1, 1, 2)].iloc[0]
+    assert hour2["n_events"] == 2 and hour2["sum_value"] == 7.0
+    sess = sessionize(ds, "u", "ts", gap_seconds=3600).to_pandas()
+    assert sess["session_id"].nunique() == 2
