@@ -1,44 +1,959 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay on sf0.001; ``queries()`` maps
+operator names (SURVEY.md §2 + training-data ops) to callables over an
+``sf_dir``; ``oracle_sql()`` gives the DuckDB-equivalent SQL per query
+(omitted for non-SQL-expressible ops → rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column-name discipline: every computed/aggregate column is named
+identically in the Ray pipeline and the SQL (the driver hashes values
+after sorting columns by name).  Float aggregates are rounded to the
+same digits on BOTH sides.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
+from datetime import datetime
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from standardized_omop_data_etl_ray.functions.ids import nine_digit_id, visit_occurrence_id
+from standardized_omop_data_etl_ray.spec import TableSpec
+from standardized_omop_data_etl_ray.stages.merge import lww_merge, priority_merge
+from standardized_omop_data_etl_ray.stages.standardize import make_standardizer
+
+
+def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(digits: dict[str, int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, nd in digits.items():
+            if col in batch.column_names:
+                i = batch.column_names.index(col)
+                batch = batch.set_column(
+                    i, col, pc.round(pc.cast(batch.column(col), pa.float64()),
+                                     ndigits=nd,
+                                     round_mode="half_towards_infinity"),
+                )
+        return batch
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# relational core (TPC-H-shaped over the driver tables)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax", "l_shipdate"])
+
+    cutoff = pa.scalar(datetime(1998, 9, 2))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(1.0, t.column("l_discount")))
+        charge = pc.multiply(disc, pc.add(1.0, t.column("l_tax")))
+        return t.append_column("disc_price", disc).append_column("charge", charge)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg.map_batches(
+        _round_cols({"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+                     "sum_charge": 2, "avg_qty": 4, "avg_price": 4,
+                     "avg_disc": 4}),
+        batch_format="pyarrow",
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+       ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str):
+    """Shuffle hash join (Dataset.join) + broadcast semi-join + top-k."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    bld = cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(datetime(1995, 3, 15))
+
+    from standardized_omop_data_etl_ray.stages.joins import broadcast_join
+
+    o = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+    )
+    o = broadcast_join(
+        o, bld.rename(columns={"c_custkey": "o_custkey"})[["o_custkey"]],
+        on="o_custkey", how="semi",
+    )
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
+        batch_format="pyarrow",
+    )
+    from standardized_omop_data_etl_ray.stages.joins import partitioned_hash_join
+
+    joined = partitioned_hash_join(li, o, ["l_orderkey"], ["o_orderkey"],
+                                   num_buckets=16)
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "o_orderdate": t.column("o_orderdate"),
+                         "rev": r})
+
+    agg = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
+    )
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Multi-join with broadcast dimensions; revenue per nation where the
+    customer and supplier share a nation (TPC-H Q5 shape)."""
+    from standardized_omop_data_etl_ray.stages.joins import broadcast_join
+
+    nation = _pq(sf_dir, "nation").to_pandas()
+    supplier = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    o = broadcast_join(orders, customer.rename(columns={"c_custkey": "o_custkey"}),
+                       on="o_custkey", how="inner")
+    from standardized_omop_data_etl_ray.stages.joins import partitioned_hash_join
+
+    j = partitioned_hash_join(li, o, ["l_orderkey"], ["o_orderkey"],
+                              num_buckets=16)
+    j = broadcast_join(j, supplier.rename(columns={"s_suppkey": "l_suppkey"}),
+                       on="l_suppkey", how="inner")
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_nationkey"), t.column("s_nationkey")))
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({"n_nationkey": pc.cast(t.column("c_nationkey"), pa.int32()),
+                         "rev": r})
+
+    agg = (
+        j.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    out = broadcast_join(agg, nation[["n_nationkey", "n_name"]],
+                         on="n_nationkey", how="inner")
+    return out.select_columns(["n_name", "revenue"]).map_batches(
+        _round_cols({"revenue": 2}), batch_format="pyarrow"
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q6_revenue_forecast(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem",
+             ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo, hi = pa.scalar(datetime(1994, 1, 1)), pa.scalar(datetime(1995, 1, 1))
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t.column("l_discount"), 0.05),
+                        pc.less_equal(t.column("l_discount"), 0.07)),
+                pc.less(t.column("l_quantity"), 24.0),
+            ),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {"r": pc.multiply(t.column("l_extendedprice"), t.column("l_discount"))}
+        )
+
+    agg = ds.map_batches(f, batch_format="pyarrow").aggregate(
+        Sum("r", alias_name="revenue")
+    )
+    rev = agg["revenue"]
+    return pa.table(
+        {"revenue": pa.array([None if rev is None else round(rev, 2)],
+                             pa.float64())}
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_customers(sf_dir: str):
+    from standardized_omop_data_etl_ray.stages.joins import broadcast_join
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    li = li.filter(expr="l_returnflag == 'R'")
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from standardized_omop_data_etl_ray.stages.joins import partitioned_hash_join
+
+    j = partitioned_hash_join(li, orders, ["l_orderkey"], ["o_orderkey"],
+                              num_buckets=16)
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "rev": pc.multiply(t.column("l_extendedprice"),
+                               pc.subtract(1.0, t.column("l_discount"))),
+        })
+
+    agg = (
+        j.map_batches(rev, batch_format="pyarrow")
+        .groupby("c_custkey").aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
+    )
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    out = broadcast_join(agg, cust, on="c_custkey", how="inner")
+    return out.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20)
+
+
+_Q10_SQL = """
+SELECT c_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, c_name
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def orders_by_priority(sf_dir: str):
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="sum_total"))
+        .map_batches(_round_cols({"sum_total": 2}), batch_format="pyarrow")
+    )
+
+
+_ORDERS_PRIO_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def filter_highvalue_orders(sf_dir: str):
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("o_totalprice"), 300_000.0))
+        taxed = pc.round(pc.multiply(t.column("o_totalprice"), 1.1), ndigits=2,
+                         round_mode="half_towards_infinity")
+        return t.append_column("taxed_price", taxed)
+
+    return ds.map_batches(f, batch_format="pyarrow").sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(50)
+
+
+_HIGHVALUE_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus, ROUND(o_totalprice * 1.1, 2) AS taxed_price
+FROM orders WHERE o_totalprice > 300000
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+"""
+
+
+def distinct_segments(sf_dir: str):
+    ds = _pq(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def topk_parts(sf_dir: str):
+    return _pq(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).sort(
+        ["p_retailprice", "p_partkey"], descending=[True, False]
+    ).limit(20)
+
+
+_TOPK_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+def region_customer_counts(sf_dir: str):
+    from standardized_omop_data_etl_ray.stages.joins import broadcast_join
+
+    nation = _pq(sf_dir, "nation").to_pandas()
+    region = _pq(sf_dir, "region").to_pandas()
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = broadcast_join(cust, nation.rename(columns={"n_nationkey": "c_nationkey"}),
+                       on="c_nationkey", how="inner")
+    j = broadcast_join(j, region.rename(columns={"r_regionkey": "n_regionkey"}),
+                       on="n_regionkey", how="inner")
+    return j.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+_REGION_COUNTS_SQL = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# reference-parity operator shapes (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+def unpivot_lineitem_metrics(sf_dir: str):
+    """M7 wide→long unpivot, aggregated per metric."""
+    from standardized_omop_data_etl_ray.stages.unpivot import (
+        UnpivotItem,
+        make_unpivoter,
+    )
+
+    items = [
+        UnpivotItem("l_quantity", 1, "quantity"),
+        UnpivotItem("l_extendedprice", 2, "extendedprice"),
+        UnpivotItem("l_discount", 3, "discount"),
+        UnpivotItem("l_tax", 4, "tax"),
+    ]
+    fn = make_unpivoter(items, ["l_orderkey"], value_col="value",
+                        concept_col="metric_id", name_col="metric",
+                        source_col_name=None)
+    ds = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    long = ds.map_batches(fn, batch_format="pyarrow")
+    return (
+        long.groupby("metric")
+        .aggregate(Count(alias_name="n_values"),
+                   Sum("value", alias_name="sum_value"))
+        .map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT metric, COUNT(*) AS n_values, ROUND(SUM(value), 2) AS sum_value
+FROM (
+    SELECT l_orderkey, 'quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT l_orderkey, 'discount', l_discount FROM lineitem
+    UNION ALL SELECT l_orderkey, 'tax', l_tax FROM lineitem
+)
+GROUP BY metric
+"""
+
+
+def sequential_ids_orders(sf_dir: str):
+    """A5 global sequential ids (orderkey order)."""
+    from standardized_omop_data_etl_ray.stages.aggregates import sequential_ids
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey"])
+    return sequential_ids(ds, "rid", sort_col="o_orderkey")
+
+
+_SEQ_IDS_SQL = """
+SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid FROM orders
+"""
+
+
+def priority_merge_orders(sf_dir: str):
+    """A1 priority-ordered keyed merge: per customer, all orders of the
+    highest-priority status present (F > O > P); losers diverted."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    sources = [
+        (st, ds.filter(expr=f"o_orderstatus == '{st}'")) for st in ("F", "O", "P")
+    ]
+    merged = priority_merge(sources, ["o_custkey"])
+    winners = merged.filter(expr="__redundant == False")
+    return winners.select_columns(
+        ["o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+_PRIORITY_MERGE_SQL = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+           CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END AS pr
+    FROM orders
+), best AS (SELECT o_custkey, MIN(pr) AS mpr FROM ranked GROUP BY o_custkey)
+SELECT r.o_custkey, r.o_orderkey, r.o_orderstatus, r.o_totalprice
+FROM ranked r JOIN best b ON r.o_custkey = b.o_custkey AND r.pr = b.mpr
+"""
+
+
+def user_activity_spans(sf_dir: str):
+    """A4 per-key min/max span over the events stream."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").aggregate(
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+        Count(alias_name="n_events"),
+    )
+
+
+_SPANS_SQL = """
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def visit_id_synthesis(sf_dir: str):
+    """M3 key synthesis: {person}_{date} with _0 for missing."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        vid = visit_occurrence_id(t.column("user_id"), d)
+        return pa.table({"event_id": t.column("event_id"), "visit_id": vid})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_VISIT_ID_SQL = """
+SELECT event_id, CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS visit_id
+FROM events
+"""
+
+
+def nine_digit_ids_orders(sf_dir: str):
+    """M18 id-space transform."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column("id9", nine_digit_id(t.column("o_orderkey")))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_NINE_DIGIT_SQL = """
+SELECT o_orderkey,
+       '11' || lpad(right(CAST(o_orderkey AS VARCHAR), 7), 7, '0') AS id9
+FROM orders
+"""
+
+
+def hourly_event_windows(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped)."""
+    from standardized_omop_data_etl_ray.stages.windows import tumbling_aggregate
+
+    ds = _pq(sf_dir, "events", ["ts", "value"])
+    return tumbling_aggregate(ds, "ts", "value", unit="hour").map_batches(
+        _round_cols({"sum_value": 2, "avg_value": 4}), batch_format="pyarrow"
+    )
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def sessionize_events(sf_dir: str):
+    """Session windows per user (30-min gap): sessions per user."""
+    from standardized_omop_data_etl_ray.stages.windows import sessionize
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts", gap_seconds=1800)
+    return sess.groupby("user_id").aggregate(
+        Max("session_id", alias_name="max_sid")
+    ).map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "n_sessions": pc.add(pc.cast(t.column("max_sid"), pa.int64()), 1),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC merge on the driver's events table (the crown-jewel operator, with a
+# pure-SQL oracle)
+# --------------------------------------------------------------------------
+
+def _events_as_cdc(sf_dir: str, with_deletes: bool) -> rd.Dataset:
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type", "props"])
+
+    def to_cdc(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        op = (
+            pc.if_else(pc.equal(et, "error"), "D", "U")
+            if with_deletes
+            else pa.array(["U"] * t.num_rows)
+        )
+        return pa.table(
+            {
+                "op": op,
+                "lsn": pc.cast(t.column("event_id"), pa.int64()),
+                "repo": pa.array(["events"] * t.num_rows),
+                "path": pc.cast(t.column("user_id"), pa.string()),
+                "commit": pc.cast(t.column("event_id"), pa.string()),
+                "lang": pc.cast(et, pa.string()),
+                "content": pc.cast(t.column("props"), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_cdc, batch_format="pyarrow")
+
+
+def _cdc_final(sf_dir: str, with_deletes: bool):
+    spec = TableSpec(name="ev_cdc", num_partitions=16)
+    std = _events_as_cdc(sf_dir, with_deletes).map_batches(
+        make_standardizer(spec), batch_format="pyarrow"
+    )
+    final = lww_merge(std, spec)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("path"), pa.int64()),
+                "last_event_id": t.column("lsn"),
+                "last_event_type": t.column("lang"),
+            }
+        )
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
+def cdc_lww_upsert(sf_dir: str):
+    return _cdc_final(sf_dir, with_deletes=False)
+
+
+_CDC_UPSERT_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def cdc_lww_with_deletes(sf_dir: str):
+    return _cdc_final(sf_dir, with_deletes=True)
+
+
+_CDC_DELETES_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(sf_dir: str):
+    from standardized_omop_data_etl_ray.stages.dedup import exact_dedup
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(docs, "text", "doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def token_counts_docs(sf_dir: str):
+    from standardized_omop_data_etl_ray.functions.text import token_counts
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        tc = token_counts(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens_ws": tc["n_tokens_ws"]})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+_TOKEN_COUNTS_SQL = """
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws
+FROM documents
+"""
+
+
+def quality_stats_docs(sf_dir: str):
+    from standardized_omop_data_etl_ray.functions.text import quality_features
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_calc": q["n_chars"],
+                "n_words": q["n_words"],
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+_QUALITY_SQL = """
+SELECT doc_id, length(text) AS n_chars_calc,
+       len(regexp_extract_all(text, '[A-Za-z'']+')) AS n_words
+FROM documents
+"""
+
+
+def lang_distribution(sf_dir: str):
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+    return (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+        .map_batches(_round_cols({"avg_chars": 4}), batch_format="pyarrow")
+    )
+
+
+_LANG_DIST_SQL = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def minhash_self_near_dups(sf_dir: str):
+    """MinHash-LSH duplicate detection with a planted duplicate universe
+    (documents ∪ documents with doc_id + 1,000,000): LSH banding proposes
+    candidate pairs, an exact text-equality verify confirms — identical
+    texts always share every band bucket, so recall is 1 and the result
+    equals the SQL self-join oracle exactly."""
+    import ray
+
+    from standardized_omop_data_etl_ray.stages.dedup import minhash_candidate_pairs
+    from standardized_omop_data_etl_ray.stages.joins import _cached_get
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t.column("doc_id"), 1_000_000),
+                "text": t.column("text"),
+            }
+        )
+
+    both = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    pairs = minhash_candidate_pairs(both, "text", "doc_id", concurrency=2)
+    docs_tbl = pa.concat_tables(
+        [b for b in both.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+    lookup = dict(
+        zip(docs_tbl.column("doc_id").to_pylist(),
+            docs_tbl.column("text").to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    def verify_exact(df: pd.DataFrame) -> pd.DataFrame:
+        lk = _cached_get(ref)
+        keep = [lk.get(a) == lk.get(b) for a, b in zip(df["id_a"], df["id_b"])]
+        return df[np.asarray(keep, dtype=bool)]
+
+    return pairs.map_batches(verify_exact, batch_format="pandas").select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+_MINHASH_SQL = """
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def ann_topk_cosine(sf_dir: str):
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    from standardized_omop_data_etl_ray.stages.ann import brute_force_topk
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = brute_force_topk(emb, Q, qdf["vec_id"].to_numpy(), "embedding",
+                           "vec_id", k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+_ANN_SQL = """
+SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id
+           ) AS rn
+    FROM embeddings q CROSS JOIN embeddings e
+    WHERE q.vec_id < 10
+) WHERE rn <= 5
+"""
+
+
+def embedding_label_stats(sf_dir: str):
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "label": df["label"].astype("int64"),
+            "first_dim": M[:, 0],
+        })
+
+    return (
+        emb.map_batches(fn, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"),
+                   Mean("first_dim", alias_name="avg_first_dim"))
+        .map_batches(_round_cols({"avg_first_dim": 6}), batch_format="pyarrow")
+    )
+
+
+_EMB_STATS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+       ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first_dim
+FROM embeddings GROUP BY label
+"""
+
+
+# ---- non-SQL-expressible (rows-only checks) ------------------------------
+
+def cdc_full_replay_docs(sf_dir: str):
+    """Flagship: documents-derived CDC log replayed through the full lake
+    engine (micro-batches, watermarks, two-phase manifest)."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import run_flagship
+
+    lake_root = tempfile.mkdtemp(prefix="cdc_lake_")
+    return run_flagship(sf_dir, lake_root, epochs=3)
+
+
+def simhash_fingerprints_docs(sf_dir: str):
+    from standardized_omop_data_etl_ray.stages.dedup import simhash_fingerprints
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    fps = simhash_fingerprints(docs, "text", "doc_id")
+    return fps.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "simhash": pc.cast(t.column("simhash"), pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
+def langid_docs(sf_dir: str):
+    from standardized_omop_data_etl_ray.functions.text import detect_language
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": detect_language(df["text"])}
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def fingerprint_docs(sf_dir: str):
+    from standardized_omop_data_etl_ray.functions.text import winnowing_fingerprint
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = df["text"].map(lambda t: len(winnowing_fingerprint(t or "")))
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_fingerprints": fps})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def media_featurize(sf_dir: str):
+    """Multimodal plumbing demo (synthetic media; decode is stubbed)."""
+    from standardized_omop_data_etl_ray.stages.multimodal import (
+        featurize_media,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(500))
+    out = featurize_media(media, concurrency=2, batch_size=128)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t.column("feature").combine_chunks()
+        flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
+        offsets = feats.offsets.to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(flat, offsets[:-1]) if len(flat) else np.array([])
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "kind": t.column("kind"),
+            "feat_sum": pa.array(np.round(sums, 4), pa.float64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return cdc_full_replay_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q10_returned_customers": q10_returned_customers,
+        "orders_by_priority": orders_by_priority,
+        "filter_highvalue_orders": filter_highvalue_orders,
+        "distinct_segments": distinct_segments,
+        "topk_parts": topk_parts,
+        "region_customer_counts": region_customer_counts,
+        # reference-parity shapes
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "sequential_ids_orders": sequential_ids_orders,
+        "priority_merge_orders": priority_merge_orders,
+        "user_activity_spans": user_activity_spans,
+        "visit_id_synthesis": visit_id_synthesis,
+        "nine_digit_ids_orders": nine_digit_ids_orders,
+        "hourly_event_windows": hourly_event_windows,
+        "sessionize_events": sessionize_events,
+        # CDC merge
+        "cdc_lww_upsert": cdc_lww_upsert,
+        "cdc_lww_with_deletes": cdc_lww_with_deletes,
+        "cdc_full_replay_docs": cdc_full_replay_docs,
+        # training-data ops
+        "dedup_exact_docs": dedup_exact_docs,
+        "token_counts_docs": token_counts_docs,
+        "quality_stats_docs": quality_stats_docs,
+        "lang_distribution": lang_distribution,
+        "minhash_self_near_dups": minhash_self_near_dups,
+        "ann_topk_cosine": ann_topk_cosine,
+        "embedding_label_stats": embedding_label_stats,
+        "simhash_fingerprints_docs": simhash_fingerprints_docs,
+        "langid_docs": langid_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "media_featurize": media_featurize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_orders": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "q6_revenue_forecast": _Q6_SQL,
+        "q10_returned_customers": _Q10_SQL,
+        "orders_by_priority": _ORDERS_PRIO_SQL,
+        "filter_highvalue_orders": _HIGHVALUE_SQL,
+        "distinct_segments": _DISTINCT_SQL,
+        "topk_parts": _TOPK_PARTS_SQL,
+        "region_customer_counts": _REGION_COUNTS_SQL,
+        "unpivot_lineitem_metrics": _UNPIVOT_SQL,
+        "sequential_ids_orders": _SEQ_IDS_SQL,
+        "priority_merge_orders": _PRIORITY_MERGE_SQL,
+        "user_activity_spans": _SPANS_SQL,
+        "visit_id_synthesis": _VISIT_ID_SQL,
+        "nine_digit_ids_orders": _NINE_DIGIT_SQL,
+        "hourly_event_windows": _HOURLY_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "cdc_lww_upsert": _CDC_UPSERT_SQL,
+        "cdc_lww_with_deletes": _CDC_DELETES_SQL,
+        "dedup_exact_docs": _DEDUP_EXACT_SQL,
+        "token_counts_docs": _TOKEN_COUNTS_SQL,
+        "quality_stats_docs": _QUALITY_SQL,
+        "lang_distribution": _LANG_DIST_SQL,
+        "minhash_self_near_dups": _MINHASH_SQL,
+        "ann_topk_cosine": _ANN_SQL,
+        "embedding_label_stats": _EMB_STATS_SQL,
+        # cdc_full_replay_docs / simhash / langid / fingerprint / media:
+        # non-SQL-expressible → rows-only checks
+    }

@@ -78,6 +78,85 @@ def broadcast_rekey(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def partitioned_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Large-large equi-join as an explicit partitioned hash join:
+    both sides get ``bucket = stable_hash(key) % B``, are unioned with a
+    side tag, and matching buckets merge pairwise inside ``map_groups``
+    (one shuffle each side; skewed keys can be salted by raising B).
+
+    This is the portable pattern for scale (and is robust to empty
+    buckets, unlike Dataset.join in this Ray version which fails when a
+    hash partition's right side is empty)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import key_hash_u64, partition_of
+    from .schema_ops import pad_to_schema
+
+    right_on = right_on or left_on
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+
+    def prep(side: int, keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            kh = key_hash_u64(
+                *[pc.cast(t.column(k), pa.string()) for k in keys]
+            )
+            t = t.append_column("__bucket", partition_of(kh, num_buckets))
+            return t.append_column(
+                "__side", pa.array([side] * t.num_rows, pa.int8())
+            )
+
+        return fn
+
+    l = left.map_batches(prep(0, left_on), batch_format="pyarrow")
+    r = right.map_batches(prep(1, right_on), batch_format="pyarrow")
+    unified = pa.unify_schemas(
+        [
+            pa.schema(list(zip(lschema.names, lschema.types))),
+            pa.schema(list(zip(rschema.names, rschema.types))),
+            pa.schema([("__bucket", pa.int32()), ("__side", pa.int8())]),
+        ],
+        promote_options="permissive",
+    )
+    l = l.map_batches(lambda b: pad_to_schema(b, unified), batch_format="pyarrow")
+    r = r.map_batches(lambda b: pad_to_schema(b, unified), batch_format="pyarrow")
+    u = l.union(r)
+
+    def _pd_dtypes(schema) -> dict:
+        out = {}
+        for name, t in zip(schema.names, schema.types):
+            if pa.types.is_integer(t):
+                out[name] = "int64"
+            elif pa.types.is_floating(t):
+                out[name] = "float64"
+            elif pa.types.is_timestamp(t):
+                out[name] = f"datetime64[{t.unit}]"
+        return out
+
+    l_dtypes, r_dtypes = _pd_dtypes(lschema), _pd_dtypes(rschema)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the union pad nulled each side's missing columns (→ float64 in
+        # pandas); restore original dtypes before merging
+        lg = g[g["__side"] == 0][lcols].astype(l_dtypes)
+        rg = g[g["__side"] == 1][rcols].astype(r_dtypes)
+        return lg.merge(
+            rg, how=how, left_on=left_on, right_on=right_on,
+            suffixes=("", "_r"),
+        )
+
+    return u.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
 def usagi_join(
     ds: rd.Dataset,
     mapping: pa.Table | pd.DataFrame,
