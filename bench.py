@@ -1,0 +1,245 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Headline: CDC replay — synthetic change events (deterministic, cached
+under /tmp) applied end-to-end through the lake engine (standardize →
+salted LWW merge → two-phase manifest commit, micro-batched), measured
+as change-events/sec.  Plus wall times for a subset of the
+`__ray_entry__.queries()` pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and
+32) on the same input and reports both throughputs + scaling efficiency
+(the sanctioned in-sandbox evidence for the N → 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline event-log scale by sf — sized so per-epoch work dominates
+# scheduling overhead at 32 CPUs (the 100 TB regime in miniature)
+_EVENT_SCALE = {"sf0.001": (2_000, 20_000), "sf0.01": (40_000, 400_000),
+                "sf0.1": (800_000, 8_000_000)}
+
+
+def _sf_tag() -> str:
+    return Path(SF_DIR).name
+
+
+def _events_path() -> str:
+    """Deterministic cached event log as a DIRECTORY of parquet shards —
+    one read task per shard (a single file collapses Ray's pruned read to
+    one task and serializes the scan), small row groups so lsn-window
+    filters prune at the row-group level."""
+    n_keys, n_events = _EVENT_SCALE.get(_sf_tag(), (10_000, 100_000))
+    p = f"/tmp/bench_events_{n_keys}_{n_events}"
+    done = Path(p) / "_DONE"
+    if not done.exists():
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from standardized_omop_data_etl_ray.datagen import make_change_events
+
+        ev = make_change_events(
+            n_keys=n_keys, n_events=n_events, seed=42, window=5_000,
+            content_len_median=400,
+        )
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p)
+        # shard BY LSN RANGE (keeping delivery order inside each shard):
+        # an epoch then reads exactly its own shard files — the binlog
+        # segment-file model — with no re-scan or pruning of older data
+        shards = 128
+        lsn = ev.column("lsn").to_numpy()
+        step = (n_events + shards - 1) // shards
+        order = np.argsort(lsn // step, kind="stable")
+        ev = ev.take(order)
+        shard_of = lsn[order] // step
+        bounds = np.searchsorted(shard_of, np.arange(shards + 1))
+        for i in range(shards):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                pq.write_table(
+                    ev.slice(lo, hi - lo),
+                    f"{p}/part-{i:04d}.parquet", row_group_size=8_192,
+                )
+        done.write_text(str(step))
+    return p
+
+
+def run_headline(num_partitions: int = 64, epochs: int = 2) -> dict:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    import pyarrow.compute as pc
+
+    path = _events_path()
+    files = sorted(str(f) for f in Path(path).glob("part-*.parquet"))
+    n_events = sum(pq.read_metadata(f).num_rows for f in files)
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    for f in files:
+        pq.read_table(f)
+
+    # warm the worker pool (module imports, duckdb init per process) so
+    # the timed run measures steady-state throughput, not cold imports
+    def _warm(b):
+        import time as _t
+
+        from standardized_omop_data_etl_ray.functions import hashing
+
+        hashing._con()
+        _t.sleep(0.5)
+        return b
+
+    rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _warm, batch_size=1
+    ).count()
+
+    lake_root = "/tmp/bench_lake"
+    shutil.rmtree(lake_root, ignore_errors=True)
+    lake = CDCLake(lake_root, TableSpec(name="bench", num_partitions=num_partitions))
+
+    # micro-batch = a contiguous run of lsn-range shard files (binlog
+    # segment tailing: each epoch reads only its new segments, once)
+    per_epoch = (len(files) + epochs - 1) // epochs
+
+    t0 = time.time()
+    for e in range(epochs):
+        window_files = files[e * per_epoch : (e + 1) * per_epoch]
+        if not window_files:
+            continue
+        lake.apply_events(
+            rd.read_parquet(window_files,
+                            override_num_blocks=len(window_files))
+        )
+    apply_sec = time.time() - t0
+
+    t1 = time.time()
+    n_state = lake.read_state().count()
+    read_sec = time.time() - t1
+    return {
+        "events": n_events,
+        "apply_sec": round(apply_sec, 3),
+        "state_read_sec": round(read_sec, 3),
+        "state_rows": n_state,
+        "events_per_sec": round(n_events / apply_sec, 1),
+    }
+
+
+QUERY_SUBSET = [
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q10_returned_customers", "unpivot_lineitem_metrics",
+    "priority_merge_orders", "hourly_event_windows", "cdc_lww_upsert",
+    "dedup_exact_docs", "minhash_self_near_dups", "ann_topk_cosine",
+]
+
+
+def run_queries() -> dict:
+    sys.path.insert(0, str(Path(__file__).parent))
+    import __ray_entry__ as E
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    out = {}
+    qs = E.queries()
+    for name in QUERY_SUBSET:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if isinstance(res, rd.Dataset):
+            res.count()  # consume the stream
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline = run_headline()
+    queries = run_queries() if "--no-queries" not in sys.argv else {}
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_sec",
+                "value": headline["apply_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_tag(),
+                "num_cpus": NUM_CPUS,
+                "events": headline["events"],
+                "events_per_sec": headline["events_per_sec"],
+                "state_rows": headline["state_rows"],
+                "state_read_sec": headline["state_read_sec"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, fresh ray sessions at 8 and 32 CPUs → efficiency."""
+    _events_path()  # generate once, shared by both runs
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__, "--no-queries"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=str(Path(__file__).parent),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int, repeats: int = 2) -> dict:
+        # min over repeats: measures capability, filters machine noise
+        return min((run_once(ncpu) for _ in range(repeats)),
+                   key=lambda r: r["value"])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "events_per_sec_8": lo["events_per_sec"],
+                "events_per_sec_32": hi["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": lo["sf"],
+                "events": lo["events"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

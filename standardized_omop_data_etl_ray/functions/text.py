@@ -143,6 +143,84 @@ def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
+def minhash_signatures_batch(
+    shingle_lists: list[list[str]], a: np.ndarray, b: np.ndarray,
+    chunk_shingles: int = 65_536,
+) -> np.ndarray:
+    """Vectorized MinHash for a whole batch of documents.
+
+    One ``hash_array`` call and one (k × S) permute-min per chunk of
+    documents (``np.minimum.reduceat`` over per-doc segments) instead of
+    a per-document Python loop — the map_batches hot path.
+    Returns (n_docs, k) uint64.
+    """
+    k = len(a)
+    n = len(shingle_lists)
+    out = np.full((n, k), MERSENNE61, dtype=np.uint64)
+    counts = np.array([len(s) for s in shingle_lists])
+    nonempty = np.flatnonzero(counts)
+    i = 0
+    while i < len(nonempty):
+        # take docs until the chunk budget is filled
+        j, total = i, 0
+        while j < len(nonempty) and (total == 0 or total + counts[nonempty[j]] <= chunk_shingles):
+            total += counts[nonempty[j]]
+            j += 1
+        docs = nonempty[i:j]
+        flat = np.concatenate(
+            [np.asarray(shingle_lists[d], dtype=object) for d in docs]
+        )
+        H = hash_u64(flat)
+        vals = (a[:, None] * H[None, :] + b[:, None]) % MERSENNE61  # (k, S)
+        offsets = np.concatenate([[0], np.cumsum(counts[docs])[:-1]])
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (k, n_chunk)
+        out[docs] = mins.T
+        i = j
+    return out
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, k) signatures → (n_docs, bands) folded band hashes."""
+    n, k = sigs.shape
+    rows = k // bands
+    folded = sigs[:, : bands * rows].reshape(n, bands, rows)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    out = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        out = (out ^ folded[:, :, r]) * mix
+    return out
+
+
+def simhash64_batch(
+    token_lists: list[list[str]], chunk_tokens: int = 131_072
+) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a batch of documents → (n,) uint64."""
+    n = len(token_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    counts = np.array([len(t) for t in token_lists])
+    nonempty = np.flatnonzero(counts)
+    shifts = np.arange(64, dtype=np.uint64)
+    i = 0
+    while i < len(nonempty):
+        j, total = i, 0
+        while j < len(nonempty) and (total == 0 or total + counts[nonempty[j]] <= chunk_tokens):
+            total += counts[nonempty[j]]
+            j += 1
+        docs = nonempty[i:j]
+        flat = np.concatenate(
+            [np.asarray(token_lists[d], dtype=object) for d in docs]
+        )
+        H = hash_u64(flat)
+        bits = ((H[:, None] >> shifts) & np.uint64(1)).astype(np.int32)  # (T, 64)
+        offsets = np.concatenate([[0], np.cumsum(counts[docs])[:-1]])
+        ones = np.add.reduceat(bits, offsets, axis=0)  # (n_chunk, 64)
+        score = 2 * ones - counts[docs][:, None]
+        fp = (score > 0).astype(np.uint64) << shifts[None, :]
+        out[docs] = np.bitwise_or.reduce(fp, axis=1)
+        i = j
+    return out
+
+
 def simhash64(token_hashes: np.ndarray) -> np.uint64:
     """64-bit SimHash of one document's token hash multiset."""
     if len(token_hashes) == 0:

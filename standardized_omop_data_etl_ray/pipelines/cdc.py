@@ -82,12 +82,14 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
         tmp.replace(fpath)
         n_tomb = int(pc.sum(pc.equal(delta.column(spec.op_col), "D")).as_py() or 0)
         wm = int(pc.max(delta.column(lsn_col)).as_py())
-        # partition-level content checksum (lineage): sha over ordered row shas
-        con = hashing._con()
-        roll = con.execute(
-            "SELECT sha256(string_agg(coalesce(content_sha, 'D'), ''"
-            " ORDER BY repo, path)) FROM delta"
-        ).fetchone()[0]
+        # partition-level content checksum (lineage): sha over the
+        # key-ordered row shas (delta is already key-sorted)
+        import hashlib
+
+        h = hashlib.sha256()
+        for s in delta.column("content_sha").to_pylist():
+            h.update((s or "D").encode())
+        roll = h.hexdigest()
         rel = str(fpath.relative_to(Path(root) / table))
         info = {
             "part": part,
@@ -179,11 +181,13 @@ class CDCLake:
                 lambda b: add_salt(b, salt_factor), batch_format="pyarrow"
             )
             ev = (
-                ev.groupby(["part", "salt"])
+                ev.groupby(["part", "salt"], num_partitions=P)
                 .map_groups(_group_final(self.spec, True), batch_format="pyarrow")
                 .drop_columns(["salt"])
             )
-        stats_ds = ev.groupby("part").map_groups(writer, batch_format="pyarrow")
+        stats_ds = ev.groupby("part", num_partitions=P).map_groups(
+            writer, batch_format="pyarrow"
+        )
         stats = stats_ds.take_all()  # ≤ P tiny rows — phase 1 complete here
 
         record = {

@@ -55,19 +55,24 @@ def exact_dedup(
     def combiner(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(id_col, ascending=keep == "min")
-        return pa.Table.from_pandas(
-            df.drop_duplicates("content_sha", keep="first"), preserve_index=False
-        )
+        df = df.drop_duplicates("content_sha", keep="first")
+        sha = df["content_sha"].to_numpy(dtype=object)
+        df["__cb"] = (
+            pd.util.hash_array(sha) % np.uint64(64)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
+    # coarse bucket + ONE vectorized dedupe per bucket (a map_groups per
+    # distinct hash would pay a Python call per document at scale)
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, ascending=keep == "min")
-        return g.head(1)
+        return g.drop_duplicates("content_sha", keep="first")
 
     return (
         hashed.map_batches(combiner, batch_format="pyarrow")
-        .groupby("content_sha")
+        .groupby("__cb")
         .map_groups(final, batch_format="pandas")
-        .drop_columns(["content_sha"])
+        .drop_columns(["content_sha", "__cb"])
     )
 
 
@@ -95,21 +100,18 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        out_id, out_band, out_bh = [], [], []
-        for i, txt in zip(ids, texts):
-            sh = T.word_shingles(txt or "", self.shingle_k)
-            hh = T.hash_u64(np.array(sh, dtype=object)) if sh else np.array([], np.uint64)
-            sig = T.minhash_signature(hh, self.a, self.b)
-            bh = T.band_hashes(sig, self.bands)
-            out_id.extend([i] * self.bands)
-            out_band.extend(range(self.bands))
-            out_bh.extend(bh.tolist())
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        shingles = [T.word_shingles(t or "", self.shingle_k) for t in texts]
+        sigs = T.minhash_signatures_batch(shingles, self.a, self.b)
+        bh = T.band_hashes_batch(sigs, self.bands)  # (n, bands)
+        n = len(ids)
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.uint64()),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
             }
         )
 
@@ -135,20 +137,48 @@ def minhash_candidate_pairs(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    # NOTE on shape: there are ~bands × n_docs tiny LSH buckets; a
+    # map_groups per bucket would pay one Python call per bucket.  We
+    # instead co-locate by a COARSE bucket (band_hash % B) and generate
+    # all pairs inside each coarse group with one vectorized self-merge.
+    B = 64
+
+    def coarsen(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy()
+        return t.append_column(
+            "cb", pa.array((bh % np.uint64(B)).astype(np.int32))
+        )
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on=["band", "band_hash"], suffixes=("_l", "_r"))
+        a = j[f"{id_col}_l"].to_numpy()
+        b = j[f"{id_col}_r"].to_numpy()
+        keep = a < b
+        out = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+        return out.drop_duplicates()
 
     pairs = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        band_rows.map_batches(coarsen, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
     )
-    # distinct pairs (a doc pair can collide in many bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    # global distinct (a pair can collide in many bands → many coarse
+    # buckets): partition by a pair hash, vectorized dedupe per partition
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy().astype(np.uint64)
+        b = t.column("id_b").to_numpy().astype(np.uint64)
+        pb = ((a * np.uint64(2654435761) ^ b) % np.uint64(B)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb))
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]),
+            batch_format="pandas",
+        )
+        .drop_columns(["pb"])
     )
 
 
@@ -200,15 +230,11 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        fps = []
-        for txt in texts:
-            toks = (txt or "").split()
-            hh = T.hash_u64(np.array(toks, dtype=object)) if toks else np.array([], np.uint64)
-            fps.append(T.simhash64(hh))
+        fps = T.simhash64_batch([(t or "").split() for t in texts])
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "simhash": pa.array(np.array(fps, dtype=np.uint64), pa.uint64()),
+                "simhash": pa.array(fps, pa.uint64()),
             }
         )
 
@@ -273,8 +299,21 @@ def simhash_near_pairs(
     pairs = exploded.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy().astype(np.uint64)
+        b = t.column("id_b").to_numpy().astype(np.uint64)
+        pb = ((a * np.uint64(2654435761) ^ b) % np.uint64(64)).astype(np.int32)
+        return t.append_column("pb", pa.array(pb))
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]),
+            batch_format="pandas",
+        )
+        .drop_columns(["pb"])
     )
 
 
