@@ -877,6 +877,198 @@ def media_featurize(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+
+
+def asof_last_purchase_before_error(sf_dir: str):
+    """As-of join (time-ordered lookback per key): for every error event,
+    the value of that user's most recent prior purchase (reference has no
+    windows — this is the streaming-shaped operator family, SURVEY.md §2.7)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        pv = g["value"].where(g["event_type"] == "purchase")
+        g = g.assign(last_purchase_value=pv.ffill().round(2))
+        out = g[g["event_type"] == "error"]
+        return out[["event_id", "user_id", "last_purchase_value"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+_ASOF_SQL = """
+WITH filled AS (
+    SELECT *, ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                    IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ), 2) AS last_purchase_value
+    FROM events
+)
+SELECT event_id, user_id, last_purchase_value
+FROM filled WHERE event_type = 'error'
+"""
+
+
+def running_user_totals(sf_dir: str):
+    """Per-key ordered running aggregate (cumulative sum)."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g = g.assign(running_value=g["value"].cumsum().round(2))
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+"""
+
+
+def top3_customers_per_segment(sf_dir: str):
+    """Per-group top-k (window rank)."""
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def per_seg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c_acctbal", "c_custkey"],
+                             ascending=[False, True]).head(3)
+
+    return ds.groupby("c_mktsegment").map_groups(per_seg, batch_format="pandas")
+
+
+_TOP3_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+) WHERE rn <= 3
+"""
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact count-distinct per group: per-batch combiner (local pair
+    distinct) then a small per-group nunique — the two-stage shape that
+    avoids shuffling raw rows."""
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users": [int(g["user_id"].nunique())],
+        })
+
+    return (
+        ds.map_batches(combiner, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def partkey_quantity_stats(sf_dir: str):
+    """Partial-then-global aggregation (combiner inside map_batches, then
+    a groupby over partials — the scale pattern from SURVEY.md §4)."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        partial_then_global_agg,
+    )
+
+    ds = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    out = partial_then_global_agg(ds, "l_partkey", "l_quantity")
+    return out.map_batches(
+        _round_cols({"l_quantity_sum": 2, "l_quantity_min": 2,
+                     "l_quantity_max": 2}),
+        batch_format="pyarrow",
+    )
+
+
+_PARTKEY_SQL = """
+SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS l_quantity_sum,
+       COUNT(*) AS l_quantity_count,
+       ROUND(MIN(l_quantity), 2) AS l_quantity_min,
+       ROUND(MAX(l_quantity), 2) AS l_quantity_max
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def union_amounts_by_source(sf_dir: str):
+    """Union-by-name of heterogeneous schemas (C1) + aggregate."""
+    from standardized_omop_data_etl_ray.stages.schema_ops import union_by_name
+
+    o = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({
+            "key": t.column("o_orderkey"),
+            "amount": t.column("o_totalprice"),
+            "src": pa.array(["orders"] * t.num_rows),
+        }),
+        batch_format="pyarrow",
+    )
+    l = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table({
+            "key": t.column("l_orderkey"),
+            "amount": t.column("l_extendedprice"),
+        }),
+        batch_format="pyarrow",
+    )
+    u = union_by_name([o, l])
+
+    def fill(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(t.column("src"), "lineitem")
+        return t.set_column(t.column_names.index("src"), "src", src)
+
+    u = u.map_batches(fill, batch_format="pyarrow")
+    return (
+        u.groupby("src")
+        .aggregate(Count(alias_name="n_rows"), Sum("amount", alias_name="total"))
+        .map_batches(_round_cols({"total": 2}), batch_format="pyarrow")
+    )
+
+
+_UNION_SQL = """
+SELECT src, COUNT(*) AS n_rows, ROUND(SUM(amount), 2) AS total FROM (
+    SELECT o_orderkey AS key, o_totalprice AS amount, 'orders' AS src FROM orders
+    UNION ALL
+    SELECT l_orderkey, l_extendedprice, 'lineitem' FROM lineitem
+) GROUP BY src
+"""
+
+
+def schema_pad_docs(sf_dir: str):
+    """Pad-to-canonical-schema (C2: add_missing_columns.py analog)."""
+    from standardized_omop_data_etl_ray.stages.schema_ops import pad_to_schema
+
+    target = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+        ("doc_uuid", pa.string()), ("quality", pa.float64()),
+        ("n_tokens", pa.int64()),
+    ])
+    ds = _pq(sf_dir, "documents")
+    return ds.map_batches(
+        lambda t: pad_to_schema(t, target), batch_format="pyarrow"
+    )
+
+
+_SCHEMA_PAD_SQL = """
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(NULL AS VARCHAR) AS doc_uuid,
+       CAST(NULL AS DOUBLE) AS quality,
+       CAST(NULL AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -906,6 +1098,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nine_digit_ids_orders": nine_digit_ids_orders,
         "hourly_event_windows": hourly_event_windows,
         "sessionize_events": sessionize_events,
+        "asof_last_purchase_before_error": asof_last_purchase_before_error,
+        "running_user_totals": running_user_totals,
+        "top3_customers_per_segment": top3_customers_per_segment,
+        "distinct_users_per_type": distinct_users_per_type,
+        "partkey_quantity_stats": partkey_quantity_stats,
+        "union_amounts_by_source": union_amounts_by_source,
+        "schema_pad_docs": schema_pad_docs,
         # CDC merge
         "cdc_lww_upsert": cdc_lww_upsert,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
@@ -945,6 +1144,13 @@ def oracle_sql() -> dict[str, str]:
         "nine_digit_ids_orders": _NINE_DIGIT_SQL,
         "hourly_event_windows": _HOURLY_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "asof_last_purchase_before_error": _ASOF_SQL,
+        "running_user_totals": _RUNNING_SQL,
+        "top3_customers_per_segment": _TOP3_SQL,
+        "distinct_users_per_type": _DISTINCT_USERS_SQL,
+        "partkey_quantity_stats": _PARTKEY_SQL,
+        "union_amounts_by_source": _UNION_SQL,
+        "schema_pad_docs": _SCHEMA_PAD_SQL,
         "cdc_lww_upsert": _CDC_UPSERT_SQL,
         "cdc_lww_with_deletes": _CDC_DELETES_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,

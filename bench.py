@@ -49,6 +49,7 @@ def _events_path() -> str:
     done = Path(p) / "_DONE"
     if not done.exists():
         import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from standardized_omop_data_etl_ray.datagen import make_change_events
@@ -61,20 +62,18 @@ def _events_path() -> str:
         os.makedirs(p)
         # shard BY LSN RANGE (keeping delivery order inside each shard):
         # an epoch then reads exactly its own shard files — the binlog
-        # segment-file model — with no re-scan or pruning of older data
+        # segment-file model — with no re-scan or pruning of older data.
+        # Per-shard filter (not a global take) so no single >2 GiB string
+        # column is ever materialized.
         shards = 128
         lsn = ev.column("lsn").to_numpy()
         step = (n_events + shards - 1) // shards
-        order = np.argsort(lsn // step, kind="stable")
-        ev = ev.take(order)
-        shard_of = lsn[order] // step
-        bounds = np.searchsorted(shard_of, np.arange(shards + 1))
+        shard_of = lsn // step
         for i in range(shards):
-            lo, hi = bounds[i], bounds[i + 1]
-            if hi > lo:
+            sub = ev.filter(pa.array(shard_of == i))
+            if sub.num_rows:
                 pq.write_table(
-                    ev.slice(lo, hi - lo),
-                    f"{p}/part-{i:04d}.parquet", row_group_size=8_192,
+                    sub, f"{p}/part-{i:04d}.parquet", row_group_size=8_192,
                 )
         done.write_text(str(step))
     return p
@@ -215,10 +214,15 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int, repeats: int = 2) -> dict:
-        # min over repeats: measures capability, filters machine noise
-        return min((run_once(ncpu) for _ in range(repeats)),
-                   key=lambda r: r["value"])
+    def run(ncpu: int, repeats: int = 4) -> dict:
+        # min over repeats: measures capability, filters machine noise;
+        # settle between runs so the previous Ray session's teardown
+        # (raylet exit, shm reclaim) doesn't pollute the next start
+        results = []
+        for _ in range(repeats):
+            results.append(run_once(ncpu))
+            time.sleep(10)
+        return min(results, key=lambda r: r["value"])
 
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)

@@ -26,14 +26,44 @@ except ImportError:  # pragma: no cover
     _HAVE_DUCKDB = False
 
 _CON = None
+_TUNED = False
+
+
+def tune_worker_threads() -> None:
+    """Pin per-worker library thread pools to 1 CPU thread.
+
+    Ray owns the parallelism: N workers × Arrow's default
+    os.cpu_count()-sized pool means N×N threads fighting for N cores —
+    intermittent multi-second stalls at num_cpus=32.  Called lazily from
+    every hot-stage kernel (idempotent, once per worker process)."""
+    global _TUNED
+    if _TUNED:
+        return
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    try:
+        # return freed batch memory to the OS promptly: N workers each
+        # retaining jemalloc arenas grew to tens of GB across epochs
+        pa.jemalloc_set_decay_ms(0)
+    except Exception:
+        pass
+    _TUNED = True
 
 
 def _con():
     """Process-local DuckDB connection (one per Ray worker process)."""
     global _CON
     if _CON is None:
+        tune_worker_threads()
         _CON = duckdb.connect()
         _CON.execute("SET threads TO 1")  # Ray owns parallelism, not duckdb
+        # default limit is 80% of RAM PER WORKER PROCESS; dozens of
+        # workers each retaining a GB-scale buffer pool starves the
+        # object store across epochs
+        _CON.execute("SET memory_limit='1GB'")
     return _CON
 
 

@@ -69,6 +69,7 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
     key_cols, lsn_col = spec.key_cols, spec.lsn_col
 
     def write_group(group: pa.Table) -> pa.Table:
+        hashing.tune_worker_threads()
         part = int(group.column("part")[0].as_py())
         events_seen = group.num_rows
         delta = lww_reduce_table(group, key_cols, lsn_col)

@@ -36,6 +36,9 @@ def make_standardizer(spec: TableSpec):
     target = spec.schema
 
     def standardize(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import tune_worker_threads
+
+        tune_worker_threads()
         if rename:
             batch = batch.rename_columns(
                 [rename.get(c, c) for c in batch.column_names]
