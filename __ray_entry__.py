@@ -805,6 +805,40 @@ FROM embeddings GROUP BY label
 """
 
 
+
+
+def embedding_self_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup detection with a planted duplicate
+    universe (embeddings ∪ embeddings with vec_id + 1,000,000): blocked
+    matmul against the broadcast normalized matrix; at threshold 0.999
+    only the planted identical pairs survive in this random corpus."""
+    from standardized_omop_data_etl_ray.stages.dedup import embedding_near_dup_pairs
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.add(t.column("vec_id"), 1_000_000),
+            "embedding": t.column("embedding"),
+        })
+
+    both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
+    pairs = embedding_near_dup_pairs(both, "embedding", "vec_id",
+                                     threshold=0.999)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH u AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+"""
+
+
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
 
 def cdc_full_replay_docs(sf_dir: str):
@@ -1117,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_self_near_dups": minhash_self_near_dups,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
+        "embedding_self_near_dups": embedding_self_near_dups,
         "simhash_fingerprints_docs": simhash_fingerprints_docs,
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -1160,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_self_near_dups": _MINHASH_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
+        "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
         # cdc_full_replay_docs / simhash / langid / fingerprint / media:
         # non-SQL-expressible → rows-only checks
     }

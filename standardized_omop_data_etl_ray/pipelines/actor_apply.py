@@ -1,0 +1,238 @@
+"""Stateful actor-pool CDC apply: per-partition appliers with a live
+key index + watermark (the north star's "actor pools holding
+per-partition state").
+
+This is the INCREMENTAL apply path, complementary to the batch path in
+pipelines/cdc.py (which re-resolves LWW per epoch inside a shuffle):
+each ``PartitionApplier`` actor owns a set of hash partitions and keeps
+their key→(lsn, sha) index hot across micro-batches, so per-epoch work
+is proportional to the epoch's events, not to epoch count × state size
+— and a KEY-level stale event is rejected even when the partition
+watermark would admit it.
+
+Raw actors are justified here (SURVEY.md §7.4): the index is shared
+mutable state across micro-batches, which `Dataset.map_batches` cannot
+route by key.  Everything around it stays Ray Data: standardize +
+per-block combine run as a streaming `map_batches` pipeline; only the
+final per-partition routing uses `ray.remote` calls.
+
+Fault story: actors are stateless-recoverable — `__init__` rebuilds the
+index from the last committed manifest's delta files; an actor lost
+mid-epoch is rebuilt and the epoch re-sent (idempotent at key level).
+The same two-phase manifest commit (state/manifest.py) applies.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..spec import TableSpec
+from ..stages.merge import _partial, lww_merge
+from ..stages.standardize import make_standardizer
+from ..state import manifest as mf
+from ..state.keyindex import KeyIndex
+
+
+@ray.remote
+class PartitionApplier:
+    """Owns hash partitions {p : p % pool_size == pool_idx}."""
+
+    def __init__(self, root: str, table: str, num_partitions: int,
+                 pool_idx: int, pool_size: int):
+        from ..functions.hashing import tune_worker_threads
+
+        tune_worker_threads()
+        self.root, self.table = root, table
+        self.my_parts = [
+            p for p in range(num_partitions) if p % pool_size == pool_idx
+        ]
+        self.index: dict[int, KeyIndex] = {p: KeyIndex() for p in self.my_parts}
+        # recover: rebuild each owned partition's index from the last
+        # COMMITTED manifest (orphans from crashed epochs are invisible)
+        m = mf.read_manifest(root, table)
+        if m:
+            troot = Path(root) / table
+            for p in self.my_parts:
+                pinfo = m["partitions"].get(str(p))
+                if not pinfo:
+                    continue
+                for f in pinfo["files"]:
+                    t = pq.read_table(
+                        troot / f,
+                        columns=["op", "lsn", "key_hash", "content_sha"],
+                    )
+                    self.index[p].bulk_load(t)
+                self.index[p].watermark = max(
+                    self.index[p].watermark, pinfo["watermark"]
+                )
+
+    def apply(self, part: int, batches: list[pa.Table], epoch: int) -> dict:
+        """Apply one epoch's (combined) events for one partition: accept
+        key-level winners, write the delta file + phase-1 marker."""
+        idx = self.index[part]
+        table = (
+            pa.concat_tables(batches, promote_options="permissive")
+            if len(batches) > 1 else batches[0]
+        )
+        from ..stages.merge import lww_reduce_table
+
+        table = lww_reduce_table(table)
+        mask = idx.accept_mask(table)
+        delta = table.filter(pa.array(mask))
+        delta = delta.sort_by([("repo", "ascending"), ("path", "ascending")])
+        info = {
+            "part": part, "epoch": epoch, "rows": delta.num_rows,
+            "tombstones": int(
+                sum(1 for o in delta.column("op").to_pylist() if o == "D")
+            ),
+            "watermark": idx.watermark,
+            "events_seen": table.num_rows,
+            "live_keys": len(idx),
+        }
+        if delta.num_rows:
+            pdir = Path(self.root) / self.table / f"part={part:05d}" / f"epoch={epoch:06d}"
+            pdir.mkdir(parents=True, exist_ok=True)
+            fpath = pdir / "delta.parquet"
+            tmp = pdir / "delta.parquet.tmp"
+            pq.write_table(delta, tmp)
+            tmp.replace(fpath)
+            info["file"] = str(fpath.relative_to(Path(self.root) / self.table))
+            info["bytes"] = fpath.stat().st_size
+            import hashlib
+
+            h = hashlib.sha256()
+            for s in delta.column("content_sha").to_pylist():
+                h.update((s or "D").encode())
+            info["sha_rollup"] = h.hexdigest()
+            mf.write_marker(self.root, self.table, epoch, part, info)
+        return info
+
+    def live_key_count(self) -> int:
+        return sum(len(ix) for ix in self.index.values())
+
+
+@ray.remote
+def _route_block(block: pa.Table) -> dict[int, pa.Table]:
+    """Split one combined block by partition (runs near the data)."""
+    parts = block.column("part").to_numpy(zero_copy_only=False)
+    out: dict[int, pa.Table] = {}
+    for p in np.unique(parts):
+        out[int(p)] = block.filter(pa.array(parts == p))
+    return out
+
+
+class ActorLake:
+    """Incremental CDC lake driven by a stateful applier pool."""
+
+    def __init__(self, root: str, spec: TableSpec | None = None,
+                 pool_size: int = 4):
+        self.root = str(root)
+        self.spec = spec or TableSpec(name="cdc")
+        self.pool_size = pool_size
+        self.pool = [
+            PartitionApplier.remote(
+                self.root, self.spec.name, self.spec.num_partitions, i, pool_size
+            )
+            for i in range(pool_size)
+        ]
+
+    def kill_pool(self) -> None:
+        """Failure injection: lose all actor state."""
+        for a in self.pool:
+            ray.kill(a)
+        self.pool = []
+
+    def rebuild_pool(self) -> None:
+        """Recovery: fresh actors rebuild indexes from the manifest."""
+        self.pool = [
+            PartitionApplier.remote(
+                self.root, self.spec.name, self.spec.num_partitions, i,
+                self.pool_size,
+            )
+            for i in range(self.pool_size)
+        ]
+
+    def apply_events(self, events: rd.Dataset,
+                     _fail_before_commit: bool = False) -> dict:
+        m = mf.read_manifest(self.root, self.spec.name)
+        epoch = (m["epoch"] + 1) if m else 1
+
+        std = events.map_batches(
+            make_standardizer(self.spec), batch_format="pyarrow"
+        ).map_batches(_partial(self.spec), batch_format="pyarrow")
+
+        # route blocks to partition owners; refs flow actor-to-actor via
+        # the object store (the driver only moves tiny ref maps)
+        routed = [_route_block.remote(ref) for ref in std.to_arrow_refs()]
+        by_part: dict[int, list[pa.Table]] = {}
+        for r in ray.get(routed):
+            for p, t in r.items():
+                by_part.setdefault(p, []).append(t)
+
+        futs = []
+        for p, tables in by_part.items():
+            owner = self.pool[p % self.pool_size]
+            futs.append(owner.apply.remote(p, tables, epoch))
+        stats = [s for s in ray.get(futs) if s.get("rows", 0) or True]
+        stats = [s for s in stats if "file" in s or s["events_seen"]]
+
+        record = {
+            "epoch": epoch,
+            "partitions_touched": len([s for s in stats if "file" in s]),
+            "rows_upserted": sum(
+                s["rows"] - s["tombstones"] for s in stats if "file" in s
+            ),
+            "tombstones": sum(s["tombstones"] for s in stats if "file" in s),
+            "events_seen": sum(s["events_seen"] for s in stats),
+            "live_keys": int(sum(
+                ray.get([a.live_key_count.remote() for a in self.pool])
+            )),
+        }
+        if _fail_before_commit:
+            record["committed"] = False
+            return record
+        self._commit(m, epoch, [s for s in stats if "file" in s], record)
+        record["committed"] = True
+        return record
+
+    def _commit(self, prev, epoch, stats, record):
+        partitions = dict(prev["partitions"]) if prev else {}
+        lineage = list(prev.get("lineage", [])) if prev else []
+        for s in stats:
+            p = str(s["part"])
+            old = partitions.get(p, {"files": [], "watermark": -1, "rows": 0})
+            partitions[p] = {
+                "files": old["files"] + [s["file"]],
+                "watermark": max(old["watermark"], s["watermark"]),
+                "rows": old["rows"] + s["rows"],
+                "sha_rollup": s.get("sha_rollup"),
+            }
+        lineage.append(record)
+        from .cdc import CDCLake  # reuse the state schema derivation
+
+        schema_holder = CDCLake.__new__(CDCLake)
+        schema_holder.spec = self.spec
+        manifest = {
+            "table": self.spec.name,
+            "epoch": epoch,
+            "num_partitions": self.spec.num_partitions,
+            "schema": mf.schema_to_b64(schema_holder._state_schema()),
+            "partitions": partitions,
+            "lineage": lineage,
+            "compacted": False,
+        }
+        mf.commit_manifest(self.root, self.spec.name, manifest)
+
+    def read_state(self, drop_engine_cols: bool = False) -> rd.Dataset:
+        from .cdc import CDCLake
+
+        lake = CDCLake.__new__(CDCLake)
+        lake.root, lake.spec = self.root, self.spec
+        return CDCLake.read_state(lake, drop_engine_cols)

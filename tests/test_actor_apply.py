@@ -1,0 +1,106 @@
+"""Stateful actor-pool apply path: oracle equivalence, key-level
+idempotence, actor-loss recovery from the committed manifest."""
+
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.datagen import make_change_events, micro_batches
+from standardized_omop_data_etl_ray.oracle import (
+    assert_states_equal,
+    canonical_state,
+    oracle_apply,
+)
+from standardized_omop_data_etl_ray.pipelines.actor_apply import ActorLake
+from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+from standardized_omop_data_etl_ray.spec import TableSpec
+
+WINDOW = 400
+EVENTS = make_change_events(n_keys=250, n_events=3000, seed=31, window=WINDOW)
+ORACLE = oracle_apply(EVENTS)
+BATCHES = list(micro_batches(EVENTS, batch_windows=3, window=WINDOW))
+
+
+def _state(lake) -> pa.Table:
+    tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def test_actor_replay_matches_oracle(tmp_path):
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=8),
+                     pool_size=3)
+    for b in BATCHES:
+        rec = lake.apply_events(rd.from_arrow(b))
+        assert rec["committed"]
+    assert_states_equal(_state(lake), ORACLE)
+    assert rec["live_keys"] == ORACLE.num_rows
+
+
+def test_actor_and_batch_paths_agree(tmp_path):
+    a = ActorLake(tmp_path / "a", TableSpec(name="cdc", num_partitions=8),
+                  pool_size=2)
+    b = CDCLake(tmp_path / "b", TableSpec(name="cdc", num_partitions=8))
+    for batch in BATCHES:
+        a.apply_events(rd.from_arrow(batch))
+        b.apply_events(rd.from_arrow(batch))
+    assert canonical_state(_state(a)).equals(canonical_state(_state(b)))
+
+
+def test_key_level_stale_rejection(tmp_path):
+    """A stale per-key event inside an otherwise-new window is rejected
+    by the live index (stronger than the partition watermark)."""
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=4),
+                     pool_size=2)
+    t1 = pa.table(
+        {
+            "op": ["I", "U"], "lsn": pa.array([1, 5], pa.int64()),
+            "repo": ["r", "r"], "path": ["p", "p"],
+            "commit": ["a", "b"], "lang": ["py", "py"],
+            "content": ["v1", "v5"],
+        }
+    )
+    lake.apply_events(rd.from_arrow(t1))
+    # window 2: new key at lsn 10 plus a STALE update (lsn 3) for p
+    t2 = pa.table(
+        {
+            "op": ["U", "I"], "lsn": pa.array([3, 10], pa.int64()),
+            "repo": ["r", "r"], "path": ["p", "q"],
+            "commit": ["c", "d"], "lang": ["py", "py"],
+            "content": ["v3-stale", "q10"],
+        }
+    )
+    rec = lake.apply_events(rd.from_arrow(t2))
+    state = canonical_state(_state(lake))
+    assert state.column("content").to_pylist() == ["v5", "q10"]
+    assert rec["rows_upserted"] == 1  # only the new key landed
+
+
+def test_actor_loss_recovery(tmp_path):
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=8),
+                     pool_size=2)
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    committed = canonical_state(_state(lake))
+
+    # crash mid-epoch: phase 1 done, no commit, then ALL actors lost
+    rec = lake.apply_events(rd.from_arrow(BATCHES[1]), _fail_before_commit=True)
+    assert rec["committed"] is False
+    lake.kill_pool()
+
+    # fresh pool rebuilds indexes from the last committed manifest only
+    lake.rebuild_pool()
+    assert canonical_state(_state(lake)).equals(committed)
+    for b in BATCHES[1:]:
+        lake.apply_events(rd.from_arrow(b))
+    assert_states_equal(_state(lake), ORACLE)
+
+
+def test_replay_whole_log_is_noop(tmp_path):
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=8),
+                     pool_size=2)
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    before = canonical_state(_state(lake))
+    rec = lake.apply_events(rd.from_arrow(EVENTS))  # full at-least-once replay
+    assert rec["rows_upserted"] == 0 and rec["tombstones"] == 0
+    assert canonical_state(_state(lake)).equals(before)

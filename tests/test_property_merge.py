@@ -1,0 +1,51 @@
+"""Property-based testing: for ANY generated event log (hypothesis picks
+sizes, rates, seeds, window widths), the distributed merge equals the
+single-process oracle and is invariant to partitioning choices."""
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from standardized_omop_data_etl_ray.datagen import make_change_events
+from standardized_omop_data_etl_ray.oracle import assert_states_equal, oracle_apply
+from standardized_omop_data_etl_ray.spec import TableSpec
+from standardized_omop_data_etl_ray.stages.merge import lww_merge
+from standardized_omop_data_etl_ray.stages.standardize import make_standardizer
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_keys=st.integers(5, 120),
+    n_events=st.integers(20, 800),
+    delete_rate=st.floats(0.0, 0.4),
+    dup_rate=st.floats(0.0, 0.2),
+    window=st.integers(10, 400),
+    num_partitions=st.integers(1, 13),
+    salt=st.sampled_from([0, 3]),
+)
+def test_merge_equals_oracle_for_any_log(
+    seed, n_keys, n_events, delete_rate, dup_rate, window, num_partitions, salt
+):
+    events = make_change_events(
+        n_keys=n_keys, n_events=n_events, seed=seed,
+        delete_rate=delete_rate, dup_rate=dup_rate, window=window,
+        content_len_median=60,
+    )
+    spec = TableSpec(name="cdc", num_partitions=num_partitions)
+    std = rd.from_arrow(events).map_batches(
+        make_standardizer(spec), batch_format="pyarrow"
+    )
+    merged = lww_merge(std, spec, salt_factor=salt)
+    tabs = [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows]
+    engine = pa.concat_tables(tabs) if tabs else events.slice(0, 0)
+    oracle = oracle_apply(events)
+    if oracle.num_rows == 0:
+        assert sum(t.num_rows for t in tabs) == 0
+        return
+    assert_states_equal(engine, oracle)
