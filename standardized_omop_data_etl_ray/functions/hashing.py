@@ -87,6 +87,10 @@ def key_hash_u64(*cols: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Stable uint64 hash of the composite key = first 8 bytes of
     sha256(col1 || \\x00 || col2 || ...).  Deterministic across runs →
     safe to persist in manifests (partition → watermark maps)."""
+    cols = [
+        c if pa.types.is_string(c.type) else pc.cast(c, pa.string())
+        for c in cols
+    ]
     joined = pc.binary_join_element_wise(*cols, "\x00")
     if _HAVE_DUCKDB:
         tbl = pa.table({"k": joined})

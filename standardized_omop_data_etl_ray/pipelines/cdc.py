@@ -255,8 +255,11 @@ class CDCLake:
         return rd.read_parquet(files, schema=schema)
 
     def read_state(self, drop_engine_cols: bool = False) -> rd.Dataset:
-        """Merge-on-read current state: LWW-resolve all live delta files,
-        drop tombstones.  After compact() this is a plain scan."""
+        """Merge-on-read current state: LWW-resolve live delta files,
+        drop tombstones.  NO shuffle — delta files are already
+        partition-segregated, so resolution is a map-only pass (one task
+        per partition reading that partition's files).  After compact()
+        this is a plain scan."""
         m = mf.read_manifest(self.root, self.spec.name)
         ds = self.read_deltas()
         if ds is None:
@@ -264,7 +267,31 @@ class CDCLake:
         if m.get("compacted"):
             out = ds
         else:
-            out = lww_merge(ds, self.spec, keep_tombstones=False)
+            troot = Path(self.root) / self.spec.name
+            schema = mf.schema_from_b64(m["schema"])
+            part_files = [
+                [str(troot / f) for f in pinfo["files"]]
+                for pinfo in m["partitions"].values()
+                if pinfo["files"]
+            ]
+            spec = self.spec
+
+            def resolve_partition(batch: pa.Table) -> pa.Table:
+                import pyarrow.dataset as pds
+
+                tables = []
+                for files in batch.column("files").to_pylist():
+                    t = pds.dataset(files, schema=schema).to_table()
+                    tables.append(t)
+                merged = pa.concat_tables(tables, promote_options="permissive")
+                resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
+                return drop_tombstones(resolved, spec.op_col)
+
+            out = rd.from_arrow(
+                pa.table({"files": pa.array(part_files)})
+            ).repartition(len(part_files)).map_batches(
+                resolve_partition, batch_format="pyarrow"
+            )
         if drop_engine_cols:
             out = out.drop_columns(["content_sha", "key_hash", "part"])
         return out

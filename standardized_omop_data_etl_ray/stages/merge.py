@@ -40,17 +40,19 @@ from ..spec import TableSpec
 
 def lww_reduce_table(t: pa.Table, key_cols=("repo", "path"), lsn_col="lsn") -> pa.Table:
     """Vectorized LWW within one in-memory table: keep, per key, the row
-    with max lsn (ties: duplicates are identical; commit DESC as a stable
-    tiebreak).  DuckDB window over zero-copy Arrow."""
+    with max lsn (ties only arise from duplicate deliveries, which carry
+    identical payloads; `commit` is used as a stable tiebreak when the
+    table has one).  DuckDB window over zero-copy Arrow."""
     if t.num_rows == 0:
         return t
     keys = ", ".join(key_cols)
+    tiebreak = ", commit DESC" if "commit" in t.column_names else ""
     con = hashing._con()
     out = con.execute(
         f"""
         SELECT * EXCLUDE (__rn) FROM (
             SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY {keys} ORDER BY {lsn_col} DESC, commit DESC
+                PARTITION BY {keys} ORDER BY {lsn_col} DESC{tiebreak}
             ) AS __rn FROM t
         ) WHERE __rn = 1
         """
