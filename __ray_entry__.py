@@ -917,16 +917,19 @@ def asof_last_purchase_before_error(sf_dir: str):
     """As-of join (time-ordered lookback per key): for every error event,
     the value of that user's most recent prior purchase (reference has no
     windows — this is the streaming-shaped operator family, SURVEY.md §2.7)."""
+    from standardized_omop_data_etl_ray.stages.joins import bucketed_groupby
+
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across all users in the bucket
+        g = g.sort_values(["user_id", "ts", "event_id"])
         pv = g["value"].where(g["event_type"] == "purchase")
-        g = g.assign(last_purchase_value=pv.ffill().round(2))
+        g = g.assign(last_purchase_value=pv.groupby(g["user_id"]).ffill().round(2))
         out = g[g["event_type"] == "error"]
         return out[["event_id", "user_id", "last_purchase_value"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_groupby(ds, ["user_id"], per_bucket)
 
 
 _ASOF_SQL = """
@@ -945,14 +948,18 @@ FROM filled WHERE event_type = 'error'
 
 def running_user_totals(sf_dir: str):
     """Per-key ordered running aggregate (cumulative sum)."""
+    from standardized_omop_data_etl_ray.stages.joins import bucketed_groupby
+
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g = g.assign(running_value=g["value"].cumsum().round(2))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g = g.assign(
+            running_value=g.groupby("user_id")["value"].cumsum().round(2)
+        )
         return g[["event_id", "user_id", "running_value"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_groupby(ds, ["user_id"], per_bucket)
 
 
 _RUNNING_SQL = """

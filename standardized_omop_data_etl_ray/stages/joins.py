@@ -78,6 +78,38 @@ def broadcast_rekey(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def bucketed_groupby(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    fn,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key grouped apply WITHOUT one-Python-call-per-group cost:
+    co-locate keys by a coarse hash bucket, then call ``fn`` once per
+    BUCKET with the whole bucket DataFrame — ``fn`` must handle many keys
+    vectorized (pandas groupby/transform).  Ray's ``map_groups`` pays a
+    Python call per group, which dominates when groups are small and
+    numerous (bands×docs LSH buckets, per-user sessions, per-key merges).
+    """
+    import numpy as np
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(num_buckets)).astype("int32")
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        out = fn(g.drop(columns="__bucket"))
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def partitioned_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -126,16 +126,16 @@ def priority_merge(
     for t in tagged[1:]:
         u = u.union(t)
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["__redundant"] = g[rank_col] > g[rank_col].min()
-        return g
+    from .joins import bucketed_groupby
 
-    return (
-        u.groupby(key_cols)
-        .map_groups(resolve, batch_format="pandas")
-        .drop_columns([rank_col])
-    )
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL keys in the bucket: winner rank per key
+        bucket = bucket.copy()
+        min_rank = bucket.groupby(key_cols)[rank_col].transform("min")
+        bucket["__redundant"] = bucket[rank_col] > min_rank
+        return bucket
+
+    return bucketed_groupby(u, key_cols, resolve).drop_columns([rank_col])
 
 
 def lww_merge(

@@ -57,10 +57,15 @@ def sessionize(
     into one session.  Needs per-key time order → one groupby shuffle,
     then a vectorized cumulative split inside each group."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
-        g["session_id"] = (gaps > gap_seconds).cumsum().astype("int64")
+    from .joins import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across all keys in the bucket: sort by (key, ts),
+        # break sessions where the per-key gap exceeds the threshold
+        g = g.sort_values([key_col, ts_col])
+        gaps = g.groupby(key_col)[ts_col].diff().dt.total_seconds().fillna(0.0)
+        brk = gaps > gap_seconds
+        g["session_id"] = brk.groupby(g[key_col]).cumsum().astype("int64")
         return g
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed_groupby(ds, [key_col], per_bucket)
