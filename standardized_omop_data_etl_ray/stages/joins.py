@@ -90,6 +90,10 @@ def bucketed_groupby(
     vectorized (pandas groupby/transform).  Ray's ``map_groups`` pays a
     Python call per group, which dominates when groups are small and
     numerous (bands×docs LSH buckets, per-user sessions, per-key merges).
+
+    NB: the bucket hash is dtype-sensitive — key columns must carry the
+    SAME dtype in every block (run inputs through
+    ``schema_ops.union_by_name`` first when unioning mixed sources).
     """
     import numpy as np
 

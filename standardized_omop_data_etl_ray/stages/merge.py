@@ -122,9 +122,12 @@ def priority_merge(
             return batch.append_column(rank_col, pa.array([rank] * n, pa.int32()))
 
         tagged.append(ds.map_batches(tag, batch_format="pyarrow"))
-    u = tagged[0]
-    for t in tagged[1:]:
-        u = u.union(t)
+    # unify schemas across sources (C1): heterogeneous sub-schemas are the
+    # norm in the reference, and a bare union would leave the same logical
+    # key with different dtypes per block — fatal for hash bucketing
+    from .schema_ops import union_by_name
+
+    u = union_by_name(tagged)
 
     from .joins import bucketed_groupby
 
