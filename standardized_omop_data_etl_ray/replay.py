@@ -1,0 +1,86 @@
+"""CLI replay entry point — the ``ray job submit`` deployment surface.
+
+    ray job submit -- python -m standardized_omop_data_etl_ray.replay \\
+        --segments /data/binlog --lake /data/lake --table repos \\
+        --num-partitions 256 --segments-per-window 32
+
+Tails new binlog segments past the lake's committed watermark, applies
+each window as one exactly-once epoch, prints one JSON line per epoch
+and a final summary.  Safe to re-run after any crash: resumes from the
+last committed manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--segments", required=True, help="binlog segment dir")
+    ap.add_argument("--lake", required=True, help="lake root dir")
+    ap.add_argument("--table", default="cdc")
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--segments-per-window", type=int, default=16)
+    ap.add_argument("--salt-factor", type=int, default=0)
+    ap.add_argument("--compact", action="store_true",
+                    help="compact + gc after the tail drains")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only for standalone runs; under `ray job submit` "
+                         "the cluster is already up")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local" if args.num_cpus else "auto",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.cdc import CDCLake
+    from .sources.binlog import BinlogTail
+    from .spec import TableSpec
+    from .state import manifest as mf
+
+    spec = TableSpec(name=args.table, num_partitions=args.num_partitions)
+    lake = CDCLake(args.lake, spec)
+    m = mf.read_manifest(args.lake, args.table)
+    start_after = max(
+        (p["watermark"] for p in m["partitions"].values()), default=-1
+    ) if m else -1
+
+    tail = BinlogTail(args.segments)
+    total_events, t0 = 0, time.time()
+    for window in tail.windows(start_after, args.segments_per_window):
+        rec = lake.apply_events(window, salt_factor=args.salt_factor)
+        total_events += rec["events_seen"]
+        print(json.dumps(rec))
+    if args.compact:
+        print(json.dumps(lake.compact()))
+        lake.gc()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "events_applied": total_events,
+                "wall_sec": round(wall, 2),
+                "events_per_sec": round(total_events / max(wall, 1e-9), 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
