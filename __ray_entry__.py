@@ -839,6 +839,92 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
 """
 
 
+
+
+def hopping_event_windows(sf_dir: str):
+    """Hopping windows (size 1h, hop 30min): each event counts in two
+    overlapping windows."""
+    from standardized_omop_data_etl_ray.stages.windows import hopping_aggregate
+
+    ds = _pq(sf_dir, "events", ["ts", "value"])
+    return hopping_aggregate(ds, "ts", "value", 3600, 1800).map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow"
+    )
+
+
+_HOPPING_SQL = """
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM (
+    SELECT make_timestamp((epoch_us(ts) // 1000000 // 3600) * 3600 * 1000000)
+           AS window_start, value FROM events
+    UNION ALL
+    SELECT make_timestamp((((epoch_us(ts) // 1000000 - 1800) // 3600) * 3600 + 1800)
+           * 1000000), value
+    FROM events WHERE ((epoch_us(ts) // 1000000 - 1800) // 3600) * 3600 + 1800
+                      <= epoch_us(ts) // 1000000
+)
+GROUP BY window_start
+"""
+
+
+def regex_extract_rekey(sf_dir: str):
+    """J5 reverse-parse join: recover the numeric key embedded in a
+    formatted string column, then aggregate on it."""
+    from standardized_omop_data_etl_ray.functions.ids import regex_extract_key
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        src = pc.binary_join_element_wise(
+            pa.scalar("user-"), pc.cast(t.column("user_id"), pa.string()),
+            pa.scalar("-x"), "",
+        )
+        return pa.table({"source_value": src, "value": t.column("value")})
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = regex_extract_key(t.column("source_value"),
+                              r"user-(?P<k>\d+)-x")
+        return pa.table({
+            "user_id": pc.cast(k, pa.int64()),
+            "value": t.column("value"),
+        })
+
+    return (
+        ds.map_batches(fmt, batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_rows"),
+                   Sum("value", alias_name="sum_value"))
+        .map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
+    )
+
+
+_REGEX_REKEY_SQL = """
+SELECT CAST(regexp_extract('user-' || user_id || '-x', 'user-(\\d+)-x', 1)
+            AS BIGINT) AS user_id,
+       COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def ivf_topk_cosine(sf_dir: str):
+    """IVF-bucketed approximate top-k (the ANN scale path: probe only the
+    nearest cells).  Approximate → rows-only check; exactness is covered
+    by ann_topk_cosine and recall by tests/test_dedup_ann.py."""
+    from standardized_omop_data_etl_ray.stages.ann import IVFIndex, ivf_topk
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = emb.to_pandas()
+    M = np.stack(sample["embedding"].to_numpy()).astype(np.float32)
+    idx = IVFIndex(n_cells=8).fit(M)
+    with_cells = idx.assign_cells(emb, "embedding")
+    qdf = sample[sample["vec_id"] < 10].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_topk(with_cells, idx, Q, qdf["vec_id"].to_numpy(),
+                   "embedding", "vec_id", k=5, nprobe=4)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
 
 def cdc_full_replay_docs(sf_dir: str):
@@ -1138,7 +1224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "visit_id_synthesis": visit_id_synthesis,
         "nine_digit_ids_orders": nine_digit_ids_orders,
         "hourly_event_windows": hourly_event_windows,
+        "hopping_event_windows": hopping_event_windows,
         "sessionize_events": sessionize_events,
+        "regex_extract_rekey": regex_extract_rekey,
+        "ivf_topk_cosine": ivf_topk_cosine,
         "asof_last_purchase_before_error": asof_last_purchase_before_error,
         "running_user_totals": running_user_totals,
         "top3_customers_per_segment": top3_customers_per_segment,
@@ -1185,7 +1274,9 @@ def oracle_sql() -> dict[str, str]:
         "visit_id_synthesis": _VISIT_ID_SQL,
         "nine_digit_ids_orders": _NINE_DIGIT_SQL,
         "hourly_event_windows": _HOURLY_SQL,
+        "hopping_event_windows": _HOPPING_SQL,
         "sessionize_events": _SESSIONIZE_SQL,
+        "regex_extract_rekey": _REGEX_REKEY_SQL,
         "asof_last_purchase_before_error": _ASOF_SQL,
         "running_user_totals": _RUNNING_SQL,
         "top3_customers_per_segment": _TOP3_SQL,

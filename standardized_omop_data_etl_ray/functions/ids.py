@@ -33,6 +33,16 @@ def nine_digit_id(col: pa.Array) -> pa.Array:
     )
 
 
+def regex_extract_key(col: pa.Array, pattern: str, group: str = "k") -> pa.Array:
+    """Reverse-parse a natural key out of a formatted string (J5:
+    add_condition_occurrences.py:39-47 splits person_source_value to
+    recover Participant_ID).  Vectorized ``pc.extract_regex``; callers
+    then broadcast-join on the extracted key."""
+    return pc.struct_field(
+        pc.extract_regex(pc.cast(col, pa.string()), pattern), group
+    )
+
+
 def stable_key_id(*cols: pa.Array, digits: int = 18) -> pa.Array:
     """Deterministic int64 surrogate id from the natural key (replaces the
     reference's order-dependent ``range(1, n+1)`` at create_table_ids.py:44

@@ -47,6 +47,53 @@ def tumbling_aggregate(
     )
 
 
+def hopping_aggregate(
+    ds: rd.Dataset,
+    ts_col: str,
+    value_col: str,
+    size_seconds: int = 3600,
+    hop_seconds: int = 1800,
+) -> rd.Dataset:
+    """Hopping (sliding) windows: each event fans out to the
+    ``size/hop`` overlapping windows containing it (1→K fan-out in
+    map_batches), then one groupby — no event-time runtime needed."""
+    import numpy as np
+
+    k = size_seconds // hop_seconds
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        epoch = pc.cast(
+            pc.floor(pc.divide(pc.cast(ts, pa.int64()), 1_000_000)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        outs_start, outs_val = [], []
+        for j in range(k):
+            start = ((epoch - j * hop_seconds) // size_seconds) * size_seconds \
+                + j * hop_seconds
+            keep = start <= epoch  # guard the stream's left edge
+            outs_start.append(start[keep])
+            outs_val.append(vals[keep])
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    np.concatenate(outs_start) * 1_000_000
+                ).cast(pa.timestamp("us")),
+                value_col: pa.array(np.concatenate(outs_val)),
+            }
+        )
+
+    return (
+        ds.map_batches(fanout, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+        )
+    )
+
+
 def sessionize(
     ds: rd.Dataset,
     key_col: str,
