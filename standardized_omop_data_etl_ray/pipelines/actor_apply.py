@@ -135,6 +135,15 @@ class ActorLake:
                  pool_size: int = 4):
         self.root = str(root)
         self.spec = spec or TableSpec(name="cdc")
+        m = mf.read_manifest(self.root, self.spec.name)
+        if m is not None:
+            # restore persisted schema (minus engine columns) + partitioning
+            state_schema = mf.schema_from_b64(m["schema"])
+            engine_cols = {"content_sha", "key_hash", "part"}
+            self.spec.schema = pa.schema(
+                [f for f in state_schema if f.name not in engine_cols]
+            )
+            self.spec.num_partitions = m["num_partitions"]
         self.pool_size = pool_size
         self.pool = [
             PartitionApplier.remote(
@@ -163,6 +172,13 @@ class ActorLake:
                      _fail_before_commit: bool = False) -> dict:
         m = mf.read_manifest(self.root, self.spec.name)
         epoch = (m["epoch"] + 1) if m else 1
+
+        # schema evolution: unify the incoming event schema (add/widen
+        # allowed, narrowing rejected) before standardize pads to target
+        incoming = events.schema()
+        self.spec.schema = self.spec.evolve(
+            pa.schema(list(zip(incoming.names, incoming.types)))
+        )
 
         std = events.map_batches(
             make_standardizer(self.spec), batch_format="pyarrow"

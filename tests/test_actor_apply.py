@@ -104,3 +104,23 @@ def test_replay_whole_log_is_noop(tmp_path):
     rec = lake.apply_events(rd.from_arrow(EVENTS))  # full at-least-once replay
     assert rec["rows_upserted"] == 0 and rec["tombstones"] == 0
     assert canonical_state(_state(lake)).equals(before)
+
+
+def test_actor_schema_evolution(tmp_path):
+    """Mid-stream column add through the actor path (delta files across
+    epochs carry different schemas; read resolves with nulls)."""
+    ev = make_change_events(
+        n_keys=150, n_events=900, seed=41, window=150, evolve_after_frac=0.5
+    )
+    early = ev.filter(pa.compute.less(ev["lsn"], 450)).drop_columns(
+        ["size_bytes"]
+    )
+    late = ev.filter(pa.compute.greater_equal(ev["lsn"], 450))
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=4),
+                     pool_size=2)
+    lake.apply_events(rd.from_arrow(early))
+    lake.apply_events(rd.from_arrow(late))
+    tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
+    state = pa.concat_tables(tabs, promote_options="permissive")
+    assert "size_bytes" in state.column_names
+    assert_states_equal(state, oracle_apply(ev))
