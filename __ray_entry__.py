@@ -650,13 +650,19 @@ def token_counts_docs(sf_dir: str):
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         tc = token_counts(df["text"])
-        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens_ws": tc["n_tokens_ws"]})
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens_ws": tc["n_tokens_ws"],
+            "n_tokens_bpe": tc["n_tokens_bpe"],
+        })
 
     return docs.map_batches(fn, batch_format="pandas")
 
 
 _TOKEN_COUNTS_SQL = """
-SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\t\\n\\rA-Za-z0-9]+'))
+           AS n_tokens_bpe
 FROM documents
 """
 

@@ -361,3 +361,28 @@ class CDCLake:
     def lineage(self) -> list[dict]:
         m = mf.read_manifest(self.root, self.spec.name)
         return m.get("lineage", []) if m else []
+
+    def partition_metrics(self) -> pa.Table:
+        """Per-partition observability view from the committed manifest:
+        (part, n_files, rows, watermark, sha_rollup) — the reference's
+        log-file spot-checking (SURVEY.md §5.3) upgraded to a queryable
+        table."""
+        m = mf.read_manifest(self.root, self.spec.name)
+        parts = sorted(
+            ((int(p), v) for p, v in (m or {"partitions": {}})["partitions"].items())
+        )
+        return pa.table(
+            {
+                "part": pa.array([p for p, _ in parts], pa.int32()),
+                "n_files": pa.array(
+                    [len(v["files"]) for _, v in parts], pa.int32()
+                ),
+                "rows": pa.array([v["rows"] for _, v in parts], pa.int64()),
+                "watermark": pa.array(
+                    [v["watermark"] for _, v in parts], pa.int64()
+                ),
+                "sha_rollup": pa.array(
+                    [v.get("sha_rollup") for _, v in parts], pa.string()
+                ),
+            }
+        )

@@ -171,3 +171,14 @@ def test_watermark_survives_all_deleted_partition(tmp_path):
     rec = lake2.apply_events(rd.from_arrow(t.slice(1, 1)))
     assert rec["events_seen"] == 0
     assert _state(lake2).num_rows == 0
+
+
+def test_partition_metrics_view(tmp_path):
+    lake = CDCLake(tmp_path, _spec(4))
+    for b in BATCHES[:2]:
+        lake.apply_events(rd.from_arrow(b))
+    pm = lake.partition_metrics().to_pandas()
+    assert len(pm) == 4
+    assert (pm["n_files"] >= 1).all()
+    assert pm["watermark"].max() > 0
+    assert pm["rows"].sum() > 0
