@@ -45,15 +45,26 @@ class PartitionApplier:
     """Owns hash partitions {p : p % pool_size == pool_idx}."""
 
     def __init__(self, root: str, table: str, num_partitions: int,
-                 pool_idx: int, pool_size: int):
+                 pool_idx: int, pool_size: int,
+                 spill_threshold: int | None = None):
         from ..functions.hashing import tune_worker_threads
+        from ..state.keyindex import SpillableKeyIndex
 
         tune_worker_threads()
         self.root, self.table = root, table
         self.my_parts = [
             p for p in range(num_partitions) if p % pool_size == pool_idx
         ]
-        self.index: dict[int, KeyIndex] = {p: KeyIndex() for p in self.my_parts}
+        if spill_threshold:
+            self.index: dict[int, KeyIndex] = {
+                p: SpillableKeyIndex(
+                    Path(root) / table / "_spill" / f"part={p:05d}",
+                    spill_threshold=spill_threshold,
+                )
+                for p in self.my_parts
+            }
+        else:
+            self.index = {p: KeyIndex() for p in self.my_parts}
         # recover: rebuild each owned partition's index from the last
         # COMMITTED manifest (orphans from crashed epochs are invisible)
         m = mf.read_manifest(root, table)
@@ -132,9 +143,10 @@ class ActorLake:
     """Incremental CDC lake driven by a stateful applier pool."""
 
     def __init__(self, root: str, spec: TableSpec | None = None,
-                 pool_size: int = 4):
+                 pool_size: int = 4, spill_threshold: int | None = None):
         self.root = str(root)
         self.spec = spec or TableSpec(name="cdc")
+        self.spill_threshold = spill_threshold
         m = mf.read_manifest(self.root, self.spec.name)
         if m is not None:
             # restore persisted schema (minus engine columns) + partitioning
@@ -147,7 +159,8 @@ class ActorLake:
         self.pool_size = pool_size
         self.pool = [
             PartitionApplier.remote(
-                self.root, self.spec.name, self.spec.num_partitions, i, pool_size
+                self.root, self.spec.name, self.spec.num_partitions, i,
+                pool_size, self.spill_threshold,
             )
             for i in range(pool_size)
         ]
@@ -163,7 +176,7 @@ class ActorLake:
         self.pool = [
             PartitionApplier.remote(
                 self.root, self.spec.name, self.spec.num_partitions, i,
-                self.pool_size,
+                self.pool_size, self.spill_threshold,
             )
             for i in range(self.pool_size)
         ]

@@ -124,3 +124,78 @@ def test_actor_schema_evolution(tmp_path):
     state = pa.concat_tables(tabs, promote_options="permissive")
     assert "size_bytes" in state.column_names
     assert_states_equal(state, oracle_apply(ev))
+
+
+def test_spillable_index_matches_oracle(tmp_path):
+    """Tiny spill threshold forces every index through the LSM run path
+    (flushes, fence lookups, run compaction) — result must still equal
+    the oracle, and stale events must still be rejected from runs."""
+    ev = make_change_events(n_keys=400, n_events=5000, seed=55, window=500)
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=4),
+                     pool_size=2, spill_threshold=50)
+    for b in micro_batches(ev, batch_windows=2, window=500):
+        lake.apply_events(rd.from_arrow(b))
+    tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
+    assert_states_equal(pa.concat_tables(tabs), oracle_apply(ev))
+    # spill runs actually exist on disk
+    import pathlib
+    runs = list(pathlib.Path(tmp_path).glob("cdc/_spill/part=*/run-*.parquet"))
+    assert runs, "expected LSM runs on disk with threshold=50"
+    # full replay after spilling: still a no-op
+    rec = lake.apply_events(rd.from_arrow(ev))
+    assert rec["rows_upserted"] == 0 and rec["tombstones"] == 0
+
+
+def test_spillable_index_unit(tmp_path):
+    from standardized_omop_data_etl_ray.state.keyindex import SpillableKeyIndex
+
+    idx = SpillableKeyIndex(tmp_path, spill_threshold=10, max_runs=2)
+    t = pa.table(
+        {
+            "op": ["I"] * 100,
+            "lsn": pa.array(range(100), pa.int64()),
+            "key_hash": pa.array([i % 40 for i in range(100)], pa.uint64()),
+            "content_sha": [f"s{i}" for i in range(100)],
+        }
+    )
+    mask = idx.accept_mask(t)
+    # per key: only increasing lsns accepted (all here: each key's lsns rise)
+    assert mask.all()
+    # stale re-apply rejected even though most keys live in spill runs
+    stale = pa.table(
+        {
+            "op": ["U"] * 40,
+            "lsn": pa.array([0] * 40, pa.int64()),
+            "key_hash": pa.array(range(40), pa.uint64()),
+            "content_sha": ["x"] * 40,
+        }
+    )
+    assert not idx.accept_mask(stale).any()
+    assert len(idx) == 40
+    # deletes tracked across spill
+    d = pa.table(
+        {
+            "op": ["D"] * 5,
+            "lsn": pa.array([1000 + i for i in range(5)], pa.int64()),
+            "key_hash": pa.array(range(5), pa.uint64()),
+            "content_sha": pa.array([None] * 5, pa.string()),
+        }
+    )
+    assert idx.accept_mask(d).all()
+    assert len(idx) == 35
+
+
+def test_spillable_actor_loss_recovery(tmp_path):
+    """Kill actors whose indexes live mostly in spill runs; rebuilt
+    actors (fresh spill dirs) must recover from the manifest exactly."""
+    ev = make_change_events(n_keys=300, n_events=3000, seed=66, window=300)
+    batches = list(micro_batches(ev, batch_windows=3, window=300))
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=4),
+                     pool_size=2, spill_threshold=40)
+    lake.apply_events(rd.from_arrow(batches[0]))
+    lake.kill_pool()
+    lake.rebuild_pool()
+    for b in batches[1:]:
+        lake.apply_events(rd.from_arrow(b))
+    tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
+    assert_states_equal(pa.concat_tables(tabs), oracle_apply(ev))
