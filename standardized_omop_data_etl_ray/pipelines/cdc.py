@@ -298,43 +298,75 @@ class CDCLake:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self) -> dict:
-        """Rewrite each partition's deltas into one base file (new epoch),
-        then swap the manifest.  Old files stay until gc() — snapshots are
-        retained (COW), readers of the old manifest are unaffected."""
+    def compact(self, max_files: int | None = None) -> dict:
+        """Rewrite partitions' deltas into one base file each (new epoch),
+        then swap the manifest.  ``max_files=None`` compacts everything;
+        with a threshold only partitions holding more than ``max_files``
+        delta files are rewritten (size-tiered maintenance — call after
+        apply with e.g. ``max_files=8``).  Old files stay until gc() —
+        snapshots are retained (COW); readers of the old manifest are
+        unaffected.  Tombstones are dropped for rewritten partitions
+        (all their files participate, so nothing older remains to
+        shield against); watermarks survive."""
         m = mf.read_manifest(self.root, self.spec.name)
         if not m:
             return {"epoch": 0, "partitions_touched": 0}
+        targets = {
+            p: info for p, info in m["partitions"].items()
+            if info["files"]
+            and (max_files is None or len(info["files"]) > max_files)
+        }
+        if not targets:
+            return {"epoch": m["epoch"], "compaction": True,
+                    "partitions_touched": 0, "rows": 0}
         epoch = m["epoch"] + 1
-        ds = self.read_deltas()
-        resolved = lww_merge(ds, self.spec, keep_tombstones=False)
+        troot = Path(self.root) / self.spec.name
+        schema = mf.schema_from_b64(m["schema"])
+        spec = self.spec
+        part_files = [
+            [str(troot / f) for f in info["files"]] for info in targets.values()
+        ]
+
+        def resolve_partition(batch: pa.Table) -> pa.Table:
+            import pyarrow.dataset as pds
+
+            tables = []
+            for files in batch.column("files").to_pylist():
+                tables.append(pds.dataset(files, schema=schema).to_table())
+            merged = pa.concat_tables(tables, promote_options="permissive")
+            resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
+            return drop_tombstones(resolved, spec.op_col)
+
         writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
         stats = (
-            resolved.groupby("part")
+            rd.from_arrow(pa.table({"files": pa.array(part_files)}))
+            .repartition(len(part_files))
+            .map_batches(resolve_partition, batch_format="pyarrow")
+            .groupby("part", num_partitions=min(len(part_files),
+                                                spec.num_partitions))
             .map_groups(writer, batch_format="pyarrow")
             .take_all()
         )
-        partitions = {}
+        partitions = dict(m["partitions"])
+        rewritten = {str(s["part"]) for s in stats}
         for s in stats:
-            partitions[str(s["part"])] = {
+            p = str(s["part"])
+            partitions[p] = {
                 "files": [s["file"]],
                 "watermark": max(
-                    s["watermark"],
-                    m["partitions"].get(str(s["part"]), {}).get("watermark", -1),
+                    s["watermark"], m["partitions"][p]["watermark"]
                 ),
                 "rows": s["rows"],
                 "sha_rollup": s["sha_rollup"],
+                "base": True,
             }
-        # partitions whose keys were all deleted produce no group: keep a
-        # file-less entry so the LSN watermark survives (a replayed stale
-        # event must not resurrect a deleted key)
-        for p, pinfo in m["partitions"].items():
-            if p not in partitions:
+        # a targeted partition whose keys were ALL deleted yields no
+        # output group: drop its files, keep the watermark
+        for p, info in targets.items():
+            if p not in rewritten:
                 partitions[p] = {
-                    "files": [],
-                    "watermark": pinfo["watermark"],
-                    "rows": 0,
-                    "sha_rollup": None,
+                    "files": [], "watermark": info["watermark"],
+                    "rows": 0, "sha_rollup": None, "base": True,
                 }
         record = {
             "epoch": epoch,
@@ -343,6 +375,10 @@ class CDCLake:
             "rows": int(sum(s["rows"] for s in stats)),
         }
         lineage = list(m.get("lineage", [])) + [record]
+        all_base = all(
+            info.get("base") or not info["files"]
+            for info in partitions.values()
+        )
         manifest = {
             "table": self.spec.name,
             "epoch": epoch,
@@ -350,7 +386,7 @@ class CDCLake:
             "schema": m["schema"],
             "partitions": partitions,
             "lineage": lineage,
-            "compacted": True,
+            "compacted": all_base,
         }
         mf.commit_manifest(self.root, self.spec.name, manifest)
         return record

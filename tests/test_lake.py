@@ -182,3 +182,31 @@ def test_partition_metrics_view(tmp_path):
     assert (pm["n_files"] >= 1).all()
     assert pm["watermark"].max() > 0
     assert pm["rows"].sum() > 0
+
+
+def test_partial_compaction_size_tiered(tmp_path):
+    """compact(max_files=K) rewrites only partitions with >K delta files;
+    state unchanged; a later full compact flips the fast-scan flag."""
+    lake = CDCLake(tmp_path, _spec(4))
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    pre = canonical_state(_state(lake))
+    m0 = mf.read_manifest(str(tmp_path), "cdc")
+    max_files_before = max(len(p["files"]) for p in m0["partitions"].values())
+    assert max_files_before >= 3
+
+    rec = lake.compact(max_files=2)
+    assert rec["partitions_touched"] >= 1
+    m1 = mf.read_manifest(str(tmp_path), "cdc")
+    assert all(len(p["files"]) <= 2 for p in m1["partitions"].values())
+    assert canonical_state(_state(lake)).equals(pre)
+
+    # threshold higher than any count → no-op
+    rec2 = lake.compact(max_files=10)
+    assert rec2["partitions_touched"] == 0
+
+    # full compact → single base file everywhere, fast-scan flag set
+    lake.compact()
+    m2 = mf.read_manifest(str(tmp_path), "cdc")
+    assert m2["compacted"]
+    assert canonical_state(_state(lake)).equals(pre)
