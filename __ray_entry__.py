@@ -133,10 +133,12 @@ def q3_top_orders(sf_dir: str):
         lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
         batch_format="pyarrow",
     )
-    from standardized_omop_data_etl_ray.stages.joins import partitioned_hash_join
-
-    joined = partitioned_hash_join(li, o, ["l_orderkey"], ["o_orderkey"],
-                                   num_buckets=16)
+    # the filtered orders side is small → broadcast it into the lineitem
+    # stream (q5 keeps the partitioned hash join for the large-large case)
+    joined = broadcast_join(
+        li, o.to_pandas().rename(columns={"o_orderkey": "l_orderkey"}),
+        on="l_orderkey", how="inner",
+    )
 
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t.column("l_extendedprice"),
@@ -263,11 +265,11 @@ def q10_returned_customers(sf_dir: str):
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
     li = li.filter(expr="l_returnflag == 'R'")
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    from standardized_omop_data_etl_ray.stages.joins import partitioned_hash_join
-
-    j = partitioned_hash_join(li, orders, ["l_orderkey"], ["o_orderkey"],
-                              num_buckets=16)
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    j = broadcast_join(
+        li, orders.rename(columns={"o_orderkey": "l_orderkey"}),
+        on="l_orderkey", how="inner",
+    )
 
     def rev(t: pa.Table) -> pa.Table:
         return pa.table({
