@@ -141,11 +141,70 @@ class CDCLake:
 
     # -- write path -------------------------------------------------------
 
+    def _winner_filter(self, ev: rd.Dataset) -> rd.Dataset:
+        """Winner-only shuffle optimization: determine each key's winning
+        lsn from a NARROW projection (key_hash, lsn — 16 B/row instead of
+        the full content row), broadcast the winner set, and let only
+        winning rows proceed to the partition shuffle.  Cuts shuffle
+        bytes ~per-key-update-factor on update-heavy logs; semantics are
+        unchanged (duplicate deliveries of the winning lsn carry
+        identical payloads and are re-reduced by the writer).
+
+        Measured tradeoff (BENCH): at ~400 B contents this LOSES (~1.5×
+        slower) — the standardize lineage re-executes for the narrow
+        pass, and that sha256-heavy scan costs more than the saved
+        shuffle bytes.  Use only for wide contents (≥ tens of KB per
+        row), ideally with the combined stage materialized upstream."""
+        import ray
+
+        light = ev.select_columns(["key_hash", "lsn"])
+
+        def partial_max(t: pa.Table) -> pa.Table:
+            kh = t.column("key_hash").to_numpy(zero_copy_only=False)
+            ls = t.column("lsn").to_numpy(zero_copy_only=False)
+            order = np.lexsort((-ls, kh))
+            khs, lss = kh[order], ls[order]
+            first = np.ones(len(khs), dtype=bool)
+            first[1:] = khs[1:] != khs[:-1]
+            return pa.table(
+                {"key_hash": pa.array(khs[first], pa.uint64()),
+                 "lsn": pa.array(lss[first], pa.int64())}
+            )
+
+        partials = light.map_batches(partial_max, batch_format="pyarrow")
+        # winners are small (≤ keys-touched-this-epoch); reduce on driver
+        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return ev  # empty epoch: nothing to filter
+        allw = pa.concat_tables(tabs)
+        wk = allw.column("key_hash").to_numpy(zero_copy_only=False)
+        wl = allw.column("lsn").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-wl, wk))
+        wk, wl = wk[order], wl[order]
+        first = np.ones(len(wk), dtype=bool)
+        first[1:] = wk[1:] != wk[:-1]
+        wk, wl = wk[first], wl[first]
+        ref = ray.put((wk, wl))
+
+        def keep_winners(t: pa.Table) -> pa.Table:
+            from ..stages.joins import _cached_get
+
+            wk_, wl_ = _cached_get(ref)
+            kh = t.column("key_hash").to_numpy(zero_copy_only=False)
+            ls = t.column("lsn").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(wk_, kh)
+            pos = np.clip(pos, 0, len(wk_) - 1)
+            keep = (wk_[pos] == kh) & (wl_[pos] == ls)
+            return t.filter(pa.array(keep))
+
+        return ev.map_batches(keep_winners, batch_format="pyarrow")
+
     def apply_events(
         self,
         events: rd.Dataset,
         *,
         salt_factor: int = 0,
+        shuffle_mode: str = "full",
         _fail_before_commit: bool = False,
     ) -> dict:
         """Apply one micro-batch (one epoch).  Returns the commit record."""
@@ -175,6 +234,8 @@ class CDCLake:
             lambda b: lww_reduce_table(b, self.spec.key_cols, self.spec.lsn_col),
             batch_format="pyarrow",
         )
+        if shuffle_mode == "winners":
+            ev = self._winner_filter(ev)
         if salt_factor > 1:
             from ..stages.merge import add_salt, _group_final
 

@@ -210,3 +210,17 @@ def test_partial_compaction_size_tiered(tmp_path):
     m2 = mf.read_manifest(str(tmp_path), "cdc")
     assert m2["compacted"]
     assert canonical_state(_state(lake)).equals(pre)
+
+
+def test_winner_only_shuffle_matches(tmp_path):
+    """shuffle_mode='winners' (narrow lsn pre-shuffle + winner broadcast)
+    must produce the identical lake state, including replay no-ops."""
+    a = CDCLake(tmp_path / "a", _spec(8))
+    b = CDCLake(tmp_path / "b", _spec(8))
+    for batch in BATCHES:
+        a.apply_events(rd.from_arrow(batch))
+        b.apply_events(rd.from_arrow(batch), shuffle_mode="winners")
+    assert canonical_state(_state(a)).equals(canonical_state(_state(b)))
+    assert_states_equal(_state(b), ORACLE)
+    rec = b.apply_events(rd.from_arrow(BATCHES[0]), shuffle_mode="winners")
+    assert rec["events_seen"] == 0
