@@ -42,7 +42,7 @@ import ray.data as rd
 from ..functions import hashing
 from ..spec import TableSpec
 from ..stages.merge import drop_tombstones, lww_merge, lww_reduce_table
-from ..stages.standardize import make_standardizer
+from ..stages.standardize import make_sha_appender, make_standardizer
 from ..state import manifest as mf
 
 _STATS_SCHEMA = pa.schema(
@@ -141,23 +141,20 @@ class CDCLake:
 
     # -- write path -------------------------------------------------------
 
-    def _winner_filter(self, ev: rd.Dataset) -> rd.Dataset:
-        """Winner-only shuffle optimization: determine each key's winning
-        lsn from a NARROW projection (key_hash, lsn — 16 B/row instead of
-        the full content row), broadcast the winner set, and let only
-        winning rows proceed to the partition shuffle.  Cuts shuffle
-        bytes ~per-key-update-factor on update-heavy logs; semantics are
-        unchanged (duplicate deliveries of the winning lsn carry
-        identical payloads and are re-reduced by the writer).
+    def _compute_winners(self, narrow: rd.Dataset):
+        """Per-key winning lsn from a narrow (keys, lsn) dataset; returns
+        a ray ObjectRef of sorted (key_hash[], lsn[]) arrays, or None for
+        an empty epoch.  The winner set is bounded by keys-touched-this-
+        epoch (operationally bounded in a tailing deployment).
 
-        Measured tradeoff (BENCH): at ~400 B contents this LOSES (~1.5×
-        slower) — the standardize lineage re-executes for the narrow
-        pass, and that sha256-heavy scan costs more than the saved
-        shuffle bytes.  Use only for wide contents (≥ tens of KB per
-        row), ideally with the combined stage materialized upstream."""
+        Measured (BENCH): even with the narrow pass content-free and the
+        sha deferred to winners, mode='winners' ran ~10-20% slower than
+        'full' at both 400 B and 8 KB contents in-sandbox — the full
+        path's per-block combiner already reduces the shuffle to ≤1 row
+        per key per block, so the extra read pass doesn't pay here.  The
+        mode remains for genuinely wide payloads (≥100 KB rows) where
+        shuffle bytes dominate the second scan."""
         import ray
-
-        light = ev.select_columns(["key_hash", "lsn"])
 
         def partial_max(t: pa.Table) -> pa.Table:
             kh = t.column("key_hash").to_numpy(zero_copy_only=False)
@@ -171,11 +168,10 @@ class CDCLake:
                  "lsn": pa.array(lss[first], pa.int64())}
             )
 
-        partials = light.map_batches(partial_max, batch_format="pyarrow")
-        # winners are small (≤ keys-touched-this-epoch); reduce on driver
+        partials = narrow.map_batches(partial_max, batch_format="pyarrow")
         tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
         if not tabs:
-            return ev  # empty epoch: nothing to filter
+            return None
         allw = pa.concat_tables(tabs)
         wk = allw.column("key_hash").to_numpy(zero_copy_only=False)
         wl = allw.column("lsn").to_numpy(zero_copy_only=False)
@@ -183,8 +179,11 @@ class CDCLake:
         wk, wl = wk[order], wl[order]
         first = np.ones(len(wk), dtype=bool)
         first[1:] = wk[1:] != wk[:-1]
-        wk, wl = wk[first], wl[first]
-        ref = ray.put((wk, wl))
+        return ray.put((wk[first], wl[first]))
+
+    def _keep_winners(self, ev: rd.Dataset, ref) -> rd.Dataset:
+        if ref is None:
+            return ev  # empty epoch
 
         def keep_winners(t: pa.Table) -> pa.Table:
             from ..stages.joins import _cached_get
@@ -223,19 +222,36 @@ class CDCLake:
             for p, pinfo in m["partitions"].items():
                 wm[int(p)] = pinfo["watermark"]
 
-        std = events.map_batches(
-            make_standardizer(self.spec), batch_format="pyarrow"
-        ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
-
-        # same salted two-stage shape as stages.merge.lww_merge, but the
-        # final per-partition group fn also performs the phase-1 write:
         writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
-        ev = std.map_batches(
-            lambda b: lww_reduce_table(b, self.spec.key_cols, self.spec.lsn_col),
-            batch_format="pyarrow",
-        )
         if shuffle_mode == "winners":
-            ev = self._winner_filter(ev)
+            # winner-only path: (1) NARROW pass over (keys, lsn) only —
+            # content never read, no sha — to find each key's winning
+            # lsn; (2) main pass keeps only winners, hashes only them.
+            key_cols = list(self.spec.key_cols)
+            narrow = events.select_columns(
+                key_cols + [self.spec.lsn_col]
+            ).map_batches(
+                make_standardizer(self.spec, with_content_sha=False),
+                batch_format="pyarrow",
+            ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
+            winner_ref = self._compute_winners(narrow)
+            std = events.map_batches(
+                make_standardizer(self.spec, with_content_sha=False),
+                batch_format="pyarrow",
+            ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
+            ev = self._keep_winners(std, winner_ref).map_batches(
+                make_sha_appender(self.spec), batch_format="pyarrow"
+            )
+        else:
+            std = events.map_batches(
+                make_standardizer(self.spec), batch_format="pyarrow"
+            ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
+            # per-block combiner: the shuffle moves per-key partials
+            ev = std.map_batches(
+                lambda b: lww_reduce_table(b, self.spec.key_cols,
+                                           self.spec.lsn_col),
+                batch_format="pyarrow",
+            )
         if salt_factor > 1:
             from ..stages.merge import add_salt, _group_final
 
