@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from datetime import date
 
-import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 

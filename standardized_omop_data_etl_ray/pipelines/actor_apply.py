@@ -34,7 +34,7 @@ import ray
 import ray.data as rd
 
 from ..spec import TableSpec
-from ..stages.merge import _partial, lww_merge
+from ..stages.merge import _partial
 from ..stages.standardize import make_standardizer
 from ..state import manifest as mf
 from ..state.keyindex import KeyIndex

@@ -41,7 +41,7 @@ import ray.data as rd
 
 from ..functions import hashing
 from ..spec import TableSpec
-from ..stages.merge import drop_tombstones, lww_merge, lww_reduce_table
+from ..stages.merge import drop_tombstones, lww_reduce_table
 from ..stages.standardize import make_sha_appender, make_standardizer
 from ..state import manifest as mf
 

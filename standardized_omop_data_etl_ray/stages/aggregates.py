@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Max, Min
 
 from ..functions.dates import INDEX_DATE, exclude_sentinel
 
