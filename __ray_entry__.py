@@ -933,6 +933,98 @@ def ivf_topk_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+
+
+def customer_balance_buckets(sf_dir: str):
+    """CASE-expression binning (np.select ↔ SQL CASE)."""
+    ds = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        bucket = np.select(
+            [bal < 0, bal < 2500, bal < 5000, bal < 7500],
+            ["negative", "low", "mid", "high"],
+            default="top",
+        )
+        return pa.table({"bucket": pa.array(bucket, pa.string()),
+                         "c_acctbal": t.column("c_acctbal")})
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("c_acctbal", alias_name="total_balance"))
+        .map_batches(_round_cols({"total_balance": 2}), batch_format="pyarrow")
+    )
+
+
+_BAL_BUCKETS_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 2500 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            WHEN c_acctbal < 7500 THEN 'high'
+            ELSE 'top' END AS bucket,
+       COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_balance
+FROM customer GROUP BY 1
+"""
+
+
+def orders_monthly_rollup(sf_dir: str):
+    """Calendar-month tumbling rollup (month temporal unit)."""
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t.column("o_orderdate"), unit="month")
+        return pa.table({"month": m, "o_totalprice": t.column("o_totalprice")})
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="sum_total"))
+        .map_batches(_round_cols({"sum_total": 2}), batch_format="pyarrow")
+    )
+
+
+_ORDERS_MONTHLY_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_total
+FROM orders GROUP BY 1
+"""
+
+
+def events_daily_active_users(sf_dir: str):
+    """Daily distinct actives: per-batch pair-distinct combiner then one
+    small per-day count."""
+    ds = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    def days(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t.column("ts"), unit="day"),
+            "user_id": t.column("user_id"),
+        })
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": [g["day"].iloc[0]],
+                             "n_users": [int(g["user_id"].nunique())]})
+
+    return (
+        ds.map_batches(days, batch_format="pyarrow")
+        .map_batches(combiner, batch_format="pandas")
+        .groupby("day")
+        .map_groups(per_day, batch_format="pandas")
+    )
+
+
+_DAU_SQL = """
+SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
 
 def cdc_full_replay_docs(sf_dir: str):
@@ -1240,6 +1332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_totals": running_user_totals,
         "top3_customers_per_segment": top3_customers_per_segment,
         "distinct_users_per_type": distinct_users_per_type,
+        "customer_balance_buckets": customer_balance_buckets,
+        "orders_monthly_rollup": orders_monthly_rollup,
+        "events_daily_active_users": events_daily_active_users,
         "partkey_quantity_stats": partkey_quantity_stats,
         "union_amounts_by_source": union_amounts_by_source,
         "schema_pad_docs": schema_pad_docs,
@@ -1289,6 +1384,9 @@ def oracle_sql() -> dict[str, str]:
         "running_user_totals": _RUNNING_SQL,
         "top3_customers_per_segment": _TOP3_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,
+        "customer_balance_buckets": _BAL_BUCKETS_SQL,
+        "orders_monthly_rollup": _ORDERS_MONTHLY_SQL,
+        "events_daily_active_users": _DAU_SQL,
         "partkey_quantity_stats": _PARTKEY_SQL,
         "union_amounts_by_source": _UNION_SQL,
         "schema_pad_docs": _SCHEMA_PAD_SQL,
