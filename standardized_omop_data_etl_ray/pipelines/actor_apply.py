@@ -5,7 +5,7 @@ per-partition state").
 This is the INCREMENTAL apply path, complementary to the batch path in
 pipelines/cdc.py (which re-resolves LWW per epoch inside a shuffle):
 each ``PartitionApplier`` actor owns a set of hash partitions and keeps
-their key→(lsn, sha) index hot across micro-batches, so per-epoch work
+their key→(lsn, dead) index hot across micro-batches, so per-epoch work
 is proportional to the epoch's events, not to epoch count × state size
 — and a KEY-level stale event is rejected even when the partition
 watermark would admit it.
@@ -15,6 +15,18 @@ mutable state across micro-batches, which `Dataset.map_batches` cannot
 route by key.  Everything around it stays Ray Data: standardize +
 per-block combine run as a streaming `map_batches` pipeline; only the
 final per-partition routing uses `ray.remote` calls.
+
+Data movement: routed partition slices NEVER enter the driver process —
+``_route_block`` runs next to each block and returns ``{part:
+ObjectRef}``; the driver forwards the (tiny) ref maps and appliers
+``ray.get`` the slices worker-to-actor through the object store.
+
+Exactly-once: the index supports epoch transactions
+(state/keyindex.begin_epoch) — an in-process retry of a failed phase-2
+commit re-runs the SAME epoch, which rolls the uncommitted index
+mutations back so the events are re-accepted and the (deterministic)
+delta files are rewritten.  Without that, the retry would reject the
+whole epoch as duplicate and commit it empty (silent data loss).
 
 Fault story: actors are stateless-recoverable — `__init__` rebuilds the
 index from the last committed manifest's delta files; an actor lost
@@ -28,6 +40,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -44,21 +57,22 @@ from ..state.keyindex import KeyIndex
 class PartitionApplier:
     """Owns hash partitions {p : p % pool_size == pool_idx}."""
 
-    def __init__(self, root: str, table: str, num_partitions: int,
+    def __init__(self, root: str, spec: TableSpec,
                  pool_idx: int, pool_size: int,
                  spill_threshold: int | None = None):
         from ..functions.hashing import tune_worker_threads
         from ..state.keyindex import SpillableKeyIndex
 
         tune_worker_threads()
-        self.root, self.table = root, table
+        self.root, self.spec = root, spec
+        self.table = spec.name
         self.my_parts = [
-            p for p in range(num_partitions) if p % pool_size == pool_idx
+            p for p in range(spec.num_partitions) if p % pool_size == pool_idx
         ]
         if spill_threshold:
             self.index: dict[int, KeyIndex] = {
                 p: SpillableKeyIndex(
-                    Path(root) / table / "_spill" / f"part={p:05d}",
+                    Path(root) / self.table / "_spill" / f"part={p:05d}",
                     spill_threshold=spill_threshold,
                 )
                 for p in self.my_parts
@@ -67,42 +81,49 @@ class PartitionApplier:
             self.index = {p: KeyIndex() for p in self.my_parts}
         # recover: rebuild each owned partition's index from the last
         # COMMITTED manifest (orphans from crashed epochs are invisible)
-        m = mf.read_manifest(root, table)
+        m = mf.read_manifest(root, self.table)
         if m:
-            troot = Path(root) / table
+            troot = Path(root) / self.table
             for p in self.my_parts:
                 pinfo = m["partitions"].get(str(p))
                 if not pinfo:
                     continue
                 for f in pinfo["files"]:
                     t = pq.read_table(
-                        troot / f,
-                        columns=["op", "lsn", "key_hash", "content_sha"],
+                        troot / f, columns=["op", "lsn", "key_hash"]
                     )
                     self.index[p].bulk_load(t)
                 self.index[p].watermark = max(
                     self.index[p].watermark, pinfo["watermark"]
                 )
 
-    def apply(self, part: int, batches: list[pa.Table], epoch: int) -> dict:
+    def apply(self, part: int, batches: list, epoch: int) -> dict:
         """Apply one epoch's (combined) events for one partition: accept
-        key-level winners, write the delta file + phase-1 marker."""
+        key-level winners, write the delta file + phase-1 marker.
+
+        ``batches`` may hold ObjectRefs (the routed path) or pa.Tables.
+        """
+        tables = [
+            ray.get(b) if isinstance(b, ray.ObjectRef) else b for b in batches
+        ]
         idx = self.index[part]
+        idx.begin_epoch(epoch)  # rolls back an uncommitted retry
         table = (
-            pa.concat_tables(batches, promote_options="permissive")
-            if len(batches) > 1 else batches[0]
+            pa.concat_tables(tables, promote_options="permissive")
+            if len(tables) > 1 else tables[0]
         )
         from ..stages.merge import lww_reduce_table
 
-        table = lww_reduce_table(table)
+        table = lww_reduce_table(table, self.spec.key_cols, self.spec.lsn_col)
         mask = idx.accept_mask(table)
         delta = table.filter(pa.array(mask))
-        delta = delta.sort_by([("repo", "ascending"), ("path", "ascending")])
+        delta = delta.sort_by([(c, "ascending") for c in self.spec.key_cols])
+        n_dead = pc.sum(
+            pc.cast(pc.equal(delta.column(self.spec.op_col), "D"), pa.int64())
+        ).as_py() or 0
         info = {
             "part": part, "epoch": epoch, "rows": delta.num_rows,
-            "tombstones": int(
-                sum(1 for o in delta.column("op").to_pylist() if o == "D")
-            ),
+            "tombstones": int(n_dead),
             "watermark": idx.watermark,
             "events_seen": table.num_rows,
             "live_keys": len(idx),
@@ -119,8 +140,8 @@ class PartitionApplier:
             import hashlib
 
             h = hashlib.sha256()
-            for s in delta.column("content_sha").to_pylist():
-                h.update((s or "D").encode())
+            shas = delta.column("content_sha").to_pylist()
+            h.update(b"\x00".join((s or "D").encode() for s in shas))
             info["sha_rollup"] = h.hexdigest()
             mf.write_marker(self.root, self.table, epoch, part, info)
         return info
@@ -130,12 +151,14 @@ class PartitionApplier:
 
 
 @ray.remote
-def _route_block(block: pa.Table) -> dict[int, pa.Table]:
-    """Split one combined block by partition (runs near the data)."""
+def _route_block(block: pa.Table) -> dict[int, "ray.ObjectRef"]:
+    """Split one combined block by partition near the data; return refs
+    so the slices flow worker→actor via the object store, never through
+    the driver."""
     parts = block.column("part").to_numpy(zero_copy_only=False)
-    out: dict[int, pa.Table] = {}
+    out: dict[int, ray.ObjectRef] = {}
     for p in np.unique(parts):
-        out[int(p)] = block.filter(pa.array(parts == p))
+        out[int(p)] = ray.put(block.filter(pa.array(parts == p)))
     return out
 
 
@@ -159,8 +182,7 @@ class ActorLake:
         self.pool_size = pool_size
         self.pool = [
             PartitionApplier.remote(
-                self.root, self.spec.name, self.spec.num_partitions, i,
-                pool_size, self.spill_threshold,
+                self.root, self.spec, i, pool_size, self.spill_threshold,
             )
             for i in range(pool_size)
         ]
@@ -175,8 +197,7 @@ class ActorLake:
         """Recovery: fresh actors rebuild indexes from the manifest."""
         self.pool = [
             PartitionApplier.remote(
-                self.root, self.spec.name, self.spec.num_partitions, i,
-                self.pool_size, self.spill_threshold,
+                self.root, self.spec, i, self.pool_size, self.spill_threshold,
             )
             for i in range(self.pool_size)
         ]
@@ -197,20 +218,19 @@ class ActorLake:
             make_standardizer(self.spec), batch_format="pyarrow"
         ).map_batches(_partial(self.spec), batch_format="pyarrow")
 
-        # route blocks to partition owners; refs flow actor-to-actor via
-        # the object store (the driver only moves tiny ref maps)
+        # route blocks to partition owners; only {part: ref} maps reach
+        # the driver — the partition slices stay in the object store
         routed = [_route_block.remote(ref) for ref in std.to_arrow_refs()]
-        by_part: dict[int, list[pa.Table]] = {}
+        by_part: dict[int, list] = {}
         for r in ray.get(routed):
             for p, t in r.items():
                 by_part.setdefault(p, []).append(t)
 
         futs = []
-        for p, tables in by_part.items():
+        for p, refs in by_part.items():
             owner = self.pool[p % self.pool_size]
-            futs.append(owner.apply.remote(p, tables, epoch))
-        stats = [s for s in ray.get(futs) if s.get("rows", 0) or True]
-        stats = [s for s in stats if "file" in s or s["events_seen"]]
+            futs.append(owner.apply.remote(p, refs, epoch))
+        stats = [s for s in ray.get(futs) if "file" in s or s["events_seen"]]
 
         record = {
             "epoch": epoch,

@@ -106,6 +106,92 @@ def test_replay_whole_log_is_noop(tmp_path):
     assert canonical_state(_state(lake)).equals(before)
 
 
+def test_uncommitted_retry_does_not_lose_data(tmp_path):
+    """The exactly-once window two-phase commit exists for: phase 1 done,
+    phase 2 (manifest commit) fails, SAME driver retries apply_events.
+    The key-index epoch transaction must roll the uncommitted mutations
+    back so the retry re-accepts the events instead of committing an
+    empty epoch (silent data loss)."""
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=8),
+                     pool_size=2)
+    rec = lake.apply_events(rd.from_arrow(BATCHES[0]), _fail_before_commit=True)
+    assert rec["committed"] is False and rec["rows_upserted"] > 0
+    # in-process retry with the same events (same actors, mutated indexes)
+    rec2 = lake.apply_events(rd.from_arrow(BATCHES[0]))
+    assert rec2["committed"] is True
+    assert rec2["rows_upserted"] == rec["rows_upserted"]
+    assert rec2["epoch"] == rec["epoch"]
+    # state equals a clean single-shot apply of the batch
+    clean = ActorLake(tmp_path / "clean", TableSpec(name="cdc", num_partitions=8),
+                      pool_size=2)
+    clean.apply_events(rd.from_arrow(BATCHES[0]))
+    assert canonical_state(_state(lake)).equals(canonical_state(_state(clean)))
+    # and the rest of the log still lands on the oracle
+    for b in BATCHES[1:]:
+        lake.apply_events(rd.from_arrow(b))
+    assert_states_equal(_state(lake), ORACLE)
+
+
+def test_uncommitted_retry_spillable(tmp_path):
+    """Same retry window with spilling indexes (flushes are deferred
+    while an epoch is pending, so rollback stays exact)."""
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=4),
+                     pool_size=2, spill_threshold=40)
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    rec = lake.apply_events(rd.from_arrow(BATCHES[1]), _fail_before_commit=True)
+    assert rec["committed"] is False
+    rec2 = lake.apply_events(rd.from_arrow(BATCHES[1]))
+    assert rec2["rows_upserted"] == rec["rows_upserted"]
+    for b in BATCHES[2:]:
+        lake.apply_events(rd.from_arrow(b))
+    assert_states_equal(_state(lake), ORACLE)
+
+
+def test_actor_lake_generic_key_spec(tmp_path):
+    """ActorLake on a NON-default TableSpec (OMOP-shaped composite key):
+    the applier must use spec.key_cols for LWW + deterministic sort, not
+    the default (repo, path)."""
+    spec = TableSpec(
+        name="condition_occurrence",
+        key_cols=("person_id", "concept_id"),
+        content_col="condition_source_value",
+        schema=pa.schema(
+            [
+                ("op", pa.string()),
+                ("lsn", pa.int64()),
+                ("person_id", pa.string()),
+                ("concept_id", pa.int64()),
+                ("condition_source_value", pa.string()),
+            ]
+        ),
+        num_partitions=4,
+    )
+    base = pa.table(
+        {
+            "op": ["I", "I", "I"],
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "person_id": ["CASE1", "CTRL1", "CTRL1"],
+            "concept_id": pa.array([373182, 373182, 99999], pa.int64()),
+            "condition_source_value": ["als dx", "wrong", "unrelated"],
+        }
+    )
+    patch = pa.table(
+        {
+            "op": ["D", "I"],
+            "lsn": pa.array([10, 11], pa.int64()),
+            "person_id": ["CTRL1", "CASE2"],
+            "concept_id": pa.array([373182, 373182], pa.int64()),
+            "condition_source_value": [None, "patched in"],
+        }
+    )
+    lake = ActorLake(tmp_path, spec, pool_size=2)
+    lake.apply_events(rd.from_arrow(base))
+    lake.apply_events(rd.from_arrow(patch))
+    df = lake.read_state().to_pandas()
+    got = set(zip(df["person_id"], df["concept_id"]))
+    assert got == {("CASE1", 373182), ("CASE2", 373182), ("CTRL1", 99999)}
+
+
 def test_actor_schema_evolution(tmp_path):
     """Mid-stream column add through the actor path (delta files across
     epochs carry different schemas; read resolves with nulls)."""
