@@ -40,16 +40,12 @@ def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
 
 
 def _round_cols(digits: dict[str, int]):
+    """SQL-compatible rounding (bit-identical to DuckDB ROUND — see
+    functions/rounding.py; pc.round diverges on scaled-.5 boundaries)."""
+    from standardized_omop_data_etl_ray.functions.rounding import round_table_cols
+
     def fn(batch: pa.Table) -> pa.Table:
-        for col, nd in digits.items():
-            if col in batch.column_names:
-                i = batch.column_names.index(col)
-                batch = batch.set_column(
-                    i, col, pc.round(pc.cast(batch.column(col), pa.float64()),
-                                     ndigits=nd,
-                                     round_mode="half_towards_infinity"),
-                )
-        return batch
+        return round_table_cols(batch, digits)
 
     return fn
 
@@ -244,10 +240,13 @@ def q6_revenue_forecast(sf_dir: str):
     agg = ds.map_batches(f, batch_format="pyarrow").aggregate(
         Sum("r", alias_name="revenue")
     )
+    from standardized_omop_data_etl_ray.functions.rounding import round_half_away
+
     rev = agg["revenue"]
     return pa.table(
-        {"revenue": pa.array([None if rev is None else round(rev, 2)],
-                             pa.float64())}
+        {"revenue": pa.array(
+            [None if rev is None else float(round_half_away([rev], 2)[0])],
+            pa.float64())}
     )
 
 
@@ -319,10 +318,11 @@ def filter_highvalue_orders(sf_dir: str):
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
 
     def f(t: pa.Table) -> pa.Table:
+        from standardized_omop_data_etl_ray.functions.rounding import round_half_away
+
         t = t.filter(pc.greater(t.column("o_totalprice"), 300_000.0))
-        taxed = pc.round(pc.multiply(t.column("o_totalprice"), 1.1), ndigits=2,
-                         round_mode="half_towards_infinity")
-        return t.append_column("taxed_price", taxed)
+        taxed = round_half_away(pc.multiply(t.column("o_totalprice"), 1.1), 2)
+        return t.append_column("taxed_price", pa.array(taxed, pa.float64()))
 
     return ds.map_batches(f, batch_format="pyarrow").sort(
         ["o_totalprice", "o_orderkey"], descending=[True, False]
@@ -1108,10 +1108,13 @@ def asof_last_purchase_before_error(sf_dir: str):
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from standardized_omop_data_etl_ray.functions.rounding import round_half_away
+
         # vectorized across all users in the bucket
         g = g.sort_values(["user_id", "ts", "event_id"])
         pv = g["value"].where(g["event_type"] == "purchase")
-        g = g.assign(last_purchase_value=pv.groupby(g["user_id"]).ffill().round(2))
+        filled = pv.groupby(g["user_id"]).ffill()
+        g = g.assign(last_purchase_value=round_half_away(filled, 2))
         out = g[g["event_type"] == "error"]
         return out[["event_id", "user_id", "last_purchase_value"]]
 
@@ -1139,9 +1142,13 @@ def running_user_totals(sf_dir: str):
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from standardized_omop_data_etl_ray.functions.rounding import round_half_away
+
         g = g.sort_values(["user_id", "ts", "event_id"])
         g = g.assign(
-            running_value=g.groupby("user_id")["value"].cumsum().round(2)
+            running_value=round_half_away(
+                g.groupby("user_id")["value"].cumsum(), 2
+            )
         )
         return g[["event_id", "user_id", "running_value"]]
 

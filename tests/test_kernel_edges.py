@@ -72,3 +72,37 @@ def test_empty_doc_signatures():
 
     assert (sigs[0] == MERSENNE61).all()
     assert not (sigs[1] == MERSENNE61).all()
+
+
+def test_round_half_away_matches_duckdb():
+    """The engine's rounding kernel must be bit-identical to SQL ROUND
+    (the driver oracle hashes rounded doubles — VERDICT.md round 1:
+    pc.round diverged on 70/720 hourly sums)."""
+    import duckdb
+
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+        round_table_cols,
+    )
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([
+        rng.uniform(-1e6, 1e6, 100_000),
+        rng.uniform(-1, 1, 100_000),
+        # classic float traps: decimal value just below/above scaled .5
+        np.array([2.675, -2.675, 0.125, -0.125, 1.005, 2.5, -2.5,
+                  0.0, -0.0, 1e15 + 0.5, 33784.795, -33784.795]),
+    ])
+    t = pa.table({"v": x})
+    con = duckdb.connect()
+    for nd in (2, 4, 6):
+        d = con.execute(f"SELECT ROUND(v, {nd}) AS r FROM t").fetchnumpy()["r"]
+        ours = round_half_away(x, nd)
+        assert np.array_equal(d, ours), f"ndigits={nd} diverged from DuckDB"
+    con.close()
+    # table helper: rounds named float cols, preserves nulls + other cols
+    tbl = pa.table({"a": pa.array([1.005, None, 2.675]), "b": ["x", "y", "z"]})
+    out = round_table_cols(tbl, {"a": 2})
+    assert out.column("a").null_count == 1
+    assert out.column("b").to_pylist() == ["x", "y", "z"]
+    assert out.column("a").to_pylist()[0] == 1.0  # 1.005 stores < 1.005
