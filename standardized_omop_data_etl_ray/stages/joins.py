@@ -114,6 +114,22 @@ def bucketed_groupby(
     )
 
 
+def _as_arrow_schema(schema) -> pa.Schema:
+    """Normalize a Dataset schema to Arrow: pandas-block datasets (e.g.
+    the output of a map_groups) report numpy dtypes, and object dtype
+    (strings) has no numpy→arrow mapping."""
+    types = []
+    for t in schema.types:
+        if isinstance(t, pa.DataType):
+            types.append(t)
+        else:
+            try:
+                types.append(pa.from_numpy_dtype(t))
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                types.append(pa.string())
+    return pa.schema(list(zip(schema.names, types)))
+
+
 def partitioned_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -136,8 +152,8 @@ def partitioned_hash_join(
     from .schema_ops import pad_to_schema
 
     right_on = right_on or left_on
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = _as_arrow_schema(left.schema())
+    rschema = _as_arrow_schema(right.schema())
     lcols = list(lschema.names)
     rcols = list(rschema.names)
 

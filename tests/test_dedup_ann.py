@@ -132,3 +132,47 @@ def test_ivf_topk_recall():
         a = set(approx[approx["query_id"] == q]["vec_id"])
         recall += len(e & a) / 3
     assert recall / 5 >= 0.6  # probing half the cells recovers most
+
+
+def test_ivf_recall_gate():
+    """IVF recall vs the exact brute force: ≥0.9 probing 6/8 cells, and
+    exactly 1.0 probing every cell (nprobe=n_cells degenerates to exact,
+    which gates the cell-assignment/pruning plumbing itself)."""
+    tbl, M = _embeddings(n=400, d=16, seed=9)
+    idx = IVFIndex(n_cells=8).fit(M[:128])  # fit on a SAMPLE, not the corpus
+    with_cells = idx.assign_cells(rd.from_arrow(tbl), "embedding")
+    Q = M[:8]
+    exact = brute_force_topk(
+        rd.from_arrow(tbl), Q, np.arange(8), "embedding", "vec_id", k=5
+    ).to_pandas()
+
+    def recall(nprobe):
+        approx = ivf_topk(
+            with_cells, idx, Q, np.arange(8), "embedding", "vec_id",
+            k=5, nprobe=nprobe,
+        ).to_pandas()
+        tot = 0.0
+        for q in range(8):
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            tot += len(e & a) / len(e)
+        return tot / 8
+
+    assert recall(8) == 1.0
+    assert recall(6) >= 0.9
+
+
+def test_verify_equal_pairs_distributed():
+    """Candidate pairs verified by distributed sha joins (no corpus
+    broadcast): only truly identical texts survive."""
+    from standardized_omop_data_etl_ray.stages.dedup import verify_equal_pairs
+
+    docs = _docs()
+    cand = pa.table({
+        "id_a": pa.array([0, 1, 2], pa.int64()),
+        "id_b": pa.array([100, 101, 102], pa.int64()),
+    })
+    out = verify_equal_pairs(
+        rd.from_arrow(cand), rd.from_arrow(docs), "text", "doc_id"
+    ).to_pandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 100)}
