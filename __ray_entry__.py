@@ -39,6 +39,13 @@ def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _nrows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def _round_cols(digits: dict[str, int]):
     """SQL-compatible rounding (bit-identical to DuckDB ROUND — see
     functions/rounding.py; pc.round diverges on scaled-.5 boundaries)."""
@@ -129,8 +136,10 @@ def q3_top_orders(sf_dir: str):
         lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
         batch_format="pyarrow",
     )
-    # the filtered orders side is small → broadcast it into the lineitem
-    # stream (q5 keeps the partitioned hash join for the large-large case)
+    # SIZE ASSUMPTION: the broadcast side is orders pre-filtered to one
+    # market segment AND a date cutoff (~1/10 of orders at TPC-H stats);
+    # projected to 2 columns it stays megabytes at sf≤10.  Above that,
+    # switch to partitioned_hash_join as in q5/q10.
     joined = broadcast_join(
         li, o.to_pandas().rename(columns={"o_orderkey": "l_orderkey"}),
         on="l_orderkey", how="inner",
@@ -167,23 +176,32 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str):
-    """Multi-join with broadcast dimensions; revenue per nation where the
-    customer and supplier share a nation (TPC-H Q5 shape)."""
-    from standardized_omop_data_etl_ray.stages.joins import broadcast_join
+    """Multi-join, TPC-H Q5 shape.  Fact×fact joins (lineitem⋈orders,
+    orders⋈customer) go through partitioned hash joins with bucket
+    counts derived from the probe side's row count; only true dims
+    (nation: fixed 25 rows; supplier: SF×100, ~1/15 of customer) are
+    broadcast."""
+    from standardized_omop_data_etl_ray.stages.joins import (
+        broadcast_join,
+        default_buckets,
+        partitioned_hash_join,
+    )
 
     nation = _pq(sf_dir, "nation").to_pandas()
     supplier = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    o = broadcast_join(orders, customer.rename(columns={"c_custkey": "o_custkey"}),
-                       on="o_custkey", how="inner")
-    from standardized_omop_data_etl_ray.stages.joins import partitioned_hash_join
-
-    j = partitioned_hash_join(li, o, ["l_orderkey"], ["o_orderkey"],
-                              num_buckets=16)
+    o = partitioned_hash_join(
+        orders, customer, ["o_custkey"], ["c_custkey"],
+        num_buckets=default_buckets(_nrows(sf_dir, "orders")),
+    )
+    j = partitioned_hash_join(
+        li, o, ["l_orderkey"], ["o_orderkey"],
+        num_buckets=default_buckets(_nrows(sf_dir, "lineitem")),
+    )
     j = broadcast_join(j, supplier.rename(columns={"s_suppkey": "l_suppkey"}),
                        on="l_suppkey", how="inner")
 
@@ -259,15 +277,23 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-0
 
 
 def q10_returned_customers(sf_dir: str):
-    from standardized_omop_data_etl_ray.stages.joins import broadcast_join
+    """Fact×fact lineitem⋈orders via partitioned hash join (orders is
+    NOT broadcast — it scales with the fact data); only the post-agg
+    per-customer rows meet the customer names via a broadcast of the
+    small projected dim columns."""
+    from standardized_omop_data_etl_ray.stages.joins import (
+        broadcast_join,
+        default_buckets,
+        partitioned_hash_join,
+    )
 
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
     li = li.filter(expr="l_returnflag == 'R'")
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    j = broadcast_join(
-        li, orders.rename(columns={"o_orderkey": "l_orderkey"}),
-        on="l_orderkey", how="inner",
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = partitioned_hash_join(
+        li, orders, ["l_orderkey"], ["o_orderkey"],
+        num_buckets=default_buckets(_nrows(sf_dir, "lineitem")),
     )
 
     def rev(t: pa.Table) -> pa.Table:
@@ -282,8 +308,11 @@ def q10_returned_customers(sf_dir: str):
         .groupby("c_custkey").aggregate(Sum("rev", alias_name="revenue"))
         .map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
     )
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    out = broadcast_join(agg, cust, on="c_custkey", how="inner")
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = partitioned_hash_join(
+        agg, cust, ["c_custkey"], ["c_custkey"],
+        num_buckets=default_buckets(_nrows(sf_dir, "customer")),
+    )
     return out.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20)
 
 

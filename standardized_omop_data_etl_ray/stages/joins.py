@@ -78,11 +78,31 @@ def broadcast_rekey(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def default_buckets(
+    num_rows: int | None = None,
+    rows_per_bucket: int = 250_000,
+    lo: int = 64,
+    hi: int = 4096,
+) -> int:
+    """Coarse-bucket count sized to the job, not a constant: with a
+    known row count, one bucket per ~rows_per_bucket rows (each bucket
+    becomes ONE pandas frame in one task — both the per-task memory
+    bound and the parallelism ceiling); otherwise 8× the cluster CPU
+    count so no core starves even at small data."""
+    if num_rows is not None:
+        return int(min(hi, max(lo, num_rows // rows_per_bucket + 1)))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return int(min(hi, max(lo, cpus * 8)))
+
+
 def bucketed_groupby(
     ds: rd.Dataset,
     key_cols: list[str],
     fn,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Per-key grouped apply WITHOUT one-Python-call-per-group cost:
     co-locate keys by a coarse hash bucket, then call ``fn`` once per
@@ -91,11 +111,19 @@ def bucketed_groupby(
     Python call per group, which dominates when groups are small and
     numerous (bands×docs LSH buckets, per-user sessions, per-key merges).
 
+    ``num_buckets=None`` derives a count from the cluster size
+    (``default_buckets``); pass an explicit count sized from the input
+    row count when known — each bucket is materialized as one pandas
+    frame, so buckets bound per-task memory AND parallelism.
+
     NB: the bucket hash is dtype-sensitive — key columns must carry the
     SAME dtype in every block (run inputs through
     ``schema_ops.union_by_name`` first when unioning mixed sources).
     """
     import numpy as np
+
+    if num_buckets is None:
+        num_buckets = default_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()

@@ -100,6 +100,7 @@ def priority_merge(
     key_cols: list[str],
     source_col: str = "__source",
     rank_col: str = "__rank",
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """The reference's A1 merge semantics exactly (combine_subtables.py:42-172):
     sources carry a fixed priority order; ALL rows of the highest-priority
@@ -138,7 +139,9 @@ def priority_merge(
         bucket["__redundant"] = bucket[rank_col] > min_rank
         return bucket
 
-    return bucketed_groupby(u, key_cols, resolve).drop_columns([rank_col])
+    return bucketed_groupby(u, key_cols, resolve, num_buckets).drop_columns(
+        [rank_col]
+    )
 
 
 def lww_merge(

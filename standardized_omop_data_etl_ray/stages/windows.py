@@ -99,6 +99,7 @@ def sessionize(
     key_col: str,
     ts_col: str,
     gap_seconds: float = 1800.0,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Session windows per key: events closer than ``gap_seconds`` chain
     into one session.  Needs per-key time order → one groupby shuffle,
@@ -115,4 +116,4 @@ def sessionize(
         g["session_id"] = brk.groupby(g[key_col]).cumsum().astype("int64")
         return g
 
-    return bucketed_groupby(ds, [key_col], per_bucket)
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)

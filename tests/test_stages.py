@@ -211,3 +211,35 @@ def test_tumbling_and_session_windows():
     assert hour2["n_events"] == 2 and hour2["sum_value"] == 7.0
     sess = sessionize(ds, "u", "ts", gap_seconds=3600).to_pandas()
     assert sess["session_id"].nunique() == 2
+
+
+def test_bucketed_groupby_many_buckets():
+    """Bucket count is a parameter (not a hardcoded 64) — >64 buckets
+    must partition the keyspace without losing or duplicating rows."""
+    import numpy as np
+    import pandas as pd
+
+    from standardized_omop_data_etl_ray.stages.joins import (
+        bucketed_groupby,
+        default_buckets,
+    )
+
+    n = 5000
+    t = pa.table({
+        "k": pa.array(np.arange(n) % 997, pa.int64()),
+        "v": pa.array(np.arange(n, dtype=np.float64)),
+    })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", as_index=False)["v"].sum()
+
+    out = bucketed_groupby(
+        rd.from_arrow(t).repartition(4), ["k"], per_bucket, num_buckets=256
+    ).to_pandas()
+    expect = t.to_pandas().groupby("k", as_index=False)["v"].sum()
+    merged = out.sort_values("k").reset_index(drop=True)
+    assert merged.equals(expect.sort_values("k").reset_index(drop=True))
+    # derived sizing: row-count path scales, floor/ceiling respected
+    assert default_buckets(2_000_000_000) == 4096  # ceiling
+    assert default_buckets(10_000) == 64           # floor
+    assert default_buckets(100_000_000) == 401     # ~1 bucket / 250k rows
