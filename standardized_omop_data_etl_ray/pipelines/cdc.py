@@ -198,6 +198,34 @@ class CDCLake:
 
         return ev.map_batches(keep_winners, batch_format="pyarrow")
 
+    def bootstrap_from_parquet(
+        self, paths: str | list[str], seed_lsn: int = 0, op: str = "I"
+    ) -> dict:
+        """S7 reference-file passthrough: seed the lake table from
+        pre-existing parquet files that are NOT CDC logs (the reference
+        copies pre-built reference tables straight into the final output,
+        pipeline_process_subtables_to_final.py:140-154).
+
+        Rows become ``op='I'`` events at ``seed_lsn``, so any later real
+        CDC window (lsn > seed_lsn) wins over the seed under LWW.  Files
+        stream through the normal apply path — one bootstrap epoch with
+        the same manifest/lineage guarantees, no special-cased copy."""
+        ds = rd.read_parquet(paths)
+        op_col, lsn_col = self.spec.op_col, self.spec.lsn_col
+
+        def to_events(t: pa.Table) -> pa.Table:
+            if op_col not in t.column_names:
+                t = t.append_column(op_col, pa.array([op] * t.num_rows))
+            if lsn_col not in t.column_names:
+                t = t.append_column(
+                    lsn_col, pa.array([seed_lsn] * t.num_rows, pa.int64())
+                )
+            return t
+
+        return self.apply_events(
+            ds.map_batches(to_events, batch_format="pyarrow")
+        )
+
     def apply_events(
         self,
         events: rd.Dataset,

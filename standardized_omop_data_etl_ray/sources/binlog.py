@@ -42,29 +42,47 @@ class BinlogTail:
     def segments(self) -> list[Path]:
         return sorted(self.dir.glob("*.parquet"), key=_segment_sort_key)
 
-    def segment_max_lsn(self, path: Path) -> int:
-        """Max lsn from parquet row-group statistics (no data read)."""
+    def segment_max_lsn(self, path: Path) -> int | None:
+        """Max lsn from parquet row-group statistics (no data read).
+
+        Returns ``None`` when the writer disabled column statistics —
+        callers must treat that as UNKNOWN (include the segment), never
+        as "already applied".  Raises if the segment has no lsn column
+        at all (a malformed segment must fail loudly, not vanish)."""
         md = pq.read_metadata(path)
-        mx = -1
-        for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(
-                next(
-                    i for i in range(md.num_columns)
-                    if md.schema.column(i).name == "lsn"
-                )
+        lsn_idx = next(
+            (
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "lsn"
+            ),
+            None,
+        )
+        if lsn_idx is None:
+            raise ValueError(
+                f"binlog segment {path} has no 'lsn' column "
+                f"(columns: {[md.schema.column(i).name for i in range(md.num_columns)]})"
             )
+        mx = None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(lsn_idx)
             if col.statistics and col.statistics.has_min_max:
-                mx = max(mx, col.statistics.max)
+                mx = col.statistics.max if mx is None else max(mx, col.statistics.max)
+            else:
+                return None  # any stats-less row group → unknown
         return mx
 
     def new_segments(self, after_lsn: int = -1) -> list[Path]:
         """Segments whose max lsn exceeds the committed watermark.
         Already-applied segments are skipped by METADATA only; a segment
-        straddling the watermark is re-read in full (the lake's
-        watermark filter drops the already-applied rows — idempotent)."""
-        return [
-            p for p in self.segments() if self.segment_max_lsn(p) > after_lsn
-        ]
+        with missing statistics is INCLUDED (unknown ≠ applied — the
+        lake's watermark filter drops already-applied rows), and one
+        straddling the watermark is re-read in full (idempotent)."""
+        out = []
+        for p in self.segments():
+            mx = self.segment_max_lsn(p)
+            if mx is None or mx > after_lsn:
+                out.append(p)
+        return out
 
     def windows(
         self, start_after: int = -1, segments_per_window: int = 16

@@ -224,3 +224,41 @@ def test_winner_only_shuffle_matches(tmp_path):
     assert_states_equal(_state(b), ORACLE)
     rec = b.apply_events(rd.from_arrow(BATCHES[0]), shuffle_mode="winners")
     assert rec["events_seen"] == 0
+
+
+def test_bootstrap_from_parquet_then_cdc_wins(tmp_path):
+    """S7 passthrough: seed the lake from a plain (non-CDC) parquet
+    table, then let real CDC windows override seeded keys under LWW."""
+    import pyarrow.parquet as pq
+
+    seed = pa.table(
+        {
+            "repo": ["r1", "r1", "r2"],
+            "path": ["a", "b", "c"],
+            "commit": ["s1", "s2", "s3"],
+            "lang": ["py", "py", "go"],
+            "content": ["seed-a", "seed-b", "seed-c"],
+        }
+    )
+    src = tmp_path / "seed.parquet"
+    pq.write_table(seed, src)
+    lake = CDCLake(tmp_path / "lake", TableSpec(name="cdc", num_partitions=4))
+    rec = lake.bootstrap_from_parquet(str(src))
+    assert rec["committed"] and rec["rows_upserted"] == 3
+
+    # a real CDC window at lsn > seed_lsn overrides one key, deletes one
+    ev = pa.table(
+        {
+            "op": ["U", "D"],
+            "lsn": pa.array([10, 11], pa.int64()),
+            "repo": ["r1", "r2"],
+            "path": ["a", "c"],
+            "commit": ["c10", "c11"],
+            "lang": ["py", None],
+            "content": ["updated-a", None],
+        }
+    )
+    lake.apply_events(rd.from_arrow(ev))
+    df = lake.read_state().to_pandas().sort_values(["repo", "path"])
+    got = dict(zip(zip(df["repo"], df["path"]), df["content"]))
+    assert got == {("r1", "a"): "updated-a", ("r1", "b"): "seed-b"}

@@ -99,3 +99,28 @@ def test_cli_replay_and_resume(tmp_path):
     assert first[-1]["summary"] and first[-1]["events_applied"] > 0
     second = run()  # resume: everything already applied
     assert second[-1]["events_applied"] == 0
+
+
+def test_binlog_missing_stats_and_missing_lsn(tmp_path):
+    """Stats-less segments must be INCLUDED (unknown ≠ already applied:
+    skipping silently loses data for writers that disable column stats);
+    a segment without an lsn column must raise, not vanish."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from standardized_omop_data_etl_ray.sources.binlog import BinlogTail
+
+    d = tmp_path / "segs"
+    d.mkdir()
+    t = pa.table({"lsn": pa.array([5, 6, 7], pa.int64()), "v": ["a", "b", "c"]})
+    pq.write_table(t, d / "seg-000005.parquet", write_statistics=False)
+    tail = BinlogTail(d)
+    assert tail.segment_max_lsn(d / "seg-000005.parquet") is None
+    # watermark already beyond every row — still included (unknown)
+    assert tail.new_segments(after_lsn=100) == [d / "seg-000005.parquet"]
+
+    bad = pa.table({"x": [1]})
+    pq.write_table(bad, d / "seg-000009.parquet")
+    with pytest.raises(ValueError, match="no 'lsn' column"):
+        tail.new_segments()
