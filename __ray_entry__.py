@@ -1122,6 +1122,46 @@ def fingerprint_docs(sf_dir: str):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def omop_full_pipeline(sf_dir: str):
+    """Composed full reference pipeline: stage-1 builders (person,
+    condition_occurrence, measurement, drug_exposure) + stage-2
+    finishers (person rekey, CDM 5.4 pad, sequential ids, observation
+    periods) over deterministic FIXTURES.md §B-shaped tables — the
+    analog of the reference's 17-script + 7-script run
+    (pipeline_process_subtables_to_final.py:94-180).  Returns a
+    per-table summary (deterministic; rows-only check — the operator
+    kernels inside are each oracle/pytest-covered individually)."""
+    import ray
+
+    from standardized_omop_data_etl_ray.datagen import make_omop_fixtures
+    from standardized_omop_data_etl_ray.pipelines.omop import run_omop_pipeline
+
+    fx = make_omop_fixtures(n_persons=300, seed=7)
+    out = run_omop_pipeline(
+        rd.from_arrow(fx["demographics"]),
+        fx["subjects"],
+        rd.from_arrow(fx["medical_history"]),
+        rd.from_arrow(fx["vital_signs"]),
+        rd.from_arrow(fx["medications"]),
+        fx["usagi"],
+    )
+    rows = []
+    for name, ds in out.items():
+        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(tabs, promote_options="permissive")
+        pid_col = "person_id"
+        n_persons = len(set(tbl.column(pid_col).to_pylist()))
+        rows.append((name, tbl.num_rows, n_persons))
+    rows.sort()
+    return pa.table(
+        {
+            "table": pa.array([r[0] for r in rows]),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_persons": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def media_featurize(sf_dir: str):
     """Multimodal plumbing demo (synthetic media; decode is stubbed)."""
     from standardized_omop_data_etl_ray.stages.multimodal import (
@@ -1412,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
         "media_featurize": media_featurize,
+        "omop_full_pipeline": omop_full_pipeline,
     }
 
 

@@ -1,0 +1,314 @@
+"""Composed multi-table OMOP pipeline — the reference's full stage-1 →
+stage-2 flow (pipeline_process_subtables_to_final.py:94-180) as one
+registered Ray Data pipeline.
+
+Stage 1 (per-table transform scripts → our builders):
+  * person              — demographics--person.py:40-250 (M1 dates, M5
+                          dict maps, M6 multi-hot race, J1 subjects join)
+  * condition_occurrence— medical_history--condition_occurrence.py:22-106
+                          (J2 usagi anti-drop 1-N, M2 year sentinel,
+                          M13 provenance)
+  * measurement         — vital_signs--measurement.py:84-489 (M8 unit
+                          conversions, M9 unit inference, M11 lenient
+                          numerics, M12 fuzzy gate, M7 wide→long)
+  * drug_exposure       — answer_als_medications_log--drug_exposure.py:
+                          39-261 (J2 usagi default-zero, M15 date-fill
+                          matrix, M13 provenance)
+
+Stage 2 (second_scripts → our finishers):
+  * J6 global person rekey (person_id_map.py:42-55) — a deterministic
+    per-person surrogate id broadcast into every fact table,
+  * C2 pad to the published CDM 5.4 column lists (add_missing_columns.py),
+  * A4 observation periods across all fact dates
+    (create_observation_periods.py:38-166),
+  * A5 per-table sequential record ids (create_table_ids.py:27-48).
+
+Every builder takes/returns ``ray.data.Dataset`` — reference-shaped
+inputs stream through vectorized ``map_batches``; only the small usagi
+mapping and the per-person id map are broadcast (dims).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.concepts import (
+    ETHNICITY_CONCEPTS,
+    SEX_CONCEPTS,
+    coalesce_missing_concepts,
+    map_codes,
+    resolve_multi_hot,
+)
+from ..functions.dates import (
+    fill_date_matrix,
+    relative_day_to_date,
+    relative_day_to_year,
+    year_to_date,
+)
+from ..functions.parsing import (
+    fahrenheit_to_celsius,
+    infer_temp_unit,
+    inches_to_cm,
+    lenient_float,
+    pounds_to_kg,
+)
+from ..functions.provenance import join_provenance, provenance_part
+from ..stages.aggregates import observation_periods, sequential_ids
+from ..stages.joins import broadcast_join, broadcast_rekey, usagi_join
+from ..stages.schema_ops import CDM54_SCHEMAS, pad_to_columns
+from ..stages.unpivot import UnpivotItem, make_unpivoter
+
+RACE_CONCEPTS = {
+    "raceamin": 8657, "raceasn": 8515, "raceblk": 8516,
+    "racenh": 8557, "racewt": 8527,
+}
+
+# LOINC standard concept ids for the 8 vitals
+# (vital_signs--measurement.py:105-453 builds the same 8 record families)
+VITAL_CONCEPTS = {
+    "temp_c": (3020891, "Body temperature"),
+    "bpsys": (3004249, "Systolic blood pressure"),
+    "bpdias": (3012888, "Diastolic blood pressure"),
+    "hr": (3027018, "Heart rate"),
+    "rr": (3024171, "Respiratory rate"),
+    "weight_kg": (3025315, "Body weight"),
+    "height_cm": (3036277, "Body height"),
+    "bmi": (3038553, "Body mass index"),
+}
+
+# unit code dictionaries (vital_signs--measurement.py:20-32 analog)
+TEMP_UNIT = {1: "C", 2: "F"}
+WEIGHT_UNIT = {1: "kg", 2: "lb"}
+HEIGHT_UNIT = {1: "cm", 2: "in"}
+
+
+def build_person(demographics: rd.Dataset, subjects) -> rd.Dataset:
+    """demographics--person.py:40-250: sex/ethnicity dict maps with
+    missing→0 coalesce, multi-hot race resolution, relative-day dob →
+    year, subjects left join."""
+    ds = broadcast_join(demographics, subjects, on="Participant_ID", how="left")
+
+    def build(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "person_source_value": batch.column("Participant_ID"),
+                "gender_concept_id": map_codes(batch.column("sex"), SEX_CONCEPTS),
+                "ethnicity_concept_id": map_codes(
+                    batch.column("ethnic"), ETHNICITY_CONCEPTS
+                ),
+                "year_of_birth": relative_day_to_year(batch.column("dob")),
+                "race_concept_id": resolve_multi_hot(
+                    batch, list(RACE_CONCEPTS), RACE_CONCEPTS
+                ),
+                "subject_group_id": batch.column("subject_group_id"),
+            }
+        )
+        return coalesce_missing_concepts(
+            out, ["gender_concept_id", "ethnicity_concept_id"]
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def build_condition_occurrence(medical_history: rd.Dataset, usagi) -> rd.Dataset:
+    """medical_history--condition_occurrence.py:22-106: usagi anti-drop
+    (unmapped rows vanish), 1-N concept fan-out, year→date with the
+    1900-01-01 sentinel, pipe-string provenance."""
+    joined = usagi_join(
+        medical_history, usagi, "medhxdsc", domain="Condition", mode="anti_drop"
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        prov = join_provenance(
+            provenance_part("medical_history", "medhxdsc",
+                            batch.column("medhxdsc")),
+            provenance_part("medical_history", "medhxyr",
+                            batch.column("medhxyr")),
+        )
+        return pa.table(
+            {
+                "person_source_value": batch.column("Participant_ID"),
+                "condition_concept_id": pc.cast(
+                    batch.column("concept_id"), pa.int64()
+                ),
+                "condition_start_date": year_to_date(batch.column("medhxyr")),
+                "condition_source_value": prov,
+            }
+        )
+
+    return joined.map_batches(build, batch_format="pyarrow")
+
+
+def build_measurement(vital_signs: rd.Dataset) -> rd.Dataset:
+    """vital_signs--measurement.py:84-489: 8 vitals per wide row.
+
+    Kernels: M11 lenient numeric parse on every value column; M9 unit
+    inference from value range when tempu is null; M8 F→C / lb→kg /
+    in→cm conversions; M7 wide→long unpivot with per-vital LOINC
+    concepts; M1 relative-day measurement date."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        temp = lenient_float(batch.column("temp"))
+        # declared unit code, else inferred from the value range (M9)
+        declared = map_codes(batch.column("tempu"), TEMP_UNIT,
+                             out_type=pa.string())
+        unit = pc.coalesce(declared, infer_temp_unit(temp))
+        is_f = pc.equal(pc.fill_null(unit, ""), "F")
+        temp_c = pc.if_else(is_f, fahrenheit_to_celsius(temp), temp)
+        # rows whose unit is unknowable are dropped for temp only
+        temp_c = pc.if_else(pc.is_valid(unit), temp_c, None)
+
+        w = lenient_float(batch.column("weight"))
+        wunit = pc.fill_null(
+            map_codes(batch.column("weightu"), WEIGHT_UNIT,
+                      out_type=pa.string()),
+            "kg",
+        )
+        weight_kg = pc.if_else(pc.equal(wunit, "lb"), pounds_to_kg(w), w)
+        h = lenient_float(batch.column("height"))
+        hunit = pc.fill_null(
+            map_codes(batch.column("heightu"), HEIGHT_UNIT,
+                      out_type=pa.string()),
+            "cm",
+        )
+        height_cm = pc.if_else(pc.equal(hunit, "in"), inches_to_cm(h), h)
+        return pa.table(
+            {
+                "Participant_ID": batch.column("Participant_ID"),
+                "measurement_date": relative_day_to_date(batch.column("vsdt")),
+                "temp_c": temp_c,
+                "bpsys": lenient_float(batch.column("bpsys")),
+                "bpdias": lenient_float(batch.column("bpdias")),
+                "hr": lenient_float(batch.column("hr")),
+                "rr": lenient_float(batch.column("rr")),
+                "weight_kg": weight_kg,
+                "height_cm": height_cm,
+                "bmi": lenient_float(batch.column("bmi")),
+            }
+        )
+
+    items = [
+        UnpivotItem(col, cid, name)
+        for col, (cid, name) in VITAL_CONCEPTS.items()
+    ]
+    unpivot = make_unpivoter(
+        items,
+        ["Participant_ID", "measurement_date"],
+        value_col="value_as_number",
+        concept_col="measurement_concept_id",
+        name_col=None,
+        source_col_name="measurement_source_value",
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["person_source_value" if c == "Participant_ID" else c
+             for c in batch.column_names]
+        )
+
+    return (
+        vital_signs.map_batches(clean, batch_format="pyarrow")
+        .map_batches(unpivot, batch_format="pyarrow")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def build_drug_exposure(medications: rd.Dataset, usagi) -> rd.Dataset:
+    """answer_als_medications_log--drug_exposure.py:39-261: usagi
+    default-zero join (unmapped drugs KEPT with concept 0), M15
+    conditional start/end date fill, provenance."""
+    joined = usagi_join(
+        medications, usagi, "drugdsc", domain="Drug", mode="default_zero"
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        start = relative_day_to_date(batch.column("startdt"))
+        end = relative_day_to_date(batch.column("stopdt"))
+        s2, e2 = fill_date_matrix(start, end)
+        prov = join_provenance(
+            provenance_part("medications", "drugdsc", batch.column("drugdsc")),
+        )
+        return pa.table(
+            {
+                "person_source_value": batch.column("Participant_ID"),
+                "drug_concept_id": pc.cast(batch.column("concept_id"), pa.int64()),
+                "drug_exposure_start_date": s2,
+                "drug_exposure_end_date": e2,
+                "drug_source_value": prov,
+            }
+        )
+
+    return joined.map_batches(build, batch_format="pyarrow")
+
+
+def run_omop_pipeline(
+    demographics: rd.Dataset,
+    subjects,
+    medical_history: rd.Dataset,
+    vital_signs: rd.Dataset,
+    medications: rd.Dataset,
+    usagi,
+) -> dict[str, rd.Dataset]:
+    """Stage 1 builders + stage 2 finishers across 5 OMOP tables.
+
+    Returns {table: Dataset} with CDM 5.4 column lists, integer
+    person_id rekeyed into every fact table, sequential record ids, and
+    observation periods spanning all fact dates."""
+    person = build_person(demographics, subjects)
+    condition = build_condition_occurrence(medical_history, usagi)
+    measurement = build_measurement(vital_signs)
+    drug = build_drug_exposure(medications, usagi)
+
+    # J6 global rekey: deterministic person surrogate ids (sorted by
+    # source value — stable under parallelism), broadcast to every fact
+    person = sequential_ids(person, "person_id", sort_col="person_source_value")
+    pid_map = {
+        r["person_source_value"]: r["person_id"]
+        for r in person.select_columns(
+            ["person_source_value", "person_id"]
+        ).take_all()
+    }
+
+    def rekey(ds: rd.Dataset) -> rd.Dataset:
+        ds = broadcast_rekey(ds, pid_map, ["person_source_value"])
+        def rn(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                ["person_id" if c == "person_source_value" else c
+                 for c in t.column_names]
+            )
+            i = t.column_names.index("person_id")
+            return t.set_column(i, "person_id", pc.cast(t.column("person_id"), pa.int64()))
+        return ds.map_batches(rn, batch_format="pyarrow")
+
+    condition, measurement, drug = rekey(condition), rekey(measurement), rekey(drug)
+
+    # A4: observation periods across every fact table's dates
+    periods = observation_periods(
+        [
+            (condition, ["condition_start_date"]),
+            (measurement, ["measurement_date"]),
+            (drug, ["drug_exposure_start_date", "drug_exposure_end_date"]),
+        ],
+        person_col="person_id",
+    )
+
+    # A5 sequential record ids + C2 pad to the published CDM 5.4 shapes
+    out = {}
+    for name, ds, id_col, sort_col in [
+        ("person", person, None, None),
+        ("condition_occurrence", condition, "condition_occurrence_id", "person_id"),
+        ("measurement", measurement, "measurement_id", "person_id"),
+        ("drug_exposure", drug, "drug_exposure_id", "person_id"),
+        ("observation_period", periods, "observation_period_id", "person_id"),
+    ]:
+        if id_col:
+            ds = sequential_ids(ds, id_col, sort_col=sort_col)
+        cols = CDM54_SCHEMAS[name]
+        out[name] = ds.map_batches(
+            lambda t, cols=cols: pad_to_columns(t, cols, keep_extras=False),
+            batch_format="pyarrow",
+        )
+    return out
