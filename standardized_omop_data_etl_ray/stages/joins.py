@@ -142,6 +142,17 @@ def bucketed_groupby(
     )
 
 
+def _mix64(x):
+    """splitmix64 finalizer — bucket hashing needs dispersion, not
+    cryptographic stability (nothing derived from it is persisted)."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _as_arrow_schema(schema) -> pa.Schema:
     """Normalize a Dataset schema to Arrow: pandas-block datasets (e.g.
     the output of a map_groups) report numpy dtypes, and object dtype
@@ -165,6 +176,8 @@ def partitioned_hash_join(
     right_on: list[str] | None = None,
     how: str = "inner",
     num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Large-large equi-join as an explicit partitioned hash join:
     both sides get ``bucket = stable_hash(key) % B``, are unioned with a
@@ -173,23 +186,61 @@ def partitioned_hash_join(
 
     This is the portable pattern for scale (and is robust to empty
     buckets, unlike Dataset.join in this Ray version which fails when a
-    hash partition's right side is empty)."""
+    hash partition's right side is empty).
+
+    PERF: ``Dataset.schema()`` on a shuffle-containing lineage executes
+    the WHOLE upstream pipeline.  Pass ``left_schema``/``right_schema``
+    when an input is not a plain read; the join also stamps its output
+    schema on the returned Dataset (``_graft_schema``) so directly
+    chained joins never pay a schema probe."""
     import pyarrow.compute as pc
 
     from ..functions.hashing import key_hash_u64, partition_of
     from .schema_ops import pad_to_schema
 
     right_on = right_on or left_on
-    lschema = _as_arrow_schema(left.schema())
-    rschema = _as_arrow_schema(right.schema())
+    lschema = (
+        left_schema
+        or getattr(left, "_graft_schema", None)
+        or _as_arrow_schema(left.schema())
+    )
+    rschema = (
+        right_schema
+        or getattr(right, "_graft_schema", None)
+        or _as_arrow_schema(right.schema())
+    )
     lcols = list(lschema.names)
     rcols = list(rschema.names)
 
-    def prep(side: int, keys: list[str]):
+    import numpy as np
+
+    # the fast numeric path must be chosen identically on BOTH sides
+    # (equal values must land in the same bucket regardless of width)
+    _all_int = all(
+        pa.types.is_integer(lschema.field(a).type)
+        and pa.types.is_integer(rschema.field(b).type)
+        for a, b in zip(left_on, right_on or left_on)
+    )
+
+    def prep(side: int, keys: list[str], schema: pa.Schema):
         def fn(t: pa.Table) -> pa.Table:
-            kh = key_hash_u64(
-                *[pc.cast(t.column(k), pa.string()) for k in keys]
-            )
+            if _all_int:
+                # fast path: numeric mix, no string cast / sha; sign-
+                # extend through int64 so widths agree across sides
+                h = np.zeros(t.num_rows, np.uint64)
+                for k in keys:
+                    col = pc.fill_null(t.column(k), 0)
+                    x = (
+                        col.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        .astype(np.uint64)
+                    )
+                    h = h * np.uint64(1099511628211) ^ _mix64(x)
+                kh = h
+            else:
+                kh = key_hash_u64(
+                    *[pc.cast(t.column(k), pa.string()) for k in keys]
+                )
             t = t.append_column("__bucket", partition_of(kh, num_buckets))
             return t.append_column(
                 "__side", pa.array([side] * t.num_rows, pa.int8())
@@ -197,8 +248,8 @@ def partitioned_hash_join(
 
         return fn
 
-    l = left.map_batches(prep(0, left_on), batch_format="pyarrow")
-    r = right.map_batches(prep(1, right_on), batch_format="pyarrow")
+    l = left.map_batches(prep(0, left_on, lschema), batch_format="pyarrow")
+    r = right.map_batches(prep(1, right_on, rschema), batch_format="pyarrow")
     unified = pa.unify_schemas(
         [
             pa.schema(list(zip(lschema.names, lschema.types))),
@@ -211,30 +262,46 @@ def partitioned_hash_join(
     r = r.map_batches(lambda b: pad_to_schema(b, unified), batch_format="pyarrow")
     u = l.union(r)
 
-    def _pd_dtypes(schema) -> dict:
-        out = {}
-        for name, t in zip(schema.names, schema.types):
-            if pa.types.is_integer(t):
-                out[name] = "int64"
-            elif pa.types.is_floating(t):
-                out[name] = "float64"
-            elif pa.types.is_timestamp(t):
-                out[name] = f"datetime64[{t.unit}]"
-        return out
+    # per-bucket merge stays zero-copy Arrow: split by side tag, then a
+    # DuckDB C++ hash join over the two Arrow tables (the pandas path
+    # paid astype copies of every column per bucket).  Output columns
+    # mirror pandas.merge: all left cols, then right cols with an "_r"
+    # suffix on collisions.
+    lset = set(lcols)
+    rsel = ", ".join(
+        f'r."{c}" AS "{c}{"_r" if c in lset else ""}"' for c in rcols
+    )
+    lsel = ", ".join(f'l."{c}"' for c in lcols)
+    on_clause = " AND ".join(
+        f'l."{a}" = r."{b}"' for a, b in zip(left_on, right_on)
+    )
+    join_kw = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
+    sql = f"SELECT {lsel}, {rsel} FROM lg l {join_kw} rg r ON {on_clause}"
+    out_schema = pa.schema(
+        [lschema.field(c) for c in lcols]
+        + [
+            pa.field(c + ("_r" if c in lset else ""), rschema.field(c).type)
+            for c in rcols
+        ]
+    )
 
-    l_dtypes, r_dtypes = _pd_dtypes(lschema), _pd_dtypes(rschema)
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        from ..functions import hashing
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # the union pad nulled each side's missing columns (→ float64 in
-        # pandas); restore original dtypes before merging
-        lg = g[g["__side"] == 0][lcols].astype(l_dtypes)
-        rg = g[g["__side"] == 1][rcols].astype(r_dtypes)
-        return lg.merge(
-            rg, how=how, left_on=left_on, right_on=right_on,
-            suffixes=("", "_r"),
-        )
+        hashing.tune_worker_threads()
+        side = g.column("__side")
+        lg = g.filter(pc.equal(side, 0)).select(lcols)  # noqa: F841
+        rg = g.filter(pc.equal(side, 1)).select(rcols)  # noqa: F841
+        con = hashing._con()
+        return con.execute(sql).fetch_arrow_table().cast(out_schema)
 
-    return u.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    # num_partitions routes through the hash-shuffle path (measured
+    # faster than the sort shuffle for this payload — see lww_merge)
+    out = u.groupby("__bucket", num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pyarrow"
+    )
+    out._graft_schema = out_schema  # free schema for chained joins
+    return out
 
 
 def usagi_join(
