@@ -1107,6 +1107,21 @@ def cdc_full_replay_docs(sf_dir: str):
     return run_flagship(sf_dir, lake_root, epochs=3)
 
 
+_CDC_FULL_SQL = """
+-- closed form of the flagship replay (flagship.py derivation rule,
+-- versions=3): every key's LWW winner is its v=2 event — an I-reinsert
+-- for doc_id % 13 == 0 (which was deleted at v=1), else a U.
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+       doc_id * 3 + 2 AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':2' AS "commit",
+       lang,
+       text || ' v2' AS content
+FROM documents
+"""
+
+
 def simhash_fingerprints_docs(sf_dir: str):
     from standardized_omop_data_etl_ray.stages.dedup import simhash_fingerprints
 
@@ -1512,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_pad_docs": _SCHEMA_PAD_SQL,
         "cdc_lww_upsert": _CDC_UPSERT_SQL,
         "cdc_lww_with_deletes": _CDC_DELETES_SQL,
+        "cdc_full_replay_docs": _CDC_FULL_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,
@@ -1521,6 +1537,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
-        # cdc_full_replay_docs / simhash / langid / fingerprint / media:
-        # non-SQL-expressible → rows-only checks
+        # simhash_fingerprints / langid / fingerprint / media /
+        # ivf_topk / omop_full_pipeline: non-SQL-expressible →
+        # rows-only checks (ivf recall + omop invariants are gated in
+        # tests/test_dedup_ann.py and tests/test_omop_pipeline.py)
     }

@@ -219,8 +219,13 @@ class ActorLake:
         ).map_batches(_partial(self.spec), batch_format="pyarrow")
 
         # route blocks to partition owners; only {part: ref} maps reach
-        # the driver — the partition slices stay in the object store
-        routed = [_route_block.remote(ref) for ref in std.to_arrow_refs()]
+        # the driver — the partition slices stay in the object store.
+        # Ref bundles are consumed AS THE PIPELINE STREAMS, so routing
+        # tasks overlap the standardize/combine stages instead of
+        # waiting for full materialization.
+        routed = []
+        for bundle in std.iter_internal_ref_bundles():
+            routed.extend(_route_block.remote(ref) for ref in bundle.block_refs)
         by_part: dict[int, list] = {}
         for r in ray.get(routed):
             for p, t in r.items():
