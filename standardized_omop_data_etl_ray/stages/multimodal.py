@@ -2,17 +2,28 @@
 
 Payloads are opaque ``binary`` columns + typed metadata; decode /
 feature-extract / resize / frame-sample are actor-pool ``map_batches``
-stages (codec state loaded once per actor).  The decode libraries are
-NOT in this container, so the codec step is stubbed: ``decoder="fake"``
-is a deterministic pure-python decoder used by tests; ``decoder="real"``
-raises NotImplementedError at actor construction.  The Ray-side plumbing
-— schema, small batch sizing for wide binary rows, actor signature,
-output layout — is real and tested.
+stages (codec state loaded once per actor).
+
+Codecs: the container has no PIL/ffmpeg, but two REAL formats decode
+with numpy/struct alone and are implemented end-to-end:
+
+  * image — PPM (P6): header parse + raw RGB ndarray; features are
+    per-channel stats + a downsampled luminance grid; ``resize_images``
+    is a real nearest-neighbour resample.
+  * audio — WAV (PCM16 mono): RIFF parse via struct; features are
+    RMS / zero-crossing rate / coarse FFT band energies.
+
+``decoder="real"`` uses those by mime type; video payloads (no pure-
+numpy container format exists) fall back to the deterministic hash
+features, and ``frame_sample_plan`` shows the 1→K fan-out shape the
+frame decode would feed.  ``decoder="fake"`` keeps the fully
+deterministic hash path for plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -32,56 +43,193 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+# ------------------------------------------------------------- codecs --
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → PPM P6 bytes."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM P6 bytes → (h, w, 3) uint8 (numpy-only decode)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated
+    parts, idx = [], 2
+    while len(parts) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":  # comment line
+            idx = payload.index(b"\n", idx) + 1
+            continue
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        parts.append(int(payload[start:idx]))
+    idx += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=idx)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float32 [-1,1] mono → minimal RIFF/WAVE PCM16 bytes."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes → (float32 samples in [-1,1], rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    idx = 12
+    rate, data = None, None
+    while idx + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[idx : idx + 8])
+        body = payload[idx + 8 : idx + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32767.0
+        idx += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+# -------------------------------------------------------------- synth --
+
 def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media rows for plumbing tests."""
+    """Deterministic media rows.  Image payloads are VALID PPM (P6) and
+    audio payloads VALID WAV PCM16 — the real decoders round-trip them;
+    video payloads are opaque bytes (no numpy-only container format)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads = [
-        hashlib.sha256(f"media{i}".encode()).digest() * (payload_bytes // 32)
-        for i in range(n)
-    ]
+    payloads, mimes, widths, heights, durs = [], [], [], [], []
+    for i, k in enumerate(kinds):
+        if k == "image":
+            w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+            x = np.linspace(0, 255, w, dtype=np.float32)
+            img = np.stack(
+                [
+                    np.tile(x, (h, 1)) * s + rng.integers(0, 40, (h, w))
+                    for s in (1.0, 0.5, 0.25)
+                ],
+                axis=-1,
+            ).clip(0, 255).astype(np.uint8)
+            payloads.append(encode_ppm(img))
+            mimes.append("image/x-portable-pixmap")
+            widths.append(w); heights.append(h); durs.append(0)
+        elif k == "audio":
+            dur_ms = int(rng.integers(50, 400))
+            t = np.arange(int(8000 * dur_ms / 1000), dtype=np.float32) / 8000
+            freq = float(rng.uniform(100, 1000))
+            sig = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(len(t)).astype(np.float32)
+            payloads.append(encode_wav_pcm16(sig))
+            mimes.append("audio/wav")
+            widths.append(0); heights.append(0); durs.append(dur_ms)
+        else:
+            payloads.append(
+                hashlib.sha256(f"media{i}".encode()).digest()
+                * (payload_bytes // 32)
+            )
+            mimes.append("video/raw")
+            widths.append(int(rng.integers(64, 1920)))
+            heights.append(int(rng.integers(64, 1080)))
+            durs.append(int(rng.integers(1000, 60_000)))
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
             "kind": pa.array(kinds),
-            "mime": pa.array(
-                ["image/png" if k == "image" else f"{k}/raw" for k in kinds]
-            ),
+            "mime": pa.array(mimes),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array(rng.integers(64, 1920, n), pa.int32()),
-            "height": pa.array(rng.integers(64, 1080, n), pa.int32()),
-            "duration_ms": pa.array(rng.integers(0, 60_000, n), pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         }
     )
 
 
+# --------------------------------------------------------- featurizer --
+
 class MediaFeaturizer:
     """Actor-pool stage: decode payload → fixed-size feature vector.
 
-    ``__init__`` loads the codec once per actor; ``__call__`` processes a
-    batch.  Batch size must be small for wide binary rows (caller passes
-    ``batch_size`` ≤ a few hundred; see map_batches site).
+    ``__init__`` sets up the codec dispatch once per actor; ``__call__``
+    processes a batch.  Batch size must be small for wide binary rows
+    (caller passes ``batch_size`` ≤ a few hundred; see map_batches site).
     """
 
-    def __init__(self, decoder: str = "fake", feat_dim: int = 16):
+    def __init__(self, decoder: str = "real", feat_dim: int = 16):
         self.feat_dim = feat_dim
         if decoder == "fake":
-            self._decode = self._fake_decode
-        else:  # pragma: no cover - real codecs absent in this container
-            raise NotImplementedError(
-                "real decoders (PIL/ffmpeg) are not available in this "
-                "environment; use decoder='fake'"
-            )
+            self._decode = lambda payload, mime: self._hash_feats(payload)
+        elif decoder == "real":
+            self._decode = self._real_decode
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
 
-    def _fake_decode(self, payload: bytes) -> np.ndarray:
+    def _hash_feats(self, payload: bytes) -> np.ndarray:
         # deterministic pseudo-decode: bytes → normalized float vector
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer((h * ((self.feat_dim * 4) // 32 + 1))[: self.feat_dim * 4],
                             dtype=np.uint32).astype(np.float32)
         return raw / np.float32(2**32)
 
+    def _image_feats(self, payload: bytes) -> np.ndarray:
+        img = decode_ppm(payload).astype(np.float32) / 255.0
+        lum = img.mean(axis=-1)
+        # per-channel mean/std + 3x3 luminance grid + aspect ≈ 10 dims
+        gh = np.array_split(np.arange(lum.shape[0]), 3)
+        gw = np.array_split(np.arange(lum.shape[1]), 3)
+        grid = np.array([lum[np.ix_(r, c)].mean() for r in gh for c in gw])
+        f = np.concatenate(
+            [img.mean(axis=(0, 1)), img.std(axis=(0, 1)), grid[:9]]
+        )
+        out = np.zeros(self.feat_dim, np.float32)
+        out[: min(len(f), self.feat_dim)] = f[: self.feat_dim]
+        return out
+
+    def _audio_feats(self, payload: bytes) -> np.ndarray:
+        x, rate = decode_wav_pcm16(payload)
+        if not len(x):
+            return np.zeros(self.feat_dim, np.float32)
+        rms = float(np.sqrt(np.mean(x**2)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        spec = np.abs(np.fft.rfft(x))
+        bands = np.array(
+            [b.mean() for b in np.array_split(spec, max(1, self.feat_dim - 3))]
+        )
+        bands = bands / (bands.max() + 1e-9)
+        f = np.concatenate([[rms, zcr, len(x) / rate], bands])
+        out = np.zeros(self.feat_dim, np.float32)
+        out[: min(len(f), self.feat_dim)] = f[: self.feat_dim]
+        return out
+
+    def _real_decode(self, payload: bytes, mime: str) -> np.ndarray:
+        if mime == "image/x-portable-pixmap":
+            return self._image_feats(payload)
+        if mime == "audio/wav":
+            return self._audio_feats(payload)
+        # video: no numpy-only container codec — deterministic fallback
+        return self._hash_feats(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode(p.as_py()) for p in batch.column("payload")]
+        feats = [
+            self._decode(p.as_py(), m)
+            for p, m in zip(batch.column("payload"), batch.column("mime").to_pylist())
+        ]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -94,13 +242,51 @@ class MediaFeaturizer:
 
 
 def featurize_media(
-    ds: rd.Dataset, concurrency: int = 2, batch_size: int = 256
+    ds: rd.Dataset, concurrency=2, batch_size: int = 256,
+    decoder: str = "real",
 ) -> rd.Dataset:
     """Actor-pool featurize stage; small batches because binary payloads
     dominate block bytes."""
     return ds.map_batches(
         MediaFeaturizer,
-        fn_constructor_kwargs=dict(decoder="fake"),
+        fn_constructor_kwargs=dict(decoder=decoder),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ImageResizer:
+    """Actor-pool stage: real nearest-neighbour resize of PPM payloads
+    (non-image rows pass through untouched)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for p, m in zip(
+            batch.column("payload"), batch.column("mime").to_pylist()
+        ):
+            raw = p.as_py()
+            if m == "image/x-portable-pixmap":
+                img = decode_ppm(raw)
+                h, w, _ = img.shape
+                ri = (np.arange(self.out_h) * h // self.out_h)
+                ci = (np.arange(self.out_w) * w // self.out_w)
+                raw = encode_ppm(img[np.ix_(ri, ci)])
+            payloads.append(raw)
+        i = batch.column_names.index("payload")
+        return batch.set_column(i, "payload", pa.array(payloads, pa.binary()))
+
+
+def resize_images(
+    ds: rd.Dataset, out_w: int = 16, out_h: int = 16,
+    concurrency=2, batch_size: int = 256,
+) -> rd.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -114,7 +300,7 @@ def frame_sample_plan(
     of each sampled frame would live in the actor stage above)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids, kinds, ts = [], [], []
+        ids, ts = [], []
         mid = batch.column("media_id").to_pylist()
         kind = batch.column("kind").to_pylist()
         dur = batch.column("duration_ms").to_pylist()

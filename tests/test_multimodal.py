@@ -1,13 +1,19 @@
-"""Multimodal plumbing: schema round-trip, actor featurize, frame fan-out."""
+"""Multimodal: real PPM/WAV codecs, actor featurize, resize, fan-out."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data as rd
 
 from standardized_omop_data_etl_ray.stages.multimodal import (
     MediaFeaturizer,
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_ppm,
+    encode_wav_pcm16,
     featurize_media,
     frame_sample_plan,
+    resize_images,
     synth_media_table,
 )
 
@@ -18,12 +24,39 @@ def test_synth_media_deterministic():
     assert a.schema.field("payload").type == pa.binary()
 
 
-def test_featurize_actor_pool():
+def test_ppm_roundtrip():
+    img = (np.arange(5 * 7 * 3) % 251).reshape(5, 7, 3).astype(np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    with pytest.raises(ValueError):
+        decode_ppm(b"nope")
+
+
+def test_wav_roundtrip():
+    t = np.arange(800, dtype=np.float32) / 8000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    out, rate = decode_wav_pcm16(encode_wav_pcm16(sig, rate=8000))
+    assert rate == 8000
+    assert np.max(np.abs(out - sig)) < 1e-3  # 16-bit quantization
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFFxxxxJUNK")
+
+
+def test_featurize_actor_pool_real_decoders():
     media = synth_media_table(40)
     out = featurize_media(rd.from_arrow(media), concurrency=2, batch_size=16)
     df = out.to_pandas()
     assert len(df) == 40
     assert all(len(v) == 16 for v in df["feature"])
+    # image features reflect decoded pixels: channel means ordered by the
+    # synth gradient's scales (R > G > B)
+    img_rows = df[df["kind"] == "image"]
+    assert len(img_rows) > 0
+    for v in img_rows["feature"]:
+        assert v[0] > v[1] > v[2]
+    # audio features: positive RMS, plausible zcr, duration > 0
+    aud = df[df["kind"] == "audio"]
+    for v in aud["feature"]:
+        assert v[0] > 0.1 and v[2] > 0
     # determinism: same payload → same feature
     f2 = featurize_media(rd.from_arrow(media), concurrency=2).to_pandas()
     m1 = {i: list(v) for i, v in zip(df["media_id"], df["feature"])}
@@ -31,9 +64,25 @@ def test_featurize_actor_pool():
     assert m1 == m2
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MediaFeaturizer(decoder="real")
+def test_resize_images_real():
+    media = synth_media_table(30)
+    small = resize_images(rd.from_arrow(media), out_w=8, out_h=6,
+                          concurrency=2, batch_size=16).to_pandas()
+    src = media.to_pandas().set_index("media_id")
+    for _, row in small.iterrows():
+        if row["mime"] == "image/x-portable-pixmap":
+            img = decode_ppm(row["payload"])
+            assert img.shape == (6, 8, 3)
+        else:  # non-images pass through untouched
+            assert row["payload"] == src.loc[row["media_id"], "payload"]
+
+
+def test_fake_decoder_still_available():
+    media = synth_media_table(10)
+    df = featurize_media(rd.from_arrow(media), decoder="fake").to_pandas()
+    assert len(df) == 10
+    with pytest.raises(ValueError):
+        MediaFeaturizer(decoder="ffmpeg")
 
 
 def test_frame_sample_fanout():
