@@ -830,6 +830,77 @@ def simhash_self_near_dups(sf_dir: str):
     return pairs.filter(expr="sha_a == sha_b").select_columns(["id_a", "id_b"])
 
 
+def jaccard_near_dups(sf_dir: str):
+    """n-gram Jaccard near-dup detection: documents ∪ documents with an
+    appended marker word (planted ~(n-2)/(n-1) similarity), MinHash-LSH
+    candidates, then the DISTRIBUTED shingle-set verify (pair endpoints
+    join back to their texts — stages/dedup.verify_jaccard_pairs; no
+    corpus broadcast).  The oracle recomputes 3-gram Jaccard in SQL over
+    all shingle-sharing pairs; both sides use the identical shingle and
+    jaccard definitions, so results match exactly (LSH miss probability
+    for a ≥0.8 pair is ≤(1-0.8⁴)³² ≈ 5e-8 per pair)."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def modify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t.column("doc_id"), 1_000_000),
+                "text": pc.binary_join_element_wise(
+                    t.column("text"), pa.scalar(" zzzmarker"), ""
+                ),
+            }
+        )
+
+    both = docs.union(docs.map_batches(modify, batch_format="pyarrow"))
+    pairs = minhash_candidate_pairs(both, "text", "doc_id",
+                                    concurrency=(2, 8))
+    verified = verify_jaccard_pairs(pairs, both, "text", "doc_id",
+                                    threshold=0.8)
+    return verified.select_columns(["id_a", "id_b"])
+
+
+_JACCARD_SQL = r"""
+WITH u AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zzzmarker' FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+    FROM u
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           END AS s
+    FROM tok
+),
+ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM ds),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b
+FROM cand JOIN ds da ON da.doc_id = id_a JOIN ds db ON db.doc_id = id_b
+WHERE CASE WHEN len(da.s) = 0 AND len(db.s) = 0 THEN 1.0
+           ELSE len(list_intersect(da.s, db.s)) * 1.0
+                / greatest(1, len(da.s) + len(db.s)
+                              - len(list_intersect(da.s, db.s)))
+      END >= 0.8
+"""
+
+
 def ann_topk_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the first 10 vectors as queries."""
     from standardized_omop_data_etl_ray.stages.ann import brute_force_topk
@@ -1482,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": lang_distribution,
         "minhash_self_near_dups": minhash_self_near_dups,
         "simhash_self_near_dups": simhash_self_near_dups,
+        "jaccard_near_dups": jaccard_near_dups,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
         "embedding_self_near_dups": embedding_self_near_dups,
@@ -1534,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": _LANG_DIST_SQL,
         "minhash_self_near_dups": _MINHASH_SQL,
         "simhash_self_near_dups": _MINHASH_SQL,
+        "jaccard_near_dups": _JACCARD_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
