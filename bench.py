@@ -201,6 +201,60 @@ def main() -> None:
     ray.shutdown()
 
 
+def check() -> None:
+    """Run the headline replay, then verify the final lake state against
+    an independent DuckDB oracle over the raw event shards (per-row
+    content-sha + key-set equality at bench scale — the north-star gate
+    applied to the 8.16M-event workload, not just the unit fixtures)."""
+    import duckdb
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    headline = run_headline()
+
+    import ray.data as rd
+
+    state_dir = "/tmp/bench_state_check"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    lake = CDCLake("/tmp/bench_lake", TableSpec(name="bench"))
+    lake.read_state().write_parquet(state_dir)
+    events_glob = f"{_events_path()}/part-*.parquet"
+    con = duckdb.connect()
+    r = con.execute(
+        f"""
+        WITH oracle AS (
+          SELECT repo, path, commit, sha256(content) sha
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY repo, path ORDER BY lsn DESC) rn
+                FROM read_parquet('{events_glob}'))
+          WHERE rn = 1 AND op <> 'D'),
+        engine AS (SELECT repo, path, commit, content_sha sha
+                   FROM read_parquet('{state_dir}/*.parquet'))
+        SELECT (SELECT count(*) FROM oracle),
+               (SELECT count(*) FROM engine),
+               (SELECT count(*) FROM oracle JOIN engine
+                USING (repo, path, commit, sha))
+        """
+    ).fetchone()
+    ok = r[0] == r[1] == r[2]
+    print(json.dumps({
+        "metric": "state_check",
+        "oracle_rows": r[0], "engine_rows": r[1], "matched": r[2],
+        "exact_match": ok, "events": headline["events"],
+        "events_per_sec": headline["events_per_sec"], "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+    if not ok:
+        sys.exit(1)
+
+
 def scaling() -> None:
     """Same job, fresh ray sessions at 8 and 32 CPUs → efficiency."""
     _events_path()  # generate once, shared by both runs
@@ -254,5 +308,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--check" in sys.argv:
+        check()
     else:
         main()
