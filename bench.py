@@ -132,12 +132,33 @@ def run_headline(num_partitions: int = 64, epochs: int = 2) -> dict:
     t1 = time.time()
     n_state = lake.read_state().count()
     read_sec = time.time() - t1
+
+    # pipelined tailing shape: 8 micro-batch epochs with cross-epoch
+    # pipelining (phase 1 of epoch n+1 overlaps epoch n's tail)
+    stream_epochs, inflight = 8, 2
+    per_se = (len(files) + stream_epochs - 1) // stream_epochs
+
+    def windows():
+        for e in range(stream_epochs):
+            w = files[e * per_se : (e + 1) * per_se]
+            if w:
+                yield rd.read_parquet(w, override_num_blocks=len(w))
+
+    shutil.rmtree(lake_root, ignore_errors=True)
+    lake2 = CDCLake(lake_root, TableSpec(name="bench",
+                                         num_partitions=num_partitions))
+    t2 = time.time()
+    lake2.apply_stream(windows(), max_inflight=inflight)
+    stream_sec = time.time() - t2
     return {
         "events": n_events,
         "apply_sec": round(apply_sec, 3),
         "state_read_sec": round(read_sec, 3),
         "state_rows": n_state,
         "events_per_sec": round(n_events / apply_sec, 1),
+        "stream_sec": round(stream_sec, 3),
+        "stream_epochs": stream_epochs,
+        "stream_events_per_sec": round(n_events / stream_sec, 1),
     }
 
 
@@ -195,6 +216,9 @@ def main() -> None:
                 "events_per_sec": headline["events_per_sec"],
                 "state_rows": headline["state_rows"],
                 "state_read_sec": headline["state_read_sec"],
+                "stream_sec": headline["stream_sec"],
+                "stream_epochs": headline["stream_epochs"],
+                "stream_events_per_sec": headline["stream_events_per_sec"],
             }
         )
     )

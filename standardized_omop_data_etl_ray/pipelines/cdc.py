@@ -226,6 +226,13 @@ class CDCLake:
             ds.map_batches(to_events, batch_format="pyarrow")
         )
 
+    def _watermarks(self, m: dict | None) -> np.ndarray:
+        wm = np.full(self.spec.num_partitions, -1, dtype=np.int64)
+        if m:
+            for p, pinfo in m["partitions"].items():
+                wm[int(p)] = pinfo["watermark"]
+        return wm
+
     def apply_events(
         self,
         events: rd.Dataset,
@@ -238,18 +245,102 @@ class CDCLake:
         t0 = time.time()
         m = mf.read_manifest(self.root, self.spec.name)
         epoch = (m["epoch"] + 1) if m else 1
-        P = self.spec.num_partitions
 
         # schema evolution: unify incoming event schema into the spec
         incoming = events.schema()
         inc_schema = pa.schema(list(zip(incoming.names, incoming.types)))
         self.spec.schema = self.spec.evolve(inc_schema)
 
-        wm = np.full(P, -1, dtype=np.int64)
-        if m:
-            for p, pinfo in m["partitions"].items():
-                wm[int(p)] = pinfo["watermark"]
+        stats = self._phase1(events, epoch, self._watermarks(m),
+                             salt_factor, shuffle_mode)
+        record = {
+            "epoch": epoch,
+            "partitions_touched": len(stats),
+            "rows_upserted": int(sum(s["rows"] - s["tombstones"] for s in stats)),
+            "tombstones": int(sum(s["tombstones"] for s in stats)),
+            "events_seen": int(sum(s["events_seen"] for s in stats)),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        if _fail_before_commit:  # test hook: die between phase 1 and 2
+            record["committed"] = False
+            return record
 
+        self._commit(m, epoch, stats, record)
+        record["committed"] = True
+        return record
+
+    def apply_stream(
+        self,
+        windows,
+        *,
+        max_inflight: int = 2,
+        salt_factor: int = 0,
+        shuffle_mode: str = "full",
+    ) -> list[dict]:
+        """Apply a stream of micro-batch windows with CROSS-EPOCH
+        PIPELINING: up to ``max_inflight`` epochs run phase 1 (read →
+        standardize → shuffle → delta writes) concurrently; phase-2
+        manifest commits stay strictly ordered.
+
+        Safe under the binlog-tailing contract (windows carry disjoint,
+        increasing lsn ranges): epoch n+1's watermark filter uses the
+        snapshot from before epoch n's commit, which can only UNDER-drop
+        — any re-delivered row is removed by the per-key LWW merge and
+        deterministic delta writes, exactly as in the crash-retry path.
+        Epoch numbers are pre-assigned so delta file names stay
+        deterministic; a failure mid-stream leaves later epochs
+        uncommitted (invisible orphans, reclaimed by gc())."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        m = mf.read_manifest(self.root, self.spec.name)
+        base = (m["epoch"] + 1) if m else 1
+        wm = self._watermarks(m)
+        records: list[dict] = []
+        with ThreadPoolExecutor(max_workers=max_inflight) as ex:
+            pending: list[tuple[int, object, float]] = []
+            for i, w in enumerate(windows):
+                incoming = w.schema()
+                self.spec.schema = self.spec.evolve(
+                    pa.schema(list(zip(incoming.names, incoming.types)))
+                )
+                fut = ex.submit(
+                    self._phase1, w, base + i, wm.copy(),
+                    salt_factor, shuffle_mode,
+                )
+                pending.append((base + i, fut, time.time()))
+                while len(pending) >= max_inflight:
+                    records.append(self._commit_next(pending))
+            while pending:
+                records.append(self._commit_next(pending))
+        return records
+
+    def _commit_next(self, pending) -> dict:
+        epoch, fut, t0 = pending.pop(0)
+        stats = fut.result()
+        prev = mf.read_manifest(self.root, self.spec.name)
+        record = {
+            "epoch": epoch,
+            "partitions_touched": len(stats),
+            "rows_upserted": int(sum(s["rows"] - s["tombstones"] for s in stats)),
+            "tombstones": int(sum(s["tombstones"] for s in stats)),
+            "events_seen": int(sum(s["events_seen"] for s in stats)),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        self._commit(prev, epoch, stats, record)
+        record["committed"] = True
+        return record
+
+    def _phase1(
+        self,
+        events: rd.Dataset,
+        epoch: int,
+        wm: np.ndarray,
+        salt_factor: int = 0,
+        shuffle_mode: str = "full",
+    ) -> list[dict]:
+        """Phase 1 of one epoch: standardize → combine → shuffle →
+        per-partition delta writes + markers.  No manifest access."""
+        P = self.spec.num_partitions
         writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
         if shuffle_mode == "winners":
             # winner-only path: (1) NARROW pass over (keys, lsn) only —
@@ -294,23 +385,7 @@ class CDCLake:
         stats_ds = ev.groupby("part", num_partitions=P).map_groups(
             writer, batch_format="pyarrow"
         )
-        stats = stats_ds.take_all()  # ≤ P tiny rows — phase 1 complete here
-
-        record = {
-            "epoch": epoch,
-            "partitions_touched": len(stats),
-            "rows_upserted": int(sum(s["rows"] - s["tombstones"] for s in stats)),
-            "tombstones": int(sum(s["tombstones"] for s in stats)),
-            "events_seen": int(sum(s["events_seen"] for s in stats)),
-            "wall_sec": round(time.time() - t0, 3),
-        }
-        if _fail_before_commit:  # test hook: die between phase 1 and 2
-            record["committed"] = False
-            return record
-
-        self._commit(m, epoch, stats, record)
-        record["committed"] = True
-        return record
+        return stats_ds.take_all()  # ≤ P tiny rows — phase 1 complete here
 
     def _commit(self, prev: dict | None, epoch: int, stats: list[dict], record: dict):
         partitions = dict(prev["partitions"]) if prev else {}

@@ -262,3 +262,39 @@ def test_bootstrap_from_parquet_then_cdc_wins(tmp_path):
     df = lake.read_state().to_pandas().sort_values(["repo", "path"])
     got = dict(zip(zip(df["repo"], df["path"]), df["content"]))
     assert got == {("r1", "a"): "updated-a", ("r1", "b"): "seed-b"}
+
+
+def test_apply_stream_pipelined_matches_serial(tmp_path):
+    """Cross-epoch pipelining (max_inflight=2) must produce the same
+    committed state and lineage epochs as the serial loop."""
+    from standardized_omop_data_etl_ray.datagen import make_change_events, micro_batches
+    from standardized_omop_data_etl_ray.oracle import assert_states_equal, oracle_apply
+
+    ev = make_change_events(n_keys=400, n_events=6000, seed=83, window=500)
+    batches = list(micro_batches(ev, batch_windows=2, window=500))
+
+    serial = CDCLake(tmp_path / "s", TableSpec(name="cdc", num_partitions=8))
+    for b in batches:
+        serial.apply_events(rd.from_arrow(b))
+
+    piped = CDCLake(tmp_path / "p", TableSpec(name="cdc", num_partitions=8))
+    recs = piped.apply_stream(
+        (rd.from_arrow(b) for b in batches), max_inflight=2
+    )
+    assert [r["epoch"] for r in recs] == list(range(1, len(batches) + 1))
+    assert all(r["committed"] for r in recs)
+
+    import pyarrow as pa
+    import ray
+
+    def state(lake):
+        tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs)
+
+    oracle = oracle_apply(ev)
+    assert_states_equal(state(serial), oracle)
+    assert_states_equal(state(piped), oracle)
+    # resumable: a further window applies on top of the piped lake
+    more = make_change_events(n_keys=400, n_events=6000, seed=83, window=500)
+    rec = piped.apply_events(rd.from_arrow(more))  # full replay → no-op
+    assert rec["rows_upserted"] == 0 and rec["tombstones"] == 0
