@@ -31,7 +31,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from standardized_omop_data_etl_ray.functions.ids import nine_digit_id, visit_occurrence_id
 from standardized_omop_data_etl_ray.spec import TableSpec
-from standardized_omop_data_etl_ray.stages.merge import lww_merge, priority_merge
+from standardized_omop_data_etl_ray.stages.merge import lww_merge
 from standardized_omop_data_etl_ray.stages.standardize import make_standardizer
 
 
@@ -492,13 +492,27 @@ SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rid FROM orders
 
 def priority_merge_orders(sf_dir: str):
     """A1 priority-ordered keyed merge: per customer, all orders of the
-    highest-priority status present (F > O > P); losers diverted."""
+    highest-priority status present (F > O > P); losers diverted.  Uses
+    the single-pass rank-column form (the sources-based priority_merge
+    — the reference's exact shape — is exercised by the OMOP pipeline
+    tests); semantics are identical, but orders is read ONCE instead of
+    three filtered scans unioned."""
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
+    from standardized_omop_data_etl_ray.stages.merge import priority_merge_by_rank
+
     ds = _pq(sf_dir, "orders",
              ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
-    sources = [
-        (st, ds.filter(expr=f"o_orderstatus == '{st}'")) for st in ("F", "O", "P")
-    ]
-    merged = priority_merge(sources, ["o_custkey"])
+
+    def rank(t: pa.Table) -> pa.Table:
+        st = t.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        r = np.select([st == "F", st == "O"], [0, 1], default=2)
+        return t.append_column("__rank", pa.array(r.astype(np.int32)))
+
+    merged = priority_merge_by_rank(
+        ds.map_batches(rank, batch_format="pyarrow"),
+        ["o_custkey"], "__rank",
+        num_buckets=default_buckets(_nrows(sf_dir, "orders")),
+    )
     winners = merged.filter(expr="__redundant == False")
     return winners.select_columns(
         ["o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"]

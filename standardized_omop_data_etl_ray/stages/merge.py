@@ -144,6 +144,31 @@ def priority_merge(
     )
 
 
+def priority_merge_by_rank(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    rank_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Single-pass variant of :func:`priority_merge` for when the
+    priority is derivable from a COLUMN of one dataset (no per-source
+    filter+union re-reads): per key, rows carrying the minimum
+    ``rank_col`` win; others are flagged ``__redundant``.  Identical
+    winner/loser semantics to the sources-based form (A1), one read and
+    one shuffle."""
+    import pandas as pd
+
+    from .joins import bucketed_groupby
+
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.copy()
+        min_rank = bucket.groupby(key_cols)[rank_col].transform("min")
+        bucket["__redundant"] = bucket[rank_col] > min_rank
+        return bucket
+
+    return bucketed_groupby(ds, key_cols, resolve, num_buckets)
+
+
 def lww_merge(
     events: rd.Dataset,
     spec: TableSpec | None = None,
