@@ -1232,6 +1232,39 @@ def langid_docs(sf_dir: str):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def _langid_sql() -> str:
+    """SQL mirror of functions/text.detect_language: stopword vote with
+    'und' below 2 hits and ties resolved by language declaration order
+    (a later language needs STRICTLY more hits)."""
+    from standardized_omop_data_etl_ray.functions.text import _STOPWORDS
+
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS ws FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(ws, w -> w IN ({inlist('en')}))) AS h_en,
+    len(list_filter(ws, w -> w IN ({inlist('es')}))) AS h_es,
+    len(list_filter(ws, w -> w IN ({inlist('fr')}))) AS h_fr,
+    len(list_filter(ws, w -> w IN ({inlist('de')}))) AS h_de
+  FROM tok
+)
+SELECT doc_id,
+  CASE
+    WHEN h_en >= 2 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+    WHEN h_es >= 2 AND h_es >  h_en AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+    WHEN h_fr >= 2 AND h_fr >  h_en AND h_fr >  h_es AND h_fr >= h_de THEN 'fr'
+    WHEN h_de >= 2 AND h_de >  h_en AND h_de >  h_es AND h_de >  h_fr THEN 'de'
+    ELSE 'und'
+  END AS lang_pred
+FROM hits
+"""
+
+
 def fingerprint_docs(sf_dir: str):
     from standardized_omop_data_etl_ray.functions.text import winnowing_fingerprint
 
@@ -1624,7 +1657,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
-        # simhash_fingerprints / langid / fingerprint / media /
+        "langid_docs": _langid_sql(),
+        # simhash_fingerprints / fingerprint / media /
         # ivf_topk / omop_full_pipeline: non-SQL-expressible →
         # rows-only checks (ivf recall + omop invariants are gated in
         # tests/test_dedup_ann.py and tests/test_omop_pipeline.py)
