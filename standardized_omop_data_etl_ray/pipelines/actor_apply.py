@@ -284,9 +284,28 @@ class ActorLake:
         }
         mf.commit_manifest(self.root, self.spec.name, manifest)
 
-    def read_state(self, drop_engine_cols: bool = False) -> rd.Dataset:
+    def _as_cdclake(self):
         from .cdc import CDCLake
 
         lake = CDCLake.__new__(CDCLake)
         lake.root, lake.spec = self.root, self.spec
-        return CDCLake.read_state(lake, drop_engine_cols)
+        return lake
+
+    def read_state(self, drop_engine_cols: bool = False) -> rd.Dataset:
+        return self._as_cdclake().read_state(drop_engine_cols)
+
+    def compact(self, max_files: int | None = None) -> dict:
+        """Same COW compaction as the batch lake (shared manifests).
+        Rebuild the pool afterwards so rebuilt-actor recovery reads the
+        compacted file set (live indexes are unaffected — compaction
+        preserves state content)."""
+        return self._as_cdclake().compact(max_files)
+
+    def gc(self) -> list[str]:
+        return self._as_cdclake().gc()
+
+    def lineage(self) -> list[dict]:
+        return self._as_cdclake().lineage()
+
+    def partition_metrics(self) -> pa.Table:
+        return self._as_cdclake().partition_metrics()

@@ -285,3 +285,23 @@ def test_spillable_actor_loss_recovery(tmp_path):
         lake.apply_events(rd.from_arrow(b))
     tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
     assert_states_equal(pa.concat_tables(tabs), oracle_apply(ev))
+
+
+def test_actor_lake_compact_and_recover(tmp_path):
+    """Maintenance surface parity: compaction + gc on the shared
+    manifests, then a rebuilt pool recovers from the compacted files and
+    further epochs still land on the oracle."""
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=8),
+                     pool_size=2)
+    for b in BATCHES[:2]:
+        lake.apply_events(rd.from_arrow(b))
+    before = canonical_state(_state(lake))
+    rec = lake.compact()
+    removed = lake.gc()
+    assert rec["partitions_touched"] > 0 and removed
+    assert canonical_state(_state(lake)).equals(before)
+    lake.kill_pool(); lake.rebuild_pool()  # recovery from compacted files
+    for b in BATCHES[2:]:
+        lake.apply_events(rd.from_arrow(b))
+    assert_states_equal(_state(lake), ORACLE)
+    assert len(lake.lineage()) >= len(BATCHES)
