@@ -298,3 +298,29 @@ def test_apply_stream_pipelined_matches_serial(tmp_path):
     more = make_change_events(n_keys=400, n_events=6000, seed=83, window=500)
     rec = piped.apply_events(rd.from_arrow(more))  # full replay → no-op
     assert rec["rows_upserted"] == 0 and rec["tombstones"] == 0
+
+
+def test_apply_stream_with_mid_stream_schema_evolution(tmp_path):
+    """Column added partway through a pipelined stream: earlier in-flight
+    epochs may standardize against the already-evolved (wider) spec —
+    legal, since evolution is add/widen-only and reads unify; the final
+    state must still equal the oracle."""
+    from standardized_omop_data_etl_ray.datagen import make_change_events
+    from standardized_omop_data_etl_ray.oracle import assert_states_equal, oracle_apply
+
+    ev = make_change_events(
+        n_keys=200, n_events=1200, seed=19, window=200, evolve_after_frac=0.5
+    )
+    early = ev.filter(pa.compute.less(ev["lsn"], 600)).drop_columns(["size_bytes"])
+    late = ev.filter(pa.compute.greater_equal(ev["lsn"], 600))
+    lake = CDCLake(tmp_path, TableSpec(name="cdc", num_partitions=4))
+    recs = lake.apply_stream(
+        iter([rd.from_arrow(early), rd.from_arrow(late)]), max_inflight=2
+    )
+    assert all(r["committed"] for r in recs)
+    import ray
+
+    tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
+    state = pa.concat_tables(tabs, promote_options="permissive")
+    assert "size_bytes" in state.column_names
+    assert_states_equal(state, oracle_apply(ev))
