@@ -324,3 +324,50 @@ def test_apply_stream_with_mid_stream_schema_evolution(tmp_path):
     state = pa.concat_tables(tabs, promote_options="permissive")
     assert "size_bytes" in state.column_names
     assert_states_equal(state, oracle_apply(ev))
+
+
+def test_apply_stream_mid_stream_failure_leaves_orphans_invisible(tmp_path):
+    """A window that fails during phase 1 aborts the stream: earlier
+    epochs are committed, the failed/later epochs' files are invisible
+    orphans (gc reclaims them), and a resumed stream lands on the
+    oracle."""
+    import pytest
+
+    from standardized_omop_data_etl_ray.datagen import make_change_events, micro_batches
+    from standardized_omop_data_etl_ray.oracle import assert_states_equal, oracle_apply
+
+    ev = make_change_events(n_keys=200, n_events=2400, seed=29, window=400)
+    batches = list(micro_batches(ev, batch_windows=2, window=400))
+    assert len(batches) == 3
+
+    def boom(t: pa.Table) -> pa.Table:
+        raise RuntimeError("injected mid-stream failure")
+
+    lake = CDCLake(tmp_path, TableSpec(name="cdc", num_partitions=4))
+
+    def windows():
+        yield rd.from_arrow(batches[0])
+        yield rd.from_arrow(batches[1]).map_batches(boom, batch_format="pyarrow")
+        yield rd.from_arrow(batches[2])
+
+    with pytest.raises(Exception, match="injected|RayTaskError|Failed"):
+        lake.apply_stream(windows(), max_inflight=2)
+
+    # epoch 1 may or may not have committed before the abort; whatever
+    # IS committed must be a prefix of the log and readable
+    import ray
+
+    from standardized_omop_data_etl_ray.state import manifest as mf
+
+    m = mf.read_manifest(tmp_path, "cdc")
+    committed_epoch = m["epoch"] if m else 0
+    assert committed_epoch <= 1
+    # orphan delta files from uncommitted epochs are invisible + reclaimable
+    removed = lake.gc()
+    if committed_epoch == 0:
+        assert not list((tmp_path / "cdc").rglob("epoch=*/delta.parquet"))
+    # resume: re-apply the whole log (idempotent) → oracle state
+    for b in batches:
+        lake.apply_events(rd.from_arrow(b))
+    tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
+    assert_states_equal(pa.concat_tables(tabs), oracle_apply(ev))
