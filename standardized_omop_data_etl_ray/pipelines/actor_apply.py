@@ -210,9 +210,9 @@ class ActorLake:
         # schema evolution: unify the incoming event schema (add/widen
         # allowed, narrowing rejected) before standardize pads to target
         incoming = events.schema()
-        self.spec.schema = self.spec.evolve(
+        self.spec.schema = self.spec.evolve(self.spec.apply_rename(
             pa.schema(list(zip(incoming.names, incoming.types)))
-        )
+        ))
 
         std = events.map_batches(
             make_standardizer(self.spec), batch_format="pyarrow"

@@ -248,7 +248,9 @@ class CDCLake:
 
         # schema evolution: unify incoming event schema into the spec
         incoming = events.schema()
-        inc_schema = pa.schema(list(zip(incoming.names, incoming.types)))
+        inc_schema = self.spec.apply_rename(
+            pa.schema(list(zip(incoming.names, incoming.types)))
+        )
         self.spec.schema = self.spec.evolve(inc_schema)
 
         stats = self._phase1(events, epoch, self._watermarks(m),
@@ -300,9 +302,9 @@ class CDCLake:
             pending: list[tuple[int, object, float]] = []
             for i, w in enumerate(windows):
                 incoming = w.schema()
-                self.spec.schema = self.spec.evolve(
+                self.spec.schema = self.spec.evolve(self.spec.apply_rename(
                     pa.schema(list(zip(incoming.names, incoming.types)))
-                )
+                ))
                 fut = ex.submit(
                     self._phase1, w, base + i, wm.copy(),
                     salt_factor, shuffle_mode,

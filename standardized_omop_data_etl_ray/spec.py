@@ -67,6 +67,18 @@ class TableSpec:
     rename: dict[str, str] = field(default_factory=dict)
     num_partitions: int = 32
 
+    def apply_rename(self, incoming: pa.Schema) -> pa.Schema:
+        """Apply the schema-evolution rename map (OMOP-style field
+        remapping) to an incoming schema — callers must do this BEFORE
+        ``evolve``, else a renamed source column would be added as a
+        spurious new field instead of landing on its target."""
+        if not self.rename:
+            return incoming
+        return pa.schema(
+            [pa.field(self.rename.get(f.name, f.name), f.type)
+             for f in incoming]
+        )
+
     def evolve(self, incoming: pa.Schema) -> pa.Schema:
         """Unify the declared schema with an incoming batch schema.
 

@@ -371,3 +371,35 @@ def test_apply_stream_mid_stream_failure_leaves_orphans_invisible(tmp_path):
         lake.apply_events(rd.from_arrow(b))
     tabs = [t for t in ray.get(lake.read_state().to_arrow_refs()) if t.num_rows]
     assert_states_equal(pa.concat_tables(tabs), oracle_apply(ev))
+
+
+def test_schema_rename_remapping_through_lake(tmp_path):
+    """OMOP-style field remapping (spec.rename): later windows deliver
+    the content under a RENAMED source column; the spec maps it back to
+    the target name, and the renamed column must NOT appear as a
+    spurious new field in the evolved schema."""
+    spec = TableSpec(name="cdc", num_partitions=4, rename={"body": "content"})
+    lake = CDCLake(tmp_path, spec)
+    w1 = pa.table(
+        {
+            "op": ["I", "I"], "lsn": pa.array([1, 2], pa.int64()),
+            "repo": ["r", "r"], "path": ["a", "b"],
+            "commit": ["c1", "c2"], "lang": ["py", "py"],
+            "content": ["v1", "v2"],
+        }
+    )
+    # upstream renamed content -> body
+    w2 = pa.table(
+        {
+            "op": ["U"], "lsn": pa.array([5], pa.int64()),
+            "repo": ["r"], "path": ["a"],
+            "commit": ["c5"], "lang": ["py"],
+            "body": ["v5-renamed"],
+        }
+    )
+    lake.apply_events(rd.from_arrow(w1))
+    lake.apply_events(rd.from_arrow(w2))
+    df = lake.read_state().to_pandas().sort_values("path")
+    assert list(df["content"]) == ["v5-renamed", "v2"]
+    assert "body" not in df.columns
+    assert "body" not in [f.name for f in lake.spec.schema]
