@@ -166,7 +166,9 @@ QUERY_SUBSET = [
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q10_returned_customers", "unpivot_lineitem_metrics",
     "priority_merge_orders", "hourly_event_windows", "cdc_lww_upsert",
-    "dedup_exact_docs", "minhash_self_near_dups", "ann_topk_cosine",
+    "dedup_exact_docs", "minhash_self_near_dups", "simhash_self_near_dups",
+    "jaccard_near_dups", "embedding_self_near_dups", "ann_topk_cosine",
+    "omop_full_pipeline",
 ]
 
 
