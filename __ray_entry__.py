@@ -871,8 +871,10 @@ def jaccard_near_dups(sf_dir: str):
         )
 
     both = docs.union(docs.map_batches(modify, batch_format="pyarrow"))
+    # distinct=False: verify_jaccard_pairs' pair-bucket pivot dedups,
+    # so the global pair-distinct shuffle would be a wasted exchange
     pairs = minhash_candidate_pairs(both, "text", "doc_id",
-                                    concurrency=(2, 8))
+                                    concurrency=(2, 8), distinct=False)
     verified = verify_jaccard_pairs(pairs, both, "text", "doc_id",
                                     threshold=0.8)
     return verified.select_columns(["id_a", "id_b"])

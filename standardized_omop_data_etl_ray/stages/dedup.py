@@ -141,11 +141,15 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     concurrency: int = 4,
     carry_sha: bool = False,
+    distinct: bool = True,
 ) -> rd.Dataset:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket.  Returns distinct (id_a, id_b) with id_a < id_b; with
     ``carry_sha`` each pair also carries ``sha_a``/``sha_b`` (content
-    shas, verified inline — no join-back needed for exact-dup checks)."""
+    shas, verified inline — no join-back needed for exact-dup checks).
+    ``distinct=False`` skips the global pair-distinct shuffle — use when
+    the consumer re-groups by pair anyway (verify_jaccard_pairs' pivot
+    dedups per pair-bucket, so the extra exchange is pure waste)."""
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -184,7 +188,7 @@ def minhash_candidate_pairs(
         .groupby("cb")
         .map_groups(pairs_in_coarse, batch_format="pandas")
     )
-    return pair_distinct(pairs, num_buckets=B)
+    return pair_distinct(pairs, num_buckets=B) if distinct else pairs
 
 
 def pair_distinct(pairs: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
