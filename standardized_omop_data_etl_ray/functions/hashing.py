@@ -115,3 +115,15 @@ def partition_of(key_hash: pa.Array | np.ndarray, num_partitions: int) -> pa.Arr
 
 def sha256_hex_str(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()
+
+
+def sha_rollup(shas) -> str:
+    """Partition-level lineage checksum: sha256 over the key-ordered
+    row content-shas (tombstones contribute "D").  ONE formula shared
+    by the batch writer, the actor applier and compaction — a rollup
+    must compare equal for byte-identical partition content regardless
+    of which path wrote it."""
+    h = hashlib.sha256()
+    for s in shas:
+        h.update((s or "D").encode())
+    return h.hexdigest()

@@ -137,12 +137,11 @@ class PartitionApplier:
             tmp.replace(fpath)
             info["file"] = str(fpath.relative_to(Path(self.root) / self.table))
             info["bytes"] = fpath.stat().st_size
-            import hashlib
+            from ..functions.hashing import sha_rollup
 
-            h = hashlib.sha256()
-            shas = delta.column("content_sha").to_pylist()
-            h.update(b"\x00".join((s or "D").encode() for s in shas))
-            info["sha_rollup"] = h.hexdigest()
+            info["sha_rollup"] = sha_rollup(
+                delta.column("content_sha").to_pylist()
+            )
             mf.write_marker(self.root, self.table, epoch, part, info)
         return info
 
@@ -151,15 +150,22 @@ class PartitionApplier:
 
 
 @ray.remote
-def _route_block(block: pa.Table) -> dict[int, "ray.ObjectRef"]:
-    """Split one combined block by partition near the data; return refs
-    so the slices flow worker→actor via the object store, never through
-    the driver."""
+def _route_block(block: pa.Table, num_partitions: int) -> list:
+    """Split one combined block by partition near the data.  Invoked
+    with ``num_returns=num_partitions + 1``: return[0] is the (tiny)
+    list of populated partitions, return[1 + p] the slice for partition
+    p — each slice becomes a TASK RETURN (owned by the driver and
+    reconstructible via lineage if a worker dies), not a worker-owned
+    ``ray.put`` that would be lost with its routing worker.  Only the
+    ref handles pass through the driver; the slice bytes flow
+    worker→actor via the object store."""
     parts = block.column("part").to_numpy(zero_copy_only=False)
-    out: dict[int, ray.ObjectRef] = {}
+    out: list = [None] * num_partitions
+    present: list[int] = []
     for p in np.unique(parts):
-        out[int(p)] = ray.put(block.filter(pa.array(parts == p)))
-    return out
+        out[int(p)] = block.filter(pa.array(parts == p))
+        present.append(int(p))
+    return [present] + out
 
 
 class ActorLake:
@@ -218,18 +224,22 @@ class ActorLake:
             make_standardizer(self.spec), batch_format="pyarrow"
         ).map_batches(_partial(self.spec), batch_format="pyarrow")
 
-        # route blocks to partition owners; only {part: ref} maps reach
-        # the driver — the partition slices stay in the object store.
-        # Ref bundles are consumed AS THE PIPELINE STREAMS, so routing
-        # tasks overlap the standardize/combine stages instead of
-        # waiting for full materialization.
+        # route blocks to partition owners; only ref handles reach the
+        # driver — the partition slices stay in the object store.  Ref
+        # bundles are consumed AS THE PIPELINE STREAMS, so routing tasks
+        # overlap the standardize/combine stages instead of waiting for
+        # full materialization.
+        P = self.spec.num_partitions
         routed = []
         for bundle in std.iter_internal_ref_bundles():
-            routed.extend(_route_block.remote(ref) for ref in bundle.block_refs)
+            for ref in bundle.block_refs:
+                routed.append(
+                    _route_block.options(num_returns=P + 1).remote(ref, P)
+                )
         by_part: dict[int, list] = {}
-        for r in ray.get(routed):
-            for p, t in r.items():
-                by_part.setdefault(p, []).append(t)
+        for refs in routed:
+            for p in ray.get(refs[0]):  # tiny presence list only
+                by_part.setdefault(p, []).append(refs[1 + p])
 
         futs = []
         for p, refs in by_part.items():

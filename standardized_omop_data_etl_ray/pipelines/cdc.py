@@ -85,12 +85,7 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
         wm = int(pc.max(delta.column(lsn_col)).as_py())
         # partition-level content checksum (lineage): sha over the
         # key-ordered row shas (delta is already key-sorted)
-        import hashlib
-
-        h = hashlib.sha256()
-        for s in delta.column("content_sha").to_pylist():
-            h.update((s or "D").encode())
-        roll = h.hexdigest()
+        roll = hashing.sha_rollup(delta.column("content_sha").to_pylist())
         rel = str(fpath.relative_to(Path(root) / table))
         info = {
             "part": part,
@@ -305,9 +300,12 @@ class CDCLake:
                 self.spec.schema = self.spec.evolve(self.spec.apply_rename(
                     pa.schema(list(zip(incoming.names, incoming.types)))
                 ))
+                from dataclasses import replace as _dc_replace
+
+                spec_snap = _dc_replace(self.spec)  # freeze per-window
                 fut = ex.submit(
                     self._phase1, w, base + i, wm.copy(),
-                    salt_factor, shuffle_mode,
+                    salt_factor, shuffle_mode, spec_snap,
                 )
                 pending.append((base + i, fut, time.time()))
                 while len(pending) >= max_inflight:
@@ -339,38 +337,46 @@ class CDCLake:
         wm: np.ndarray,
         salt_factor: int = 0,
         shuffle_mode: str = "full",
+        spec: TableSpec | None = None,
     ) -> list[dict]:
         """Phase 1 of one epoch: standardize → combine → shuffle →
-        per-partition delta writes + markers.  No manifest access."""
-        P = self.spec.num_partitions
-        writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
+        per-partition delta writes + markers.  No manifest access.
+
+        ``spec`` is the PER-EPOCH spec snapshot: apply_stream evolves the
+        shared spec on the driver thread while earlier windows are still
+        in flight, so phase 1 must standardize against the schema frozen
+        at its own submit time (else delta file schemas become
+        timing-dependent)."""
+        spec = spec or self.spec
+        P = spec.num_partitions
+        writer = _delta_writer(self.root, spec.name, epoch, spec)
         if shuffle_mode == "winners":
             # winner-only path: (1) NARROW pass over (keys, lsn) only —
             # content never read, no sha — to find each key's winning
             # lsn; (2) main pass keeps only winners, hashes only them.
-            key_cols = list(self.spec.key_cols)
+            key_cols = list(spec.key_cols)
             narrow = events.select_columns(
-                key_cols + [self.spec.lsn_col]
+                key_cols + [spec.lsn_col]
             ).map_batches(
-                make_standardizer(self.spec, with_content_sha=False),
+                make_standardizer(spec, with_content_sha=False),
                 batch_format="pyarrow",
             ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
             winner_ref = self._compute_winners(narrow)
             std = events.map_batches(
-                make_standardizer(self.spec, with_content_sha=False),
+                make_standardizer(spec, with_content_sha=False),
                 batch_format="pyarrow",
             ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
             ev = self._keep_winners(std, winner_ref).map_batches(
-                make_sha_appender(self.spec), batch_format="pyarrow"
+                make_sha_appender(spec), batch_format="pyarrow"
             )
         else:
             std = events.map_batches(
-                make_standardizer(self.spec), batch_format="pyarrow"
+                make_standardizer(spec), batch_format="pyarrow"
             ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
             # per-block combiner: the shuffle moves per-key partials
             ev = std.map_batches(
-                lambda b: lww_reduce_table(b, self.spec.key_cols,
-                                           self.spec.lsn_col),
+                lambda b: lww_reduce_table(b, spec.key_cols,
+                                           spec.lsn_col),
                 batch_format="pyarrow",
             )
         if salt_factor > 1:
@@ -381,7 +387,7 @@ class CDCLake:
             )
             ev = (
                 ev.groupby(["part", "salt"], num_partitions=P)
-                .map_groups(_group_final(self.spec, True), batch_format="pyarrow")
+                .map_groups(_group_final(spec, True), batch_format="pyarrow")
                 .drop_columns(["salt"])
             )
         stats_ds = ev.groupby("part", num_partitions=P).map_groups(

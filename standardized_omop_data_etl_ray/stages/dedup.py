@@ -239,13 +239,25 @@ def join_pair_sides(
     B = num_buckets
     # docs is a plain read/projection (shuffle-free) → cheap schema probe
     dschema = docs.schema()
-    vtype = dict(zip(dschema.names, dschema.types))[value_col]
+    types = dict(zip(dschema.names, dschema.types))
+    vtype = types[value_col]
     if not isinstance(vtype, pa.DataType):
         vtype = pa.string()
+    idtype = types[id_col]
+    if not isinstance(idtype, pa.DataType):
+        idtype = pa.int64()
+
+    def _hash_ids(ids: np.ndarray) -> np.ndarray:
+        """uint64 hash of an id array — numeric ids via splitmix64,
+        anything else (strings, …) via pandas' vectorized hash.  Both
+        the pair endpoints and the doc rows go through THIS function,
+        so equal ids always land in the same bucket."""
+        if np.issubdtype(ids.dtype, np.integer):
+            return _mix64(ids.astype(np.int64).astype(np.uint64))
+        return pd.util.hash_array(ids.astype(object))
 
     def _bkt(ids: np.ndarray) -> pa.Array:
-        h = _mix64(ids.astype(np.int64).astype(np.uint64))
-        return pa.array((h % np.uint64(B)).astype(np.int32))
+        return pa.array((_hash_ids(ids) % np.uint64(B)).astype(np.int32))
 
     def explode(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False)
@@ -254,7 +266,7 @@ def join_pair_sides(
         eid = np.concatenate([a, b])
         return pa.table(
             {
-                "eid": pa.array(eid),
+                "eid": pa.array(eid, idtype),
                 "role": pa.array(
                     np.concatenate([np.zeros(n), np.ones(n)]).astype(np.int8)
                 ),
@@ -271,10 +283,10 @@ def join_pair_sides(
         n = len(ids)
         return pa.table(
             {
-                "eid": pa.array(ids),
+                "eid": pa.array(ids, idtype),
                 "role": pa.nulls(n, pa.int8()),
-                "id_a": pa.nulls(n, pa.int64()),
-                "id_b": pa.nulls(n, pa.int64()),
+                "id_a": pa.nulls(n, idtype),
+                "id_b": pa.nulls(n, idtype),
                 "val": t.column(value_col),
                 "bkt": _bkt(ids),
                 "side": pa.array(np.ones(n, np.int8)),
@@ -291,8 +303,8 @@ def join_pair_sides(
         e = g[g["side"] == 0].drop(columns=["val", "side", "bkt"])
         d = g[g["side"] == 1][["eid", "val"]]
         m = e.merge(d, on="eid", how="inner").drop(columns=["eid"])
-        pa_ = _mix64(m["id_a"].to_numpy().astype(np.int64).astype(np.uint64))
-        pb_ = _mix64(m["id_b"].to_numpy().astype(np.int64).astype(np.uint64))
+        pa_ = _hash_ids(m["id_a"].to_numpy())
+        pb_ = _hash_ids(m["id_b"].to_numpy())
         m["pbkt"] = (
             (pa_ * np.uint64(1099511628211) ^ pb_) % np.uint64(B)
         ).astype(np.int32)
@@ -470,22 +482,7 @@ def simhash_near_pairs(
     pairs = exploded.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy().astype(np.uint64)
-        b = t.column("id_b").to_numpy().astype(np.uint64)
-        pb = ((a * np.uint64(2654435761) ^ b) % np.uint64(64)).astype(np.int32)
-        return t.append_column("pb", pa.array(pb))
-
-    return (
-        pairs.map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(
-            lambda g: g.drop_duplicates(["id_a", "id_b"]),
-            batch_format="pandas",
-        )
-        .drop_columns(["pb"])
-    )
+    return pair_distinct(pairs)
 
 
 # ------------------------------------------------------------ embedding --
@@ -565,9 +562,8 @@ def embedding_near_dup_pairs(
                                  "cosine": pd.Series([], dtype="float64")})
         il = j["index_l"].to_numpy()[keep]
         ir = j["index_r"].to_numpy()[keep]
-        A = np.stack(g[emb_col].to_numpy())[il]
-        B = np.stack(g[emb_col].to_numpy())[ir]
-        cos = np.einsum("ij,ij->i", A, B)
+        M = np.stack(g[emb_col].to_numpy())
+        cos = np.einsum("ij,ij->i", M[il], M[ir])
         m = cos >= threshold
         out = pd.DataFrame(
             {"id_a": a[keep][m], "id_b": b[keep][m], "cosine": cos[m]}

@@ -264,9 +264,11 @@ def partitioned_hash_join(
 
     # per-bucket merge stays zero-copy Arrow: split by side tag, then a
     # DuckDB C++ hash join over the two Arrow tables (the pandas path
-    # paid astype copies of every column per bucket).  Output columns
-    # mirror pandas.merge: all left cols, then right cols with an "_r"
-    # suffix on collisions.
+    # paid astype copies of every column per bucket).  Output columns:
+    # all left cols, then ALL right cols with an "_r" suffix on name
+    # collisions — note the right join KEY is always kept (suffixed if
+    # left_on == right_on), unlike pandas.merge which coalesces
+    # identically-named keys into one column.
     lset = set(lcols)
     rsel = ", ".join(
         f'r."{c}" AS "{c}{"_r" if c in lset else ""}"' for c in rcols

@@ -166,7 +166,11 @@ def priority_merge_by_rank(
         bucket["__redundant"] = bucket[rank_col] > min_rank
         return bucket
 
-    return bucketed_groupby(ds, key_cols, resolve, num_buckets)
+    # drop the rank column like priority_merge drops its __rank — the
+    # two forms must be drop-in interchangeable for callers
+    return bucketed_groupby(ds, key_cols, resolve, num_buckets).drop_columns(
+        [rank_col]
+    )
 
 
 def lww_merge(

@@ -58,14 +58,17 @@ def _table_cols(
 
 def _per_key_winners(
     kh: np.ndarray, lsn: np.ndarray, dead: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Reduce to one row per key (max lsn), sorted by key."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Reduce to one row per key (max lsn), sorted by key.  The fourth
+    return is each winner's index into the INPUT arrays (so callers can
+    gather per-row side data, e.g. already-fetched prior lookups)."""
     order = np.lexsort((-lsn, kh))
-    k, l, d = kh[order], lsn[order], dead[order]
+    k = kh[order]
     first = np.empty(len(k), dtype=bool)
     first[:1] = True
     first[1:] = k[1:] != k[:-1]
-    return k[first], l[first], d[first]
+    sel = order[first]
+    return kh[sel], lsn[sel], dead[sel], sel
 
 
 class KeyIndex:
@@ -131,13 +134,17 @@ class KeyIndex:
 
     # -- mutation ----------------------------------------------------------
 
-    def _apply_winners(self, wk, wl, wd) -> None:
+    def _apply_winners(self, wk, wl, wd, prior_l=None, prior_d=None) -> None:
         """Merge per-key winners (sorted unique keys, each already known
-        to beat the current index entry) into new arrays."""
+        to beat the current index entry) into new arrays.  Callers that
+        already looked the winners up (accept_mask/bulk_load seeds) pass
+        ``prior_l``/``prior_d`` so the spilled runs aren't probed twice
+        per apply."""
         if not len(wk):
             return
         # live accounting consults the FULL prior state (hot + runs)…
-        prior_l, prior_d = self._lookup(wk)
+        if prior_l is None:
+            prior_l, prior_d = self._lookup(wk)
         exists_any = prior_l != _ABSENT
         was_live = exists_any & ~prior_d
         now_live = ~wd
@@ -168,10 +175,10 @@ class KeyIndex:
         if table.num_rows == 0:
             return
         kh, lsn, dead = _table_cols(table, self.lsn_col, self.op_col)
-        wk, wl, wd = _per_key_winners(kh, lsn, dead)
-        seed, _ = self._lookup(wk)
+        wk, wl, wd, _ = _per_key_winners(kh, lsn, dead)
+        seed, seed_d = self._lookup(wk)
         m = wl > seed
-        self._apply_winners(wk[m], wl[m], wd[m])
+        self._apply_winners(wk[m], wl[m], wd[m], seed[m], seed_d[m])
         self.watermark = max(self.watermark, int(lsn.max()))
         self._maybe_spill()
 
@@ -184,7 +191,7 @@ class KeyIndex:
             return np.zeros(0, dtype=bool)
         kh, lsn, dead = _table_cols(table, self.lsn_col, self.op_col)
         n = len(kh)
-        seed, _ = self._lookup(kh)
+        seed, seed_dead = self._lookup(kh)
 
         order = np.argsort(kh, kind="stable")  # key groups, original order
         sk, sl, ss = kh[order], lsn[order], seed[order]
@@ -202,8 +209,15 @@ class KeyIndex:
         mask[order] = acc_sorted
 
         if mask.any():
-            wk, wl, wd = _per_key_winners(kh[mask], lsn[mask], dead[mask])
-            self._apply_winners(wk, wl, wd)
+            midx = np.flatnonzero(mask)
+            wk, wl, wd, sel = _per_key_winners(
+                kh[mask], lsn[mask], dead[mask]
+            )
+            # winners' priors were already fetched in the seed pass —
+            # reuse them instead of re-probing the spilled runs
+            self._apply_winners(
+                wk, wl, wd, seed[midx[sel]], seed_dead[midx[sel]]
+            )
         self.watermark = max(self.watermark, int(lsn.max()))
         self._maybe_spill()
         return mask

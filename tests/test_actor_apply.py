@@ -305,3 +305,20 @@ def test_actor_lake_compact_and_recover(tmp_path):
         lake.apply_events(rd.from_arrow(b))
     assert_states_equal(_state(lake), ORACLE)
     assert len(lake.lineage()) >= len(BATCHES)
+
+
+def test_sha_rollup_parity_across_paths(tmp_path):
+    """Byte-identical partition content must produce the same lineage
+    checksum whether the batch writer or the actor applier wrote it."""
+    from standardized_omop_data_etl_ray.state import manifest as mf
+
+    a = ActorLake(tmp_path / "a", TableSpec(name="cdc", num_partitions=4),
+                  pool_size=2)
+    b = CDCLake(tmp_path / "b", TableSpec(name="cdc", num_partitions=4))
+    a.apply_events(rd.from_arrow(BATCHES[0]))
+    b.apply_events(rd.from_arrow(BATCHES[0]))
+    ma = mf.read_manifest(tmp_path / "a", "cdc")["partitions"]
+    mb = mf.read_manifest(tmp_path / "b", "cdc")["partitions"]
+    assert set(ma) == set(mb)
+    for p in ma:
+        assert ma[p]["sha_rollup"] == mb[p]["sha_rollup"], p

@@ -176,3 +176,34 @@ def test_verify_equal_pairs_distributed():
         rd.from_arrow(cand), rd.from_arrow(docs), "text", "doc_id"
     ).to_pandas()
     assert set(zip(out["id_a"], out["id_b"])) == {(0, 100)}
+
+
+def test_join_pair_sides_string_ids():
+    """Pair join-back with NON-integer ids (string doc keys) — the
+    bucket hash and null typing must follow the docs' id type."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        join_pair_sides,
+        verify_equal_pairs,
+    )
+
+    docs = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["same", "same", "other", "same"],
+    })
+    cand = pa.table({
+        "id_a": ["a", "a", "b"],
+        "id_b": ["b", "c", "d"],
+    })
+    j = join_pair_sides(
+        rd.from_arrow(cand), rd.from_arrow(docs), "doc_id", "text"
+    ).to_pandas()
+    got = {(r.id_a, r.id_b): (r.value_a, r.value_b) for r in j.itertuples()}
+    assert got == {
+        ("a", "b"): ("same", "same"),
+        ("a", "c"): ("same", "other"),
+        ("b", "d"): ("same", "same"),
+    }
+    v = verify_equal_pairs(
+        rd.from_arrow(cand), rd.from_arrow(docs), "text", "doc_id"
+    ).to_pandas()
+    assert set(zip(v["id_a"], v["id_b"])) == {("a", "b"), ("b", "d")}
