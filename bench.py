@@ -294,7 +294,12 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int, repeats: int = 4) -> tuple[dict, float]:
+    def _median(vals) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    def run(ncpu: int, repeats: int = 4) -> tuple[dict, float, float, float]:
         # min over repeats measures capability (filters machine noise);
         # the median is reported alongside for honesty about the spread.
         # Settle between runs so the previous Ray session's teardown
@@ -303,27 +308,34 @@ def scaling() -> None:
         for _ in range(repeats):
             results.append(run_once(ncpu))
             time.sleep(10)
-        secs = sorted(r["value"] for r in results)
-        median = secs[len(secs) // 2] if len(secs) % 2 else (
-            (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2
-        )
-        return min(results, key=lambda r: r["value"]), median
+        med = _median([r["value"] for r in results])
+        stream_min = min(r["stream_sec"] for r in results)
+        stream_med = _median([r["stream_sec"] for r in results])
+        return (min(results, key=lambda r: r["value"]), med,
+                stream_min, stream_med)
 
-    (lo, med8), (hi, med32) = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
-    eff_med = (med8 / med32) / (32 / 8)
+    (lo, med8, slo, smed8) = run(8)
+    (hi, med32, shi, smed32) = run(32)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
+                # serial 2-epoch headline
                 "sec_8": lo["value"],
                 "sec_32": hi["value"],
                 "median_sec_8": round(med8, 3),
                 "median_sec_32": round(med32, 3),
                 "events_per_sec_8": lo["events_per_sec"],
                 "events_per_sec_32": hi["events_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "scaling_efficiency_median": round(eff_med, 3),
+                "scaling_efficiency": round((lo["value"] / hi["value"]) / 4, 3),
+                "scaling_efficiency_median": round((med8 / med32) / 4, 3),
+                # pipelined 8-epoch stream (the production tailing shape)
+                "stream_sec_8": round(slo, 3),
+                "stream_sec_32": round(shi, 3),
+                "stream_scaling_efficiency": round((slo / shi) / 4, 3),
+                "stream_scaling_efficiency_median": round(
+                    (smed8 / smed32) / 4, 3
+                ),
                 "sf": lo["sf"],
                 "events": lo["events"],
             }
