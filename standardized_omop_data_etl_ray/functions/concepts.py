@@ -49,12 +49,17 @@ def coalesce_missing_concepts(
     for col in concept_cols:
         cid = batch.column(col)
         if pa.types.is_string(cid.type):
-            missing = pc.or_kleene(
-                pc.is_null(cid), pc.equal(pc.cast(cid, pa.string()), "")
+            # lenient: anything that isn't a clean integer string (junk,
+            # blanks, nulls) coalesces to concept 0 — this function's
+            # whole purpose is absorbing bad concept ids, so it must not
+            # crash the batch on one malformed value (M4)
+            parseable = pc.fill_null(
+                pc.match_substring_regex(cid, r"^\s*-?\d+\s*$"), False
             )
-            missing = pc.fill_null(missing, True)
+            missing = pc.invert(parseable)
             cid_num = pc.cast(
-                pc.if_else(missing, None, cid), pa.int64(), safe=False
+                pc.if_else(missing, None, pc.utf8_trim_whitespace(cid)),
+                pa.int64(), safe=False,
             )
         else:
             missing = pc.is_null(cid)

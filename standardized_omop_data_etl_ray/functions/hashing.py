@@ -92,6 +92,14 @@ def key_hash_u64(*cols: pa.Array | pa.ChunkedArray) -> pa.Array:
         for c in cols
     ]
     joined = pc.binary_join_element_wise(*cols, "\x00")
+    if joined.null_count:
+        # a null key column would propagate to a null hash, and
+        # partition_of would cast the NaN to a garbage partition id —
+        # fail loudly instead (the CDC key contract is non-null)
+        raise ValueError(
+            f"{joined.null_count} row(s) have a NULL key column — "
+            "CDC key columns must be non-null"
+        )
     if _HAVE_DUCKDB:
         tbl = pa.table({"k": joined})
         out = _con().execute(

@@ -43,10 +43,14 @@ def regex_extract_key(col: pa.Array, pattern: str, group: str = "k") -> pa.Array
     )
 
 
-def stable_key_id(*cols: pa.Array, digits: int = 18) -> pa.Array:
+def stable_key_id(*cols: pa.Array, digits: int | None = None) -> pa.Array:
     """Deterministic int64 surrogate id from the natural key (replaces the
     reference's order-dependent ``range(1, n+1)`` at create_table_ids.py:44
-    — id must not depend on arrival/concat order at scale)."""
+    — id must not depend on arrival/concat order at scale).
+
+    ``digits`` optionally bounds the id to < 10**digits (collision space
+    shrinks accordingly — only use for presentation-constrained ids);
+    default keeps the full 62-bit space."""
     from .hashing import key_hash_u64
 
     kh = key_hash_u64(*cols)
@@ -54,4 +58,6 @@ def stable_key_id(*cols: pa.Array, digits: int = 18) -> pa.Array:
     import numpy as np
 
     v = kh.to_numpy(zero_copy_only=False).astype(np.uint64) >> np.uint64(2)
+    if digits is not None:
+        v = v % np.uint64(10 ** digits)
     return pa.array(v.astype(np.int64), pa.int64())

@@ -49,13 +49,18 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
     """Length / punctuation / stopword / digit features + composite score
     (the usual pretraining-corpus quality heuristics)."""
     n_chars = texts.str.len().fillna(0).astype(np.int64)
-    words = texts.str.findall(_WORD_RE)
+    # null texts → empty word lists (str.findall yields NaN for nulls,
+    # which would crash the per-list lambdas below)
+    words = texts.str.findall(_WORD_RE).map(
+        lambda ws: ws if isinstance(ws, list) else []
+    )
     n_words = words.str.len().fillna(0).astype(np.int64)
     mean_word_len = (
         words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
     )
     n_punct = texts.str.count(r"[^\w\s]").fillna(0)
     n_digit = texts.str.count(r"\d").fillna(0)
+    # (n_chars already 0-filled for nulls → ratios are 0 for null docs)
     punct_ratio = (n_punct / n_chars.clip(lower=1)).astype(float)
     digit_ratio = (n_digit / n_chars.clip(lower=1)).astype(float)
     sw = _STOPWORDS["en"]
@@ -88,7 +93,7 @@ def detect_language(texts: pd.Series) -> pd.Series:
     tokens = texts.str.lower().str.findall(_WORD_RE)
 
     def vote(ws):
-        if not ws:
+        if not isinstance(ws, list) or not ws:  # null text → NaN → und
             return "und"
         best, hits = "und", 1
         for lang in langs:
@@ -255,5 +260,7 @@ def winnowing_fingerprint(
     h = hash_u64(np.array(grams, dtype=object))
     if len(h) <= window:
         return np.array([h.min()], dtype=np.uint64)
-    idx = pd.Series(h).rolling(window).min().dropna().to_numpy()
-    return np.unique(idx.astype(np.uint64))
+    # uint64-exact rolling min (pd.rolling would route through float64
+    # and corrupt the low bits of hashes > 2^53)
+    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(wins.min(axis=1))

@@ -27,15 +27,22 @@ def observation_periods(
     default_date=INDEX_DATE,
 ) -> rd.Dataset:
     """(person, min date, max date) across many tables' date columns,
-    excluding the 1900-01-01 sentinel; persons with no valid date get the
-    default single-day span (A4).  One union + one groupby shuffle."""
+    excluding the 1900-01-01 sentinel; persons whose dates are ALL
+    sentinel/null get the default single-day span (A4 — the reference
+    emits an index-date span rather than dropping the person).  One
+    union + one groupby shuffle."""
+    import pyarrow.compute as pc
+
     projected = []
     for ds, date_cols in tables:
         for dc in date_cols:
             def proj(batch: pa.Table, dc=dc) -> pa.Table:
+                # keep null/sentinel rows so the person still forms a
+                # group; Min/Max ignore nulls, the fill below defaults
                 d = exclude_sentinel(batch.column(dc))
-                t = pa.table({person_col: batch.column(person_col), "d": d})
-                return t.filter(pa.compute.is_valid(t.column("d")))
+                return pa.table(
+                    {person_col: batch.column(person_col), "d": d}
+                )
 
             projected.append(
                 ds.select_columns([person_col, dc]).map_batches(
@@ -49,7 +56,18 @@ def observation_periods(
         Min("d", alias_name="observation_period_start_date"),
         Max("d", alias_name="observation_period_end_date"),
     )
-    return agg
+
+    def fill(t: pa.Table) -> pa.Table:
+        d = pa.scalar(default_date, pa.date32())
+        for c in ("observation_period_start_date",
+                  "observation_period_end_date"):
+            i = t.column_names.index(c)
+            t = t.set_column(
+                i, c, pc.fill_null(pc.cast(t.column(c), pa.date32()), d)
+            )
+        return t
+
+    return agg.map_batches(fill, batch_format="pyarrow")
 
 
 def deterministic_ids(
@@ -131,16 +149,22 @@ def partial_then_global_agg(
     ds: rd.Dataset,
     key: str,
     value: str,
-    aggs: tuple[str, ...] = ("sum", "count", "min", "max"),
 ) -> rd.Dataset:
-    """Pre-aggregate inside map_batches then groupby over the partials —
-    the scale pattern for high-cardinality-input / low-cardinality-key
-    aggregation (SURVEY.md §4: push aggregation partial)."""
+    """Pre-aggregate (sum/count/min/max) inside map_batches then groupby
+    over the partials — the scale pattern for high-cardinality-input /
+    low-cardinality-key aggregation (SURVEY.md §4: push aggregation
+    partial).  Matches direct ``ds.groupby(key)`` semantics including
+    the null-key group (pandas' default dropna would silently shed
+    those rows from the partials)."""
     from ray.data.aggregate import Max as RMax, Min as RMin, Sum as RSum
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key, value]).to_pandas()
-        g = df.groupby(key)[value].agg(["sum", "count", "min", "max"]).reset_index()
+        g = (
+            df.groupby(key, dropna=False)[value]
+            .agg(["sum", "count", "min", "max"])
+            .reset_index()
+        )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

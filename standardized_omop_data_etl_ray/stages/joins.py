@@ -238,8 +238,18 @@ def partitioned_hash_join(
                     h = h * np.uint64(1099511628211) ^ _mix64(x)
                 kh = h
             else:
+                # null join keys never MATCH, but they must still land in
+                # some bucket (key_hash_u64 rejects nulls by contract) —
+                # a sentinel keeps them routable; the per-bucket join
+                # drops them naturally (SQL NULL = NULL is not true)
                 kh = key_hash_u64(
-                    *[pc.cast(t.column(k), pa.string()) for k in keys]
+                    *[
+                        pc.coalesce(
+                            pc.cast(t.column(k), pa.string()),
+                            pa.scalar("\x00__null__"),
+                        )
+                        for k in keys
+                    ]
                 )
             t = t.append_column("__bucket", partition_of(kh, num_buckets))
             return t.append_column(

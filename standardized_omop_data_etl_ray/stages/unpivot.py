@@ -43,8 +43,17 @@ def make_unpivoter(
     name_col: str | None = "concept_name",
     source_col_name: str | None = "source_variable",
     drop_nulls: bool = True,
+    value_type: pa.DataType | None = None,
 ):
-    """Return a batch fn: wide pa.Table → long pa.Table (1 row → ≤K rows)."""
+    """Return a batch fn: wide pa.Table → long pa.Table (1 row → ≤K rows).
+
+    ``value_type`` pins the value column's type across EVERY emitted
+    block (items are cast to it, and the empty-batch fallback uses it)
+    — pass it when item source columns have mixed types, else blocks
+    from batches where different items matched could carry different
+    schemas."""
+    if not items:
+        raise ValueError("make_unpivoter requires at least one item")
 
     def unpivot(batch: pa.Table) -> pa.Table:
         outs = []
@@ -61,7 +70,8 @@ def make_unpivoter(
             if sub.num_rows == 0:
                 continue
             cols = {c: sub.column(c) for c in id_cols}
-            cols[value_col] = sub.column(it.source_col)
+            v = sub.column(it.source_col)
+            cols[value_col] = pc.cast(v, value_type) if value_type else v
             n = sub.num_rows
             cols[concept_col] = pa.array([it.concept_id] * n, pa.int64())
             if name_col:
@@ -74,12 +84,20 @@ def make_unpivoter(
             for _ in range(it.repeat):
                 outs.append(t)
         if not outs:
-            # empty long table with the right schema
+            # empty long table with a STABLE schema: explicit value_type
+            # wins, else the first item column present in this batch,
+            # else float64 (never a type no matched batch would emit)
             probe = items[0]
             cols = {c: batch.column(c).slice(0, 0) for c in id_cols}
-            cols[value_col] = batch.column(probe.source_col).slice(0, 0) if (
-                probe.source_col in batch.column_names
-            ) else pa.array([], pa.int64())
+            vt = value_type
+            if vt is None:
+                for it in items:
+                    if it.source_col in batch.column_names:
+                        vt = batch.schema.field(it.source_col).type
+                        break
+                else:
+                    vt = pa.float64()
+            cols[value_col] = pa.array([], vt)
             cols[concept_col] = pa.array([], pa.int64())
             if name_col:
                 cols[name_col] = pa.array([], pa.string())

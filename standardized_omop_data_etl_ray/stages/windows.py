@@ -63,10 +63,13 @@ def hopping_aggregate(
 
     def fanout(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col)
-        epoch = pc.cast(
-            pc.floor(pc.divide(pc.cast(ts, pa.int64()), 1_000_000)),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
+        # FLOOR division to seconds: pc.divide on int64 truncates toward
+        # zero (pc.floor is then a no-op), which shifts pre-1970
+        # timestamps with sub-second parts into the wrong second/window
+        epoch = np.floor_divide(
+            pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False),
+            1_000_000,
+        )
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
         outs_start, outs_val = [], []
         for j in range(k):

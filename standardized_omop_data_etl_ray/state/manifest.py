@@ -60,8 +60,21 @@ def read_manifest(root: str | Path, table: str) -> dict | None:
         return json.load(f)
 
 
+def _fsync_dir(path: Path) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def commit_manifest(root: str | Path, table: str, manifest: dict) -> None:
-    """Phase 2: persist the root manifest, then atomic pointer swap."""
+    """Phase 2: persist the root manifest, then atomic pointer swap.
+
+    The pointer swap is the COMMIT POINT, so it must be durable, not
+    just atomic: the pointer tmp is fsynced before the rename and the
+    directory is fsynced after — otherwise power loss after return
+    could revert an acknowledged epoch (or leave an empty pointer)."""
     troot = table_root(root, table)
     mdir = troot / "_manifests"
     mdir.mkdir(parents=True, exist_ok=True)
@@ -72,9 +85,14 @@ def commit_manifest(root: str | Path, table: str, manifest: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, mdir / name)
+    _fsync_dir(mdir)
     ptmp = troot / "MANIFEST.tmp"
-    ptmp.write_text(name)
+    with open(ptmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(ptmp, troot / "MANIFEST")  # atomic: readers see old or new
+    _fsync_dir(troot)
 
 
 def write_marker(root: str | Path, table: str, epoch: int, part: int, info: dict) -> None:

@@ -204,7 +204,11 @@ def test_full_stage2_flow():
     periods = observation_periods(
         [(rd.from_arrow(wt), ["condition_start_date"])], person_col="person_id"
     ).to_pandas()
-    assert "P2" not in set(periods["person_id"])  # only sentinel date
+    # P2's only date is the sentinel → default single-day index span (A4)
+    from standardized_omop_data_etl_ray.functions.dates import INDEX_DATE
+
+    p2p = periods[periods["person_id"] == "P2"].iloc[0]
+    assert p2p["observation_period_start_date"] == INDEX_DATE
     p1 = periods[periods["person_id"] == "P1"].iloc[0]
     assert p1["observation_period_start_date"] == date(2010, 1, 1)
 

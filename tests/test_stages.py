@@ -157,8 +157,13 @@ def test_observation_periods_sentinel_and_default():
     p1 = out[out["person_id"] == "P1"].iloc[0]
     assert p1["observation_period_start_date"] == date(2016, 3, 1)
     assert p1["observation_period_end_date"] == date(2017, 5, 1)
-    # P2's only date is the sentinel → excluded → no row (caller defaults)
-    assert "P2" not in set(out["person_id"])
+    # P2's only date is the sentinel → default single-day index span
+    # (A4: the reference emits a default span, not a missing person)
+    from standardized_omop_data_etl_ray.functions.dates import INDEX_DATE
+
+    p2 = out[out["person_id"] == "P2"].iloc[0]
+    assert p2["observation_period_start_date"] == INDEX_DATE
+    assert p2["observation_period_end_date"] == INDEX_DATE
 
 
 def test_sequential_and_deterministic_ids():
