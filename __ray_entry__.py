@@ -906,6 +906,13 @@ ex AS (SELECT doc_id, unnest(s) AS g FROM ds),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    UNION
+    -- two shingle-less docs have jaccard 1.0 by the engine's definition
+    -- (empty ∩ / empty ∪ → 1.0) but share no unnested shingle — pair
+    -- them explicitly so both sides agree on empty/whitespace texts
+    SELECT a.doc_id, b.doc_id
+    FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+    WHERE len(a.s) = 0 AND len(b.s) = 0
 )
 SELECT id_a, id_b
 FROM cand JOIN ds da ON da.doc_id = id_a JOIN ds db ON db.doc_id = id_b

@@ -29,7 +29,7 @@ def oracle_apply(events: pa.Table) -> pa.Table:
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY repo, path
-                ORDER BY lsn DESC
+                ORDER BY lsn DESC, commit DESC
             ) AS rn
             FROM events
         )

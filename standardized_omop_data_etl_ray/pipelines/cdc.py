@@ -104,13 +104,33 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
     return write_group
 
 
-def _watermark_filter(wm_array: np.ndarray):
+def _partition_resolver(schema: pa.Schema, spec: TableSpec):
+    """Batch fn over a table of per-partition file lists: read the
+    partition's delta files, LWW-resolve, drop tombstones.  Shared by
+    the merge-on-read path and compaction so their semantics cannot
+    drift."""
+
+    def resolve_partition(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pds
+
+        tables = []
+        for files in batch.column("files").to_pylist():
+            tables.append(pds.dataset(files, schema=schema).to_table())
+        merged = pa.concat_tables(tables, promote_options="permissive")
+        resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
+        return drop_tombstones(resolved, spec.op_col)
+
+    return resolve_partition
+
+
+def _watermark_filter(wm_array: np.ndarray, lsn_col: str = "lsn"):
     """Drop events at or below the committed watermark of their partition
-    (idempotent re-apply on replay/resume)."""
+    (idempotent re-apply on replay/resume).  ``part`` is engine-derived
+    (standardize adds it); the LSN column follows the TableSpec."""
 
     def fn(batch: pa.Table) -> pa.Table:
         parts = batch.column("part").to_numpy()
-        lsns = batch.column("lsn").to_numpy()
+        lsns = batch.column(lsn_col).to_numpy()
         return batch.filter(pa.array(lsns > wm_array[parts]))
 
     return fn
@@ -136,7 +156,7 @@ class CDCLake:
 
     # -- write path -------------------------------------------------------
 
-    def _compute_winners(self, narrow: rd.Dataset):
+    def _compute_winners(self, narrow: rd.Dataset, lsn_col: str = "lsn"):
         """Per-key winning lsn from a narrow (keys, lsn) dataset; returns
         a ray ObjectRef of sorted (key_hash[], lsn[]) arrays, or None for
         an empty epoch.  The winner set is bounded by keys-touched-this-
@@ -153,14 +173,14 @@ class CDCLake:
 
         def partial_max(t: pa.Table) -> pa.Table:
             kh = t.column("key_hash").to_numpy(zero_copy_only=False)
-            ls = t.column("lsn").to_numpy(zero_copy_only=False)
+            ls = t.column(lsn_col).to_numpy(zero_copy_only=False)
             order = np.lexsort((-ls, kh))
             khs, lss = kh[order], ls[order]
             first = np.ones(len(khs), dtype=bool)
             first[1:] = khs[1:] != khs[:-1]
             return pa.table(
                 {"key_hash": pa.array(khs[first], pa.uint64()),
-                 "lsn": pa.array(lss[first], pa.int64())}
+                 lsn_col: pa.array(lss[first], pa.int64())}
             )
 
         partials = narrow.map_batches(partial_max, batch_format="pyarrow")
@@ -169,14 +189,14 @@ class CDCLake:
             return None
         allw = pa.concat_tables(tabs)
         wk = allw.column("key_hash").to_numpy(zero_copy_only=False)
-        wl = allw.column("lsn").to_numpy(zero_copy_only=False)
+        wl = allw.column(lsn_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((-wl, wk))
         wk, wl = wk[order], wl[order]
         first = np.ones(len(wk), dtype=bool)
         first[1:] = wk[1:] != wk[:-1]
         return ray.put((wk[first], wl[first]))
 
-    def _keep_winners(self, ev: rd.Dataset, ref) -> rd.Dataset:
+    def _keep_winners(self, ev: rd.Dataset, ref, lsn_col: str = "lsn") -> rd.Dataset:
         if ref is None:
             return ev  # empty epoch
 
@@ -185,7 +205,7 @@ class CDCLake:
 
             wk_, wl_ = _cached_get(ref)
             kh = t.column("key_hash").to_numpy(zero_copy_only=False)
-            ls = t.column("lsn").to_numpy(zero_copy_only=False)
+            ls = t.column(lsn_col).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(wk_, kh)
             pos = np.clip(pos, 0, len(wk_) - 1)
             keep = (wk_[pos] == kh) & (wl_[pos] == ls)
@@ -242,10 +262,10 @@ class CDCLake:
         epoch = (m["epoch"] + 1) if m else 1
 
         # schema evolution: unify incoming event schema into the spec
-        incoming = events.schema()
-        inc_schema = self.spec.apply_rename(
-            pa.schema(list(zip(incoming.names, incoming.types)))
-        )
+        # (_as_arrow_schema: pandas-block datasets report numpy dtypes)
+        from ..stages.joins import _as_arrow_schema
+
+        inc_schema = self.spec.apply_rename(_as_arrow_schema(events.schema()))
         self.spec.schema = self.spec.evolve(inc_schema)
 
         stats = self._phase1(events, epoch, self._watermarks(m),
@@ -296,10 +316,11 @@ class CDCLake:
         with ThreadPoolExecutor(max_workers=max_inflight) as ex:
             pending: list[tuple[int, object, float]] = []
             for i, w in enumerate(windows):
-                incoming = w.schema()
-                self.spec.schema = self.spec.evolve(self.spec.apply_rename(
-                    pa.schema(list(zip(incoming.names, incoming.types)))
-                ))
+                from ..stages.joins import _as_arrow_schema
+
+                self.spec.schema = self.spec.evolve(
+                    self.spec.apply_rename(_as_arrow_schema(w.schema()))
+                )
                 from dataclasses import replace as _dc_replace
 
                 spec_snap = _dc_replace(self.spec)  # freeze per-window
@@ -307,7 +328,7 @@ class CDCLake:
                     self._phase1, w, base + i, wm.copy(),
                     salt_factor, shuffle_mode, spec_snap,
                 )
-                pending.append((base + i, fut, time.time()))
+                pending.append((base + i, fut, time.time(), spec_snap))
                 while len(pending) >= max_inflight:
                     records.append(self._commit_next(pending))
             while pending:
@@ -315,7 +336,7 @@ class CDCLake:
         return records
 
     def _commit_next(self, pending) -> dict:
-        epoch, fut, t0 = pending.pop(0)
+        epoch, fut, t0, spec_snap = pending.pop(0)
         stats = fut.result()
         prev = mf.read_manifest(self.root, self.spec.name)
         record = {
@@ -326,7 +347,9 @@ class CDCLake:
             "events_seen": int(sum(s["events_seen"] for s in stats)),
             "wall_sec": round(time.time() - t0, 3),
         }
-        self._commit(prev, epoch, stats, record)
+        # commit with the epoch's OWN spec snapshot: the live spec may
+        # already carry columns from still-uncommitted in-flight windows
+        self._commit(prev, epoch, stats, record, spec_snap)
         record["committed"] = True
         return record
 
@@ -360,19 +383,25 @@ class CDCLake:
             ).map_batches(
                 make_standardizer(spec, with_content_sha=False),
                 batch_format="pyarrow",
-            ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
-            winner_ref = self._compute_winners(narrow)
+            ).map_batches(
+                _watermark_filter(wm, spec.lsn_col), batch_format="pyarrow"
+            )
+            winner_ref = self._compute_winners(narrow, spec.lsn_col)
             std = events.map_batches(
                 make_standardizer(spec, with_content_sha=False),
                 batch_format="pyarrow",
-            ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
-            ev = self._keep_winners(std, winner_ref).map_batches(
+            ).map_batches(
+                _watermark_filter(wm, spec.lsn_col), batch_format="pyarrow"
+            )
+            ev = self._keep_winners(std, winner_ref, spec.lsn_col).map_batches(
                 make_sha_appender(spec), batch_format="pyarrow"
             )
         else:
             std = events.map_batches(
                 make_standardizer(spec), batch_format="pyarrow"
-            ).map_batches(_watermark_filter(wm), batch_format="pyarrow")
+            ).map_batches(
+                _watermark_filter(wm, spec.lsn_col), batch_format="pyarrow"
+            )
             # per-block combiner: the shuffle moves per-key partials
             ev = std.map_batches(
                 lambda b: lww_reduce_table(b, spec.key_cols,
@@ -395,7 +424,9 @@ class CDCLake:
         )
         return stats_ds.take_all()  # ≤ P tiny rows — phase 1 complete here
 
-    def _commit(self, prev: dict | None, epoch: int, stats: list[dict], record: dict):
+    def _commit(self, prev: dict | None, epoch: int, stats: list[dict],
+                record: dict, spec: TableSpec | None = None):
+        spec = spec or self.spec
         partitions = dict(prev["partitions"]) if prev else {}
         lineage = list(prev.get("lineage", [])) if prev else []
         for s in stats:
@@ -412,16 +443,16 @@ class CDCLake:
             "table": self.spec.name,
             "epoch": epoch,
             "num_partitions": self.spec.num_partitions,
-            "schema": mf.schema_to_b64(self._state_schema()),
+            "schema": mf.schema_to_b64(self._state_schema(spec)),
             "partitions": partitions,
             "lineage": lineage,
             "compacted": False,
         }
         mf.commit_manifest(self.root, self.spec.name, manifest)
 
-    def _state_schema(self) -> pa.Schema:
+    def _state_schema(self, spec: TableSpec | None = None) -> pa.Schema:
         """Delta-file schema = evolved event schema + engine columns."""
-        fields = list(self.spec.schema)
+        fields = list((spec or self.spec).schema)
         extra = [
             pa.field("content_sha", pa.string()),
             pa.field("key_hash", pa.uint64()),
@@ -462,23 +493,10 @@ class CDCLake:
                 for pinfo in m["partitions"].values()
                 if pinfo["files"]
             ]
-            spec = self.spec
-
-            def resolve_partition(batch: pa.Table) -> pa.Table:
-                import pyarrow.dataset as pds
-
-                tables = []
-                for files in batch.column("files").to_pylist():
-                    t = pds.dataset(files, schema=schema).to_table()
-                    tables.append(t)
-                merged = pa.concat_tables(tables, promote_options="permissive")
-                resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
-                return drop_tombstones(resolved, spec.op_col)
-
             out = rd.from_arrow(
                 pa.table({"files": pa.array(part_files)})
             ).repartition(len(part_files)).map_batches(
-                resolve_partition, batch_format="pyarrow"
+                _partition_resolver(schema, self.spec), batch_format="pyarrow"
             )
         if drop_engine_cols:
             out = out.drop_columns(["content_sha", "key_hash", "part"])
@@ -510,28 +528,17 @@ class CDCLake:
         epoch = m["epoch"] + 1
         troot = Path(self.root) / self.spec.name
         schema = mf.schema_from_b64(m["schema"])
-        spec = self.spec
         part_files = [
             [str(troot / f) for f in info["files"]] for info in targets.values()
         ]
-
-        def resolve_partition(batch: pa.Table) -> pa.Table:
-            import pyarrow.dataset as pds
-
-            tables = []
-            for files in batch.column("files").to_pylist():
-                tables.append(pds.dataset(files, schema=schema).to_table())
-            merged = pa.concat_tables(tables, promote_options="permissive")
-            resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
-            return drop_tombstones(resolved, spec.op_col)
-
         writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
         stats = (
             rd.from_arrow(pa.table({"files": pa.array(part_files)}))
             .repartition(len(part_files))
-            .map_batches(resolve_partition, batch_format="pyarrow")
+            .map_batches(_partition_resolver(schema, self.spec),
+                         batch_format="pyarrow")
             .groupby("part", num_partitions=min(len(part_files),
-                                                spec.num_partitions))
+                                                self.spec.num_partitions))
             .map_groups(writer, batch_format="pyarrow")
             .take_all()
         )

@@ -43,19 +43,23 @@ def brute_force_topk(
         M = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
         S = Qm @ M.T  # (q, n)
         kk = min(k, S.shape[1])
-        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
         rows = []
         for qi in range(S.shape[0]):
-            for j in top[qi]:
+            # deterministic top-k: cosine DESC then vec_id ASC — the
+            # same tiebreak as the SQL oracle; an argpartition without
+            # it would keep an arbitrary member of a boundary tie
+            order = np.lexsort((ids, -S[qi]))[:kk]
+            for j in order:
                 rows.append((qids[qi], ids[j], float(S[qi, j])))
         return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
 
     partials = ds.map_batches(score, batch_format="pandas")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nlargest(k, ["cosine", "vec_id"]).sort_values(
+        # cosine DESC, vec_id ASC (nlargest would break ties DESC)
+        return g.sort_values(
             ["cosine", "vec_id"], ascending=[False, True]
-        )
+        ).head(k)
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 

@@ -23,11 +23,15 @@ import ray
 import ray.data as rd
 
 _BCAST_CACHE: dict[str, object] = {}
+_BCAST_CACHE_MAX = 64  # bounded: long-running tailing workers would
+# otherwise retain every epoch's broadcast (e.g. winner sets) forever
 
 
 def _cached_get(ref: "ray.ObjectRef"):
     key = ref.hex()
     if key not in _BCAST_CACHE:
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))  # FIFO evict
         _BCAST_CACHE[key] = ray.get(ref)
     return _BCAST_CACHE[key]
 

@@ -108,3 +108,42 @@ def test_pack_years_kernel():
 
     out = pack_years(pa.array([10.0, 0.0]), pa.array([1.5, 2.0])).to_pylist()
     assert out == [5475.0, 0.0]  # years × packs/day × 365 (M14)
+
+
+def test_lake_with_custom_lsn_column(tmp_path):
+    """TableSpec with a non-default LSN column name: the watermark
+    filter / winners path must follow spec.lsn_col, not 'lsn'."""
+    spec = TableSpec(
+        name="seqlake",
+        lsn_col="seq",
+        schema=pa.schema(
+            [
+                ("op", pa.string()),
+                ("seq", pa.int64()),
+                ("repo", pa.string()),
+                ("path", pa.string()),
+                ("commit", pa.string()),
+                ("lang", pa.string()),
+                ("content", pa.string()),
+            ]
+        ),
+        num_partitions=4,
+    )
+    ev = pa.table(
+        {
+            "op": ["I", "U", "I"],
+            "seq": pa.array([1, 5, 2], pa.int64()),
+            "repo": ["r", "r", "r"],
+            "path": ["a", "a", "b"],
+            "commit": ["c1", "c5", "c2"],
+            "lang": ["py", "py", "py"],
+            "content": ["v1", "v5", "b2"],
+        }
+    )
+    lake = CDCLake(tmp_path, spec)
+    lake.apply_events(rd.from_arrow(ev))
+    # replay (idempotence must also consult the custom column)
+    rec = lake.apply_events(rd.from_arrow(ev))
+    assert rec["events_seen"] == 0
+    df = lake.read_state().to_pandas().sort_values("path")
+    assert list(df["content"]) == ["v5", "b2"]
