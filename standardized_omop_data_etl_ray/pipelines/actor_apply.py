@@ -112,6 +112,17 @@ class PartitionApplier:
             pa.concat_tables(tables, promote_options="permissive")
             if len(tables) > 1 else tables[0]
         )
+        # Partition-watermark filter (the batch path's _watermark_filter
+        # analog).  The per-key accept_mask alone cannot reject a
+        # re-delivered PRE-delete event once compaction has dropped the
+        # key's tombstone from the recovered file set — the rebuilt index
+        # forgets the delete LSN and would resurrect the key.  After
+        # begin_epoch, idx.watermark is exactly the committed watermark
+        # relative to this epoch (an uncommitted retry was just rolled
+        # back), so anything at or below it is a redelivery.
+        if idx.watermark >= 0:
+            lsns = table.column(self.spec.lsn_col)
+            table = table.filter(pc.greater(lsns, idx.watermark))
         from ..stages.merge import lww_reduce_table
 
         table = lww_reduce_table(table, self.spec.key_cols, self.spec.lsn_col)
@@ -305,11 +316,15 @@ class ActorLake:
         return self._as_cdclake().read_state(drop_engine_cols)
 
     def compact(self, max_files: int | None = None) -> dict:
-        """Same COW compaction as the batch lake (shared manifests).
-        Rebuild the pool afterwards so rebuilt-actor recovery reads the
-        compacted file set (live indexes are unaffected — compaction
-        preserves state content)."""
-        return self._as_cdclake().compact(max_files)
+        """Same COW compaction as the batch lake (shared manifests),
+        then rebuild the pool so actor recovery reads the compacted file
+        set.  Compaction drops tombstones from rewritten files; rebuilt
+        indexes therefore forget delete LSNs, which is safe only because
+        apply() also rejects rows at or below the recovered partition
+        watermark (see the filter in PartitionApplier.apply)."""
+        record = self._as_cdclake().compact(max_files)
+        self.rebuild_pool()
+        return record
 
     def gc(self) -> list[str]:
         return self._as_cdclake().gc()

@@ -330,12 +330,12 @@ class CDCLake:
                 )
                 pending.append((base + i, fut, time.time(), spec_snap))
                 while len(pending) >= max_inflight:
-                    records.append(self._commit_next(pending))
+                    records.append(self._commit_next(pending, wm))
             while pending:
-                records.append(self._commit_next(pending))
+                records.append(self._commit_next(pending, wm))
         return records
 
-    def _commit_next(self, pending) -> dict:
+    def _commit_next(self, pending, wm: np.ndarray | None = None) -> dict:
         epoch, fut, t0, spec_snap = pending.pop(0)
         stats = fut.result()
         prev = mf.read_manifest(self.root, self.spec.name)
@@ -350,6 +350,17 @@ class CDCLake:
         # commit with the epoch's OWN spec snapshot: the live spec may
         # already carry columns from still-uncommitted in-flight windows
         self._commit(prev, epoch, stats, record, spec_snap)
+        # tighten the shared watermark snapshot so windows submitted
+        # AFTER this commit filter against it (in-flight windows keep
+        # their own copies — still safe, they can only under-drop, and
+        # redeliveries die in the per-key LWW merge); without this a
+        # long stream re-writes straddling rows into new delta files
+        # every epoch
+        if wm is not None:
+            for s in stats:
+                p = s["part"]
+                if s["watermark"] > wm[p]:
+                    wm[p] = s["watermark"]
         record["committed"] = True
         return record
 

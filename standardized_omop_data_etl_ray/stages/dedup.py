@@ -321,7 +321,17 @@ def join_pair_sides(
         b = g[g["role"] == 1][["id_a", "id_b", "val"]].rename(
             columns={"val": "value_b"}
         ).drop_duplicates(["id_a", "id_b"])
-        return a.merge(b, on=["id_a", "id_b"], how="inner")
+        out = a.merge(b, on=["id_a", "id_b"], how="inner")
+        # The union frame carried null id_a/id_b on doc rows, so pandas
+        # widened integer ids to float64; restore the source id dtype
+        # (post-inner-merge there are no nulls, so the cast is exact).
+        try:
+            iddt = idtype.to_pandas_dtype()
+            out["id_a"] = out["id_a"].astype(iddt)
+            out["id_b"] = out["id_b"].astype(iddt)
+        except (TypeError, NotImplementedError):
+            pass  # non-numpy-representable id type: leave as-is
+        return out
 
     return halves.groupby("pbkt", num_partitions=B).map_groups(
         pivot, batch_format="pandas"

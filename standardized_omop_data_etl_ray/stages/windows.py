@@ -24,7 +24,11 @@ def add_tumbling_window(
 
     def fn(batch: pa.Table) -> pa.Table:
         w = pc.floor_temporal(batch.column(ts_col), unit=unit)
-        return batch.append_column(out_col, w)
+        # Normalize to us so downstream hashing/oracles see one unit
+        # regardless of the source column's resolution (floor_temporal
+        # preserves the input unit; a timestamp[s] source would otherwise
+        # surface a timestamp[s] window while SQL date_trunc emits us).
+        return batch.append_column(out_col, pc.cast(w, pa.timestamp("us")))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -40,11 +44,25 @@ def tumbling_aggregate(
     (optionally per extra key)."""
     keys = ["window_start"] + (extra_keys or [])
     w = add_tumbling_window(ds, ts_col, unit)
-    return w.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
+    agg = w.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
         Count(alias_name="n_events"),
         Sum(value_col, alias_name="sum_value"),
         Mean(value_col, alias_name="avg_value"),
     )
+
+    # Ray's hash Aggregate re-materializes the grouping key and can
+    # coarsen its unit to timestamp[s]; pin us so the output unit is
+    # stable and matches SQL date_trunc (driver value hashes are
+    # unit-sensitive even when the instants are identical).
+    def _pin_us(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i,
+            "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")),
+        )
+
+    return agg.map_batches(_pin_us, batch_format="pyarrow")
 
 
 def hopping_aggregate(

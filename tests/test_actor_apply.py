@@ -307,6 +307,41 @@ def test_actor_lake_compact_and_recover(tmp_path):
     assert len(lake.lineage()) >= len(BATCHES)
 
 
+def test_no_resurrection_after_compaction(tmp_path):
+    """Compaction drops tombstones from rewritten delta files, so a
+    rebuilt actor's index forgets deleted keys; a re-delivered PRE-delete
+    event must still be rejected (by the recovered partition watermark)
+    instead of resurrecting the key — the batch path is protected by
+    _watermark_filter, the actor path by the filter in apply()."""
+    lake = ActorLake(tmp_path, TableSpec(name="cdc", num_partitions=4),
+                     pool_size=2)
+    ins = pa.table(
+        {
+            "op": ["I", "I"], "lsn": pa.array([1, 2], pa.int64()),
+            "repo": ["r", "r"], "path": ["p", "q"],
+            "commit": ["a", "b"], "lang": ["py", "py"],
+            "content": ["v1", "q2"],
+        }
+    )
+    dele = pa.table(
+        {
+            "op": ["D"], "lsn": pa.array([5], pa.int64()),
+            "repo": ["r"], "path": ["p"],
+            "commit": ["c"], "lang": ["py"], "content": [""],
+        }
+    )
+    lake.apply_events(rd.from_arrow(ins))
+    lake.apply_events(rd.from_arrow(dele))
+    lake.compact()            # rewrites without tombstones, rebuilds pool
+    lake.kill_pool()
+    lake.rebuild_pool()       # indexes recovered from tombstone-free files
+    # redelivery of the original pre-delete insert (lsn 1 <= watermark 5)
+    rec = lake.apply_events(rd.from_arrow(ins))
+    assert rec["rows_upserted"] == 0
+    state = canonical_state(_state(lake))
+    assert state.column("path").to_pylist() == ["q"]  # p stays deleted
+
+
 def test_sha_rollup_parity_across_paths(tmp_path):
     """Byte-identical partition content must produce the same lineage
     checksum whether the batch writer or the actor applier wrote it."""
