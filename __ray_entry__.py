@@ -56,6 +56,24 @@ def _pq_schema(sf_dir: str, name: str, cols: list[str]) -> pa.Schema:
     return pa.schema([sch.field(c) for c in cols])
 
 
+def _ts_us(cols: list[str]):
+    """Pin timestamp columns to us resolution: Ray's hash Aggregate can
+    re-materialize a grouping key at timestamp[s], while DuckDB
+    date_trunc/CAST emit timestamp[us] — the driver's value hash is
+    unit-sensitive even when the instants are identical."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in batch.column_names:
+                i = batch.schema.get_field_index(c)
+                batch = batch.set_column(
+                    i, c, pc.cast(batch.column(c), pa.timestamp("us"))
+                )
+        return batch
+
+    return fn
+
+
 def _round_cols(digits: dict[str, int]):
     """SQL-compatible rounding (bit-identical to DuckDB ROUND — see
     functions/rounding.py; pc.round diverges on scaled-.5 boundaries)."""
@@ -123,7 +141,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_orders(sf_dir: str):
+def q3_top_orders(sf_dir: str, _broadcast_limit: int = 2_000_000):
     """Shuffle hash join (Dataset.join) + broadcast semi-join + top-k."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     bld = cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()
@@ -146,14 +164,45 @@ def q3_top_orders(sf_dir: str):
         lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
         batch_format="pyarrow",
     )
-    # SIZE ASSUMPTION: the broadcast side is orders pre-filtered to one
-    # market segment AND a date cutoff (~1/10 of orders at TPC-H stats);
-    # projected to 2 columns it stays megabytes at sf≤10.  Above that,
-    # switch to partitioned_hash_join as in q5/q10.
-    joined = broadcast_join(
-        li, o.to_pandas().rename(columns={"o_orderkey": "l_orderkey"}),
-        on="l_orderkey", how="inner",
-    )
+    # GUARDED broadcast (VERDICT r2 #9): the small side is orders
+    # pre-filtered to one market segment AND a date cutoff (~1/20 of
+    # orders at TPC-H stats — megabytes at sf≤10), but the assumption
+    # is now MEASURED: above _broadcast_limit rows the join falls back
+    # to the partitioned hash join exactly as q5/q10.
+    o_mat = o.materialize()
+    if o_mat.count() <= _broadcast_limit:
+        joined = broadcast_join(
+            li,
+            o_mat.to_pandas().rename(columns={"o_orderkey": "l_orderkey"}),
+            on="l_orderkey", how="inner",
+        )
+    else:
+        from standardized_omop_data_etl_ray.stages.joins import (
+            partitioned_hash_join,
+        )
+
+        from standardized_omop_data_etl_ray.stages.joins import (
+            nonempty_arrow_blocks,
+        )
+
+        oschema = _pq_schema(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+        # normalize the semi-join's pandas blocks to Arrow and drop the
+        # schema-less empties Ray skips UDFs on — either would poison
+        # the join shuffle's block unification (int keys → float64)
+        o_arrow = nonempty_arrow_blocks(o_mat)
+        joined = partitioned_hash_join(
+            li, o_arrow,
+            left_on=["l_orderkey"], right_on=["o_orderkey"],
+            how="inner",
+            left_schema=_pq_schema(
+                sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+            ),
+            right_schema=oschema,
+        )
 
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t.column("l_extendedprice"),
@@ -169,7 +218,7 @@ def q3_top_orders(sf_dir: str):
         .map_batches(_round_cols({"revenue": 2}), batch_format="pyarrow")
     )
     top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
-    return top
+    return top.map_batches(_ts_us(["o_orderdate"]), batch_format="pyarrow")
 
 
 _Q3_SQL = """
@@ -361,6 +410,7 @@ def orders_by_priority(sf_dir: str):
         .aggregate(Count(alias_name="n_orders"),
                    Sum("o_totalprice", alias_name="sum_total"))
         .map_batches(_round_cols({"sum_total": 2}), batch_format="pyarrow")
+        .map_batches(_ts_us(["month"]), batch_format="pyarrow")
     )
 
 
@@ -1085,9 +1135,21 @@ def ivf_topk_cosine(sf_dir: str):
     from standardized_omop_data_etl_ray.stages.ann import IVFIndex, ivf_topk
 
     emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # k-means fit on a bounded sample — never the full corpus on the
-    # driver (VERDICT r1: ivf fit did a full to_pandas)
-    sample = emb.limit(4096).to_pandas()
+    # k-means fit on a bounded CORPUS-WIDE sample: a deterministic
+    # modular shard (vec_id % m == 0 with m sized from the footer row
+    # count) touches every region of the corpus, unlike limit(4096)
+    # which saw only the first blocks (VERDICT r2 #6); never the full
+    # corpus on the driver
+    n_corpus = _nrows(sf_dir, "embeddings")
+    m = max(1, n_corpus // 4096)
+
+    def modular_pick(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % m == 0))
+
+    sample = emb.map_batches(
+        modular_pick, batch_format="pyarrow"
+    ).limit(4096).to_pandas()
     M = np.stack(sample["embedding"].to_numpy()).astype(np.float32)
     idx = IVFIndex(n_cells=8).fit(M)
     with_cells = idx.assign_cells(emb, "embedding")
@@ -1148,6 +1210,7 @@ def orders_monthly_rollup(sf_dir: str):
         .aggregate(Count(alias_name="n_orders"),
                    Sum("o_totalprice", alias_name="sum_total"))
         .map_batches(_round_cols({"sum_total": 2}), batch_format="pyarrow")
+        .map_batches(_ts_us(["month"]), batch_format="pyarrow")
     )
 
 
@@ -1181,6 +1244,7 @@ def events_daily_active_users(sf_dir: str):
         .map_batches(combiner, batch_format="pandas")
         .groupby("day")
         .map_groups(per_day, batch_format="pandas")
+        .map_batches(_ts_us(["day"]), batch_format="pyarrow")
     )
 
 
@@ -1286,37 +1350,253 @@ def fingerprint_docs(sf_dir: str):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+# ---- composed OMOP pipeline over driver-table-derived inputs ----------
+#
+# VERDICT r2 #3: the composed pipeline's inputs are DERIVED
+# deterministically from the driver's parquet tables (customer/orders),
+# the _events_as_cdc pattern — so a closed-form DuckDB oracle can mirror
+# every per-table count and the whole 10-table composition gets a
+# rows+schema+hash check instead of rows-only.
+
+# usagi mapping dim shared by the engine derivation and the SQL oracle.
+# '1-URGENT' maps 1-N (fan-out); '5-LOW' is unmapped (anti-drop);
+# first-match (neurolog) picks 4001 — the first AND min concept, so the
+# SQL mirror may use MIN().
+_OMOP_USAGI = [
+    ("1-URGENT", "Condition", 4001), ("1-URGENT", "Condition", 4002),
+    ("2-HIGH", "Condition", 4003), ("3-MEDIUM", "Condition", 4004),
+    ("4-NOT SPECIFIED", "Condition", 4005),
+    ("DrugA", "Drug", 5001), ("DrugB", "Drug", 5002),
+    ("2-HIGH", "Procedure", 6001), ("3-MEDIUM", "Device", 7001),
+]
+
+_ALSFRS_N_ITEMS = 14  # pipelines.omop.ALSFRS_CONCEPTS
+
+
+def _omop_inputs(sf_dir: str):
+    """Reference-shaped source tables derived from customer/orders.
+    Every derivation below has a line-for-line mirror in _OMOP_SQL."""
+    from standardized_omop_data_etl_ray.pipelines.omop import ALSFRS_CONCEPTS
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+    def demographics(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "Participant_ID": "P" + df["c_custkey"].astype(str),
+                "sex": np.where(k % 20 == 0, np.nan, k % 2 + 1),
+                "ethnic": np.where(k % 25 == 3, np.nan, k % 2 + 1),
+                "dob": -(7000 + (k * 13) % 23000),
+                "raceamin": (k % 50 == 0).astype(np.int64),
+                "raceasn": (k % 10 == 8).astype(np.int64),
+                "raceblk": np.isin(k % 10, (0, 7)).astype(np.int64),
+                "racenh": np.zeros(len(k), np.int64),
+                "racewt": np.isin(k % 10, (1, 2, 3, 4, 5, 6)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    def medical_history(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy()
+        prio = df["o_orderpriority"]
+        return pd.DataFrame(
+            {
+                "Participant_ID": "P" + df["o_custkey"].astype(str),
+                "medhxdsc": np.where(
+                    k % 11 == 0, prio.str.lower() + " ", prio
+                ),
+                "medhxyr": np.where(
+                    k % 17 == 0, "junk", (1990 + k % 30).astype(str)
+                ),
+            }
+        )
+
+    def neurolog(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"] == "F"]
+        return pd.DataFrame(
+            {
+                "Participant_ID": "P" + df["o_custkey"].astype(str),
+                "neuddsc": df["o_orderpriority"],
+                "neudxdt": df["o_orderkey"].to_numpy() % 3000,
+            }
+        )
+
+    def vital_signs(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy()
+        n = len(k)
+        temp = np.select(
+            [k % 4 == 0, k % 4 == 1, k % 4 == 2], ["36.5", "98.6", "37.1"],
+            default="300",
+        )
+        tempu = np.select([k % 4 == 0, k % 4 == 1], [1.0, 2.0],
+                          default=np.nan)
+        return pd.DataFrame(
+            {
+                "Participant_ID": "P" + df["o_custkey"].astype(str),
+                "vsdt": k % 3000,
+                "temp": temp,
+                "tempu": tempu,
+                "bpsys": np.full(n, "120*"),
+                "bpdias": np.full(n, "80"),
+                "hr": np.where(k % 7 == 0, None, "72"),
+                "rr": np.full(n, "16"),
+                "weight": np.full(n, "150.0"),
+                "weightu": np.full(n, 2, np.int64),
+                "height": np.full(n, "70.0"),
+                "heightu": np.full(n, 2, np.int64),
+                "bmi": np.where(k % 5 == 0, "n/a", "24.5"),
+            }
+        )
+
+    def medications(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderkey"] % 2 == 0]
+        k = df["o_orderkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "Participant_ID": "P" + df["o_custkey"].astype(str),
+                "drugdsc": np.select(
+                    [k % 3 == 0, k % 3 == 1], ["DrugA", "drugb"],
+                    default="DrugZ",
+                ),
+                "startdt": np.where(k % 5 == 0, np.nan, k % 2000),
+                "stopdt": np.where(k % 3 == 0, np.nan, k % 2000 + 30),
+            }
+        )
+
+    def alsfrs(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy()
+        out = {
+            "Participant_ID": "P" + df["o_custkey"].astype(str),
+            "alsfrsdt": k % 3000,
+        }
+        for i, item in enumerate(ALSFRS_CONCEPTS, start=1):
+            out[item] = np.where((k + i) % 6 == 0, np.nan, (k + 7 * i) % 5)
+        return pd.DataFrame(out)
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy()
+        answer = np.select([k % 3 == 0, k % 3 == 1], [1, 2], default=90)
+        return pd.DataFrame(
+            {
+                "Participant_ID": "P" + df["c_custkey"].astype(str),
+                "alsdxdt": k % 2000,
+                "alsdx1": np.where(k % 7 == 0, np.nan, answer),
+                "alsdx2": np.where(k % 8 == 0, np.nan, answer),
+                "alsdx3": np.where(k % 9 == 0, np.nan, answer),
+                "elescrlr": k % 5 + 1,
+            }
+        )
+
+    def mortality(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_custkey"] % 5 == 0]
+        k = df["c_custkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "Participant_ID": "P" + df["c_custkey"].astype(str),
+                "dieddt": np.where(k % 20 == 0, np.nan, (k * 3) % 3000),
+                "diedcaus": df["c_mktsegment"],
+                "cause_concept_id": np.where(k % 4 == 0, np.nan, 4306655),
+            }
+        )
+
+    # dims: small by construction → built driver-side from the footer
+    import pyarrow.parquet as _pq2
+
+    ck = _pq2.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).column("c_custkey").to_numpy()
+    sub = ck[ck % 10 != 3]
+    subjects = pa.table(
+        {
+            "Participant_ID": pa.array(["P" + str(v) for v in sub]),
+            "subject_group_id": pa.array(
+                [str(v % 4 + 1) for v in sub]
+            ),
+        }
+    )
+    usagi = pa.table(
+        {
+            "sourceName": pa.array([r[0] for r in _OMOP_USAGI]),
+            "domainId": pa.array([r[1] for r in _OMOP_USAGI]),
+            "conceptId": pa.array([r[2] for r in _OMOP_USAGI], pa.int64()),
+            "conceptName": pa.array([r[0].lower() for r in _OMOP_USAGI]),
+        }
+    )
+    bf = dict(batch_format="pandas")
+    return {
+        "demographics": cust.map_batches(demographics, **bf),
+        "subjects": subjects,
+        "usagi": usagi,
+        "medical_history": orders.map_batches(medical_history, **bf),
+        "neurolog": orders.map_batches(neurolog, **bf),
+        "vital_signs": orders.map_batches(vital_signs, **bf),
+        "medications": orders.map_batches(medications, **bf),
+        "alsfrs": orders.map_batches(alsfrs, **bf),
+        "indicators": cust.map_batches(indicators, **bf),
+        "mortality": cust.map_batches(mortality, **bf),
+    }
+
+
 def omop_full_pipeline(sf_dir: str):
-    """Composed full reference pipeline: stage-1 builders (person,
-    condition_occurrence, measurement, drug_exposure) + stage-2
-    finishers (person rekey, CDM 5.4 pad, sequential ids, observation
-    periods) over deterministic FIXTURES.md §B-shaped tables — the
-    analog of the reference's 17-script + 7-script run
-    (pipeline_process_subtables_to_final.py:94-180).  Returns a
-    per-table summary (deterministic; rows-only check — the operator
-    kernels inside are each oracle/pytest-covered individually)."""
+    """Composed full reference pipeline — 9 CDM tables + the A1
+    redundant audit log, the analog of the reference's 17-script +
+    7-script run (pipeline_process_subtables_to_final.py:94-180):
+    stage-1 builders (person, condition from TWO sources through
+    priority_merge, measurement, drug, observation from alsfrs +
+    indicators, death, procedure, device) + stage-2 finishers (person
+    rekey, sequential ids, observation periods, CDM 5.4 pad).  Inputs
+    derive from the driver's customer/orders tables so _OMOP_SQL
+    mirrors every count; returns the per-table (rows, persons)
+    summary."""
     import ray
 
-    from standardized_omop_data_etl_ray.datagen import make_omop_fixtures
     from standardized_omop_data_etl_ray.pipelines.omop import run_omop_pipeline
 
-    fx = make_omop_fixtures(n_persons=300, seed=7)
+    fx = _omop_inputs(sf_dir)
     out = run_omop_pipeline(
-        rd.from_arrow(fx["demographics"]),
-        fx["subjects"],
-        rd.from_arrow(fx["medical_history"]),
-        rd.from_arrow(fx["vital_signs"]),
-        rd.from_arrow(fx["medications"]),
-        fx["usagi"],
+        fx["demographics"], fx["subjects"], fx["medical_history"],
+        fx["vital_signs"], fx["medications"], fx["usagi"],
+        alsfrs=fx["alsfrs"], indicators=fx["indicators"],
+        mortality=fx["mortality"], neurolog=fx["neurolog"],
+        with_procedure_device=True,
     )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column("person_id"))
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "persons": pa.array([u.to_pylist()]),
+            }
+        )
+
     rows = []
-    for name, ds in out.items():
-        tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-        tbl = pa.concat_tables(tabs, promote_options="permissive")
-        pid_col = "person_id"
-        n_persons = len(set(tbl.column(pid_col).to_pylist()))
-        rows.append((name, tbl.num_rows, n_persons))
-    rows.sort()
+    for name, ds in sorted(out.items()):
+        parts = [
+            t for t in ray.get(
+                ds.select_columns(["person_id"])
+                .map_batches(partial, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            # empty upstream blocks SKIP the partial UDF and surface
+            # here as raw (possibly pandas) empties — drop them
+            if isinstance(t, pa.Table) and t.num_rows
+            and "n_rows" in t.column_names
+        ]
+        n_rows = sum(
+            int(v) for t in parts for v in t.column("n_rows").to_pylist()
+        )
+        persons: set = set()
+        for t in parts:
+            for lst in t.column("persons").to_pylist():
+                persons.update(lst)
+        rows.append((name, n_rows, len(persons)))
     return pa.table(
         {
             "table": pa.array([r[0] for r in rows]),
@@ -1324,6 +1604,136 @@ def omop_full_pipeline(sf_dir: str):
             "n_persons": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def _omop_sql() -> str:
+    """Closed-form DuckDB mirror of omop_full_pipeline's summary."""
+    usagi_vals = ", ".join(
+        f"('{s}', '{d}', {c})" for s, d, c in _OMOP_USAGI
+    )
+    fr_terms = " + ".join(
+        f"CASE WHEN (o_orderkey + {i}) % 6 <> 0 THEN 1 ELSE 0 END"
+        for i in range(1, _ALSFRS_N_ITEMS + 1)
+    )
+    return f"""
+WITH usagi(sourceName, domainId, conceptId) AS (VALUES {usagi_vals}),
+mh AS (
+  SELECT 'P' || o_custkey AS person,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN lower(o_orderpriority) || ' '
+              ELSE o_orderpriority END AS term
+  FROM orders
+),
+cond_mh AS (
+  SELECT mh.person, u.conceptId AS concept
+  FROM mh JOIN usagi u
+    ON lower(trim(mh.term)) = lower(trim(u.sourceName))
+   AND u.domainId = 'Condition'
+),
+nl AS (
+  SELECT 'P' || o_custkey AS person, o_orderpriority AS term
+  FROM orders WHERE o_orderstatus = 'F'
+),
+cond_nl AS (
+  -- first-match usagi join: first occurrence == MIN concept by
+  -- construction of the usagi VALUES above
+  SELECT nl.person, u.concept
+  FROM nl JOIN (
+    SELECT sourceName, MIN(conceptId) AS concept FROM usagi
+    WHERE domainId = 'Condition' GROUP BY sourceName
+  ) u ON lower(trim(nl.term)) = lower(trim(u.sourceName))
+),
+mh_keys AS (SELECT DISTINCT person, concept FROM cond_mh),
+redundant AS (
+  SELECT c.person, c.concept
+  FROM cond_nl c JOIN mh_keys k
+    ON c.person = k.person AND c.concept = k.concept
+),
+winners AS (
+  SELECT person, concept FROM cond_mh
+  UNION ALL
+  SELECT c.person, c.concept FROM cond_nl c
+  LEFT JOIN mh_keys k ON c.person = k.person AND c.concept = k.concept
+  WHERE k.person IS NULL
+),
+meas AS (
+  SELECT 'P' || o_custkey AS person,
+    5 + CASE WHEN o_orderkey % 4 <> 3 THEN 1 ELSE 0 END
+      + CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END
+      + CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END AS n
+  FROM orders
+),
+drugs AS (
+  SELECT 'P' || o_custkey AS person FROM orders WHERE o_orderkey % 2 = 0
+),
+obs_fr AS (
+  SELECT 'P' || o_custkey AS person, {fr_terms} AS n FROM orders
+),
+obs_ind AS (
+  SELECT 'P' || c_custkey AS person,
+    3 * CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END
+      + CASE WHEN c_custkey % 8 <> 0 THEN 1 ELSE 0 END
+      + CASE WHEN c_custkey % 9 <> 0 THEN 1 ELSE 0 END
+      + 1 AS n
+  FROM customer
+),
+obs_persons AS (
+  SELECT person FROM obs_fr WHERE n > 0
+  UNION SELECT person FROM obs_ind WHERE n > 0
+),
+death AS (
+  SELECT 'P' || c_custkey AS person FROM customer WHERE c_custkey % 5 = 0
+),
+proc AS (
+  SELECT mh.person FROM mh JOIN usagi u
+    ON lower(trim(mh.term)) = lower(trim(u.sourceName))
+   AND u.domainId = 'Procedure'
+),
+dev AS (
+  SELECT mh.person FROM mh JOIN usagi u
+    ON lower(trim(mh.term)) = lower(trim(u.sourceName))
+   AND u.domainId = 'Device'
+),
+period_persons AS (
+  SELECT person FROM winners
+  UNION SELECT person FROM meas
+  UNION SELECT person FROM drugs
+  UNION SELECT person FROM obs_persons
+)
+SELECT * FROM (
+  SELECT 'person' AS "table",
+         (SELECT COUNT(*) FROM customer) AS n_rows,
+         (SELECT COUNT(*) FROM customer) AS n_persons
+  UNION ALL SELECT 'condition_occurrence',
+         (SELECT COUNT(*) FROM winners),
+         (SELECT COUNT(DISTINCT person) FROM winners)
+  UNION ALL SELECT 'condition_occurrence__redundant',
+         (SELECT COUNT(*) FROM redundant),
+         (SELECT COUNT(DISTINCT person) FROM redundant)
+  UNION ALL SELECT 'death',
+         (SELECT COUNT(*) FROM death),
+         (SELECT COUNT(DISTINCT person) FROM death)
+  UNION ALL SELECT 'device_exposure',
+         (SELECT COUNT(*) FROM dev),
+         (SELECT COUNT(DISTINCT person) FROM dev)
+  UNION ALL SELECT 'drug_exposure',
+         (SELECT COUNT(*) FROM drugs),
+         (SELECT COUNT(DISTINCT person) FROM drugs)
+  UNION ALL SELECT 'measurement',
+         (SELECT CAST(SUM(n) AS BIGINT) FROM meas),
+         (SELECT COUNT(DISTINCT person) FROM meas WHERE n > 0)
+  UNION ALL SELECT 'observation',
+         (SELECT CAST(SUM(n) AS BIGINT) FROM obs_fr)
+           + (SELECT CAST(SUM(n) AS BIGINT) FROM obs_ind),
+         (SELECT COUNT(*) FROM obs_persons)
+  UNION ALL SELECT 'observation_period',
+         (SELECT COUNT(*) FROM period_persons),
+         (SELECT COUNT(*) FROM period_persons)
+  UNION ALL SELECT 'procedure_occurrence',
+         (SELECT COUNT(*) FROM proc),
+         (SELECT COUNT(DISTINCT person) FROM proc)
+) ORDER BY "table"
+"""
 
 
 def media_featurize(sf_dir: str):
@@ -1667,8 +2077,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
         "langid_docs": _langid_sql(),
-        # simhash_fingerprints / fingerprint / media /
-        # ivf_topk / omop_full_pipeline: non-SQL-expressible →
-        # rows-only checks (ivf recall + omop invariants are gated in
-        # tests/test_dedup_ann.py and tests/test_omop_pipeline.py)
+        "omop_full_pipeline": _omop_sql(),
+        # simhash_fingerprints / fingerprint / media / ivf_topk:
+        # non-SQL-expressible → rows-only checks (ivf recall is gated
+        # in tests/test_dedup_ann.py)
     }

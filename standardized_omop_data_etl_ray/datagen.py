@@ -406,6 +406,88 @@ def make_omop_fixtures(n_persons: int = 200, seed: int = 7) -> dict[str, pa.Tabl
             "stopdt": pa.array(stop.tolist(), pa.int64()),
         }
     )
+    # alsfrs_r.csv analog: 14 survey items + relative-day visit date
+    # (alsfrs_r--observation.py:28-45)
+    from .pipelines.omop import ALSFRS_CONCEPTS
+
+    n_fr = n_persons * 2
+    fr_pid = rng.choice(pids, n_fr)
+    fr_cols = {
+        "Participant_ID": fr_pid,
+        "alsfrsdt": pa.array(
+            np.where(rng.random(n_fr) < 0.02, None,
+                     -rng.integers(0, 3000, n_fr)).tolist(),
+            pa.int64(),
+        ),
+    }
+    for item in ALSFRS_CONCEPTS:
+        fr_cols[item] = pa.array(
+            np.where(rng.random(n_fr) < 0.1, None,
+                     rng.integers(0, 5, n_fr)).tolist(),
+            pa.int64(),
+        )
+    alsfrs = pa.table(fr_cols)
+
+    # aalsdxfx.csv analog: diagnostic indicators, answers in {1,2,90}
+    ind_cols = {
+        "Participant_ID": pids,
+        "alsdxdt": pa.array(
+            np.where(rng.random(n_persons) < 0.03, None,
+                     -rng.integers(0, 2000, n_persons)).tolist(),
+            pa.int64(),
+        ),
+    }
+    for c in ("alsdx1", "alsdx2", "alsdx3"):
+        ind_cols[c] = pa.array(
+            np.where(rng.random(n_persons) < 0.15, None,
+                     rng.choice([1, 2, 90], n_persons)).tolist(),
+            pa.int64(),
+        )
+    ind_cols["elescrlr"] = pa.array(
+        rng.integers(1, 6, n_persons).tolist(), pa.int64()
+    )
+    indicators = pa.table(ind_cols)
+
+    # mortality analog (mortality--death.py:25-113): subset of persons,
+    # pre-mapped cause concept (the reference reads a usagi mapping file)
+    died = rng.random(n_persons) < 0.3
+    n_dd = int(died.sum())
+    mortality = pa.table(
+        {
+            "Participant_ID": pids[died],
+            "dieddt": pa.array(
+                np.where(rng.random(n_dd) < 0.2, None,
+                         -rng.integers(0, 3000, n_dd)).tolist(),
+                pa.int64(),
+            ),
+            "diedcaus": rng.choice(
+                ["ALS", "cardiac", "unknown"], n_dd
+            ).tolist(),
+            "cause_concept_id": pa.array(
+                np.where(rng.random(n_dd) < 0.25, None,
+                         rng.choice([443392, 4306655], n_dd)).tolist(),
+                pa.int64(),
+            ),
+        }
+    )
+
+    # neurolog analog: second condition source; overlapping terms so the
+    # priority merge produces a non-trivial redundant log
+    n_nl = n_persons
+    neurolog = pa.table(
+        {
+            "Participant_ID": rng.choice(pids, n_nl),
+            "neuddsc": rng.choice(
+                terms + ["mystery sign"], n_nl
+            ).tolist(),
+            "neudxdt": pa.array(
+                np.where(rng.random(n_nl) < 0.05, None,
+                         -rng.integers(0, 3000, n_nl)).tolist(),
+                pa.int64(),
+            ),
+        }
+    )
+
     return {
         "demographics": demographics,
         "subjects": subjects,
@@ -413,4 +495,8 @@ def make_omop_fixtures(n_persons: int = 200, seed: int = 7) -> dict[str, pa.Tabl
         "medical_history": medical_history,
         "vital_signs": vital_signs,
         "medications": medications,
+        "alsfrs": alsfrs,
+        "indicators": indicators,
+        "mortality": mortality,
+        "neurolog": neurolog,
     }

@@ -58,7 +58,8 @@ from ..functions.parsing import (
 from ..functions.provenance import join_provenance, provenance_part
 from ..stages.aggregates import observation_periods, sequential_ids
 from ..stages.joins import broadcast_join, broadcast_rekey, usagi_join
-from ..stages.schema_ops import CDM54_SCHEMAS, pad_to_columns
+from ..stages.merge import priority_merge
+from ..stages.schema_ops import CDM54_SCHEMAS, pad_to_columns, union_by_name
 from ..stages.unpivot import UnpivotItem, make_unpivoter
 
 RACE_CONCEPTS = {
@@ -83,6 +84,22 @@ VITAL_CONCEPTS = {
 TEMP_UNIT = {1: "C", 2: "F"}
 WEIGHT_UNIT = {1: "kg", 2: "lb"}
 HEIGHT_UNIT = {1: "cm", 2: "in"}
+
+# ALSFRS-R item → LOINC-style observation concept
+# (alsfrs_r--observation.py:52-232 declares the same 14 items)
+ALSFRS_CONCEPTS = {
+    "alsfrs1": 42529071, "alsfrs2": 42529072, "alsfrs3": 42529073,
+    "alsfrs4": 42529074, "alsfrs5a": 42529075, "alsfrs5b": 42529076,
+    "alsfrs6": 42529077, "alsfrs7": 42529078, "alsfrs8": 42529079,
+    "alsfrs9": 42529080, "alsfrsr1": 42529081, "alsfrsr2": 42529082,
+    "alsfrsr3": 42529083, "alsfrst": 42529084,
+}
+
+# survey answer {1,2,90} → standard yes/no/not-assessed concepts
+# (aalsdxfx--observation.py:18-68 value converters)
+YES_NO_CONCEPTS = {1: 45877994, 2: 45878245, 90: 45881531}
+
+OBS_TYPE_SURVEY = 32851  # healthcare-professional-filled survey
 
 
 def build_person(demographics: rd.Dataset, subjects) -> rd.Dataset:
@@ -244,6 +261,198 @@ def build_drug_exposure(medications: rd.Dataset, usagi) -> rd.Dataset:
     return joined.map_batches(build, batch_format="pyarrow")
 
 
+def build_observation_alsfrs(alsfrs: rd.Dataset) -> rd.Dataset:
+    """alsfrs_r--observation.py:52-269: 14 survey items per wide row →
+    one observation each (skip nulls), relative-day date, synthesized
+    visit id, survey type concept."""
+    from ..functions.ids import visit_occurrence_id
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.column_names}
+        cols["observation_date"] = relative_day_to_date(
+            batch.column("alsfrsdt")
+        )
+        cols["visit_occurrence_id"] = visit_occurrence_id(
+            batch.column("Participant_ID"), batch.column("alsfrsdt")
+        )
+        return pa.table(cols)
+
+    items = [
+        UnpivotItem(col, cid, constants={
+            "observation_type_concept_id": OBS_TYPE_SURVEY,
+        })
+        for col, cid in ALSFRS_CONCEPTS.items()
+    ]
+    unpivot = make_unpivoter(
+        items,
+        ["Participant_ID", "observation_date", "visit_occurrence_id"],
+        value_col="value_as_number",
+        concept_col="observation_concept_id",
+        name_col=None,
+        source_col_name="observation_source_value",
+        value_type=pa.int64(),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["person_source_value" if c == "Participant_ID" else c
+             for c in batch.column_names]
+        )
+
+    return (
+        alsfrs.map_batches(prep, batch_format="pyarrow")
+        .map_batches(unpivot, batch_format="pyarrow")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def build_observation_indicators(
+    indicators: rd.Dataset,
+    items: list[UnpivotItem] | None = None,
+    value_concepts: dict[int, int] | None = None,
+) -> rd.Dataset:
+    """aalsdxfx--observation.py:263-543: diagnostic indicator columns →
+    one observation per non-null indicator, ``alsdx1`` fanned out to
+    THREE concepts, answers mapped to value_as_concept_id via the
+    yes/no/not-assessed dictionary (M5), survey type constant."""
+    if items is None:
+        items = [
+            # alsdx1 is emitted under three concepts
+            # (aalsdxfx--observation.py:264-290)
+            UnpivotItem("alsdx1", 2000002000),
+            UnpivotItem("alsdx1", 2000002001),
+            UnpivotItem("alsdx1", 2000000020),
+            UnpivotItem("alsdx2", 2000000021),
+            UnpivotItem("alsdx3", 2000000022),
+            UnpivotItem("elescrlr", 2000000061),
+        ]
+    vc = YES_NO_CONCEPTS if value_concepts is None else value_concepts
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.column_names}
+        cols["observation_date"] = relative_day_to_date(
+            batch.column("alsdxdt")
+        )
+        return pa.table(cols)
+
+    unpivot = make_unpivoter(
+        items,
+        ["Participant_ID", "observation_date"],
+        value_col="__answer",
+        concept_col="observation_concept_id",
+        name_col=None,
+        source_col_name="observation_source_value",
+        value_type=pa.int64(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vac = map_codes(batch.column("__answer"), vc)
+        batch = batch.append_column(
+            "value_as_concept_id", pc.fill_null(vac, 0)
+        )
+        batch = batch.append_column(
+            "observation_type_concept_id",
+            pa.array([OBS_TYPE_SURVEY] * batch.num_rows, pa.int64()),
+        )
+        t = batch.drop_columns(["__answer"])
+        return t.rename_columns(
+            ["person_source_value" if c == "Participant_ID" else c
+             for c in t.column_names]
+        )
+
+    return (
+        indicators.map_batches(prep, batch_format="pyarrow")
+        .map_batches(unpivot, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def build_death(mortality: rd.Dataset) -> rd.Dataset:
+    """mortality--death.py:29-113: one death row per record; relative-day
+    death date with the 1900-01-01 sentinel for missing, cause concept
+    coalesced to 0, pipe-string provenance."""
+    from ..functions.dates import SENTINEL_DATE
+
+    def build(batch: pa.Table) -> pa.Table:
+        d = relative_day_to_date(batch.column("dieddt"))
+        d = pc.fill_null(d, pa.scalar(SENTINEL_DATE, pa.date32()))
+        prov = join_provenance(
+            provenance_part("mortality", "dieddt", batch.column("dieddt")),
+            provenance_part("mortality", "diedcaus",
+                            batch.column("diedcaus")),
+        )
+        out = pa.table(
+            {
+                "person_source_value": batch.column("Participant_ID"),
+                "death_date": d,
+                "death_type_concept_id": pa.array(
+                    [OBS_TYPE_SURVEY] * batch.num_rows, pa.int64()
+                ),
+                "cause_concept_id": pc.cast(
+                    batch.column("cause_concept_id"), pa.int64()
+                ),
+                "cause_source_value": prov,
+            }
+        )
+        return coalesce_missing_concepts(out, ["cause_concept_id"])
+
+    return mortality.map_batches(build, batch_format="pyarrow")
+
+
+def build_condition_neurolog(neurolog: rd.Dataset, usagi) -> rd.Dataset:
+    """neurolog--condition_occurrence.py:27-106: FIRST-match usagi join
+    (one concept per term even when the mapping is 1-N), unmapped rows
+    dropped (M16)."""
+    joined = usagi_join(
+        neurolog, usagi, "neuddsc", domain="Condition", mode="first"
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        prov = join_provenance(
+            provenance_part("neurolog", "neuddsc", batch.column("neuddsc")),
+        )
+        t = pa.table(
+            {
+                "person_source_value": batch.column("Participant_ID"),
+                "condition_concept_id": pc.cast(
+                    batch.column("concept_id"), pa.int64()
+                ),
+                "condition_start_date": relative_day_to_date(
+                    batch.column("neudxdt")
+                ),
+                "condition_source_value": prov,
+            }
+        )
+        # unmapped terms dropped (neurolog--condition_occurrence.py:91-93)
+        return t.filter(pc.is_valid(t.column("condition_concept_id")))
+
+    return joined.map_batches(build, batch_format="pyarrow")
+
+
+def build_usagi_domain_table(
+    medical_history: rd.Dataset, usagi, domain: str,
+    concept_id_name: str, date_name: str,
+) -> rd.Dataset:
+    """medical_history--{procedure,device}*.py: the SAME medical-history
+    source routed to a different OMOP table by the usagi domain filter
+    (anti-drop, 1-N)."""
+    joined = usagi_join(
+        medical_history, usagi, "medhxdsc", domain=domain, mode="anti_drop"
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "person_source_value": batch.column("Participant_ID"),
+                concept_id_name: pc.cast(batch.column("concept_id"),
+                                         pa.int64()),
+                date_name: year_to_date(batch.column("medhxyr")),
+            }
+        )
+
+    return joined.map_batches(build, batch_format="pyarrow")
+
+
 def run_omop_pipeline(
     demographics: rd.Dataset,
     subjects,
@@ -251,59 +460,165 @@ def run_omop_pipeline(
     vital_signs: rd.Dataset,
     medications: rd.Dataset,
     usagi,
+    alsfrs: rd.Dataset | None = None,
+    indicators: rd.Dataset | None = None,
+    mortality: rd.Dataset | None = None,
+    neurolog: rd.Dataset | None = None,
+    with_procedure_device: bool = False,
+    broadcast_person_limit: int = 2_000_000,
 ) -> dict[str, rd.Dataset]:
-    """Stage 1 builders + stage 2 finishers across 5 OMOP tables.
+    """Stage 1 builders + stage 2 finishers; up to 9 OMOP tables plus
+    the A1 redundant audit log.
+
+    Optional inputs widen the composition to the reference's full table
+    set: ``alsfrs``/``indicators`` feed observation (its largest output,
+    readme.md:107-115), ``mortality`` feeds death, ``neurolog`` is a
+    SECOND condition source merged through ``priority_merge`` with
+    medical_history winning on key (person, concept) and losers
+    surfaced as ``condition_occurrence__redundant`` with source
+    attribution — the reference's combine_subtables.py:98-157 audit.
 
     Returns {table: Dataset} with CDM 5.4 column lists, integer
     person_id rekeyed into every fact table, sequential record ids, and
     observation periods spanning all fact dates."""
     person = build_person(demographics, subjects)
-    condition = build_condition_occurrence(medical_history, usagi)
+    cond_mh = build_condition_occurrence(medical_history, usagi)
     measurement = build_measurement(vital_signs)
     drug = build_drug_exposure(medications, usagi)
 
+    redundant = None
+    if neurolog is not None:
+        # A1: two sources → one table; first source in the priority
+        # list wins per (person, concept) key, later rows are diverted
+        # to the audit log (combine_subtables.py:42-157)
+        cond_nl = build_condition_neurolog(neurolog, usagi)
+        merged = priority_merge(
+            [("medical_history", cond_mh), ("neurolog", cond_nl)],
+            key_cols=["person_source_value", "condition_concept_id"],
+        )
+        condition = merged.filter(expr="__redundant == False").drop_columns(
+            ["__redundant", "__source"]
+        )
+        redundant = merged.filter(expr="__redundant == True").drop_columns(
+            ["__redundant"]
+        )
+    else:
+        condition = cond_mh
+
+    observation = None
+    if alsfrs is not None or indicators is not None:
+        parts = []
+        if alsfrs is not None:
+            parts.append(build_observation_alsfrs(alsfrs))
+        if indicators is not None:
+            parts.append(build_observation_indicators(indicators))
+        observation = (
+            union_by_name(parts) if len(parts) > 1 else parts[0]
+        )
+
+    death = build_death(mortality) if mortality is not None else None
+    procedure = device = None
+    if with_procedure_device:
+        procedure = build_usagi_domain_table(
+            medical_history, usagi, "Procedure",
+            "procedure_concept_id", "procedure_date",
+        )
+        device = build_usagi_domain_table(
+            medical_history, usagi, "Device",
+            "device_concept_id", "device_exposure_start_date",
+        )
+
     # J6 global rekey: deterministic person surrogate ids (sorted by
-    # source value — stable under parallelism), broadcast to every fact
+    # source value — stable under parallelism)
     person = sequential_ids(person, "person_id", sort_col="person_source_value")
-    pid_map = {
-        r["person_source_value"]: r["person_id"]
-        for r in person.select_columns(
-            ["person_source_value", "person_id"]
-        ).take_all()
-    }
+    n_persons = person.count()
+    if n_persons <= broadcast_person_limit:
+        # dimension-sized person set: driver dict + broadcast (J6 —
+        # SURVEY.md sanctions this for the person DIMENSION only)
+        pid_map = {
+            r["person_source_value"]: r["person_id"]
+            for r in person.select_columns(
+                ["person_source_value", "person_id"]
+            ).take_all()
+        }
 
-    def rekey(ds: rd.Dataset) -> rd.Dataset:
-        ds = broadcast_rekey(ds, pid_map, ["person_source_value"])
-        def rn(t: pa.Table) -> pa.Table:
-            t = t.rename_columns(
-                ["person_id" if c == "person_source_value" else c
-                 for c in t.column_names]
+        def rekey(ds: rd.Dataset) -> rd.Dataset:
+            ds = broadcast_rekey(ds, pid_map, ["person_source_value"])
+
+            def rn(t: pa.Table) -> pa.Table:
+                t = t.rename_columns(
+                    ["person_id" if c == "person_source_value" else c
+                     for c in t.column_names]
+                )
+                i = t.column_names.index("person_id")
+                return t.set_column(
+                    i, "person_id", pc.cast(t.column("person_id"), pa.int64())
+                )
+            return ds.map_batches(rn, batch_format="pyarrow")
+    else:
+        # person set too large to broadcast: distributed hash join on
+        # the natural key instead of a driver dict (the broadcast path
+        # must not be the only one — VERDICT r2 #9)
+        from ..stages.joins import partitioned_hash_join
+
+        pid_schema = pa.schema(
+            [("person_source_value", pa.string()),
+             ("person_id", pa.int64())]
+        )
+
+        def rekey(ds: rd.Dataset) -> rd.Dataset:
+            pids = person.select_columns(
+                ["person_source_value", "person_id"]
             )
-            i = t.column_names.index("person_id")
-            return t.set_column(i, "person_id", pc.cast(t.column("person_id"), pa.int64()))
-        return ds.map_batches(rn, batch_format="pyarrow")
+            j = partitioned_hash_join(
+                ds, pids,
+                left_on=["person_source_value"], how="inner",
+                right_schema=pid_schema,
+            )
+            return j.drop_columns(["person_source_value"])
 
-    condition, measurement, drug = rekey(condition), rekey(measurement), rekey(drug)
+    facts = {"condition": condition, "measurement": measurement,
+             "drug": drug}
+    for k, v in (("observation", observation), ("death", death),
+                 ("procedure", procedure), ("device", device),
+                 ("redundant", redundant)):
+        if v is not None:
+            facts[k] = v
+    facts = {k: rekey(v) for k, v in facts.items()}
 
     # A4: observation periods across every fact table's dates
-    periods = observation_periods(
-        [
-            (condition, ["condition_start_date"]),
-            (measurement, ["measurement_date"]),
-            (drug, ["drug_exposure_start_date", "drug_exposure_end_date"]),
-        ],
-        person_col="person_id",
-    )
+    period_inputs = [
+        (facts["condition"], ["condition_start_date"]),
+        (facts["measurement"], ["measurement_date"]),
+        (facts["drug"], ["drug_exposure_start_date",
+                         "drug_exposure_end_date"]),
+    ]
+    if "observation" in facts:
+        period_inputs.append((facts["observation"], ["observation_date"]))
+    periods = observation_periods(period_inputs, person_col="person_id")
 
     # A5 sequential record ids + C2 pad to the published CDM 5.4 shapes
     out = {}
-    for name, ds, id_col, sort_col in [
+    plan = [
         ("person", person, None, None),
-        ("condition_occurrence", condition, "condition_occurrence_id", "person_id"),
-        ("measurement", measurement, "measurement_id", "person_id"),
-        ("drug_exposure", drug, "drug_exposure_id", "person_id"),
+        ("condition_occurrence", facts["condition"],
+         "condition_occurrence_id", "person_id"),
+        ("measurement", facts["measurement"], "measurement_id", "person_id"),
+        ("drug_exposure", facts["drug"], "drug_exposure_id", "person_id"),
         ("observation_period", periods, "observation_period_id", "person_id"),
-    ]:
+    ]
+    if "observation" in facts:
+        plan.append(("observation", facts["observation"],
+                     "observation_id", "person_id"))
+    if "death" in facts:
+        plan.append(("death", facts["death"], None, None))
+    if "procedure" in facts:
+        plan.append(("procedure_occurrence", facts["procedure"],
+                     "procedure_occurrence_id", "person_id"))
+    if "device" in facts:
+        plan.append(("device_exposure", facts["device"],
+                     "device_exposure_id", "person_id"))
+    for name, ds, id_col, sort_col in plan:
         if id_col:
             ds = sequential_ids(ds, id_col, sort_col=sort_col)
         cols = CDM54_SCHEMAS[name]
@@ -311,4 +626,8 @@ def run_omop_pipeline(
             lambda t, cols=cols: pad_to_columns(t, cols, keep_extras=False),
             batch_format="pyarrow",
         )
+    if "redundant" in facts:
+        # audit side-output: NOT padded — keeps natural columns +
+        # __source attribution (redundant/*.csv analog)
+        out["condition_occurrence__redundant"] = facts["redundant"]
     return out

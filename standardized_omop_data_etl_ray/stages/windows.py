@@ -105,7 +105,7 @@ def hopping_aggregate(
             }
         )
 
-    return (
+    agg = (
         ds.map_batches(fanout, batch_format="pyarrow")
         .groupby("window_start")
         .aggregate(
@@ -113,6 +113,18 @@ def hopping_aggregate(
             Sum(value_col, alias_name="sum_value"),
         )
     )
+
+    # same unit pin as tumbling_aggregate: the Aggregate can coarsen
+    # the key to timestamp[s]
+    def _pin_us(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i,
+            "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")),
+        )
+
+    return agg.map_batches(_pin_us, batch_format="pyarrow")
 
 
 def sessionize(

@@ -89,3 +89,18 @@ def test_entry_smoke():
     df = res.to_pandas()
     assert len(df) >= 1
     assert {"repo", "path", "commit", "lang", "content"} <= set(df.columns)
+
+
+def test_q3_broadcast_guard_fallback():
+    """VERDICT r2 #9: q3's size assumption is now measured — forcing the
+    guard to 0 routes through the partitioned hash join and returns the
+    same top-10."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    a = e.q3_top_orders(sf).to_pandas()
+    b = e.q3_top_orders(sf, _broadcast_limit=0).to_pandas()
+    cols = sorted(a.columns)
+    assert a[cols].reset_index(drop=True).equals(
+        b[cols].reset_index(drop=True)
+    )

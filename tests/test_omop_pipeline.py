@@ -155,3 +155,171 @@ def test_full_pipeline_invariants():
     assert periods.loc[2, "observation_period_start_date"] != date(1900, 1, 1)
     # P4 appears via drug dates only
     assert 4 in periods.index
+
+
+ALSFRS = pa.table(
+    {
+        "Participant_ID": ["P1", "P2"],
+        "alsfrsdt": pa.array([-100, None], pa.int64()),
+        "alsfrs1": pa.array([4, 3], pa.int64()),
+        "alsfrs2": pa.array([None, 0], pa.int64()),
+        "alsfrst": pa.array([40, None], pa.int64()),
+    }
+)
+
+INDICATORS = pa.table(
+    {
+        "Participant_ID": ["P1", "P3"],
+        "alsdxdt": pa.array([-50, -60], pa.int64()),
+        "alsdx1": pa.array([1, None], pa.int64()),   # fans out ×3
+        "alsdx2": pa.array([2, 90], pa.int64()),
+        "alsdx3": pa.array([None, 1], pa.int64()),
+        "elescrlr": pa.array([3, 5], pa.int64()),
+    }
+)
+
+MORTALITY = pa.table(
+    {
+        "Participant_ID": ["P2", "P3"],
+        "dieddt": pa.array([-10, None], pa.int64()),
+        "diedcaus": ["ALS", None],
+        "cause_concept_id": pa.array([4306655, None], pa.int64()),
+    }
+)
+
+# P1+Hypertension overlaps medical_history → redundant; P4+Asthma is new
+NEUROLOG = pa.table(
+    {
+        "Participant_ID": ["P1", "P4"],
+        "neuddsc": ["HYPERTENSION", "Asthma"],
+        "neudxdt": pa.array([-200, -300], pa.int64()),
+    }
+)
+
+# usagi with Procedure/Device domains: 'Asthma' additionally routes to a
+# procedure concept, 'Hypertension' to a device (medical_history--
+# {procedure,device}*.py route the SAME source by domain filter)
+USAGI_PD = pa.table(
+    {
+        "sourceName": USAGI.column("sourceName").to_pylist()
+        + ["Asthma", "Hypertension"],
+        "domainId": USAGI.column("domainId").to_pylist()
+        + ["Procedure", "Device"],
+        "conceptId": pa.array(
+            USAGI.column("conceptId").to_pylist() + [6001, 7001], pa.int64()
+        ),
+        "conceptName": USAGI.column("conceptName").to_pylist()
+        + ["asthma-proc", "htn-dev"],
+    }
+)
+
+
+def test_full_composition_observation_death_redundant():
+    """VERDICT r2 #2/#4: observation (the reference's largest table),
+    death, procedure/device, and the A1 redundant audit log all compose
+    into one run."""
+    out = {
+        k: v.to_pandas()
+        for k, v in run_omop_pipeline(
+            rd.from_arrow(DEMOGRAPHICS),
+            SUBJECTS,
+            rd.from_arrow(MEDICAL_HISTORY),
+            rd.from_arrow(VITAL_SIGNS),
+            rd.from_arrow(MEDICATIONS),
+            USAGI_PD,
+            alsfrs=rd.from_arrow(ALSFRS),
+            indicators=rd.from_arrow(INDICATORS),
+            mortality=rd.from_arrow(MORTALITY),
+            neurolog=rd.from_arrow(NEUROLOG),
+            with_procedure_device=True,
+        ).items()
+    }
+    assert set(out) >= {
+        "person", "condition_occurrence", "measurement", "drug_exposure",
+        "observation", "death", "observation_period",
+        "procedure_occurrence", "device_exposure",
+        "condition_occurrence__redundant",
+    }
+    for name, df in out.items():
+        if name != "condition_occurrence__redundant":
+            assert list(df.columns) == CDM54_SCHEMAS[name], name
+
+    obs = out["observation"]
+    # alsfrs: P1 emits alsfrs1+alsfrst (alsfrs2 null), P2 emits
+    # alsfrs1+alsfrs2 (alsfrst null, 0 is a VALID answer); indicators:
+    # P1 → 3×alsdx1 + alsdx2 + elescrlr, P3 → alsdx2+alsdx3+elescrlr
+    assert len(obs) == 2 + 2 + (3 + 1 + 1) + (1 + 1 + 1)
+    fr = obs[obs["observation_source_value"].str.startswith("alsfrs")]
+    assert set(fr["observation_concept_id"]) == {42529071, 42529072, 42529084}
+    # survey answers mapped to value concepts (M5): P1's alsdx2=2 → no
+    ind = obs[obs["observation_source_value"] == "alsdx2"]
+    assert set(ind["value_as_concept_id"]) == {45878245, 45881531}
+    assert (obs["observation_type_concept_id"] == 32851).all()
+
+    death = out["death"]
+    assert len(death) == 2
+    d = death.set_index("person_id")
+    assert d.loc[2, "death_date"] == date(2015, 12, 22)   # -10 days
+    assert d.loc[3, "death_date"] == date(1900, 1, 1)     # sentinel
+    assert d.loc[3, "cause_concept_id"] == 0              # null → 0 (M4)
+
+    # A1 audit: P1+Hypertension(316866/316867) exists in medical_history
+    # → neurolog's row is redundant; P4+Asthma is a new key → winner
+    red = out["condition_occurrence__redundant"]
+    assert (red["__source"] == "neurolog").all()
+    assert set(red["person_id"]) == {1}
+    cond = out["condition_occurrence"]
+    p4 = cond[cond["person_id"] == 4]
+    assert len(p4) == 1 and p4.iloc[0]["condition_concept_id"] == 317009
+    # winner rows never carry a redundant flag; counts reconcile:
+    # mh-winners (4) + neurolog new key (1)
+    assert len(cond) == 5
+
+    # procedure/device route the SAME medical history by usagi domain:
+    # 'asthma'/'Asthma' rows → procedure 6001, 'HYPERTENSION' → device
+    proc = out["procedure_occurrence"]
+    assert set(proc["procedure_concept_id"]) == {6001} and len(proc) == 2
+    dev = out["device_exposure"]
+    assert set(dev["device_concept_id"]) == {7001} and len(dev) == 1
+
+    # observation dates feed the period span: P3's only dated facts are
+    # indicators (-60 → 2015-11-02)
+    periods = out["observation_period"].set_index("person_id")
+    assert periods.loc[3, "observation_period_start_date"] <= date(2015, 11, 2)
+
+
+def test_rekey_hash_join_fallback():
+    """VERDICT r2 #9: with the broadcast guard forced to 0 the person
+    rekey runs through the partitioned hash join and produces the same
+    tables as the broadcast path."""
+    a = {k: v.to_pandas() for k, v in _run().items()}
+    b = {
+        k: v.to_pandas()
+        for k, v in run_omop_pipeline(
+            rd.from_arrow(DEMOGRAPHICS),
+            SUBJECTS,
+            rd.from_arrow(MEDICAL_HISTORY),
+            rd.from_arrow(VITAL_SIGNS),
+            rd.from_arrow(MEDICATIONS),
+            USAGI,
+            broadcast_person_limit=0,
+        ).items()
+    }
+    assert set(a) == set(b)
+    for name in a:
+        sort_cols = [
+            c for c in ("person_id", "measurement_source_value",
+                        "condition_concept_id", "drug_concept_id")
+            if c in a[name].columns
+        ]
+        av = a[name].sort_values(sort_cols).reset_index(drop=True)
+        bv = b[name].sort_values(sort_cols).reset_index(drop=True)
+        id_like = [c for c in av.columns if c.endswith("_id")
+                   and c != "person_id" and c != "visit_occurrence_id"]
+        # sequential record ids depend on row order, which the join may
+        # permute — compare everything else exactly
+        pd.testing.assert_frame_equal(
+            av.drop(columns=id_like)[sorted(av.drop(columns=id_like).columns)],
+            bv.drop(columns=id_like)[sorted(bv.drop(columns=id_like).columns)],
+            check_like=True, check_dtype=False,
+        )
