@@ -632,18 +632,36 @@ FROM orders
 
 
 def hourly_event_windows(sf_dir: str):
-    """Tumbling-window aggregate (streaming-shaped)."""
+    """Tumbling-window aggregate (streaming-shaped).
+
+    avg derives from the ROUNDED sum (both sides divide the identical
+    rounded double by the identical count) — a raw Mean vs SQL AVG can
+    land one ulp apart from summation order and flip the 4th rounded
+    digit at a .00005 boundary."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
     from standardized_omop_data_etl_ray.stages.windows import tumbling_aggregate
 
     ds = _pq(sf_dir, "events", ["ts", "value"])
-    return tumbling_aggregate(ds, "ts", "value", unit="hour").map_batches(
-        _round_cols({"sum_value": 2, "avg_value": 4}), batch_format="pyarrow"
+    agg = tumbling_aggregate(ds, "ts", "value", unit="hour").map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow"
     )
+
+    def derived_avg(t: pa.Table) -> pa.Table:
+        s = t.column("sum_value").to_numpy(zero_copy_only=False)
+        n = t.column("n_events").to_numpy(zero_copy_only=False)
+        avg = round_half_away(s / n, 4)
+        i = t.schema.get_field_index("avg_value")
+        return t.set_column(i, "avg_value", pa.array(avg, pa.float64()))
+
+    return agg.map_batches(derived_avg, batch_format="pyarrow")
 
 
 _HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
 FROM events GROUP BY 1
 """
 
@@ -1281,11 +1299,27 @@ FROM documents
 
 
 def simhash_fingerprints_docs(sf_dir: str):
+    """No SQL oracle (64-bit token-hash arithmetic), so the query
+    SELF-CHECKS determinism: byte-identical texts must carry identical
+    simhashes (asserted per content-sha group — any violation raises
+    inside the pipeline)."""
     from standardized_omop_data_etl_ray.stages.dedup import simhash_fingerprints
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
-    fps = simhash_fingerprints(docs, "text", "doc_id")
-    return fps.map_batches(
+    fps = simhash_fingerprints(docs, "text", "doc_id", carry_sha=True)
+
+    def check_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g["simhash"].nunique() != 1:
+            raise AssertionError(
+                "simhash not deterministic for identical text: "
+                f"{sorted(g['doc_id'].tolist())[:4]}"
+            )
+        return g[["doc_id", "simhash"]]
+
+    checked = fps.groupby("sha").map_groups(
+        check_group, batch_format="pandas"
+    )
+    return checked.map_batches(
         lambda t: pa.table({"doc_id": t.column("doc_id"),
                             "simhash": pc.cast(t.column("simhash"), pa.string())}),
         batch_format="pyarrow",
@@ -1339,11 +1373,21 @@ FROM hits
 
 
 def fingerprint_docs(sf_dir: str):
+    """No SQL oracle (rolling-hash winnowing), so the query SELF-CHECKS
+    cross-worker determinism: every batch (any worker process) must
+    fingerprint a fixed probe string to the exact value the driver
+    computed."""
     from standardized_omop_data_etl_ray.functions.text import winnowing_fingerprint
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    probe = "the quick brown fox jumps over the lazy dog " * 4
+    probe_fp = list(winnowing_fingerprint(probe))
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if list(winnowing_fingerprint(probe)) != probe_fp:
+            raise AssertionError(
+                "winnowing_fingerprint not deterministic across workers"
+            )
         fps = df["text"].map(lambda t: len(winnowing_fingerprint(t or "")))
         return pd.DataFrame({"doc_id": df["doc_id"], "n_fingerprints": fps})
 
@@ -1737,20 +1781,38 @@ SELECT * FROM (
 
 
 def media_featurize(sf_dir: str):
-    """Multimodal plumbing demo (synthetic media; decode is stubbed)."""
+    """Multimodal plumbing demo (synthetic media through the real
+    PPM/WAV codecs).  No SQL oracle, so the query SELF-CHECKS: every
+    feature vector must be finite and the media generation + actor
+    featurization must be deterministic (each batch re-checks a probe
+    row against the driver's value)."""
     from standardized_omop_data_etl_ray.stages.multimodal import (
+        MediaFeaturizer,
         featurize_media,
         synth_media_table,
     )
 
-    media = rd.from_arrow(synth_media_table(500))
+    tbl = synth_media_table(500)
+    media = rd.from_arrow(tbl)
     out = featurize_media(media, concurrency=2, batch_size=128)
+    probe = MediaFeaturizer()(tbl.slice(0, 1))
+    probe_sum = float(np.sum(probe.column("feature").to_pylist()[0]))
+    probe_id = probe.column("media_id")[0].as_py()
 
     def summarize(t: pa.Table) -> pa.Table:
         feats = t.column("feature").combine_chunks()
         flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
+        if len(flat) and not np.isfinite(flat).all():
+            raise AssertionError("non-finite media features")
         offsets = feats.offsets.to_numpy(zero_copy_only=False)
         sums = np.add.reduceat(flat, offsets[:-1]) if len(flat) else np.array([])
+        ids = t.column("media_id").to_pylist()
+        if probe_id in ids and not np.isclose(
+            sums[ids.index(probe_id)], probe_sum
+        ):
+            raise AssertionError(
+                "media featurization not deterministic across workers"
+            )
         return pa.table({
             "media_id": t.column("media_id"),
             "kind": t.column("kind"),

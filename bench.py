@@ -134,8 +134,11 @@ def run_headline(num_partitions: int = 64, epochs: int = 2) -> dict:
     read_sec = time.time() - t1
 
     # pipelined tailing shape: 8 micro-batch epochs with cross-epoch
-    # pipelining (phase 1 of epoch n+1 overlaps epoch n's tail)
-    stream_epochs, inflight = 8, 2
+    # pipelining (phase 1 of epoch n+1 overlaps epoch n's tail).
+    # inflight=8 measured fastest at BOTH cpu levels (r3 sweep:
+    # 32cpu 8.65s@2 / 6.7-7.0s@4 / 5.56s@8; 8cpu 22.8s@2 / 15.0s@4 /
+    # 14.7s@8) — short phases at high cpu counts need deeper overlap
+    stream_epochs, inflight = 8, 8
     per_se = (len(files) + stream_epochs - 1) // stream_epochs
 
     def windows():

@@ -300,6 +300,41 @@ def test_apply_stream_pipelined_matches_serial(tmp_path):
     assert rec["rows_upserted"] == 0 and rec["tombstones"] == 0
 
 
+def test_apply_stream_watermark_tightens_across_commits(tmp_path):
+    """ADVICE r2: a long stream must refresh its watermark snapshot as
+    epochs commit — a later window re-delivering rows at or below an
+    EARLIER window's committed watermark (max_inflight=1, so the commit
+    precedes the submit) must not re-write them into new delta files."""
+    t1 = pa.table(
+        {
+            "op": ["I", "I"], "lsn": pa.array([1, 2], pa.int64()),
+            "repo": ["r", "r"], "path": ["a", "b"],
+            "commit": ["c1", "c2"], "lang": ["py", "py"],
+            "content": ["a1", "b2"],
+        }
+    )
+    # window 2 re-delivers lsn 1 (straddling segment) plus a new row
+    t2 = pa.table(
+        {
+            "op": ["I", "U"], "lsn": pa.array([1, 5], pa.int64()),
+            "repo": ["r", "r"], "path": ["a", "a"],
+            "commit": ["c1", "c5"], "lang": ["py", "py"],
+            "content": ["a1", "a5"],
+        }
+    )
+    lake = CDCLake(tmp_path, TableSpec(name="cdc", num_partitions=2))
+    recs = lake.apply_stream(
+        iter([rd.from_arrow(t1), rd.from_arrow(t2)]), max_inflight=1
+    )
+    assert all(r["committed"] for r in recs)
+    # epoch 2 wrote ONLY the new row — the redelivery was dropped by the
+    # refreshed watermark, not re-resolved into the delta
+    assert recs[1]["events_seen"] == 1
+    assert recs[1]["rows_upserted"] == 1
+    df = lake.read_state().to_pandas().sort_values("path")
+    assert df["content"].tolist() == ["a5", "b2"]
+
+
 def test_apply_stream_with_mid_stream_schema_evolution(tmp_path):
     """Column added partway through a pipelined stream: earlier in-flight
     epochs may standardize against the already-evolved (wider) spec —
