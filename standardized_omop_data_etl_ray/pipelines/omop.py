@@ -492,10 +492,14 @@ def run_omop_pipeline(
         # list wins per (person, concept) key, later rows are diverted
         # to the audit log (combine_subtables.py:42-157)
         cond_nl = build_condition_neurolog(neurolog, usagi)
+        # materialize the merge ONCE: winners and the audit log are two
+        # filters over the same shuffle output — without this each
+        # consumer re-runs the whole two-source merge (blocks live in
+        # the object store and spill; same pattern as the facts below)
         merged = priority_merge(
             [("medical_history", cond_mh), ("neurolog", cond_nl)],
             key_cols=["person_source_value", "condition_concept_id"],
-        )
+        ).materialize()
         condition = merged.filter(expr="__redundant == False").drop_columns(
             ["__redundant", "__source"]
         )
@@ -584,9 +588,25 @@ def run_omop_pipeline(
                  ("redundant", redundant)):
         if v is not None:
             facts[k] = v
-    facts = {k: rekey(v) for k, v in facts.items()}
+    # materialize each rekeyed fact ONCE: every fact is consumed 2-3x
+    # (observation-period spans, sequential-id sort, per-table output) —
+    # lazy re-execution would re-run the builder chain per consumer.
+    # Blocks sit in the (spillable) object store, so this bounds memory
+    # the same way any shuffle output does.  The materializations run
+    # concurrently (one streaming executor per dataset, one driver
+    # thread each) so independent fact builders share the cluster
+    # instead of executing back-to-back.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # A4: observation periods across every fact table's dates
+    with ThreadPoolExecutor(max_workers=len(facts)) as pool:
+        futs = {k: pool.submit(lambda d: rekey(d).materialize(), v)
+                for k, v in facts.items()}
+        facts = {k: f.result() for k, f in futs.items()}
+
+    # A4: observation periods across every fact table's dates —
+    # materialized once: its consumer (sequential_ids) both peeks the
+    # schema and pulls the blocks, and a lazy all-to-all chain would
+    # execute fully for each.
     period_inputs = [
         (facts["condition"], ["condition_start_date"]),
         (facts["measurement"], ["measurement_date"]),
@@ -595,7 +615,9 @@ def run_omop_pipeline(
     ]
     if "observation" in facts:
         period_inputs.append((facts["observation"], ["observation_date"]))
-    periods = observation_periods(period_inputs, person_col="person_id")
+    periods = observation_periods(
+        period_inputs, person_col="person_id"
+    ).materialize()
 
     # A5 sequential record ids + C2 pad to the published CDM 5.4 shapes
     out = {}

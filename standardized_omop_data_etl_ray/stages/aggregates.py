@@ -25,12 +25,21 @@ def observation_periods(
     tables: list[tuple[rd.Dataset, list[str]]],
     person_col: str = "person_id",
     default_date=INDEX_DATE,
+    reduce_partitions: int = 32,
 ) -> rd.Dataset:
     """(person, min date, max date) across many tables' date columns,
     excluding the 1900-01-01 sentinel; persons whose dates are ALL
     sentinel/null get the default single-day span (A4 — the reference
-    emits an index-date span rather than dropping the person).  One
-    union + one groupby shuffle."""
+    emits an index-date span rather than dropping the person).
+
+    Each projection pre-aggregates per block (one row per person per
+    block, a vectorized ``pyarrow`` group_by), so the single groupby
+    shuffle moves per-person partials — and the union's block count
+    (which would otherwise drive the sort-shuffle partition count:
+    5 fact projections × 64 blocks = 320 partitions for a
+    persons-sized result) is coalesced to ``reduce_partitions`` first.
+    At larger scale raise ``reduce_partitions`` toward the cluster's
+    core count — the reduced data is one row per (person, block)."""
     import pyarrow.compute as pc
 
     projected = []
@@ -38,10 +47,15 @@ def observation_periods(
         for dc in date_cols:
             def proj(batch: pa.Table, dc=dc) -> pa.Table:
                 # keep null/sentinel rows so the person still forms a
-                # group; Min/Max ignore nulls, the fill below defaults
+                # group; min/max ignore nulls, the fill below defaults
                 d = exclude_sentinel(batch.column(dc))
-                return pa.table(
+                t = pa.table(
                     {person_col: batch.column(person_col), "d": d}
+                )
+                # per-block combiner: the shuffle ships one row per
+                # person per block instead of one per fact row
+                return t.group_by(person_col).aggregate(
+                    [("d", "min"), ("d", "max")]
                 )
 
             projected.append(
@@ -52,9 +66,9 @@ def observation_periods(
     u = projected[0]
     for p in projected[1:]:
         u = u.union(p)
-    agg = u.groupby(person_col).aggregate(
-        Min("d", alias_name="observation_period_start_date"),
-        Max("d", alias_name="observation_period_end_date"),
+    agg = u.repartition(reduce_partitions).groupby(person_col).aggregate(
+        Min("d_min", alias_name="observation_period_start_date"),
+        Max("d_max", alias_name="observation_period_end_date"),
     )
 
     def fill(t: pa.Table) -> pa.Table:
@@ -98,20 +112,29 @@ def sequential_ids(
         ds = ds.sort(sort_col)
     refs = ds.to_arrow_refs()
 
+    # Ray skips UDF execution on empty blocks, so a zero-row pandas
+    # block from an upstream pandas stage can survive every
+    # batch_format="pyarrow" stage unconverted and reach us here —
+    # count generically and drop empties from the output.
     @ray.remote
-    def _count(t: pa.Table) -> int:
-        return t.num_rows
+    def _count(t) -> int:
+        return len(t) if isinstance(t, pd.DataFrame) else t.num_rows
 
     @ray.remote
-    def _with_ids(t: pa.Table, offset: int) -> pa.Table:
+    def _with_ids(t, offset: int) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
         ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
         return t.append_column(id_col, ids)
 
     counts = ray.get([_count.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
     out_refs = [
-        _with_ids.remote(r, int(off)) for r, off in zip(refs, offsets)
+        _with_ids.remote(r, int(off))
+        for r, off, c in zip(refs, offsets, counts) if c > 0
     ]
+    if not out_refs:
+        return ds  # fully empty input: nothing to enumerate
     return rd.from_arrow_refs(out_refs)
 
 
