@@ -35,8 +35,28 @@ from standardized_omop_data_etl_ray.stages.merge import lww_merge
 from standardized_omop_data_etl_ray.stages.standardize import make_standardizer
 
 
-def _pq(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+def _pq(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    rows_hint: int | None = None,
+    rows_per_block: int = 4096,
+) -> rd.Dataset:
+    """Read one table.  ``rows_hint`` (footer row count) clamps the block
+    count DOWN for small inputs only: Ray's default read splits even a
+    4k-row file into ~2×cpus blocks and every downstream stage then pays
+    per-block task overhead.  Large inputs keep Ray's own splitting, so
+    behavior at scale is unchanged."""
+    kw = {}
+    if rows_hint is not None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        want = rows_hint // rows_per_block + 1
+        if want < 2 * cpus:
+            kw["override_num_blocks"] = want
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kw)
 
 
 def _nrows(sf_dir: str, name: str) -> int:
@@ -854,8 +874,10 @@ def minhash_self_near_dups(sf_dir: str):
     texts always share every band bucket, so recall is 1 and the result
     equals the SQL self-join oracle exactly."""
     from standardized_omop_data_etl_ray.stages.dedup import minhash_candidate_pairs
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
 
-    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
 
     def shift(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -870,7 +892,8 @@ def minhash_self_near_dups(sf_dir: str):
     # equality check happens inline in the candidate stage (no driver
     # dict, no corpus broadcast, no extra shuffles — VERDICT r1 #5)
     pairs = minhash_candidate_pairs(both, "text", "doc_id", concurrency=(2, 8),
-                                    carry_sha=True)
+                                    carry_sha=True,
+                                    num_buckets=default_buckets(2 * n))
     return pairs.filter(expr="sha_a == sha_b").select_columns(["id_a", "id_b"])
 
 
@@ -894,8 +917,10 @@ def simhash_self_near_dups(sf_dir: str):
         simhash_fingerprints,
         simhash_near_pairs,
     )
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
 
-    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
 
     def shift(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -908,7 +933,8 @@ def simhash_self_near_dups(sf_dir: str):
     both = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
     fps = simhash_fingerprints(both, "text", "doc_id", concurrency=(2, 8),
                                carry_sha=True)
-    pairs = simhash_near_pairs(fps, "doc_id", max_hamming=3)
+    pairs = simhash_near_pairs(fps, "doc_id", max_hamming=3,
+                               num_buckets=default_buckets(2 * n))
     return pairs.filter(expr="sha_a == sha_b").select_columns(["id_a", "id_b"])
 
 
@@ -925,8 +951,11 @@ def jaccard_near_dups(sf_dir: str):
         minhash_candidate_pairs,
         verify_jaccard_pairs,
     )
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
 
-    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    n = _nrows(sf_dir, "documents")
+    B = default_buckets(2 * n)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
 
     def modify(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -942,9 +971,10 @@ def jaccard_near_dups(sf_dir: str):
     # distinct=False: verify_jaccard_pairs' pair-bucket pivot dedups,
     # so the global pair-distinct shuffle would be a wasted exchange
     pairs = minhash_candidate_pairs(both, "text", "doc_id",
-                                    concurrency=(2, 8), distinct=False)
+                                    concurrency=(2, 8), distinct=False,
+                                    num_buckets=B)
     verified = verify_jaccard_pairs(pairs, both, "text", "doc_id",
-                                    threshold=0.8)
+                                    threshold=0.8, num_buckets=B)
     return verified.select_columns(["id_a", "id_b"])
 
 
@@ -1052,8 +1082,10 @@ def embedding_self_near_dups(sf_dir: str):
     matmul against the broadcast normalized matrix; at threshold 0.999
     only the planted identical pairs survive in this random corpus."""
     from standardized_omop_data_etl_ray.stages.dedup import embedding_near_dup_pairs
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
 
-    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = _nrows(sf_dir, "embeddings")
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], rows_hint=n)
 
     def shift(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1063,7 +1095,8 @@ def embedding_self_near_dups(sf_dir: str):
 
     both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
     pairs = embedding_near_dup_pairs(both, "embedding", "vec_id",
-                                     threshold=0.999)
+                                     threshold=0.999,
+                                     coarse_buckets=default_buckets(2 * n))
     return pairs.select_columns(["id_a", "id_b"])
 
 

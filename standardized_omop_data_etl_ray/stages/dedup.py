@@ -142,6 +142,7 @@ def minhash_candidate_pairs(
     concurrency: int = 4,
     carry_sha: bool = False,
     distinct: bool = True,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket.  Returns distinct (id_a, id_b) with id_a < id_b; with
@@ -149,7 +150,11 @@ def minhash_candidate_pairs(
     shas, verified inline — no join-back needed for exact-dup checks).
     ``distinct=False`` skips the global pair-distinct shuffle — use when
     the consumer re-groups by pair anyway (verify_jaccard_pairs' pivot
-    dedups per pair-bucket, so the extra exchange is pure waste)."""
+    dedups per pair-bucket, so the extra exchange is pure waste).
+    ``num_buckets`` sizes the coarse-bucket shuffles — pass
+    ``default_buckets(n_docs)`` when the corpus size is known (cheap via
+    parquet footers) so tiny corpora don't pay 64-partition exchanges."""
+    from .joins import default_buckets
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -164,7 +169,7 @@ def minhash_candidate_pairs(
     # map_groups per bucket would pay one Python call per bucket.  We
     # instead co-locate by a COARSE bucket (band_hash % B) and generate
     # all pairs inside each coarse group with one vectorized self-merge.
-    B = 64
+    B = num_buckets if num_buckets is not None else default_buckets()
 
     def coarsen(t: pa.Table) -> pa.Table:
         bh = t.column("band_hash").to_numpy()
@@ -429,12 +434,23 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(
-    fps: rd.Dataset, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+    fps: rd.Dataset, id_col: str, max_hamming: int = 3, prefix_bits: int = 16,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Near-dup pairs among simhash fingerprints: bucket by bit-prefix
     (rotated ``64/prefix_bits`` ways so any ≤k-bit difference lands in a
-    shared bucket with high probability), verify Hamming inside buckets."""
+    shared bucket with high probability), verify Hamming inside buckets.
+
+    There are up to ``rotations × 2^prefix_bits`` fine buckets — far too
+    many for a map_groups per bucket (one Python call each).  As in
+    ``minhash_candidate_pairs``, rows co-locate by a COARSE hash of the
+    fine bucket and one vectorized self-merge per coarse group
+    enumerates every same-fine-bucket pair.  ``num_buckets`` sizes that
+    coarse shuffle — pass ``default_buckets(n_docs)`` when known."""
+    from .joins import default_buckets
+
     rotations = max(1, 64 // prefix_bits)
+    B = num_buckets if num_buckets is not None else default_buckets()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -461,38 +477,48 @@ def simhash_near_pairs(
             )
         return pa.table(cols)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        fp = g["simhash"].to_numpy().astype(np.uint64)
+    def coarsen(t: pa.Table) -> pa.Table:
+        bk = t.column("bucket").to_numpy()
+        return t.append_column(
+            "cb", pa.array((bk % np.uint64(B)).astype(np.int32))
+        )
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
         has_sha = "sha" in g.columns
-        if len(ids) < 2:
-            out = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
-            )
+        g = g.drop_duplicates([id_col, "bucket"])
+        j = g.merge(g, on="bucket", suffixes=("_l", "_r"))
+        a = j[f"{id_col}_l"].to_numpy()
+        b = j[f"{id_col}_r"].to_numpy()
+        keep = a < b
+        if not keep.any():
+            out = pd.DataFrame(
+                {"id_a": [], "id_b": [], "hamming": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
             if has_sha:
                 out["sha_a"] = pd.Series([], dtype=object)
                 out["sha_b"] = pd.Series([], dtype=object)
             return out
-        ia, ib = np.triu_indices(len(ids), k=1)
+        fa = j["simhash_l"].to_numpy()[keep].astype(np.uint64)
+        fb = j["simhash_r"].to_numpy()[keep].astype(np.uint64)
         ham = np.unpackbits(
-            np.bitwise_xor(fp[ia], fp[ib]).view(np.uint8).reshape(-1, 8), axis=1
-        ).sum(axis=1)
-        keep = ham <= max_hamming
+            np.bitwise_xor(fa, fb).view(np.uint8).reshape(-1, 8), axis=1
+        ).sum(axis=1).astype(np.int64)
+        near = ham <= max_hamming
         out = {
-            "id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]
+            "id_a": a[keep][near], "id_b": b[keep][near], "hamming": ham[near]
         }
         if has_sha:
-            sha = g["sha"].to_numpy()
-            out["sha_a"] = sha[ia][keep]
-            out["sha_b"] = sha[ib][keep]
-        return pd.DataFrame(out)
+            out["sha_a"] = j["sha_l"].to_numpy()[keep][near]
+            out["sha_b"] = j["sha_r"].to_numpy()[keep][near]
+        return pd.DataFrame(out).drop_duplicates(["id_a", "id_b"])
 
     exploded = fps.map_batches(explode, batch_format="pyarrow")
-    pairs = exploded.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    pairs = (
+        exploded.map_batches(coarsen, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
     )
-    return pair_distinct(pairs)
+    return pair_distinct(pairs, num_buckets=B)
 
 
 # ------------------------------------------------------------ embedding --
@@ -569,7 +595,7 @@ def embedding_near_dup_pairs(
     planes: int = 16,
     tables: int = 4,
     seed: int = 17,
-    coarse_buckets: int = 64,
+    coarse_buckets: int | None = None,
 ) -> rd.Dataset:
     """Embedding-cosine near-dup pairs, LSH-bucketed (the scale path):
 
@@ -589,6 +615,10 @@ def embedding_near_dup_pairs(
     vectors always collide, so planted-duplicate oracles are exact.
     For looser thresholds raise ``tables`` (or lower ``planes``)."""
 
+    from .joins import default_buckets
+
+    if coarse_buckets is None:
+        coarse_buckets = default_buckets()
     code_rows = make_code_rows_fn(emb_col, id_col, planes, tables, seed)
 
     def coarsen(df: pd.DataFrame) -> pd.DataFrame:

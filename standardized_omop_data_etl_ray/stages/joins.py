@@ -92,9 +92,18 @@ def default_buckets(
     known row count, one bucket per ~rows_per_bucket rows (each bucket
     becomes ONE pandas frame in one task — both the per-task memory
     bound and the parallelism ceiling); otherwise 8× the cluster CPU
-    count so no core starves even at small data."""
+    count so no core starves even at small data.
+
+    The ``lo`` floor exists for parallelism, but it only pays off when
+    each bucket holds real work — for a tiny input (thousands of rows)
+    64 shuffle partitions are pure per-task overhead, so with a KNOWN
+    row count the floor is additionally capped at ~1 bucket per 500
+    rows.  The memory bound (rows // rows_per_bucket) always wins over
+    both caps, so behavior at scale is unchanged."""
     if num_rows is not None:
-        return int(min(hi, max(lo, num_rows // rows_per_bucket + 1)))
+        mem_lb = num_rows // rows_per_bucket + 1
+        overhead_cap = num_rows // 500 + 1
+        return int(min(hi, max(mem_lb, min(lo, overhead_cap))))
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:

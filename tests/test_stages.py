@@ -246,5 +246,6 @@ def test_bucketed_groupby_many_buckets():
     assert merged.equals(expect.sort_values("k").reset_index(drop=True))
     # derived sizing: row-count path scales, floor/ceiling respected
     assert default_buckets(2_000_000_000) == 4096  # ceiling
-    assert default_buckets(10_000) == 64           # floor
+    assert default_buckets(100_000) == 64          # floor (≥500 rows/bucket)
+    assert default_buckets(10_000) == 21           # tiny input: overhead cap
     assert default_buckets(100_000_000) == 401     # ~1 bucket / 250k rows
