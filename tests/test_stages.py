@@ -249,3 +249,60 @@ def test_bucketed_groupby_many_buckets():
     assert default_buckets(100_000) == 64          # floor (≥500 rows/bucket)
     assert default_buckets(10_000) == 21           # tiny input: overhead cap
     assert default_buckets(100_000_000) == 401     # ~1 bucket / 250k rows
+
+
+def test_auto_hash_join_path_parity():
+    """auto_hash_join must produce identical rows, columns AND Arrow
+    dtypes on both plans: broadcast (build side under the threshold)
+    and partitioned (threshold forced to 0).  Covers colliding and
+    non-colliding key names, and the right-key-kept-with-_r-suffix
+    contract inherited from partitioned_hash_join."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.joins import auto_hash_join
+
+    left = pa.table({
+        "k": pa.array(np.arange(100) % 7, pa.int64()),
+        "lv": pa.array(np.arange(100, dtype=np.float64)),
+    })
+    right = pa.table({
+        "k": pa.array(np.arange(7), pa.int64()),
+        "rv": pa.array([f"r{i}" for i in range(7)], pa.string()),
+        "small": pa.array(np.arange(7, dtype=np.int32)),
+    })
+
+    def run(limit):
+        out = auto_hash_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            ["k"], ["k"],
+            right_rows=7, broadcast_limit=limit, num_buckets=4,
+            left_schema=left.schema, right_schema=right.schema,
+        )
+        df = out.to_pandas()
+        return df.sort_values(["k", "lv"]).reset_index(drop=True)
+
+    bcast, part = run(1000), run(0)
+    assert list(bcast.columns) == ["k", "lv", "k_r", "rv", "small"]
+    assert list(part.columns) == list(bcast.columns)
+    assert list(bcast.dtypes) == list(part.dtypes)  # incl. int32 'small'
+    pd.testing.assert_frame_equal(bcast, part)
+    assert (bcast["k"] == bcast["k_r"]).all() and len(bcast) == 100
+
+    # non-colliding key names: right key kept unsuffixed
+    right2 = right.rename_columns(["k2", "rv", "small"])
+    out = auto_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right2), ["k"], ["k2"],
+        right_rows=7, broadcast_limit=1000,
+        left_schema=left.schema, right_schema=right2.schema,
+    ).to_pandas()
+    assert list(out.columns) == ["k", "lv", "k2", "rv", "small"]
+
+    # non-inner joins must always route to the partitioned plan
+    lout = auto_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right2.slice(0, 3)),
+        ["k"], ["k2"], how="left",
+        right_rows=3, broadcast_limit=1000, num_buckets=4,
+        left_schema=left.schema, right_schema=right2.schema,
+    ).to_pandas()
+    assert len(lout) == 100 and lout["rv"].isna().sum() > 0
