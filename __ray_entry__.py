@@ -2074,6 +2074,92 @@ FROM documents
 """
 
 
+def token_vocab_top100(sf_dir: str):
+    """Corpus-wide vocabulary: per-batch tokenize + local count (the
+    word-count combiner — the exchange moves ≤1 row per distinct token
+    per block, ~vocabulary-sized, never occurrence-sized), one
+    groupby-sum, deterministic top-100 (count desc, token asc)."""
+    from standardized_omop_data_etl_ray.stages.corpus import token_vocab
+
+    docs = _pq(sf_dir, "documents", ["text"],
+               rows_hint=_nrows(sf_dir, "documents"))
+    return token_vocab(docs, "text", top_k=100)
+
+
+_VOCAB_SQL = r"""
+WITH tok AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT token, COUNT(*) AS n FROM tok
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def chunk_docs_64(sf_dir: str):
+    """Document → training-sample fan-out: 64-token windows with
+    deterministic (doc_id, chunk_idx) identity — a pure per-batch map,
+    stable under any partitioning (stages/corpus.chunk_documents)."""
+    from standardized_omop_data_etl_ray.stages.corpus import chunk_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"],
+               rows_hint=_nrows(sf_dir, "documents"))
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64)
+
+
+_CHUNK_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+    FROM documents
+),
+c AS (
+    SELECT doc_id, w,
+           unnest(range(CAST(ceil(len(w) / 64.0) AS BIGINT))) AS chunk_idx
+    FROM tok WHERE len(w) > 0
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(
+           w[(chunk_idx * 64 + 1):least((chunk_idx + 1) * 64, len(w))], ' '
+       ) AS chunk_text,
+       least((chunk_idx + 1) * 64, len(w)) - chunk_idx * 64 AS n_tokens
+FROM c
+"""
+
+# per-language sampling rates for the stratified-sample query — the
+# down-sample-the-head / keep-the-tail move of corpus curation
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.5, "de": 0.75, "fr": 1.0, "es": 0.0}
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic per-language sampling by md5(doc_id) prefix
+    (stages/corpus.stratified_sample): the same rows survive on ANY
+    cluster size / partitioning / resume — reproducibility RNG sampling
+    cannot give — and the predicate is SQL-mirrorable exactly."""
+    from standardized_omop_data_etl_ray.stages.corpus import stratified_sample
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang"],
+               rows_hint=_nrows(sf_dir, "documents"))
+    return stratified_sample(docs, "doc_id", "lang", _SAMPLE_RATES)
+
+
+def _sample_sql() -> str:
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        sample_threshold_hex,
+    )
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{sample_threshold_hex(rate)}'"
+        for lang, rate in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE lang {cases} ELSE '0000' END
+"""
+
+
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -2135,6 +2221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
         "media_featurize": media_featurize,
+        "token_vocab_top100": token_vocab_top100,
+        "chunk_docs_64": chunk_docs_64,
+        "stratified_sample_docs": stratified_sample_docs,
         "omop_full_pipeline": omop_full_pipeline,
     }
 
@@ -2185,6 +2274,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
         "langid_docs": _langid_sql(),
+        "token_vocab_top100": _VOCAB_SQL,
+        "chunk_docs_64": _CHUNK_SQL,
+        "stratified_sample_docs": _sample_sql(),
         "omop_full_pipeline": _omop_sql(),
         # simhash_fingerprints / fingerprint / media / ivf_topk:
         # non-SQL-expressible → rows-only checks (ivf recall is gated

@@ -1,0 +1,179 @@
+"""Corpus-level training-data operators: vocabulary building, document
+chunking, deterministic stratified sampling.
+
+These are the wide text-pipeline steps a 100 TB pretraining corpus
+needs beyond per-document featurization (functions/text.py) and
+near-dup removal (stages/dedup.py):
+
+  * ``token_vocab`` — corpus-wide token frequencies, the classic
+    word-count shape: tokenize + count LOCALLY per batch (the partial /
+    combiner step), so the single groupby exchange moves one
+    (token, n) row per distinct token per block instead of one row per
+    token OCCURRENCE — at web scale that is the difference between
+    shuffling ~the corpus and shuffling ~the vocabulary.
+  * ``chunk_documents`` — fixed token-window chunking with
+    deterministic (doc_id, chunk_idx) identity, the fan-out step that
+    turns documents into training samples; pure per-batch map, no
+    exchange, order-independent ids.
+  * ``stratified_sample`` — per-stratum deterministic sampling by a
+    content-independent hash of the id (md5 prefix), so a resumed or
+    re-partitioned run keeps EXACTLY the same rows; no shuffle, no
+    RNG state, reproducible across cluster sizes by construction.
+
+Tokenization contract (shared with the SQL oracles in
+``__ray_entry__``): whitespace tokens = ``trim(text)`` split on runs
+of whitespace; the empty/whitespace-only document has NO tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _ws_tokens(texts: pd.Series) -> pd.Series:
+    """Whitespace tokens per doc (empty doc → empty list) — the same
+    definition as DuckDB ``string_split_regex(trim(text), '\\s+')``
+    minus its ['']-for-empty artifact."""
+    return texts.fillna("").str.strip().str.split()
+
+
+def token_vocab(
+    ds: rd.Dataset,
+    text_col: str,
+    top_k: int | None = None,
+) -> rd.Dataset:
+    """Corpus-wide token frequency (vocabulary building).
+
+    Shape: per-batch tokenize + ``np.unique`` local count (partial
+    aggregation — ≤1 row per distinct token per block enters the
+    exchange), then one groupby-sum over tokens, then an optional
+    global top-k (count desc, token asc — total order, so the cut is
+    deterministic).  The top-k sort runs over the already-aggregated
+    vocabulary, which is ≪ corpus-sized."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col])
+        arrays = [np.asarray(t, dtype=object) for t in toks if len(t)]
+        if not arrays:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
+        u, c = np.unique(np.concatenate(arrays), return_counts=True)
+        return pd.DataFrame({"token": u, "n": c.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if top_k is not None:
+        agg = agg.sort(["n", "token"], descending=[True, False]).limit(top_k)
+    return agg
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+) -> rd.Dataset:
+    """Split each document into fixed token windows — the
+    document→training-sample fan-out.  Pure per-batch map (no exchange);
+    chunk identity is (doc id, 0-based chunk index), deterministic under
+    any partitioning.  Tokenless documents produce no chunks.
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens)."""
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col])
+        ids_out: list = []
+        idx_out: list[int] = []
+        text_out: list[str] = []
+        ntok_out: list[int] = []
+        for doc_id, words in zip(df[id_col].to_numpy(), toks):
+            for i in range(0, len(words), chunk_tokens):
+                w = words[i : i + chunk_tokens]
+                ids_out.append(doc_id)
+                idx_out.append(i // chunk_tokens)
+                text_out.append(" ".join(w))
+                ntok_out.append(len(w))
+        return pd.DataFrame({
+            id_col: pd.Series(ids_out, dtype=df[id_col].dtype),
+            "chunk_idx": pd.Series(idx_out, dtype="int64"),
+            "chunk_text": pd.Series(text_out, dtype=object),
+            "n_tokens": pd.Series(ntok_out, dtype="int64"),
+        })
+
+    return ds.map_batches(fan_out, batch_format="pandas")
+
+
+def sample_threshold_hex(rate: float, digits: int = 4) -> str:
+    """The md5-prefix threshold for a sampling rate: a row is kept when
+    the first ``digits`` hex chars of md5(id) compare below it (string
+    comparison — equal-length hex strings sort identically as text and
+    as value).  Granularity is 16^digits (1/65536 at the default).
+    Rate 1.0 returns ``"g"`` — a single char above 'f', so every hex
+    digest sorts below it (a numeric ``16^digits`` rendered in hex
+    would be LONGER than the digest and lexicographic comparison
+    against it inverts: '8f3a' < '10000' is false as text)."""
+    space = 16 ** digits
+    q = min(space, max(0, round(rate * space)))
+    if q >= space:
+        return "g"
+    return format(q, f"0{digits}x")
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    digits: int = 4,
+) -> rd.Dataset:
+    """Deterministic per-stratum sampling: keep a row iff the first
+    ``digits`` hex chars of ``md5(str(id))`` are below the stratum's
+    threshold.  Content-independent and partitioning-independent — the
+    SAME rows survive on any cluster size, any resume, any block order
+    (the property RNG-based ``random_sample`` cannot give) — and
+    SQL-mirrorable exactly (DuckDB ``md5``).  The rates dict is
+    closure-captured (dimension-sized; ship-once semantics)."""
+    thresholds = {
+        k: sample_threshold_hex(v, digits) for k, v in rates.items()
+    }
+    default_thr = sample_threshold_hex(default_rate, digits)
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import _HAVE_DUCKDB, _con
+
+        ids = t.column(id_col)
+        sv = pa.table({"v": ids.cast(pa.string())})
+        if _HAVE_DUCKDB:
+            h = (
+                _con()
+                .execute(f"SELECT substr(md5(v), 1, {digits}) AS h FROM sv")
+                .fetch_arrow_table()
+                .column("h")
+                .to_pylist()
+            )
+        else:  # pragma: no cover - duckdb is a baked-in dependency
+            import hashlib
+
+            h = [
+                hashlib.md5(s.encode()).hexdigest()[:digits]
+                for s in sv.column("v").to_pylist()
+            ]
+        strata = t.column(strata_col).to_pylist()
+        thr = np.asarray(
+            [thresholds.get(s, default_thr) for s in strata], dtype=object
+        )
+        mask = np.asarray(h, dtype=object) < thr
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
