@@ -1468,10 +1468,15 @@ def _omop_inputs(sf_dir: str):
     Every derivation below has a line-for-line mirror in _OMOP_SQL."""
     from standardized_omop_data_etl_ray.pipelines.omop import ALSFRS_CONCEPTS
 
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # rows_hint: without it Ray splits even the 15k-row customer file
+    # into ~2×cpus blocks and every one of the ~30 downstream OMOP
+    # stages pays per-block task overhead on ~200-row blocks
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+               rows_hint=_nrows(sf_dir, "customer"))
     orders = _pq(
         sf_dir, "orders",
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        rows_hint=_nrows(sf_dir, "orders"),
     )
 
     def demographics(df: pd.DataFrame) -> pd.DataFrame:

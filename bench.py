@@ -171,7 +171,7 @@ QUERY_SUBSET = [
     "priority_merge_orders", "hourly_event_windows", "cdc_lww_upsert",
     "dedup_exact_docs", "minhash_self_near_dups", "simhash_self_near_dups",
     "jaccard_near_dups", "embedding_self_near_dups", "ann_topk_cosine",
-    "omop_full_pipeline",
+    "token_vocab_top100", "chunk_docs_64", "omop_full_pipeline",
 ]
 
 

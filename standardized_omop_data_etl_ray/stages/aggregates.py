@@ -60,7 +60,11 @@ def observation_periods(
 
             projected.append(
                 ds.select_columns([person_col, dc]).map_batches(
-                    proj, batch_format="pyarrow"
+                    # large batches: the combiner emits one row per
+                    # person per BATCH, so coalescing ~32 small blocks
+                    # into one batch cuts the partial-row volume (and
+                    # the task count) by the same factor
+                    proj, batch_format="pyarrow", batch_size=262144,
                 )
             )
     u = projected[0]
