@@ -244,6 +244,8 @@ def partitioned_hash_join(
     num_buckets: int = 32,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    exchange: str = "auto",
+    ipc_compression: str | None = None,
 ) -> rd.Dataset:
     """Large-large equi-join as an explicit partitioned hash join:
     both sides get ``bucket = stable_hash(key) % B``, are unioned with a
@@ -253,6 +255,25 @@ def partitioned_hash_join(
     This is the portable pattern for scale (and is robust to empty
     buckets, unlike Dataset.join in this Ray version which fails when a
     hash partition's right side is empty).
+
+    ``exchange`` selects how the two sides travel through the shuffle:
+
+    * ``"pad"`` — both sides are padded to the permissive union of the
+      two schemas and unioned row-wise.  Simple, but every row ships
+      null columns for the OTHER side's fields (the cost scales with
+      the WIDER side's column count).
+    * ``"ipc"`` — the bucket ROUTER: each side's prep splits its batch
+      by bucket and emits one row per (batch, bucket) holding that
+      slice as Arrow IPC bytes (``__bucket, __side, __payload``).  The
+      union is schema-identical by construction, the exchange moves
+      exactly the data bytes (optionally ``ipc_compression="lz4"`` /
+      ``"zstd"`` for multi-node network shuffles), and the per-bucket
+      merge deserializes and joins.  Output rows/columns/dtypes are
+      identical to ``"pad"`` (tested).
+    * ``"auto"`` (default) — ``ipc`` when the combined schema is wide
+      (≥10 columns — measured ~20% faster at sf0.1: 3.3–3.9 s → 2.7–
+      2.8 s for full-width lineitem⋈orders), else ``pad`` (a wash at
+      narrow schemas, and pad skips the serialize/deserialize hop).
 
     PERF: ``Dataset.schema()`` on a shuffle-containing lineage executes
     the WHOLE upstream pipeline.  Pass ``left_schema``/``right_schema``
@@ -277,6 +298,8 @@ def partitioned_hash_join(
     )
     lcols = list(lschema.names)
     rcols = list(rschema.names)
+    if exchange == "auto":
+        exchange = "ipc" if len(lcols) + len(rcols) >= 10 else "pad"
 
     import numpy as np
 
@@ -288,55 +311,115 @@ def partitioned_hash_join(
         for a, b in zip(left_on, right_on or left_on)
     )
 
-    def prep(side: int, keys: list[str], schema: pa.Schema):
-        def fn(t: pa.Table) -> pa.Table:
-            if _all_int:
-                # fast path: numeric mix, no string cast / sha; sign-
-                # extend through int64 so widths agree across sides
-                h = np.zeros(t.num_rows, np.uint64)
-                for k in keys:
-                    col = pc.fill_null(t.column(k), 0)
-                    x = (
-                        col.to_numpy(zero_copy_only=False)
-                        .astype(np.int64)
-                        .astype(np.uint64)
-                    )
-                    h = h * np.uint64(1099511628211) ^ _mix64(x)
-                kh = h
-            else:
-                # null join keys never MATCH, but they must still land in
-                # some bucket (key_hash_u64 rejects nulls by contract) —
-                # a sentinel keeps them routable; the per-bucket join
-                # drops them naturally (SQL NULL = NULL is not true)
-                kh = key_hash_u64(
-                    *[
-                        pc.coalesce(
-                            pc.cast(t.column(k), pa.string()),
-                            pa.scalar("\x00__null__"),
-                        )
-                        for k in keys
-                    ]
+    def bucket_of(t: pa.Table, keys: list[str]):
+        """int32 bucket per row — identical hash on both sides."""
+        if _all_int:
+            # fast path: numeric mix, no string cast / sha; sign-
+            # extend through int64 so widths agree across sides
+            h = np.zeros(t.num_rows, np.uint64)
+            for k in keys:
+                col = pc.fill_null(t.column(k), 0)
+                x = (
+                    col.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .astype(np.uint64)
                 )
-            t = t.append_column("__bucket", partition_of(kh, num_buckets))
+                h = h * np.uint64(1099511628211) ^ _mix64(x)
+            kh = h
+        else:
+            # null join keys never MATCH, but they must still land in
+            # some bucket (key_hash_u64 rejects nulls by contract) —
+            # a sentinel keeps them routable; the per-bucket join
+            # drops them naturally (SQL NULL = NULL is not true)
+            kh = key_hash_u64(
+                *[
+                    pc.coalesce(
+                        pc.cast(t.column(k), pa.string()),
+                        pa.scalar("\x00__null__"),
+                    )
+                    for k in keys
+                ]
+            )
+        return partition_of(kh, num_buckets)
+
+    def prep(side: int, keys: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.append_column("__bucket", bucket_of(t, keys))
             return t.append_column(
                 "__side", pa.array([side] * t.num_rows, pa.int8())
             )
 
         return fn
 
-    l = left.map_batches(prep(0, left_on, lschema), batch_format="pyarrow")
-    r = right.map_batches(prep(1, right_on, rschema), batch_format="pyarrow")
-    unified = pa.unify_schemas(
+    _frag_schema = pa.schema(
         [
-            pa.schema(list(zip(lschema.names, lschema.types))),
-            pa.schema(list(zip(rschema.names, rschema.types))),
-            pa.schema([("__bucket", pa.int32()), ("__side", pa.int8())]),
-        ],
-        promote_options="permissive",
+            ("__bucket", pa.int32()),
+            ("__side", pa.int8()),
+            ("__payload", pa.large_binary()),
+        ]
     )
-    l = l.map_batches(lambda b: pad_to_schema(b, unified), batch_format="pyarrow")
-    r = r.map_batches(lambda b: pad_to_schema(b, unified), batch_format="pyarrow")
-    u = l.union(r)
+
+    def pack(side: int, keys: list[str]):
+        """Router prep: one output row per (batch, bucket) —
+        ``(__bucket, __side, __payload: IPC stream bytes)``."""
+        def fn(t: pa.Table) -> pa.Table:
+            # built per batch: IpcWriteOptions is not picklable
+            opts = pa.ipc.IpcWriteOptions(compression=ipc_compression)
+            if t.num_rows == 0:
+                return _frag_schema.empty_table()
+            bk = (
+                bucket_of(t, keys)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            order = np.argsort(bk, kind="stable")
+            ts = t.take(pa.array(order))
+            bs = bk[order]
+            bounds = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(bs)]))
+            buckets, payloads = [], []
+            for s, e in zip(starts, ends):
+                sub = ts.slice(s, e - s)
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, sub.schema, options=opts) as w:
+                    w.write_table(sub)
+                buckets.append(int(bs[s]))
+                payloads.append(sink.getvalue())
+            return pa.table(
+                {
+                    "__bucket": pa.array(buckets, pa.int32()),
+                    "__side": pa.array([side] * len(buckets), pa.int8()),
+                    "__payload": pa.array(
+                        [p.to_pybytes() for p in payloads], pa.large_binary()
+                    ),
+                }
+            )
+
+        return fn
+
+    if exchange == "ipc":
+        l = left.map_batches(pack(0, left_on), batch_format="pyarrow")
+        r = right.map_batches(pack(1, right_on), batch_format="pyarrow")
+        u = l.union(r)
+    else:
+        l = left.map_batches(prep(0, left_on), batch_format="pyarrow")
+        r = right.map_batches(prep(1, right_on), batch_format="pyarrow")
+        unified = pa.unify_schemas(
+            [
+                pa.schema(list(zip(lschema.names, lschema.types))),
+                pa.schema(list(zip(rschema.names, rschema.types))),
+                pa.schema([("__bucket", pa.int32()), ("__side", pa.int8())]),
+            ],
+            promote_options="permissive",
+        )
+        l = l.map_batches(
+            lambda b: pad_to_schema(b, unified), batch_format="pyarrow"
+        )
+        r = r.map_batches(
+            lambda b: pad_to_schema(b, unified), batch_format="pyarrow"
+        )
+        u = l.union(r)
 
     # per-bucket merge stays zero-copy Arrow: split by side tag, then a
     # DuckDB C++ hash join over the two Arrow tables (the pandas path
@@ -386,10 +469,39 @@ def partitioned_hash_join(
                 + "; ".join(mismatches)
             ) from e
 
+    def merge_bucket_ipc(g: pa.Table) -> pa.Table:
+        from ..functions import hashing
+
+        hashing.tune_worker_threads()
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        payloads = g.column("__payload")
+        parts: tuple[list, list] = ([], [])
+        for i in range(g.num_rows):
+            buf = payloads[i].as_buffer()
+            parts[int(side[i])].append(
+                pa.ipc.open_stream(buf).read_all()
+            )
+        lg = (  # noqa: F841  (read by the DuckDB SQL below)
+            pa.concat_tables(parts[0], promote_options="permissive")
+            .select(lcols)
+            if parts[0]
+            else lschema.empty_table()
+        )
+        rg = (  # noqa: F841
+            pa.concat_tables(parts[1], promote_options="permissive")
+            .select(rcols)
+            if parts[1]
+            else rschema.empty_table()
+        )
+        con = hashing._con()
+        got = con.execute(sql).fetch_arrow_table()
+        return got.cast(out_schema)
+
     # num_partitions routes through the hash-shuffle path (measured
     # faster than the sort shuffle for this payload — see lww_merge)
     out = u.groupby("__bucket", num_partitions=num_buckets).map_groups(
-        merge_bucket, batch_format="pyarrow"
+        merge_bucket_ipc if exchange == "ipc" else merge_bucket,
+        batch_format="pyarrow",
     )
     out._graft_schema = out_schema  # free schema for chained joins
     return out

@@ -306,3 +306,51 @@ def test_auto_hash_join_path_parity():
         left_schema=left.schema, right_schema=right2.schema,
     ).to_pandas()
     assert len(lout) == 100 and lout["rv"].isna().sum() > 0
+
+
+def test_partitioned_join_exchange_parity():
+    """The IPC bucket router (exchange="ipc") must be row/column/dtype
+    identical to the padded-union exchange on inner AND left joins,
+    with int and string keys, including buckets where one side is
+    empty (num_buckets > distinct keys) and with compression on."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.joins import (
+        partitioned_hash_join,
+    )
+
+    rng = np.random.default_rng(7)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 40, 500), pa.int64()),
+        "sk": pa.array([f"s{i % 13}" for i in range(500)], pa.string()),
+        "lv": pa.array(rng.standard_normal(500)),
+    })
+    # only half the key range present → some left rows miss
+    right = pa.table({
+        "k": pa.array(np.arange(0, 40, 2), pa.int64()),
+        "sk": pa.array([f"s{i % 13}" for i in range(20)], pa.string()),
+        "rv": pa.array(np.arange(20, dtype=np.int32)),
+    })
+
+    def run(exchange, on, how, compression=None):
+        out = partitioned_hash_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            on, on, how=how, num_buckets=16, exchange=exchange,
+            left_schema=left.schema, right_schema=right.schema,
+            ipc_compression=compression,
+        )
+        df = out.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for on in (["k"], ["sk"], ["k", "sk"]):
+        for how in ("inner", "left"):
+            pad = run("pad", on, how)
+            ipc = run("ipc", on, how)
+            assert list(pad.columns) == list(ipc.columns)
+            assert list(pad.dtypes) == list(ipc.dtypes)
+            pd.testing.assert_frame_equal(pad, ipc)
+
+    # compression changes bytes on the wire, never values
+    z = run("ipc", ["k"], "inner", compression="zstd")
+    pd.testing.assert_frame_equal(run("pad", ["k"], "inner"), z)
