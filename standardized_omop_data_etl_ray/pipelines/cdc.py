@@ -290,7 +290,7 @@ class CDCLake:
         self,
         windows,
         *,
-        max_inflight: int = 2,
+        max_inflight: int | str = 2,
         salt_factor: int = 0,
         shuffle_mode: str = "full",
     ) -> list[dict]:
@@ -298,6 +298,16 @@ class CDCLake:
         PIPELINING: up to ``max_inflight`` epochs run phase 1 (read →
         standardize → shuffle → delta writes) concurrently; phase-2
         manifest commits stay strictly ordered.
+
+        ``max_inflight="auto"`` adapts the overlap per stream from the
+        measured commit-wait ratio: each committed epoch reports how
+        long the ordered committer blocked on its phase-1 future
+        (``commit_wait_sec``).  A large wait means phase 1 is the
+        bottleneck → admit one more concurrent epoch (up to a cap of
+        16); a near-zero wait means commits are saturated → shed one
+        (floor 2) so extra in-flight epochs stop holding delta blocks
+        in memory for no speedup.  The static integer form is unchanged
+        and remains the reproducible-benchmark mode.
 
         Safe under the binlog-tailing contract (windows carry disjoint,
         increasing lsn ranges): epoch n+1's watermark filter uses the
@@ -309,11 +319,57 @@ class CDCLake:
         uncommitted (invisible orphans, reclaimed by gc())."""
         from concurrent.futures import ThreadPoolExecutor
 
+        adaptive = max_inflight == "auto"
+        if adaptive:
+            # seed from cluster size (cpus/4 ≈ the measured-fastest
+            # static setting at 32 cpus) — the controller then only has
+            # to shed or extend, not ramp from cold
+            try:
+                import ray
+
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cpus = 8
+            cap = 16
+            limit = min(cap, max(2, cpus // 4))
+        else:
+            cap = limit = int(max_inflight)
+
         m = mf.read_manifest(self.root, self.spec.name)
         base = (m["epoch"] + 1) if m else 1
         wm = self._watermarks(m)
         records: list[dict] = []
-        with ThreadPoolExecutor(max_workers=max_inflight) as ex:
+
+        win = {"wait": 0.0, "n": 0, "t0": time.time()}
+
+        def _commit_and_adapt() -> None:
+            nonlocal limit
+            rec = self._commit_next(pending, wm)
+            records.append(rec)
+            if not adaptive:
+                return
+            # Per-commit wait is a noisy signal under ordered commits
+            # (one long wait on epoch n means n+1..n+k are already done
+            # and report 0), so adapt once per WINDOW of `limit`
+            # commits on the fraction of driver wall the committer
+            # spent blocked on phase-1 futures.  ≥10% blocked →
+            # phase-1 bound, double the overlap (slow-start: an
+            # additive ramp needs cap-2 commits to converge, which
+            # dominates short streams); <1% → commits saturated, step
+            # down so idle in-flight epochs stop pinning delta blocks.
+            win["wait"] += rec.get("commit_wait_sec", 0.0)
+            win["n"] += 1
+            if win["n"] < limit:
+                return
+            elapsed = max(time.time() - win["t0"], 1e-6)
+            ratio = win["wait"] / elapsed
+            if ratio > 0.10 and limit < cap:
+                limit = min(cap, limit * 2)
+            elif ratio < 0.01 and limit > 2:
+                limit -= 1
+            win.update(wait=0.0, n=0, t0=time.time())
+
+        with ThreadPoolExecutor(max_workers=cap) as ex:
             pending: list[tuple[int, object, float]] = []
             for i, w in enumerate(windows):
                 from ..stages.joins import _as_arrow_schema
@@ -329,15 +385,17 @@ class CDCLake:
                     salt_factor, shuffle_mode, spec_snap,
                 )
                 pending.append((base + i, fut, time.time(), spec_snap))
-                while len(pending) >= max_inflight:
-                    records.append(self._commit_next(pending, wm))
+                while len(pending) >= limit:
+                    _commit_and_adapt()
             while pending:
-                records.append(self._commit_next(pending, wm))
+                _commit_and_adapt()
         return records
 
     def _commit_next(self, pending, wm: np.ndarray | None = None) -> dict:
         epoch, fut, t0, spec_snap = pending.pop(0)
+        t_wait = time.time()
         stats = fut.result()
+        commit_wait = time.time() - t_wait
         prev = mf.read_manifest(self.root, self.spec.name)
         record = {
             "epoch": epoch,
@@ -346,6 +404,7 @@ class CDCLake:
             "tombstones": int(sum(s["tombstones"] for s in stats)),
             "events_seen": int(sum(s["events_seen"] for s in stats)),
             "wall_sec": round(time.time() - t0, 3),
+            "commit_wait_sec": round(commit_wait, 3),
         }
         # commit with the epoch's OWN spec snapshot: the live spec may
         # already carry columns from still-uncommitted in-flight windows

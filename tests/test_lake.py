@@ -299,6 +299,16 @@ def test_apply_stream_pipelined_matches_serial(tmp_path):
     rec = piped.apply_events(rd.from_arrow(more))  # full replay → no-op
     assert rec["rows_upserted"] == 0 and rec["tombstones"] == 0
 
+    # adaptive overlap (max_inflight="auto") must land on the same
+    # oracle state, keep ordered epochs, and report its control signal
+    auto = CDCLake(tmp_path / "a", TableSpec(name="cdc", num_partitions=8))
+    arecs = auto.apply_stream(
+        (rd.from_arrow(b) for b in batches), max_inflight="auto"
+    )
+    assert [r["epoch"] for r in arecs] == list(range(1, len(batches) + 1))
+    assert all("commit_wait_sec" in r for r in arecs)
+    assert_states_equal(state(auto), oracle)
+
 
 def test_apply_stream_watermark_tightens_across_commits(tmp_path):
     """ADVICE r2: a long stream must refresh its watermark snapshot as
