@@ -125,3 +125,89 @@ def ivf_topk(
         expr=f"cell in {sorted(cells)}"
     )
     return brute_force_topk(pruned, queries, query_ids, emb_col, id_col, k)
+
+
+def ivf_probe_stats(
+    ds_with_cells: rd.Dataset,
+    index: IVFIndex,
+    probe_queries: np.ndarray,
+    probe_ids: np.ndarray,
+    emb_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+) -> dict:
+    """Health probe for a once-fit IVF index on a held-out query slice:
+
+    * ``recall`` — IVF top-k vs exact brute force over the same corpus.
+    * ``scan_fraction`` — mean fraction of corpus rows the probed cells
+      hold.  This is the metric that catches DEGENERATE drift: an index
+      whose centroids no longer span the corpus routes most rows into
+      few cells, which keeps recall perfect while silently degrading
+      every query to a near-full scan (the IVF cost model is
+      scan_fraction ≈ nprobe / n_cells when healthy).
+
+    Both passes stream the corpus; only top-k results and the per-cell
+    row histogram (≤ n_cells rows) reach the driver.  At 100 TB this is
+    a scheduled maintenance job, not a per-query cost."""
+    exact = brute_force_topk(
+        ds_with_cells, probe_queries, probe_ids, emb_col, id_col, k
+    ).to_pandas()
+    approx = ivf_topk(
+        ds_with_cells, index, probe_queries, probe_ids,
+        emb_col, id_col, k, nprobe,
+    ).to_pandas()
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(e[q] & a.get(q, set())) / max(len(e[q]), 1) for q in e.index
+    ]
+    hist = (
+        ds_with_cells.groupby("cell").count().to_pandas()
+        .set_index("cell")["count()"]
+    )
+    total = max(int(hist.sum()), 1)
+    fracs = [
+        hist.reindex(index.probe_cells(q, nprobe)).fillna(0).sum() / total
+        for q in np.asarray(probe_queries)
+    ]
+    return {
+        "recall": float(np.mean(recalls)) if recalls else 1.0,
+        "scan_fraction": float(np.mean(fracs)) if fracs else 0.0,
+    }
+
+
+def maybe_refit(
+    ds: rd.Dataset,
+    index: IVFIndex,
+    emb_col: str,
+    id_col: str,
+    probe_queries: np.ndarray,
+    probe_ids: np.ndarray,
+    fresh_sample: np.ndarray,
+    recall_floor: float = 0.9,
+    scan_ceiling: float | None = None,
+    k: int = 5,
+    nprobe: int = 4,
+) -> tuple[IVFIndex, rd.Dataset, dict, bool]:
+    """Re-fit trigger (drift detector): probe the index's health on
+    held-out queries; on recall below ``recall_floor`` OR scan fraction
+    above ``scan_ceiling`` (default 3× the healthy nprobe/n_cells
+    ratio), re-fit the centroids on ``fresh_sample`` (a corpus-wide
+    sample drawn by the caller — e.g. the modular vec_id shard the
+    entry queries use) and re-assign cells.  Returns
+    ``(index, ds_with_cells, stats, refitted)`` where ``stats`` is the
+    PRE-refit measurement that triggered (or cleared) the decision."""
+    if scan_ceiling is None:
+        scan_ceiling = min(1.0, 3.0 * nprobe / max(index.n_cells, 1))
+    with_cells = index.assign_cells(ds, emb_col)
+    stats = ivf_probe_stats(
+        with_cells, index, probe_queries, probe_ids,
+        emb_col, id_col, k, nprobe,
+    )
+    if stats["recall"] >= recall_floor and stats["scan_fraction"] <= scan_ceiling:
+        return index, with_cells, stats, False
+    refit = IVFIndex(
+        n_cells=index.n_cells, n_iter=index.n_iter, seed=index.seed
+    ).fit(fresh_sample)
+    return refit, refit.assign_cells(ds, emb_col), stats, True

@@ -231,3 +231,65 @@ def test_hyperplanes_cached_per_process():
     a = _hyperplanes(17, 4, 8, 16)
     b = _hyperplanes(17, 4, 8, 16)
     assert a is b  # same object: computed once per process
+
+
+def test_ivf_refit_trigger_on_drift():
+    """Drift detector (ROADMAP #12): an index whose fit sample covered
+    only ONE cluster degenerates — most of the corpus routes into few
+    cells, so probes keep perfect recall but scan far more than the
+    healthy nprobe/n_cells fraction.  maybe_refit must catch that via
+    the scan-fraction ceiling, re-fit on a corpus-wide sample, and the
+    refitted index must probe selectively again; a corpus-wide fit
+    must NOT trigger."""
+    from standardized_omop_data_etl_ray.stages.ann import (
+        IVFIndex,
+        ivf_probe_stats,
+        maybe_refit,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(8, 16)).astype(np.float32) * 4
+    M = np.concatenate(
+        [c + rng.normal(scale=0.2, size=(60, 16)).astype(np.float32)
+         for c in centers]
+    )
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(M)), pa.int64()),
+        "embedding": pa.array(
+            [v.tolist() for v in M], pa.list_(pa.float32())
+        ),
+    })
+    ds = rd.from_arrow(tbl)
+    # held-out probe queries: one from each of the 7 unseen clusters
+    probe_rows = np.array([60 * c + 7 for c in range(1, 8)])
+    Q = M[probe_rows]
+
+    # fit sample collapsed to one narrow region (a single skewed shard):
+    # centroids come out nearly identical, the whole corpus routes into
+    # one or two cells
+    collapsed = centers[0] + rng.normal(
+        scale=1e-3, size=(60, 16)
+    ).astype(np.float32)
+    biased = IVFIndex(n_cells=8, seed=5).fit(collapsed)
+    fresh = M[::5]  # corpus-wide modular sample
+    # healthy fit measures scan_fraction ≈ 0.29 here (2/8 cells plus
+    # boundary spill); the collapsed fit routes the corpus into 3 fat
+    # cells and measures ≈ 0.40 — ceiling sits between the two
+    idx2, with_cells2, pre, refitted = maybe_refit(
+        ds, biased, "embedding", "vec_id", Q, probe_rows, fresh,
+        recall_floor=0.9, scan_ceiling=0.32, k=5, nprobe=2,
+    )
+    assert refitted and pre["scan_fraction"] > 0.32
+    post = ivf_probe_stats(
+        with_cells2, idx2, Q, probe_rows, "embedding", "vec_id",
+        k=5, nprobe=2,
+    )
+    assert post["recall"] >= 0.9
+    assert post["scan_fraction"] <= 0.32
+
+    # a corpus-wide fit does not trigger under the same ceiling
+    _, _, stats3, refitted3 = maybe_refit(
+        ds, idx2, "embedding", "vec_id", Q, probe_rows, fresh,
+        recall_floor=0.9, scan_ceiling=0.32, k=5, nprobe=2,
+    )
+    assert not refitted3 and stats3["recall"] >= 0.9
