@@ -1035,6 +1035,68 @@ WHERE CASE WHEN len(da.s) = 0 AND len(db.s) = 0 THEN 1.0
 """
 
 
+def near_dup_groups(sf_dir: str):
+    """Near-dup GROUPS — the actual dedup semantics (keep one doc per
+    component, not per pair): the jaccard pair set feeds distributed
+    min-label propagation (stages/dedup.connected_components), emitting
+    (doc_id, group_id=min id in component).  The oracle computes the
+    same components via a recursive transitive-closure CTE over the
+    identical pair SQL."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
+
+    n = _nrows(sf_dir, "documents")
+    B = default_buckets(2 * n)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+
+    def modify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t.column("doc_id"), 1_000_000),
+                "text": pc.binary_join_element_wise(
+                    t.column("text"), pa.scalar(" zzzmarker"), ""
+                ),
+            }
+        )
+
+    both = docs.union(docs.map_batches(modify, batch_format="pyarrow"))
+    pairs = minhash_candidate_pairs(both, "text", "doc_id",
+                                    concurrency=(2, 8), distinct=False,
+                                    num_buckets=B)
+    verified = verify_jaccard_pairs(pairs, both, "text", "doc_id",
+                                    threshold=0.8, num_buckets=B)
+    comp = connected_components(verified)
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "group_id": t.column("group_id")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_NEAR_DUP_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{_JACCARD_SQL}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 def ann_topk_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the first 10 vectors as queries."""
     from standardized_omop_data_etl_ray.stages.ann import brute_force_topk
@@ -2219,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_self_near_dups": minhash_self_near_dups,
         "simhash_self_near_dups": simhash_self_near_dups,
         "jaccard_near_dups": jaccard_near_dups,
+        "near_dup_groups": near_dup_groups,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
         "embedding_self_near_dups": embedding_self_near_dups,
@@ -2275,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_self_near_dups": _MINHASH_SQL,
         "simhash_self_near_dups": _MINHASH_SQL,
         "jaccard_near_dups": _JACCARD_SQL,
+        "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,

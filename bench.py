@@ -170,7 +170,8 @@ QUERY_SUBSET = [
     "q10_returned_customers", "unpivot_lineitem_metrics",
     "priority_merge_orders", "hourly_event_windows", "cdc_lww_upsert",
     "dedup_exact_docs", "minhash_self_near_dups", "simhash_self_near_dups",
-    "jaccard_near_dups", "embedding_self_near_dups", "ann_topk_cosine",
+    "jaccard_near_dups", "near_dup_groups", "embedding_self_near_dups",
+    "ann_topk_cosine",
     "token_vocab_top100", "chunk_docs_64", "omop_full_pipeline",
 ]
 

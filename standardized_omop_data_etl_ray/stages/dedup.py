@@ -687,3 +687,102 @@ def embedding_near_dup_pairs(
         return out[out["cosine"] >= threshold]
 
     return joined.map_batches(score, batch_format="pandas")
+
+
+# ------------------------------------------------- connected components --
+
+def connected_components(
+    pairs: rd.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Group near-dup PAIRS into components: ``(node, group_id)`` where
+    ``group_id`` is the component's minimum node id — the canonical-doc
+    semantics a dedup actually needs (keep one doc per group, not one
+    per pair).
+
+    Distributed min-label propagation: labels start at
+    ``min(node, neighbors)``; each round joins labels onto the edge
+    list and re-minimizes per node, so a component's minimum reaches
+    every member in O(log diameter) rounds (near-dup graphs are
+    star/clique-shaped — 2-4 rounds in practice).  Per round: one
+    equi-join (``auto_hash_join`` — labels broadcast while they fit,
+    partitioned hash join at scale) + one groupby-min; the driver sees
+    only a per-round label-sum scalar.  Convergence = label sum
+    unchanged (labels are non-increasing, so sum equality is
+    element-wise equality).  Each round materializes the label table —
+    that is the algorithm's O(V) state, not a corpus materialization.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import auto_hash_join, nonempty_arrow_blocks
+
+    edge_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(id_a), pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t.column(id_b), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": np.concatenate([a, b]),
+                "nbr": np.concatenate([b, a]),
+            },
+            schema=edge_schema,
+        )
+
+    # drop empty blocks: Ray skips map UDFs on empties, which would
+    # carry schema-less pandas blocks into the label unions below
+    edges = nonempty_arrow_blocks(
+        pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    )
+    n_nodes_bound = edges.count()  # upper bound: 2 × pairs
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pc.min_element_wise(
+                        t.column("node"), t.column("nbr")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    prev_sum = None
+    for _ in range(max_iters):
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+        msgs = auto_hash_join(
+            edges, labels, ["nbr"], ["node"],
+            right_rows=n_nodes_bound,
+            left_schema=edge_schema, right_schema=label_schema,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "label": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "group_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

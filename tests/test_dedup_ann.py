@@ -293,3 +293,32 @@ def test_ivf_refit_trigger_on_drift():
         recall_floor=0.9, scan_ceiling=0.32, k=5, nprobe=2,
     )
     assert not refitted3 and stats3["recall"] >= 0.9
+
+
+def test_connected_components_groups():
+    """Min-label propagation: chains (multi-round convergence), cliques,
+    isolated pairs, and late merges all land on the component minimum."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        connected_components,
+    )
+
+    # a 12-node path graph needs several propagation rounds; plus a
+    # triangle, a pair, and two chains merged by a bridging edge
+    chain = [(i, i + 1) for i in range(1, 12)]
+    extra = [(20, 21), (20, 22), (21, 22), (30, 31), (40, 41),
+             (42, 43), (41, 42)]
+    ids_a, ids_b = zip(*(chain + extra))
+    pairs = pa.table({
+        "id_a": pa.array(ids_a, pa.int64()),
+        "id_b": pa.array(ids_b, pa.int64()),
+    })
+    out = (
+        connected_components(rd.from_arrow(pairs).repartition(3))
+        .to_pandas().set_index("node")["group_id"].to_dict()
+    )
+    for n in range(1, 13):
+        assert out[n] == 1
+    assert out[20] == out[21] == out[22] == 20
+    assert out[30] == out[31] == 30
+    assert out[40] == out[41] == out[42] == out[43] == 40
+    assert len(out) == 12 + 3 + 2 + 4
