@@ -1097,6 +1097,61 @@ FROM reach GROUP BY src
 """
 
 
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing ≥5 distinct
+    3-gram shingles with a benchmark slice (doc_id % 50 == 0) — the
+    train/eval-leak hygiene pass.  The benchmark shingle-hash set is
+    computed distributed and broadcast once; the corpus streams."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if keep_bench else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    bh = benchmark_shingle_hashes(bench, "text")
+    return decontaminate(corpus, bh, "text", "doc_id", min_hits=5)
+
+
+_DECONTAM_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           END AS s
+    FROM tok
+),
+ds AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+bset AS (SELECT DISTINCT unnest(s) AS g FROM ds WHERE doc_id % 50 = 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM ds WHERE doc_id % 50 <> 0),
+ov AS (SELECT e.doc_id, count(b.g) AS n
+       FROM ex e LEFT JOIN bset b ON e.g = b.g GROUP BY e.doc_id)
+SELECT d.doc_id,
+       COALESCE(ov.n, 0) AS n_overlap,
+       COALESCE(ov.n, 0) >= 5 AS contaminated
+FROM (SELECT doc_id FROM ds WHERE doc_id % 50 <> 0) d
+LEFT JOIN ov ON d.doc_id = ov.doc_id
+"""
+
+
 def ann_topk_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the first 10 vectors as queries."""
     from standardized_omop_data_etl_ray.stages.ann import brute_force_topk
@@ -2282,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_self_near_dups": simhash_self_near_dups,
         "jaccard_near_dups": jaccard_near_dups,
         "near_dup_groups": near_dup_groups,
+        "decontaminate_docs": decontaminate_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
         "embedding_self_near_dups": embedding_self_near_dups,
@@ -2339,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_self_near_dups": _MINHASH_SQL,
         "jaccard_near_dups": _JACCARD_SQL,
         "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
+        "decontaminate_docs": _DECONTAM_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,

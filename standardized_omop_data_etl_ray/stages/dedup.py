@@ -786,3 +786,80 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------------------- decontamination --
+
+def benchmark_shingle_hashes(
+    benchmark: rd.Dataset, text_col: str, shingle_k: int = 3
+) -> np.ndarray:
+    """Distinct hashed word-shingles of a BENCHMARK/eval set, as a
+    sorted uint64 array for ``searchsorted`` membership tests.
+
+    Shingling and per-block dedup run distributed; only the distinct
+    hashes reach the driver.  Benchmark sets are small by construction
+    (eval suites, not corpora) — the side that scales is the corpus,
+    which streams through ``decontaminate`` below."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = [
+            T.hash_u64(np.asarray(T.word_shingles(t or "", shingle_k)))
+            for t in batch.column(text_col).to_pylist()
+        ]
+        hs = [h for h in hs if len(h)]
+        u = (
+            np.unique(np.concatenate(hs))
+            if hs
+            else np.array([], dtype=np.uint64)
+        )
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
+    parts = benchmark.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["h"].to_numpy().astype(np.uint64))
+
+
+def decontaminate(
+    corpus: rd.Dataset,
+    bench_hashes: np.ndarray,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    min_hits: int = 5,
+) -> rd.Dataset:
+    """Flag corpus documents that share ≥ ``min_hits`` DISTINCT word
+    shingles with the benchmark set (the pretraining decontamination
+    pass: drop training docs that leak eval data).
+
+    The benchmark hash set broadcasts once via the object store
+    (``ray.put`` + per-process cache); the corpus streams through
+    ``map_batches`` with a vectorized ``searchsorted`` membership test
+    per document.  Emits ``(id, n_overlap, contaminated)`` for EVERY
+    corpus doc so downstream can filter or audit."""
+    import ray
+
+    from .joins import _cached_get
+
+    ref = ray.put(np.sort(np.asarray(bench_hashes, dtype=np.uint64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bh: np.ndarray = _cached_get(ref)
+        ids = batch.column(id_col)
+        counts = np.zeros(batch.num_rows, np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            sh = T.word_shingles(t or "", shingle_k)
+            if not sh:
+                continue
+            u = np.unique(T.hash_u64(np.asarray(sh)))
+            if len(bh):
+                pos = np.searchsorted(bh, u)
+                pos[pos == len(bh)] = len(bh) - 1
+                counts[i] = int((bh[pos] == u).sum())
+        return pa.table(
+            {
+                id_col: ids,
+                "n_overlap": pa.array(counts, pa.int64()),
+                "contaminated": pa.array(counts >= min_hits, pa.bool_()),
+            }
+        )
+
+    return corpus.map_batches(fn, batch_format="pyarrow")

@@ -322,3 +322,34 @@ def test_connected_components_groups():
     assert out[30] == out[31] == 30
     assert out[40] == out[41] == out[42] == out[43] == 40
     assert len(out) == 12 + 3 + 2 + 4
+
+
+def test_decontaminate_flags_benchmark_leak():
+    """A corpus doc embedding a benchmark passage must flag; unrelated
+    docs must not; empty docs report n_overlap 0."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        benchmark_shingle_hashes,
+        decontaminate,
+    )
+
+    bench_text = "the capital of france is paris and the seine flows there"
+    bench = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": [bench_text]})
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "leaked question follows " + bench_text + " end of leak",
+            "completely unrelated words about gardening and weather " * 3,
+            "",
+        ],
+    })
+    bh = benchmark_shingle_hashes(rd.from_arrow(bench), "text")
+    out = (
+        decontaminate(rd.from_arrow(corpus), bh, "text", "doc_id",
+                      min_hits=5)
+        .to_pandas().set_index("doc_id")
+    )
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "n_overlap"] >= 9  # all shingles of the passage
+    assert not out.loc[2, "contaminated"] and out.loc[2, "n_overlap"] == 0
+    assert out.loc[3, "n_overlap"] == 0
