@@ -865,6 +865,67 @@ FROM documents
 """
 
 
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style within-doc repetition filters: duplicate-trigram
+    fraction and top-bigram share, rounded to 6dp on both sides (the
+    fractions are ratios of small ints — no boundary ties)."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.functions.text import (
+        repetition_features,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        r = repetition_features(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup_trigram_frac": round_half_away(
+                    r["dup_trigram_frac"].to_numpy(), 6
+                ),
+                "top_bigram_frac": round_half_away(
+                    r["top_bigram_frac"].to_numpy(), 6
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+_REPETITION_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           END AS t3,
+           CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(generate_series(1, len(w)-1),
+                                    i -> w[i] || ' ' || w[i+1])
+           END AS t2
+    FROM tok
+),
+b AS (SELECT doc_id, unnest(t2) AS g FROM grams),
+bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g),
+topb AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY doc_id)
+SELECT g.doc_id,
+       CASE WHEN len(g.t3) = 0 THEN 0.0
+            ELSE ROUND((len(g.t3) - len(list_distinct(g.t3))) * 1.0
+                       / len(g.t3), 6) END AS dup_trigram_frac,
+       COALESCE(ROUND(topb.mx * 1.0 / topb.tot, 6), 0.0) AS top_bigram_frac
+FROM grams g LEFT JOIN topb ON g.doc_id = topb.doc_id
+"""
+
+
 def lang_distribution(sf_dir: str):
     ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
     return (
@@ -2332,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": dedup_exact_docs,
         "token_counts_docs": token_counts_docs,
         "quality_stats_docs": quality_stats_docs,
+        "repetition_stats_docs": repetition_stats_docs,
         "lang_distribution": lang_distribution,
         "minhash_self_near_dups": minhash_self_near_dups,
         "simhash_self_near_dups": simhash_self_near_dups,
@@ -2390,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,
+        "repetition_stats_docs": _REPETITION_SQL,
         "lang_distribution": _LANG_DIST_SQL,
         "minhash_self_near_dups": _MINHASH_SQL,
         "simhash_self_near_dups": _MINHASH_SQL,

@@ -264,3 +264,37 @@ def winnowing_fingerprint(
     # and corrupt the low bits of hashes > 2^53)
     wins = np.lib.stride_tricks.sliding_window_view(h, window)
     return np.unique(wins.min(axis=1))
+
+
+def repetition_features(texts: pd.Series) -> pd.DataFrame:
+    """Within-document repetition signals (the Gopher-rule family:
+    Rae et al.'21 §A1.1 filters on duplicate n-gram fractions):
+
+    * ``dup_trigram_frac`` — fraction of word 3-grams that are repeats
+      of an earlier 3-gram in the same doc.
+    * ``top_bigram_frac`` — share of all word 2-grams taken by the
+      single most frequent 2-gram.
+
+    Whitespace tokenization (``str.split``), matching the dedup
+    shingler, not _WORD_RE."""
+    from collections import Counter
+
+    dup3, top2 = [], []
+    for t in texts:
+        ws = (t or "").split()
+        n3 = max(len(ws) - 2, 0)
+        if n3 == 0:
+            dup3.append(0.0)
+        else:
+            tri = {" ".join(ws[i:i + 3]) for i in range(n3)}
+            dup3.append((n3 - len(tri)) / n3)
+        n2 = max(len(ws) - 1, 0)
+        if n2 == 0:
+            top2.append(0.0)
+        else:
+            c = Counter(" ".join(ws[i:i + 2]) for i in range(n2))
+            top2.append(max(c.values()) / n2)
+    return pd.DataFrame(
+        {"dup_trigram_frac": dup3, "top_bigram_frac": top2},
+        index=texts.index,
+    )

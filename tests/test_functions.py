@@ -186,3 +186,29 @@ def test_winnowing_deterministic():
     f1 = T.winnowing_fingerprint("abcdefghij" * 10)
     f2 = T.winnowing_fingerprint("abcdefghij" * 10)
     assert np.array_equal(f1, f2) and len(f1) > 0
+
+
+def test_repetition_features():
+    """Gopher-rule repetition signals: a looped doc has high duplicate-
+    trigram fraction and top-bigram share; distinct prose has zero."""
+    import pandas as pd
+
+    from standardized_omop_data_etl_ray.functions.text import (
+        repetition_features,
+    )
+
+    texts = pd.Series([
+        "spam ham " * 10,               # one bigram dominates
+        "each word here appears just once in this doc",
+        "",                              # empty → zeros
+        "two words",                     # no trigram window
+    ])
+    r = repetition_features(texts)
+    # 20 words → 18 trigrams but only 2 distinct ("spam ham spam"/"ham spam ham")
+    assert r.loc[0, "dup_trigram_frac"] == (18 - 2) / 18
+    # 19 bigrams, "spam ham" appears 10 times
+    assert r.loc[0, "top_bigram_frac"] == 10 / 19
+    assert r.loc[1, "dup_trigram_frac"] == 0.0
+    assert (r.loc[2] == 0.0).all()
+    assert r.loc[3, "dup_trigram_frac"] == 0.0
+    assert r.loc[3, "top_bigram_frac"] == 1.0
