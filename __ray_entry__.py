@@ -800,6 +800,73 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def cdc_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation: the LWW state at the half-way watermark
+    (event_id ≤ max/2) diffed against the final state — added / deleted
+    / updated keys with old/new versions (stages/merge.snapshot_diff:
+    one full-outer partitioned hash join, change-set-sized output)."""
+    from ray.data.aggregate import Max
+
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+
+    ev = _pq(sf_dir, "events", ["event_id"])
+    half = ev.aggregate(Max("event_id", alias_name="m"))["m"] // 2
+
+    spec_a = TableSpec(name="ev_cdc_a", num_partitions=16)
+    # snapshot A replays only events ≤ half (filter BEFORE the merge,
+    # matching a watermark-bounded lake read)
+    std_a = _events_as_cdc(sf_dir, True).map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("lsn"), half)),
+        batch_format="pyarrow",
+    ).map_batches(make_standardizer(spec_a), batch_format="pyarrow")
+    from standardized_omop_data_etl_ray.stages.merge import lww_merge
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("path"), pa.int64()),
+                "last_event_id": t.column("lsn"),
+            }
+        )
+
+    a = lww_merge(std_a, spec_a).map_batches(project, batch_format="pyarrow")
+    b = _cdc_final(sf_dir, with_deletes=True).select_columns(
+        ["user_id", "last_event_id"]
+    )
+    sch = pa.schema([("user_id", pa.int64()), ("last_event_id", pa.int64())])
+    return snapshot_diff(
+        a, b, ["user_id"], "last_event_id",
+        schema_a=sch, schema_b=sch, num_buckets=16,
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH half AS (SELECT MAX(event_id) // 2 AS h FROM events),
+a AS (
+    SELECT user_id, event_id AS eid
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) rn
+          FROM events WHERE event_id <= (SELECT h FROM half))
+    WHERE rn = 1 AND event_type <> 'error'
+),
+b AS (
+    SELECT user_id, event_id AS eid
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       a.eid AS old_last_event_id,
+       b.eid AS new_last_event_id
+FROM a FULL JOIN b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.eid <> b.eid
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops over documents / embeddings
 # --------------------------------------------------------------------------
@@ -2389,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_upsert": cdc_lww_upsert,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "cdc_full_replay_docs": cdc_full_replay_docs,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         # training-data ops
         "dedup_exact_docs": dedup_exact_docs,
         "token_counts_docs": token_counts_docs,
@@ -2449,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_upsert": _CDC_UPSERT_SQL,
         "cdc_lww_with_deletes": _CDC_DELETES_SQL,
         "cdc_full_replay_docs": _CDC_FULL_SQL,
+        "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,

@@ -436,7 +436,11 @@ def partitioned_hash_join(
     on_clause = " AND ".join(
         f'l."{a}" = r."{b}"' for a, b in zip(left_on, right_on)
     )
-    join_kw = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
+    join_kw = {
+        "inner": "JOIN",
+        "left": "LEFT JOIN",
+        "outer": "FULL JOIN",
+    }[how]
     sql = f"SELECT {lsel}, {rsel} FROM lg l {join_kw} rg r ON {on_clause}"
     out_schema = pa.schema(
         [lschema.field(c) for c in lcols]

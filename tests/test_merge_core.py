@@ -113,3 +113,31 @@ def test_empty_input():
         make_standardizer(spec), batch_format="pyarrow"
     )
     assert lww_merge(std, spec).count() == 0
+
+
+def test_snapshot_diff_classification():
+    """added / deleted / updated keys emitted with old/new versions;
+    unchanged keys dropped inside the bucket merge."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+
+    a = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    b = pa.table({
+        "k": pa.array([2, 3, 4, 5], pa.int64()),
+        "v": pa.array([20, 31, 40, 50], pa.int64()),
+    })
+    out = snapshot_diff(
+        rd.from_arrow(a).repartition(2), rd.from_arrow(b).repartition(2),
+        ["k"], "v", schema_a=a.schema, schema_b=b.schema, num_buckets=4,
+    ).to_pandas().set_index("k").sort_index()
+    assert out.loc[1, "change"] == "deleted" and pd.isna(out.loc[1, "new_v"])
+    assert out.loc[3, "change"] == "updated"
+    assert (out.loc[3, ["old_v", "new_v"]] == [30, 31]).all()
+    assert out.loc[5, "change"] == "added" and pd.isna(out.loc[5, "old_v"])
+    assert set(out.index) == {1, 3, 5}  # 2 and 4 unchanged → dropped
