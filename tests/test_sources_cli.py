@@ -4,6 +4,7 @@ import json
 import subprocess
 import sys
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -145,3 +146,36 @@ def test_tuning_profiles():
     finally:
         ctx.target_max_block_size = orig_block
         ctx.shuffle_strategy = orig_strategy
+
+
+def test_read_jsonl_typed(tmp_path):
+    """JSONL shards with disagreeing per-shard inference (all-null col,
+    float-typed ints, missing col) coerce to one declared schema."""
+    import json
+
+    import ray.data as rd  # noqa: F401
+
+    from standardized_omop_data_etl_ray.sources.jsonl_source import (
+        read_jsonl_typed,
+    )
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    a.write_text("\n".join(json.dumps(r) for r in [
+        {"id": 1, "code": None, "score": 1.5},
+        {"id": 2, "code": None, "score": 2.0},
+    ]))
+    b.write_text("\n".join(json.dumps(r) for r in [
+        {"id": 3.0, "code": "x7"},
+        {"id": 4.0, "code": "x8"},
+    ]))
+    out = read_jsonl_typed(
+        [str(a), str(b)],
+        int_cols=["id"], str_cols=["code"], float_cols=["score"],
+    )
+    df = out.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df["id"]) == [1, 2, 3, 4]
+    assert str(df["id"].dtype) == "int64"
+    assert df.loc[2, "code"] == "x7"
+    assert df.loc[0, "code"] is None or pd.isna(df.loc[0, "code"])
+    assert pd.isna(df.loc[2, "score"]) and df.loc[0, "score"] == 1.5
