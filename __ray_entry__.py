@@ -1916,8 +1916,8 @@ def omop_full_pipeline(sf_dir: str):
             }
         )
 
-    rows = []
-    for name, ds in sorted(out.items()):
+    def summarize(name_ds):
+        name, ds = name_ds
         parts = [
             t for t in ray.get(
                 ds.select_columns(["person_id"])
@@ -1936,7 +1936,16 @@ def omop_full_pipeline(sf_dir: str):
         for t in parts:
             for lst in t.column("persons").to_pylist():
                 persons.update(lst)
-        rows.append((name, n_rows, len(persons)))
+        return (name, n_rows, len(persons))
+
+    # the per-table residual stages are small and share materialized
+    # intermediates — executing the 10 tables' lineages CONCURRENTLY
+    # (each to_arrow_refs blocks) keeps the cluster busy instead of
+    # draining one under-parallel table at a time
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        rows = list(ex.map(summarize, sorted(out.items())))
     return pa.table(
         {
             "table": pa.array([r[0] for r in rows]),

@@ -75,6 +75,43 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Concatenated P6 frames — ffmpeg's ``image2pipe``/``-vcodec ppm``
+    interchange format (a real uncompressed video stream numpy can
+    decode alone)."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """PPM-stream bytes → list of (h, w, 3) uint8 frames."""
+    frames, idx = [], 0
+    n = len(payload)
+    while idx < n:
+        if payload[idx : idx + 2] != b"P6":
+            raise ValueError(f"bad frame magic at offset {idx}")
+        parts, j = [], idx + 2
+        while len(parts) < 3:
+            while j < n and payload[j : j + 1].isspace():
+                j += 1
+            if payload[j : j + 1] == b"#":
+                j = payload.index(b"\n", j) + 1
+                continue
+            start = j
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[start:j]))
+        j += 1  # single whitespace after maxval
+        w, h, maxval = parts
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=w * h * 3, offset=j)
+            .reshape(h, w, 3)
+        )
+        idx = j + w * h * 3
+    return frames
+
+
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
     """float32 [-1,1] mono → minimal RIFF/WAVE PCM16 bytes."""
     pcm = np.clip(samples, -1.0, 1.0)
@@ -140,14 +177,28 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.T
             mimes.append("audio/wav")
             widths.append(0); heights.append(0); durs.append(dur_ms)
         else:
-            payloads.append(
-                hashlib.sha256(f"media{i}".encode()).digest()
-                * (payload_bytes // 32)
-            )
-            mimes.append("video/raw")
-            widths.append(int(rng.integers(64, 1920)))
-            heights.append(int(rng.integers(64, 1080)))
-            durs.append(int(rng.integers(1000, 60_000)))
+            # REAL video payload: a PPM frame stream (ffmpeg image2pipe
+            # format) — a moving gradient so temporal features are
+            # non-trivial
+            w, h = int(rng.integers(12, 24)), int(rng.integers(12, 24))
+            dur_ms = int(rng.integers(1000, 8000))
+            n_frames = max(2, dur_ms // 250)  # 4 fps
+            x = np.linspace(0, 255, w, dtype=np.float32)
+            frames = [
+                np.stack(
+                    [
+                        (np.tile(np.roll(x, f * 2), (h, 1)) * s)
+                        for s in (1.0, 0.5, 0.25)
+                    ],
+                    axis=-1,
+                ).clip(0, 255).astype(np.uint8)
+                for f in range(n_frames)
+            ]
+            payloads.append(encode_ppm_stream(frames))
+            mimes.append("video/x-ppm-stream")
+            widths.append(w)
+            heights.append(h)
+            durs.append(dur_ms)
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
@@ -217,12 +268,44 @@ class MediaFeaturizer:
         out[: min(len(f), self.feat_dim)] = f[: self.feat_dim]
         return out
 
+    def _video_feats(self, payload: bytes) -> np.ndarray:
+        frames = decode_ppm_stream(payload)
+        if not frames:
+            return np.zeros(self.feat_dim, np.float32)
+        lum = np.array(
+            [f.astype(np.float32).mean() / 255.0 for f in frames]
+        )
+        # temporal signature: frame count, luminance mean/std, motion
+        # energy (mean per-pixel |Δ| between consecutive frames — mean
+        # luminance alone is invariant to translation), plus the middle
+        # frame's per-channel means
+        if len(frames) > 1:
+            stack = np.stack(
+                [f.astype(np.float32) / 255.0 for f in frames]
+            )
+            motion = float(np.abs(np.diff(stack, axis=0)).mean())
+        else:
+            motion = 0.0
+        mid = frames[len(frames) // 2].astype(np.float32) / 255.0
+        f = np.concatenate(
+            [
+                [len(frames), lum.mean(), lum.std(), motion],
+                mid.mean(axis=(0, 1)),
+            ]
+        )
+        out = np.zeros(self.feat_dim, np.float32)
+        out[: min(len(f), self.feat_dim)] = f[: self.feat_dim]
+        return out
+
     def _real_decode(self, payload: bytes, mime: str) -> np.ndarray:
         if mime == "image/x-portable-pixmap":
             return self._image_feats(payload)
         if mime == "audio/wav":
             return self._audio_feats(payload)
-        # video: no numpy-only container codec — deterministic fallback
+        if mime == "video/x-ppm-stream":
+            return self._video_feats(payload)
+        # unknown container (e.g. formats needing ffmpeg/PIL, absent in
+        # this environment) — deterministic fallback
         return self._hash_feats(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -293,11 +376,66 @@ def resize_images(
     )
 
 
+class FrameSampler:
+    """Actor-pool stage: REAL video frame sampling — PPM-stream rows
+    fan out 1→K to per-frame IMAGE rows (every ``every_k``-th frame,
+    re-encoded as standalone P6 payloads the image stages accept).
+    Non-video rows are dropped; small batches, the fan-out multiplies
+    payload bytes."""
+
+    def __init__(self, every_k: int = 4):
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, payloads, ws, hs = [], [], [], [], []
+        mids = batch.column("media_id").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        for mid, mime, p in zip(
+            mids, mimes, batch.column("payload")
+        ):
+            if mime != "video/x-ppm-stream":
+                continue
+            frames = decode_ppm_stream(p.as_py())
+            for fi in range(0, len(frames), self.every_k):
+                ids.append(mid)
+                idxs.append(fi)
+                payloads.append(encode_ppm(frames[fi]))
+                hs.append(frames[fi].shape[0])
+                ws.append(frames[fi].shape[1])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "mime": pa.array(
+                    ["image/x-portable-pixmap"] * len(ids), pa.string()
+                ),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
+def sample_frames(
+    ds: rd.Dataset, every_k: int = 4,
+    concurrency=2, batch_size: int = 64,
+) -> rd.Dataset:
+    """Video → decoded per-frame image rows (actor pool; real 1→K
+    fan-out with standalone PPM payloads)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(every_k=every_k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample_plan(
     ds: rd.Dataset, every_ms: int = 1000
 ) -> rd.Dataset:
-    """Video → per-frame rows (1→K fan-out on metadata only; the decode
-    of each sampled frame would live in the actor stage above)."""
+    """Video → per-frame rows (metadata-only 1→K fan-out plan; see
+    ``sample_frames`` for the real decoded fan-out)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids, ts = [], []

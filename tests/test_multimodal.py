@@ -91,3 +91,57 @@ def test_frame_sample_fanout():
     vids = media.to_pandas().query("kind == 'video' and duration_ms > 0")
     expect = int((vids["duration_ms"] // 10_000 + 1).sum())
     assert len(frames) == expect
+
+
+def test_ppm_stream_roundtrip_and_video_feats():
+    """PPM-stream (ffmpeg image2pipe format) round-trips frame-exact;
+    video features reflect decoded frames: frame count in slot 0 and
+    nonzero motion energy for the moving-gradient synth videos."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.multimodal import (
+        decode_ppm_stream,
+        encode_ppm_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+              for _ in range(4)]
+    back = decode_ppm_stream(encode_ppm_stream(frames))
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+
+    media = synth_media_table(40)
+    df = featurize_media(rd.from_arrow(media), concurrency=2,
+                         batch_size=16).to_pandas()
+    vids = df[df["kind"] == "video"]
+    src = media.to_pandas().set_index("media_id")
+    assert len(vids) > 0
+    for mid, v in zip(vids["media_id"], vids["feature"]):
+        n_expected = max(2, int(src.loc[mid, "duration_ms"]) // 250)
+        assert v[0] == n_expected  # decoded frame count
+        assert v[3] > 0.0          # motion energy of the rolling gradient
+
+
+def test_sample_frames_real_fanout():
+    """sample_frames fans each video out to every-kth DECODED frame as a
+    standalone image payload the image stages accept."""
+    from standardized_omop_data_etl_ray.stages.multimodal import (
+        sample_frames,
+    )
+
+    media = synth_media_table(30)
+    out = sample_frames(rd.from_arrow(media), every_k=3,
+                        concurrency=2, batch_size=8).to_pandas()
+    src = media.to_pandas().query("kind == 'video'").set_index("media_id")
+    expect = sum(
+        len(range(0, max(2, int(d) // 250), 3))
+        for d in src["duration_ms"]
+    )
+    assert len(out) == expect and expect > 0
+    assert set(out["media_id"]) == set(src.index)
+    for _, row in out.iterrows():
+        img = decode_ppm(row["payload"])
+        assert img.shape == (row["height"], row["width"], 3)
+        assert row["frame_idx"] % 3 == 0
