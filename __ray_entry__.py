@@ -1206,6 +1206,66 @@ def near_dup_groups(sf_dir: str):
     )
 
 
+def incremental_near_dup_groups(sf_dir: str):
+    """Near-dup groups maintained INCREMENTALLY (the CDC shape: each
+    ingest epoch's LSH stages emit a delta pair set; group labels
+    evolve without recomputing over history).  The verified jaccard
+    pair set is split deterministically by ``id_a`` parity into an
+    "already ingested" batch and a "new epoch" delta; labels come from
+    connected_components on the first batch, then
+    incremental_components merges the delta with map-only passes over
+    the label table.  Oracle: the SAME full-recompute recursive CTE as
+    near_dup_groups — the incremental path must land exactly on the
+    batch answer."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        connected_components,
+        incremental_components,
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
+
+    n = _nrows(sf_dir, "documents")
+    B = default_buckets(2 * n)
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+
+    def modify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t.column("doc_id"), 1_000_000),
+                "text": pc.binary_join_element_wise(
+                    t.column("text"), pa.scalar(" zzzmarker"), ""
+                ),
+            }
+        )
+
+    both = docs.union(docs.map_batches(modify, batch_format="pyarrow"))
+    pairs = minhash_candidate_pairs(both, "text", "doc_id",
+                                    concurrency=(2, 8), distinct=False,
+                                    num_buckets=B)
+    verified = verify_jaccard_pairs(pairs, both, "text", "doc_id",
+                                    threshold=0.8, num_buckets=B
+                                    ).materialize()
+
+    def half(par: int):
+        def fn(t: pa.Table) -> pa.Table:
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(a % 2 == par))
+
+        return fn
+
+    first = verified.map_batches(half(0), batch_format="pyarrow")
+    delta = verified.map_batches(half(1), batch_format="pyarrow")
+    labels = connected_components(first)
+    merged = incremental_components(labels, delta)
+    return merged.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "group_id": t.column("group_id")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _NEAR_DUP_GROUPS_SQL = f"""
 WITH RECURSIVE pairs AS (
 {_JACCARD_SQL}
@@ -2476,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_self_near_dups": simhash_self_near_dups,
         "jaccard_near_dups": jaccard_near_dups,
         "near_dup_groups": near_dup_groups,
+        "incremental_near_dup_groups": incremental_near_dup_groups,
         "decontaminate_docs": decontaminate_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
@@ -2536,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_self_near_dups": _MINHASH_SQL,
         "jaccard_near_dups": _JACCARD_SQL,
         "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
+        "incremental_near_dup_groups": _NEAR_DUP_GROUPS_SQL,
         "decontaminate_docs": _DECONTAM_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,

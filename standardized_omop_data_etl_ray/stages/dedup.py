@@ -863,3 +863,130 @@ def decontaminate(
         )
 
     return corpus.map_batches(fn, batch_format="pyarrow")
+
+
+# -------------------------------------------- incremental components --
+
+def incremental_components(
+    labels: rd.Dataset,
+    new_pairs: rd.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> rd.Dataset:
+    """Delta-aware connected components: merge a batch of NEW near-dup
+    pairs into an existing ``(node, group_id)`` labeling without
+    recomputing over the full historical pair set (ROADMAP #14 — the
+    CDC analog of dedup-group maintenance: each ingest epoch yields a
+    delta pair set from the LSH stages; group labels evolve
+    incrementally).
+
+    Exactly equals a full recompute (``connected_components`` over
+    old ∪ new pairs) because old labels partition old nodes into
+    components, so contracting each old component to its group id
+    preserves connectivity, and every old ``group_id`` is its
+    component's minimum node id — the sub-components' minima over
+    {old group ids} ∪ {new node ids} are therefore the merged
+    components' global minima.
+
+    Cost model (the point of the operator): the committed label table
+    is touched by exactly TWO map-only streams — a broadcast-probe
+    join to look up the delta endpoints' current labels, and a
+    broadcast relabel — never a shuffle.  Everything shuffled or held
+    on the driver is DELTA-sized: endpoint ids, the contracted edge
+    set, and the group-rename map (≤ 2 × |new_pairs| entries, the same
+    bounded-broadcast judgement class as the engine's dimension maps).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .joins import _cached_get, auto_hash_join
+
+    # -- delta endpoints (delta-sized driver collect) -------------------
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(id_a), pa.int64())
+        b = pc.cast(t.column(id_b), pa.int64())
+        return pa.table({"node": pa.concat_arrays(
+            [a.combine_chunks(), b.combine_chunks()])})
+
+    ep_parts = new_pairs.map_batches(
+        endpoints, batch_format="pyarrow"
+    ).to_pandas()
+    ep_arr = np.unique(ep_parts["node"].to_numpy())
+    if len(ep_arr) == 0:
+        return labels
+
+    label_schema = pa.schema([("node", pa.int64()), ("group_id", pa.int64())])
+
+    # -- current labels of the endpoints: labels STREAM past the
+    #    broadcast endpoint set (map-only; result is delta-sized) ------
+    eps_ds = rd.from_arrow(pa.table({"node": pa.array(ep_arr, pa.int64())}))
+    old = auto_hash_join(
+        labels, eps_ds, ["node"],
+        right_rows=len(ep_arr),
+        left_schema=label_schema,
+        right_schema=pa.schema([("node", pa.int64())]),
+    ).to_pandas()
+    old_label = dict(zip(old["node"].astype(np.int64),
+                         old["group_id"].astype(np.int64)))
+    new_nodes = ep_arr[~np.isin(ep_arr, old["node"].to_numpy())]
+
+    # -- contract: map each delta edge endpoint to its current group
+    #    (new nodes stand for themselves); drop already-connected ------
+    ep_ref = ray.put(old_label)
+
+    def _mapped(vals: np.ndarray, lut: dict) -> np.ndarray:
+        s = pd.Series(vals)
+        return s.map(lut).fillna(s).to_numpy(np.int64)
+
+    def contract(t: pa.Table) -> pa.Table:
+        lut = _cached_get(ep_ref)
+        a = pc.cast(t.column(id_a), pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t.column(id_b), pa.int64()).to_numpy(zero_copy_only=False)
+        ga, gb = _mapped(a, lut), _mapped(b, lut)
+        keep = ga != gb
+        return pa.table({"id_a": ga[keep], "id_b": gb[keep]})
+
+    contracted = new_pairs.map_batches(
+        contract, batch_format="pyarrow"
+    ).materialize()  # delta-sized
+
+    # -- delta-sized CC over the contracted graph → group-rename map ---
+    if contracted.count() > 0:
+        sub = connected_components(contracted).to_pandas()
+    else:  # every new pair lands inside an existing group
+        sub = pd.DataFrame({"node": [], "group_id": []})
+    rename = {
+        int(n): int(g)
+        for n, g in zip(sub["node"], sub["group_id"])
+        if int(n) != int(g)
+    }
+    r_ref = ray.put(rename)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        lut = _cached_get(r_ref)
+        g = pc.cast(t.column("group_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        s = pd.Series(g)
+        out = s.map(lut).fillna(s).to_numpy(np.int64)
+        return pa.table(
+            {"node": pc.cast(t.column("node"), pa.int64()), "group_id": out},
+            schema=label_schema,
+        )
+
+    updated = labels.map_batches(relabel, batch_format="pyarrow")
+    if len(new_nodes) == 0:
+        return updated
+    sub_label = dict(zip(sub["node"].astype(np.int64),
+                         sub["group_id"].astype(np.int64)))
+    fresh = pa.table(
+        {
+            "node": pa.array(new_nodes, pa.int64()),
+            "group_id": pa.array(
+                [sub_label.get(int(n), int(n)) for n in new_nodes],
+                pa.int64(),
+            ),
+        },
+        schema=label_schema,
+    )
+    return updated.union(rd.from_arrow(fresh))

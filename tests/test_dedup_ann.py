@@ -353,3 +353,63 @@ def test_decontaminate_flags_benchmark_leak():
     assert out.loc[1, "n_overlap"] >= 9  # all shingles of the passage
     assert not out.loc[2, "contaminated"] and out.loc[2, "n_overlap"] == 0
     assert out.loc[3, "n_overlap"] == 0
+
+
+def test_incremental_components_equals_batch():
+    """Incremental label maintenance must equal a full recompute over
+    old ∪ new pairs — covering: a bridge merging two old groups, a new
+    node with an id SMALLER than an existing group minimum (the merged
+    group must relabel to it), a brand-new isolated pair, a delta pair
+    internal to an existing group (no-op), and duplicate delta pairs."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    def tbl(pairs):
+        a, b = zip(*pairs)
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+        })
+
+    old_pairs = [(10, 11), (11, 12), (20, 21), (30, 31), (50, 51)]
+    new_pairs = [
+        (12, 20),   # bridge: {10..12} ∪ {20,21} → min 10
+        (5, 30),    # new node 5 below old min 30 → group becomes 5
+        (60, 61),   # brand-new isolated pair
+        (50, 51),   # internal to an existing group (and a duplicate)
+        (50, 51),
+    ]
+    labels = connected_components(rd.from_arrow(tbl(old_pairs)))
+    inc = (
+        incremental_components(
+            labels, rd.from_arrow(tbl(new_pairs)).repartition(2)
+        ).to_pandas().set_index("node")["group_id"].to_dict()
+    )
+    full = (
+        connected_components(rd.from_arrow(tbl(old_pairs + new_pairs)))
+        .to_pandas().set_index("node")["group_id"].to_dict()
+    )
+    assert inc == full
+    assert inc[21] == 10 and inc[30] == 5 and inc[61] == 60
+
+    # randomized cross-check: two random deltas applied in sequence
+    rng = np.random.default_rng(7)
+    base = [tuple(sorted(p)) for p in rng.integers(0, 60, (40, 2))
+            if p[0] != p[1]]
+    d1 = [tuple(sorted(p)) for p in rng.integers(0, 90, (15, 2))
+          if p[0] != p[1]]
+    d2 = [tuple(sorted(p)) for p in rng.integers(0, 120, (15, 2))
+          if p[0] != p[1]]
+    lab = connected_components(rd.from_arrow(tbl(base)))
+    lab = incremental_components(lab, rd.from_arrow(tbl(d1)))
+    lab = incremental_components(lab, rd.from_arrow(tbl(d2)))
+    got = lab.to_pandas().set_index("node")["group_id"].to_dict()
+    want = (
+        connected_components(rd.from_arrow(tbl(base + d1 + d2)))
+        .to_pandas().set_index("node")["group_id"].to_dict()
+    )
+    assert got == want
