@@ -235,6 +235,76 @@ def _as_arrow_schema(schema) -> pa.Schema:
     return pa.schema(list(zip(schema.names, types)))
 
 
+def _null_bytes_per_row(schema: pa.Schema) -> float:
+    """Per-row cost of shipping this schema's columns as all-null pad
+    (measured: Arrow allocates the full data buffer for null
+    fixed-width columns — 8.125 B/row for a null int64 — and the
+    offsets buffer for null var-width — 4.125 B/row for a null
+    string)."""
+    total = 0.0
+    for f in schema:
+        t = f.type
+        if pa.types.is_boolean(t):
+            total += 0.25
+        elif pa.types.is_string(t) or pa.types.is_binary(t) \
+                or pa.types.is_large_string(t) or pa.types.is_list(t):
+            total += 4.125
+        else:
+            try:
+                total += t.bit_width / 8 + 0.125
+            except (ValueError, AttributeError):  # nested/unknown
+                total += 8.125
+    return total
+
+
+def est_row_bytes(schema: pa.Schema, assumed_var: int = 24) -> float:
+    """Static per-row DATA bytes estimate: fixed-width types contribute
+    their width; var-width columns 4 B offsets + ``assumed_var`` payload
+    (callers with a measured bytes-per-row — e.g. parquet footer
+    ``total_byte_size / num_rows`` — should pass it instead)."""
+    total = 0.0
+    for f in schema:
+        t = f.type
+        if pa.types.is_string(t) or pa.types.is_binary(t) \
+                or pa.types.is_large_string(t) or pa.types.is_list(t):
+            total += 4 + assumed_var
+        elif pa.types.is_boolean(t):
+            total += 0.125
+        else:
+            try:
+                total += t.bit_width / 8
+            except (ValueError, AttributeError):
+                total += 8
+    return total
+
+
+def auto_exchange(
+    lschema: pa.Schema,
+    rschema: pa.Schema,
+    left_row_bytes: float | None = None,
+    right_row_bytes: float | None = None,
+) -> str:
+    """Pick the shuffle exchange for ``partitioned_hash_join`` from the
+    bytes-per-row cost model (ROADMAP #13): every exchanged row ships
+    the OTHER side's columns as nulls, so the per-row pad overhead is
+    schema-determined; ipc instead re-serializes the actual data
+    bytes.  Route through ipc only when the pad overhead is both
+    material in absolute terms (narrow joins are dominated by per-row
+    shuffle overhead — a wash, and pad skips the serialize hop) AND a
+    substantial fraction of the data actually moving (wide-content
+    rows make the pad nulls negligible).  Reproduces the measured
+    choices: ipc for full-width lineitem⋈orders (~20% faster at
+    sf0.1), pad for narrow int joins and long-text⋈labels joins."""
+    pad_over = _null_bytes_per_row(lschema) + _null_bytes_per_row(rschema)
+    data = (left_row_bytes or est_row_bytes(lschema)) + (
+        right_row_bytes or est_row_bytes(rschema)
+    )
+    return (
+        "ipc" if pad_over >= 48 and pad_over / max(data, 1e-9) >= 0.25
+        else "pad"
+    )
+
+
 def partitioned_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -246,6 +316,8 @@ def partitioned_hash_join(
     right_schema: pa.Schema | None = None,
     exchange: str = "auto",
     ipc_compression: str | None = None,
+    left_row_bytes: float | None = None,
+    right_row_bytes: float | None = None,
 ) -> rd.Dataset:
     """Large-large equi-join as an explicit partitioned hash join:
     both sides get ``bucket = stable_hash(key) % B``, are unioned with a
@@ -270,10 +342,16 @@ def partitioned_hash_join(
       ``"zstd"`` for multi-node network shuffles), and the per-bucket
       merge deserializes and joins.  Output rows/columns/dtypes are
       identical to ``"pad"`` (tested).
-    * ``"auto"`` (default) — ``ipc`` when the combined schema is wide
-      (≥10 columns — measured ~20% faster at sf0.1: 3.3–3.9 s → 2.7–
-      2.8 s for full-width lineitem⋈orders), else ``pad`` (a wash at
-      narrow schemas, and pad skips the serialize/deserialize hop).
+    * ``"auto"`` (default) — a bytes-per-row cost model: ``ipc`` when
+      the schema-determined pad overhead (null columns each row ships
+      for the other side) is ≥48 B/row AND ≥25% of the estimated data
+      bytes moving (``est_row_bytes``, overridable with measured
+      ``left_row_bytes``/``right_row_bytes`` from e.g. parquet
+      footers); else ``pad``.  Reproduces the measurements: ipc ~20%
+      faster at sf0.1 for full-width lineitem⋈orders (3.3–3.9 s →
+      2.7–2.8 s), pad for narrow joins (a wash, minus the
+      serialize/deserialize hop) and for wide-content rows where the
+      pad nulls are noise.
 
     PERF: ``Dataset.schema()`` on a shuffle-containing lineage executes
     the WHOLE upstream pipeline.  Pass ``left_schema``/``right_schema``
@@ -299,7 +377,9 @@ def partitioned_hash_join(
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     if exchange == "auto":
-        exchange = "ipc" if len(lcols) + len(rcols) >= 10 else "pad"
+        exchange = auto_exchange(
+            lschema, rschema, left_row_bytes, right_row_bytes
+        )
 
     import numpy as np
 
@@ -522,6 +602,8 @@ def auto_hash_join(
     num_buckets: int = 32,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    left_row_bytes: float | None = None,
+    right_row_bytes: float | None = None,
 ) -> rd.Dataset:
     """Size-aware join selection (the broadcast-threshold pattern every
     shuffle engine uses): ``right_rows`` is an UPPER BOUND on the build
@@ -550,6 +632,7 @@ def auto_hash_join(
             left, right, left_on, right_on, how=how,
             num_buckets=num_buckets,
             left_schema=left_schema, right_schema=right_schema,
+            left_row_bytes=left_row_bytes, right_row_bytes=right_row_bytes,
         )
 
     lschema = (

@@ -354,3 +354,38 @@ def test_partitioned_join_exchange_parity():
     # compression changes bytes on the wire, never values
     z = run("ipc", ["k"], "inner", compression="zstd")
     pd.testing.assert_frame_equal(run("pad", ["k"], "inner"), z)
+
+
+def test_exchange_auto_cost_model():
+    """exchange="auto" routes by the bytes-per-row cost model: ipc for
+    wide fixed-width schemas (pad nulls are material), pad for narrow
+    joins and for wide-CONTENT rows where pad nulls are noise; measured
+    row-bytes hints override the static estimate."""
+    import importlib
+
+    joins = importlib.import_module(
+        "standardized_omop_data_etl_ray.stages.joins"
+    )
+
+    lineitem_like = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64()),
+         ("d", pa.int32()), ("e", pa.float64()), ("f", pa.float64()),
+         ("g", pa.float64()), ("h", pa.float64()), ("i", pa.string()),
+         ("j", pa.string()), ("k", pa.timestamp("us"))]
+    )
+    orders_like = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("c", pa.string()),
+         ("d", pa.float64()), ("e", pa.timestamp("us")),
+         ("f", pa.string())]
+    )
+    narrow = pa.schema([("n", pa.int64()), ("g", pa.int64())])
+    docs_like = pa.schema([("id", pa.int64()), ("text", pa.string())])
+
+    assert joins.auto_exchange(lineitem_like, orders_like) == "ipc"
+    assert joins.auto_exchange(narrow, narrow) == "pad"
+    # long-text corpus joined to a wide side: pad nulls are noise next
+    # to the text payload — the static estimate can't see that, the
+    # measured row-bytes hint can
+    assert joins.auto_exchange(docs_like, lineitem_like) == "ipc"
+    assert joins.auto_exchange(
+        docs_like, lineitem_like, left_row_bytes=450.0) == "pad"
