@@ -1163,15 +1163,11 @@ WHERE CASE WHEN len(da.s) = 0 AND len(db.s) = 0 THEN 1.0
 """
 
 
-def near_dup_groups(sf_dir: str):
-    """Near-dup GROUPS — the actual dedup semantics (keep one doc per
-    component, not per pair): the jaccard pair set feeds distributed
-    min-label propagation (stages/dedup.connected_components), emitting
-    (doc_id, group_id=min id in component).  The oracle computes the
-    same components via a recursive transitive-closure CTE over the
-    identical pair SQL."""
+def _doubled_corpus_pairs(sf_dir: str):
+    """Shared front end of the group-dedup queries: the documents table
+    doubled with marked clones, its verified jaccard pair set, and the
+    bucket count sized from the corpus."""
     from standardized_omop_data_etl_ray.stages.dedup import (
-        connected_components,
         minhash_candidate_pairs,
         verify_jaccard_pairs,
     )
@@ -1197,6 +1193,21 @@ def near_dup_groups(sf_dir: str):
                                     num_buckets=B)
     verified = verify_jaccard_pairs(pairs, both, "text", "doc_id",
                                     threshold=0.8, num_buckets=B)
+    return both, verified, B
+
+
+def near_dup_groups(sf_dir: str):
+    """Near-dup GROUPS — the actual dedup semantics (keep one doc per
+    component, not per pair): the jaccard pair set feeds distributed
+    min-label propagation (stages/dedup.connected_components), emitting
+    (doc_id, group_id=min id in component).  The oracle computes the
+    same components via a recursive transitive-closure CTE over the
+    identical pair SQL."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        connected_components,
+    )
+
+    _, verified, _ = _doubled_corpus_pairs(sf_dir)
     comp = connected_components(verified)
     return comp.map_batches(
         lambda t: pa.table(
@@ -1220,32 +1231,10 @@ def incremental_near_dup_groups(sf_dir: str):
     from standardized_omop_data_etl_ray.stages.dedup import (
         connected_components,
         incremental_components,
-        minhash_candidate_pairs,
-        verify_jaccard_pairs,
     )
-    from standardized_omop_data_etl_ray.stages.joins import default_buckets
 
-    n = _nrows(sf_dir, "documents")
-    B = default_buckets(2 * n)
-    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
-
-    def modify(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pc.add(t.column("doc_id"), 1_000_000),
-                "text": pc.binary_join_element_wise(
-                    t.column("text"), pa.scalar(" zzzmarker"), ""
-                ),
-            }
-        )
-
-    both = docs.union(docs.map_batches(modify, batch_format="pyarrow"))
-    pairs = minhash_candidate_pairs(both, "text", "doc_id",
-                                    concurrency=(2, 8), distinct=False,
-                                    num_buckets=B)
-    verified = verify_jaccard_pairs(pairs, both, "text", "doc_id",
-                                    threshold=0.8, num_buckets=B
-                                    ).materialize()
+    _, verified, _ = _doubled_corpus_pairs(sf_dir)
+    verified = verified.materialize()
 
     def half(par: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -1261,6 +1250,54 @@ def incremental_near_dup_groups(sf_dir: str):
     return merged.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("node"), "group_id": t.column("group_id")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_canonical_docs(sf_dir: str):
+    """The dedup OUTPUT corpus: keep exactly one canonical doc per
+    near-dup component (the member with the minimum id) and pass
+    singletons through.  The drop set (component members ≠ minimum)
+    streams through a partitioned left join against the corpus ids —
+    never a driver-side set, so the filter holds when the dup fraction
+    is a large share of a 100 TB corpus."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        connected_components,
+    )
+    from standardized_omop_data_etl_ray.stages.joins import (
+        partitioned_hash_join,
+    )
+
+    both, verified, B = _doubled_corpus_pairs(sf_dir)
+    comp = connected_components(verified)
+
+    def drops(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("node"), t.column("group_id"))
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.cast(f.column("node"), pa.int64()),
+                "dropped": pa.array(
+                    np.ones(f.num_rows, dtype=bool), pa.bool_()
+                ),
+            }
+        )
+
+    drop_ds = comp.map_batches(drops, batch_format="pyarrow")
+    ids = both.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = partitioned_hash_join(
+        ids, drop_ds, ["doc_id"], how="left", num_buckets=B,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("dropped", pa.bool_())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("dropped"))).select(
+            ["doc_id"]
         ),
         batch_format="pyarrow",
     )
@@ -1282,6 +1319,34 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, least(src, min(dst)) AS group_id
 FROM reach GROUP BY src
+"""
+
+
+_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS (
+{_JACCARD_SQL}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+grp AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+),
+allids AS (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 FROM documents
+)
+SELECT doc_id FROM allids
+WHERE doc_id NOT IN (SELECT doc_id FROM grp WHERE doc_id <> group_id)
 """
 
 
@@ -1337,6 +1402,133 @@ SELECT d.doc_id,
        COALESCE(ov.n, 0) >= 5 AS contaminated
 FROM (SELECT doc_id FROM ds WHERE doc_id % 50 <> 0) d
 LEFT JOIN ov ON d.doc_id = ov.doc_id
+"""
+
+
+def redact_pii_docs(sf_dir: str):
+    """PII redaction (privacy-hygiene pass): deterministic synthetic
+    PII (email / IPv4 / phone derived from doc_id) is appended to each
+    doc — so detection is provably exercised — then scrubbed with the
+    vectorized RE2 kernels; per-doc counts come from the original
+    text.  The oracle builds the identical injected text with string
+    concat and mirrors the same RE2 patterns through
+    ``regexp_replace``/``regexp_extract_all`` (DuckDB is RE2-backed,
+    so pattern semantics agree by construction)."""
+    from standardized_omop_data_etl_ray.stages.corpus import redact_pii
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        s = pc.cast(ids, pa.string())
+        ip3 = pc.cast(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 256), 256)),
+            pa.string(),
+        )
+        footer = pc.binary_join_element_wise(
+            pa.scalar(" contact user"),
+            s, pa.scalar("@example.com at 10.0."),
+            ip3, pa.scalar(".7 call +1 555 0100 "),
+            s, "",
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.binary_join_element_wise(
+                    t.column("text"), footer, ""
+                ),
+            }
+        )
+
+    out = redact_pii(
+        docs.map_batches(inject, batch_format="pyarrow"), "text"
+    )
+    return out.select_columns(
+        ["doc_id", "clean_text", "n_email", "n_ipv4", "n_phone"]
+    )
+
+
+from standardized_omop_data_etl_ray.stages.corpus import (  # noqa: E402
+    PII_PATTERNS as _PII,
+)
+
+_REDACT_SQL = f"""
+WITH inj AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com at 10.0.'
+                || (doc_id % 256) || '.7 call +1 555 0100 ' || doc_id AS t
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII[0][1]}', '<EMAIL>', 'g'),
+           '{_PII[1][1]}', '<IP>', 'g'),
+           '{_PII[2][1]}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(t, '{_PII[0][1]}')) AS n_email,
+       len(regexp_extract_all(t, '{_PII[1][1]}')) AS n_ipv4,
+       len(regexp_extract_all(t, '{_PII[2][1]}')) AS n_phone
+FROM inj
+"""
+
+
+def split_docs(sf_dir: str):
+    """Deterministic train/val/test assignment by md5(doc_id) prefix —
+    partitioning/resume/cluster-size independent by construction, and
+    mirrored exactly by the oracle's CASE over the same hex
+    thresholds."""
+    from standardized_omop_data_etl_ray.stages.corpus import split_assign
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    return split_assign(docs, "doc_id").select_columns(
+        ["doc_id", "lang", "split"]
+    )
+
+
+def _split_sql() -> str:
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        split_thresholds_hex,
+    )
+
+    thrs = split_thresholds_hex([("train", 0.8), ("val", 0.1),
+                                 ("test", 0.1)])
+    cases = " ".join(
+        f"WHEN h < '{thr}' THEN '{name}'" for name, thr in thrs[:-1]
+    )
+    return f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE {cases} ELSE '{thrs[-1][0]}' END AS split
+FROM h
+"""
+
+
+def rolling_user_event_stats(sf_dir: str):
+    """Per-user ROW-frame rolling aggregates (last 5 events): frame max
+    of the raw value plus an integer-cents frame sum — both exactly
+    reproducible (comparisons and integer math only), see
+    stages/windows.rolling_aggregate."""
+    from standardized_omop_data_etl_ray.stages.windows import (
+        rolling_aggregate,
+    )
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return rolling_aggregate(
+        ds, "user_id", "ts", "event_id", "value", window=5
+    )
+
+
+_ROLLING_SQL = """
+SELECT user_id, event_id,
+       max(value) OVER w AS roll_max,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS roll_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -2537,7 +2729,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dups": jaccard_near_dups,
         "near_dup_groups": near_dup_groups,
         "incremental_near_dup_groups": incremental_near_dup_groups,
+        "dedup_canonical_docs": dedup_canonical_docs,
         "decontaminate_docs": decontaminate_docs,
+        "redact_pii_docs": redact_pii_docs,
+        "split_docs": split_docs,
+        "rolling_user_event_stats": rolling_user_event_stats,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
         "embedding_self_near_dups": embedding_self_near_dups,
@@ -2598,7 +2794,11 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_near_dups": _JACCARD_SQL,
         "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
         "incremental_near_dup_groups": _NEAR_DUP_GROUPS_SQL,
+        "dedup_canonical_docs": _DEDUP_CANONICAL_SQL,
         "decontaminate_docs": _DECONTAM_SQL,
+        "redact_pii_docs": _REDACT_SQL,
+        "split_docs": _split_sql(),
+        "rolling_user_event_stats": _ROLLING_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,

@@ -177,3 +177,119 @@ def stratified_sample(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_thresholds_hex(
+    splits: list[tuple[str, float]], digits: int = 4
+) -> list[tuple[str, str]]:
+    """Cumulative md5-prefix thresholds for a multi-way split: a row
+    belongs to the first split whose threshold its hex prefix compares
+    below.  Same hex-vs-hex comparison contract as
+    ``sample_threshold_hex`` (equal-length lowercase hex sorts as
+    text exactly as it sorts as value); the LAST split's threshold is
+    forced to ``"g"`` so the whole space is covered regardless of
+    float rounding in the cumulative fractions."""
+    out, cum = [], 0.0
+    for i, (name, frac) in enumerate(splits):
+        cum += frac
+        thr = "g" if i == len(splits) - 1 else sample_threshold_hex(
+            cum, digits
+        )
+        out.append((name, thr))
+    return out
+
+
+def split_assign(
+    ds: rd.Dataset,
+    id_col: str,
+    splits: list[tuple[str, float]] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1)
+    ),
+    digits: int = 4,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment by a content-independent
+    hash of the id (md5 prefix, the ``stratified_sample`` contract):
+    the SAME rows land in the same split on any cluster size, resume,
+    or block order, and the rule is SQL-mirrorable exactly (DuckDB
+    ``md5`` + a CASE over the same hex thresholds).  Pure per-batch
+    map — no shuffle, no RNG state."""
+    thrs = split_thresholds_hex(list(splits), digits)
+    names = np.asarray([n for n, _ in thrs] + [thrs[-1][0]], dtype=object)
+    bounds = np.asarray([t for _, t in thrs], dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import _HAVE_DUCKDB, _con
+
+        sv = pa.table({"v": t.column(id_col).cast(pa.string())})
+        if _HAVE_DUCKDB:
+            h = (
+                _con()
+                .execute(f"SELECT substr(md5(v), 1, {digits}) AS h FROM sv")
+                .fetch_arrow_table()
+                .column("h")
+                .to_pylist()
+            )
+        else:  # pragma: no cover - duckdb is a baked-in dependency
+            import hashlib
+
+            h = [
+                hashlib.md5(s.encode()).hexdigest()[:digits]
+                for s in sv.column("v").to_pylist()
+            ]
+        idx = np.searchsorted(bounds, np.asarray(h, dtype=object),
+                              side="right")
+        return t.append_column(
+            out_col, pa.array(names[idx], pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# PII patterns: RE2 syntax, shared verbatim by the Arrow kernels here
+# and the DuckDB oracles (both engines are RE2-backed, so the same
+# pattern string has the same semantics on both sides).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email",
+     r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4",
+     r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone",
+     r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(
+    ds: rd.Dataset,
+    text_col: str,
+    out_col: str = "clean_text",
+    count_cols: bool = True,
+) -> rd.Dataset:
+    """Scrub emails, IPv4 addresses and phone numbers from a text
+    column (the pretraining privacy-hygiene pass) with vectorized RE2
+    kernels — ``pc.count_substring_regex`` on the ORIGINAL text for
+    per-doc counts, then ``pc.replace_substring_regex`` applied in
+    ``PII_PATTERNS`` order (emails first so the phone pattern never
+    eats an address's digit runs).  Pure per-batch map, no Python row
+    loop, no shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        cols = {}
+        for name, pat, _ in PII_PATTERNS:
+            if count_cols:
+                cols[f"n_{name}"] = pc.cast(
+                    pc.count_substring_regex(text, pat), pa.int64()
+                )
+        clean = text
+        for _, pat, repl in PII_PATTERNS:
+            clean = pc.replace_substring_regex(
+                clean, pattern=pat, replacement=repl
+            )
+        out = t.append_column(out_col, clean)
+        for k, v in cols.items():
+            out = out.append_column(k, v)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

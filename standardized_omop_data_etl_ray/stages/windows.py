@@ -150,3 +150,54 @@ def sessionize(
         return g
 
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
+def rolling_aggregate(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 5,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key ROW-frame rolling aggregates over the last ``window``
+    rows in (ts, order) order — the feature-engineering window shape
+    (``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``) Ray Data has
+    no native operator for.  One bucketed shuffle co-locates each key,
+    then pandas computes the frames vectorized across ALL keys in a
+    bucket.
+
+    Emits ``roll_max`` (frame max of the raw double — comparisons
+    only, bit-exact vs any SQL engine) and ``roll_sum_cents`` (frame
+    sum of ``floor(value × 100)`` as int64 — the float→int step uses
+    the same IEEE double multiply+floor on both sides, then the sum is
+    integer math, so results are EXACTLY reproducible rather than
+    summation-order-dependent)."""
+    import numpy as np
+
+    from .joins import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col])
+        cents = np.floor(g[value_col].to_numpy() * 100.0).astype(np.int64)
+        gb = g.groupby(key_col, sort=False)
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                order_col: g[order_col].to_numpy(),
+                "roll_max": gb[value_col]
+                .rolling(window, min_periods=1)
+                .max()
+                .to_numpy(),
+                "roll_sum_cents": pd.Series(cents)
+                .groupby(g[key_col].to_numpy(), sort=False)
+                .rolling(window, min_periods=1)
+                .sum()
+                .to_numpy()
+                .astype(np.int64),
+            }
+        )
+        return out
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)

@@ -77,3 +77,93 @@ def test_sample_threshold_hex():
     assert sample_threshold_hex(1.0) == "g"
     assert "ffff" < sample_threshold_hex(1.0)
     assert sample_threshold_hex(0.5) == "8000"
+
+
+def test_split_assign_deterministic_and_complete():
+    """Every row gets exactly one split regardless of partitioning; the
+    assignment is md5-deterministic (re-run and re-partition identical)
+    and fractions are roughly honored."""
+    import hashlib
+
+    from standardized_omop_data_etl_ray.stages.corpus import split_assign
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    a = (
+        split_assign(rd.from_arrow(t), "doc_id")
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    b = (
+        split_assign(rd.from_arrow(t).repartition(7), "doc_id")
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    assert a.sort_index().equals(b.sort_index())
+    frac = a.value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13
+    assert 0.07 < frac["test"] < 0.13
+    # spot-check the contract against a hand md5: the 0.8 threshold at
+    # 4 hex digits is round(0.8*65536)=52429=0xcccd
+    h = hashlib.md5(b"0").hexdigest()[:4]
+    assert (a.loc[0] == "train") == (h < "cccd")
+
+
+def test_redact_pii_scrubs_and_counts():
+    from standardized_omop_data_etl_ray.stages.corpus import redact_pii
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "mail me at jane.doe+x@sub.example.org today",
+            "server 192.168.0.12 then call +1 555 0100 7788",
+            "no pii here, just 42 and 3.14",
+            "",
+        ]),
+    })
+    out = redact_pii(rd.from_arrow(t), "text").to_pandas().set_index("id")
+    assert out.loc[1, "clean_text"] == "mail me at <EMAIL> today"
+    assert out.loc[1, "n_email"] == 1 and out.loc[1, "n_phone"] == 0
+    assert out.loc[2, "clean_text"] == "server <IP> then call <PHONE>"
+    assert out.loc[2, "n_ipv4"] == 1 and out.loc[2, "n_phone"] == 1
+    assert out.loc[3, "clean_text"] == "no pii here, just 42 and 3.14"
+    assert int(out.loc[3, ["n_email", "n_ipv4", "n_phone"]].sum()) == 0
+    assert out.loc[4, "clean_text"] == ""
+
+
+def test_rolling_aggregate_matches_pandas_oracle():
+    """rolling_aggregate must equal a single-process pandas rolling
+    computation on any partitioning."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.windows import (
+        rolling_aggregate,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "value": np.round(rng.uniform(0, 300, n), 2),
+    })
+    got = (
+        rolling_aggregate(
+            rd.from_pandas(df).repartition(5),
+            "user_id", "ts", "event_id", "value", window=5,
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    o = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    gb = o.groupby("user_id", sort=False)
+    o["roll_max"] = gb["value"].rolling(5, min_periods=1).max().to_numpy()
+    o["roll_sum_cents"] = (
+        pd.Series(np.floor(o["value"].to_numpy() * 100).astype(np.int64))
+        .groupby(o["user_id"].to_numpy(), sort=False)
+        .rolling(5, min_periods=1).sum().to_numpy().astype(np.int64)
+    )
+    o = o.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "roll_max", "roll_sum_cents"]],
+        o[["event_id", "roll_max", "roll_sum_cents"]],
+    )
