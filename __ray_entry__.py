@@ -1506,6 +1506,40 @@ FROM h
 """
 
 
+def tfidf_top_terms_docs(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms — corpus-wide document frequencies
+    (pre-reduced per block) joined size-aware onto per-doc term
+    frequencies, per-doc top-k in one bucketed groupby."""
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        tfidf_top_terms,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+    return tfidf_top_terms(docs, "text", "doc_id", k=3, n_docs=n)
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+    ) AS rank FROM scored
+) WHERE rank <= 3
+"""
+
+
 def rolling_user_event_stats(sf_dir: str):
     """Per-user ROW-frame rolling aggregates (last 5 events): frame max
     of the raw value plus an integer-cents frame sum — both exactly
@@ -2734,6 +2768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_docs": redact_pii_docs,
         "split_docs": split_docs,
         "rolling_user_event_stats": rolling_user_event_stats,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
         "embedding_self_near_dups": embedding_self_near_dups,
@@ -2799,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_docs": _REDACT_SQL,
         "split_docs": _split_sql(),
         "rolling_user_event_stats": _ROLLING_SQL,
+        "tfidf_top_terms_docs": _TFIDF_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,

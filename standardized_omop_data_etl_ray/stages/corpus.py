@@ -293,3 +293,112 @@ def redact_pii(
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_frequencies(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """Document frequency per token (each doc counted once): per-batch
+    distinct-tokens-per-doc with a local combiner, so the exchange
+    moves ≤1 (token, df) row per distinct token per block."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col])
+        arrays = [np.unique(np.asarray(t, dtype=object))
+                  for t in toks if len(t)]
+        if not arrays:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype="int64"),
+            })
+        u, c = np.unique(np.concatenate(arrays), return_counts=True)
+        return pd.DataFrame({"token": u, "df": c.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_docs: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms — the corpus-analytics shape
+    that needs BOTH a corpus-wide pass (document frequencies) and a
+    per-doc pass (term frequencies), joined back together.
+
+    Scale shape: the df table is vocabulary-sized (pre-reduced per
+    block before its one groupby); (doc_id, token, tf) rows join to it
+    size-aware (broadcast while the vocabulary fits, partitioned hash
+    join beyond — ``auto_hash_join``); the per-doc top-k runs inside
+    one bucketed groupby.  Scores are ``round(tf · ln(n_docs/df), 6)``
+    half-away-from-zero, ranked (score desc, token asc) — a total
+    order, so the cut is deterministic and SQL-mirrorable."""
+    from ..functions.rounding import round_half_away
+    from .joins import auto_hash_join, bucketed_groupby
+
+    if n_docs is None:
+        n_docs = ds.count()
+    dfreq = doc_frequencies(ds, text_col, id_col).materialize()
+    vocab_rows = dfreq.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col])
+        ids_out, tok_out, tf_out = [], [], []
+        for i, t in zip(df[id_col], toks):
+            if not len(t):
+                continue
+            u, c = np.unique(np.asarray(t, dtype=object),
+                             return_counts=True)
+            ids_out.append(np.full(len(u), i, dtype=np.int64))
+            tok_out.append(u)
+            tf_out.append(c.astype(np.int64))
+        if not ids_out:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            id_col: np.concatenate(ids_out),
+            "token": np.concatenate(tok_out),
+            "tf": np.concatenate(tf_out),
+        })
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    joined = auto_hash_join(
+        tf, dfreq, ["token"],
+        right_rows=vocab_rows,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("token", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("token", pa.string()),
+                                ("df", pa.int64())]),
+        num_buckets=num_buckets or 32,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = round_half_away(tfv * np.log(float(n_docs) / dfv), 6)
+        return pa.table({
+            id_col: t.column(id_col),
+            "token": t.column("token"),
+            "tfidf": pa.array(s, pa.float64()),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "tfidf", "token"],
+                          ascending=[True, False, True])
+        g["rank"] = (g.groupby(id_col, sort=False).cumcount() + 1).astype(
+            np.int64
+        )
+        return g[g["rank"] <= k]
+
+    return bucketed_groupby(scored, [id_col], per_bucket, num_buckets)

@@ -167,3 +167,58 @@ def test_rolling_aggregate_matches_pandas_oracle():
         got[["event_id", "roll_max", "roll_sum_cents"]],
         o[["event_id", "roll_max", "roll_sum_cents"]],
     )
+
+
+def test_tfidf_top_terms_matches_pandas_oracle():
+    """Distributed TF-IDF top-k equals a single-process computation on
+    any partitioning; ties break on token; empty docs emit nothing."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        tfidf_top_terms,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "apple banana apple cherry",
+            "banana banana date",
+            "apple cherry cherry cherry date",
+            "",
+            "egg egg egg apple",
+            "fig",
+        ],
+    })
+    got = (
+        tfidf_top_terms(
+            rd.from_pandas(docs).repartition(4), "text", "doc_id",
+            k=2, n_docs=len(docs),
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    tok = docs.assign(t=docs["text"].str.strip().str.split()).explode("t")
+    tok = tok.dropna(subset=["t"])[tok.get("t", pd.Series()).astype(bool)]
+    tf = tok.groupby(["doc_id", "t"]).size().rename("tf").reset_index()
+    df_ = tok.groupby("t")["doc_id"].nunique().rename("df").reset_index()
+    s = tf.merge(df_, on="t")
+    s["tfidf"] = round_half_away(
+        s["tf"].to_numpy() * np.log(len(docs) / s["df"].to_numpy()), 6
+    )
+    s = s.sort_values(["doc_id", "tfidf", "t"],
+                      ascending=[True, False, True])
+    s["rank"] = (s.groupby("doc_id").cumcount() + 1).astype(np.int64)
+    want = (
+        s[s["rank"] <= 2]
+        .rename(columns={"t": "token"})
+        [["doc_id", "token", "tfidf", "rank"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "token", "tfidf", "rank"]], want
+    )
+    assert 3 not in set(got["doc_id"])  # empty doc contributes nothing
