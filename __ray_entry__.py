@@ -1506,6 +1506,118 @@ FROM h
 """
 
 
+def events_before_errors(sf_dir: str):
+    """Interval-containment join (event attribution): for every error
+    event, the count and value-sum of the SAME user's events in the
+    hour before it — ``stages/joins.interval_join`` (equi-key
+    co-location + fused band filter), aggregated per window, then a
+    partitioned left join restores zero-activity errors."""
+    from ray.data.aggregate import Count, Sum
+
+    from standardized_omop_data_etl_ray.stages.joins import (
+        interval_join,
+        partitioned_hash_join,
+    )
+
+    n = _nrows(sf_dir, "events")
+    ev = _pq(sf_dir, "events",
+             ["event_id", "user_id", "ts", "event_type", "value"],
+             rows_hint=n)
+
+    def windows(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("event_type"), "error"))
+        return pa.table(
+            {
+                "error_event_id": f.column("event_id"),
+                "user_id": f.column("user_id"),
+                "win_start": pc.subtract(
+                    f.column("ts"),
+                    pa.scalar(3_600_000_000, pa.duration("us")),
+                ),
+                "win_end": f.column("ts"),
+            }
+        )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "value_cents": pa.array(
+                    np.floor(v * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    win_schema = pa.schema(
+        [("error_event_id", pa.int64()), ("user_id", pa.int64()),
+         ("win_start", pa.timestamp("us")), ("win_end", pa.timestamp("us"))]
+    )
+    left_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("value_cents", pa.int64())]
+    )
+    wins = ev.map_batches(windows, batch_format="pyarrow")
+    pairs = interval_join(
+        ev.map_batches(cents, batch_format="pyarrow"), wins,
+        ["user_id"], "ts", "win_start", "win_end",
+        right_rows=n, left_schema=left_schema, right_schema=win_schema,
+    )
+    agg = pairs.groupby("error_event_id").aggregate(
+        Count(alias_name="n_prior"),
+        Sum("value_cents", alias_name="sum_prior_cents"),
+    )
+    out = partitioned_hash_join(
+        wins.map_batches(
+            lambda t: t.select(["error_event_id"]), batch_format="pyarrow"
+        ),
+        agg, ["error_event_id"], how="left",
+        left_schema=pa.schema([("error_event_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("error_event_id", pa.int64()), ("n_prior", pa.int64()),
+             ("sum_prior_cents", pa.int64())]
+        ),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "error_event_id": t.column("error_event_id"),
+                "n_prior": pc.fill_null(
+                    pc.cast(t.column("n_prior"), pa.int64()), 0
+                ),
+                "sum_prior_cents": pc.fill_null(
+                    pc.cast(t.column("sum_prior_cents"), pa.int64()), 0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_INTERVAL_SQL = """
+WITH w AS (
+    SELECT event_id AS error_event_id, user_id,
+           ts - INTERVAL 1 HOUR AS win_start, ts AS win_end
+    FROM events WHERE event_type = 'error'
+),
+p AS (
+    SELECT w.error_event_id,
+           count(*) AS n_prior,
+           sum(CAST(floor(e.value * 100) AS BIGINT)) AS sum_prior_cents
+    FROM w JOIN events e
+      ON e.user_id = w.user_id
+     AND e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.error_event_id
+)
+SELECT w.error_event_id,
+       COALESCE(p.n_prior, 0) AS n_prior,
+       COALESCE(p.sum_prior_cents, 0) AS sum_prior_cents
+FROM w LEFT JOIN p USING (error_event_id)
+"""
+
+
 def tfidf_top_terms_docs(sf_dir: str):
     """Per-doc top-3 TF-IDF terms — corpus-wide document frequencies
     (pre-reduced per block) joined size-aware onto per-doc term
@@ -2769,6 +2881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": split_docs,
         "rolling_user_event_stats": rolling_user_event_stats,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "events_before_errors": events_before_errors,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
         "embedding_self_near_dups": embedding_self_near_dups,
@@ -2835,6 +2948,7 @@ def oracle_sql() -> dict[str, str]:
         "split_docs": _split_sql(),
         "rolling_user_event_stats": _ROLLING_SQL,
         "tfidf_top_terms_docs": _TFIDF_SQL,
+        "events_before_errors": _INTERVAL_SQL,
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,

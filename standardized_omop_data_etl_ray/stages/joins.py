@@ -732,3 +732,48 @@ def usagi_join(
         return joined.drop(columns="__key")
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    right_rows: int | None = None,
+    num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Equi-key + interval-containment join: pair each left row with
+    every right row of the same key whose ``[start, end)`` window
+    contains the left row's ``ts_col`` — the event-attribution shape
+    (events→incident windows, reads→sessions) SQL writes as
+    ``JOIN ... ON key AND ts >= start AND ts < end``.
+
+    Shape: the size-aware equi-join co-locates the key (broadcast
+    while the window table fits, partitioned hash join beyond), then a
+    fused vectorized band filter drops non-containing pairs — no extra
+    exchange beyond the equi-join's.  COST assumption to size for: the
+    intermediate is per-key |left| × |right| BEFORE the band filter
+    (identical to the SQL plan's hash-join-then-filter); keys whose
+    fan-out explodes need a coarser pre-filter (e.g. bucket both sides
+    by coarse time range into the key) — same discipline as salting a
+    hot groupby key."""
+    import pyarrow.compute as pc
+
+    j = auto_hash_join(
+        left, right, on, right_rows=right_rows, num_buckets=num_buckets,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+
+    def band(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        keep = pc.and_(
+            pc.greater_equal(ts, t.column(start_col)),
+            pc.less(ts, t.column(end_col)),
+        )
+        return t.filter(keep)
+
+    return j.map_batches(band, batch_format="pyarrow")

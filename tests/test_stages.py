@@ -389,3 +389,55 @@ def test_exchange_auto_cost_model():
     assert joins.auto_exchange(docs_like, lineitem_like) == "ipc"
     assert joins.auto_exchange(
         docs_like, lineitem_like, left_row_bytes=450.0) == "pad"
+
+
+def test_interval_join_containment():
+    """interval_join pairs each left row with same-key windows whose
+    [start, end) contains its ts — boundary-inclusive at start,
+    exclusive at end, no cross-key leakage, fan-out when windows
+    overlap."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.joins import interval_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pa.table({
+        "eid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(
+            [t0, t0 + pd.Timedelta("30min"), t0 + pd.Timedelta("2h"), t0],
+            pa.timestamp("us"),
+        ),
+    })
+    right = pa.table({
+        "wid": pa.array([10, 11, 12], pa.int64()),
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "win_start": pa.array(
+            [t0, t0 + pd.Timedelta("15min"), t0 + pd.Timedelta("1h")],
+            pa.timestamp("us"),
+        ),
+        "win_end": pa.array(
+            [t0 + pd.Timedelta("1h"), t0 + pd.Timedelta("45min"),
+             t0 + pd.Timedelta("2h")],
+            pa.timestamp("us"),
+        ),
+    })
+    out = interval_join(
+        rd.from_arrow(left).repartition(2), rd.from_arrow(right),
+        ["k"], "ts", "win_start", "win_end", right_rows=3,
+        left_schema=left.schema, right_schema=right.schema,
+    ).to_pandas()
+    got = sorted(zip(out["eid"], out["wid"]))
+    # eid1@t0: in w10 [t0,1h) only (start-inclusive). eid2@30min: in
+    # w10 AND w11 (overlap fan-out). eid3@2h: w12 is key 2 → nothing,
+    # and [1h,2h) excludes its end. eid4 key2@t0: before w12 → nothing.
+    assert got == [(1, 10), (2, 10), (2, 11)]
+
+    # partitioned path must agree (force it with right_rows above limit)
+    big = interval_join(
+        rd.from_arrow(left).repartition(2), rd.from_arrow(right),
+        ["k"], "ts", "win_start", "win_end",
+        right_rows=10_000_000,
+        left_schema=left.schema, right_schema=right.schema,
+    ).to_pandas()
+    assert sorted(zip(big["eid"], big["wid"])) == got
