@@ -1506,6 +1506,67 @@ FROM h
 """
 
 
+def curate_docs(sf_dir: str):
+    """The composed curation pipeline (the pass a pretraining corpus
+    actually runs): word-count floor + Gopher repetition gates +
+    language-ID, ALL fused in ONE map-only pass over the corpus — no
+    exchange; each signal individually carries its own oracle-green
+    query, and this composition is mirrored by joining those same SQL
+    bodies."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.functions.text import (
+        detect_language,
+        quality_features,
+        repetition_features,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(df["text"])
+        r = repetition_features(df["text"])
+        lang = detect_language(df["text"])
+        dup3 = round_half_away(r["dup_trigram_frac"].to_numpy(), 6)
+        top2 = round_half_away(r["top_bigram_frac"].to_numpy(), 6)
+        keep = (
+            (q["n_words"].to_numpy() >= 5)
+            & (dup3 <= 0.3)
+            & (top2 <= 0.5)
+            & (lang.to_numpy() != "und")
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": lang,
+                "n_words": q["n_words"],
+            }
+        )
+        return out[keep]
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def _curate_sql() -> str:
+    return f"""
+WITH rep AS (
+{_REPETITION_SQL}
+),
+lid AS (
+{_langid_sql()}
+),
+q AS (
+    SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z'']+')) AS n_words
+    FROM documents
+)
+SELECT q.doc_id, lid.lang_pred, q.n_words
+FROM q JOIN rep USING (doc_id) JOIN lid USING (doc_id)
+WHERE q.n_words >= 5 AND rep.dup_trigram_frac <= 0.3
+  AND rep.top_bigram_frac <= 0.5 AND lid.lang_pred <> 'und'
+"""
+
+
 def events_before_errors(sf_dir: str):
     """Interval-containment join (event attribution): for every error
     event, the count and value-sum of the SAME user's events in the
@@ -2882,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_event_stats": rolling_user_event_stats,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "events_before_errors": events_before_errors,
+        "curate_docs": curate_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
         "embedding_self_near_dups": embedding_self_near_dups,
@@ -2949,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_event_stats": _ROLLING_SQL,
         "tfidf_top_terms_docs": _TFIDF_SQL,
         "events_before_errors": _INTERVAL_SQL,
+        "curate_docs": _curate_sql(),
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
