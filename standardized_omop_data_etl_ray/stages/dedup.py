@@ -911,9 +911,10 @@ def incremental_components(
     ep_parts = new_pairs.map_batches(
         endpoints, batch_format="pyarrow"
     ).to_pandas()
-    ep_arr = np.unique(ep_parts["node"].to_numpy())
-    if len(ep_arr) == 0:
+    # an all-empty delta never runs the map UDF → column missing
+    if "node" not in ep_parts.columns or len(ep_parts) == 0:
         return labels
+    ep_arr = np.unique(ep_parts["node"].to_numpy().astype(np.int64))
 
     label_schema = pa.schema([("node", pa.int64()), ("group_id", pa.int64())])
 

@@ -413,3 +413,9 @@ def test_incremental_components_equals_batch():
         .to_pandas().set_index("node")["group_id"].to_dict()
     )
     assert got == want
+
+    # empty delta: Ray never runs the map UDF on an all-empty dataset,
+    # so the endpoint frame can come back column-less — must no-op.
+    empty = rd.from_arrow(tbl([(1, 2)])).filter(lambda r: False)
+    same = incremental_components(lab, empty).to_pandas()
+    assert same.set_index("node")["group_id"].to_dict() == got
