@@ -1713,6 +1713,71 @@ SELECT doc_id, token, tfidf, rank FROM (
 """
 
 
+def incremental_doc_frequencies_docs(sf_dir: str):
+    """CDC-maintained document-frequency vocabulary (ROADMAP #15):
+    commit a vocabulary over a base corpus slice, then fold in one
+    signed delta batch (adds + removes) with
+    ``merge_doc_frequencies(vocab, doc_frequency_delta(...))`` —
+    every exchange is vocabulary/delta-sized, the base corpus is
+    never re-read.  Result must equal a full recompute over the live
+    doc set (the oracle), which is what the judge's hash asserts.
+
+    Split (deterministic in doc_id): base = id%4≠0, adds = id%4=0,
+    removes = base ∩ id%5=0 → live = id%4=0 ∨ id%5≠0."""
+    import pyarrow.compute as pc
+
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        doc_frequencies,
+        doc_frequency_delta,
+        merge_doc_frequencies,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+
+    def part(keep):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            return t.filter(keep(ids))
+        return fn
+
+    base = docs.map_batches(
+        part(lambda i: pc.not_equal(_pc_mod(i, 4), 0)),
+        batch_format="pyarrow",
+    )
+    added = docs.map_batches(
+        part(lambda i: pc.equal(_pc_mod(i, 4), 0)),
+        batch_format="pyarrow",
+    )
+    removed = docs.map_batches(
+        part(lambda i: pc.and_(pc.not_equal(_pc_mod(i, 4), 0),
+                               pc.equal(_pc_mod(i, 5), 0))),
+        batch_format="pyarrow",
+    )
+    vocab = doc_frequencies(base, "text", "doc_id")
+    delta = doc_frequency_delta(added, removed, "text")
+    return merge_doc_frequencies(vocab, delta)
+
+
+def _pc_mod(arr, k: int):
+    import pyarrow.compute as pc
+
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, k), k))
+
+
+_INC_DF_SQL = r"""
+WITH live AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 4 = 0 OR doc_id % 5 <> 0
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM live WHERE trim(text) <> ''
+)
+SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+"""
+
+
 def rolling_user_event_stats(sf_dir: str):
     """Per-user ROW-frame rolling aggregates (last 5 events): frame max
     of the raw value plus an integer-cents frame sum — both exactly
@@ -2942,6 +3007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": split_docs,
         "rolling_user_event_stats": rolling_user_event_stats,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "incremental_doc_frequencies": incremental_doc_frequencies_docs,
         "events_before_errors": events_before_errors,
         "curate_docs": curate_docs,
         "ann_topk_cosine": ann_topk_cosine,
@@ -3010,6 +3076,7 @@ def oracle_sql() -> dict[str, str]:
         "split_docs": _split_sql(),
         "rolling_user_event_stats": _ROLLING_SQL,
         "tfidf_top_terms_docs": _TFIDF_SQL,
+        "incremental_doc_frequencies": _INC_DF_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),
         "ann_topk_cosine": _ANN_SQL,

@@ -295,10 +295,10 @@ def redact_pii(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def doc_frequencies(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
-    """Document frequency per token (each doc counted once): per-batch
-    distinct-tokens-per-doc with a local combiner, so the exchange
-    moves ≤1 (token, df) row per distinct token per block."""
+def _df_partial(text_col: str, sign: int = 1):
+    """Per-batch document-frequency combiner: distinct tokens per doc,
+    summed locally, emitted as (token, df·sign) rows — ≤1 row per
+    distinct token per block through the groupby exchange."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = _ws_tokens(df[text_col])
@@ -310,13 +310,67 @@ def doc_frequencies(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
                 "df": pd.Series([], dtype="int64"),
             })
         u, c = np.unique(np.concatenate(arrays), return_counts=True)
-        return pd.DataFrame({"token": u, "df": c.astype(np.int64)})
+        return pd.DataFrame({"token": u,
+                             "df": c.astype(np.int64) * sign})
 
+    return partial
+
+
+def doc_frequencies(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """Document frequency per token (each doc counted once): per-batch
+    distinct-tokens-per-doc with a local combiner, so the exchange
+    moves ≤1 (token, df) row per distinct token per block."""
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_df_partial(text_col), batch_format="pandas")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
     )
+
+
+def doc_frequency_delta(
+    added: rd.Dataset,
+    removed: rd.Dataset | None,
+    text_col: str,
+) -> rd.Dataset:
+    """Signed document-frequency delta for a CDC batch of documents:
+    +1 per distinct token per added doc, −1 per removed doc (a doc
+    UPDATE is remove-old + add-new). Everything that moves is
+    delta-vocabulary-sized — the corpus is never re-read."""
+    parts = added.map_batches(_df_partial(text_col, 1),
+                              batch_format="pandas")
+    if removed is not None:
+        parts = parts.union(
+            removed.map_batches(_df_partial(text_col, -1),
+                                batch_format="pandas")
+        )
+    return parts.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+
+def merge_doc_frequencies(
+    committed: rd.Dataset, delta: rd.Dataset
+) -> rd.Dataset:
+    """Fold a signed df delta into a committed vocabulary table:
+    one co-partitioning groupby over (committed ∪ delta) — both sides
+    are vocabulary-sized (token, df) rows, never corpus-sized — and
+    tokens whose count hits zero retire from the table, so repeated
+    add/remove cycles cannot leak dead vocabulary rows.
+
+    This is the incremental-TF-IDF maintenance step (ROADMAP #15): a
+    vocabulary kept as a lake table is updated per CDC batch with
+    ``merge_doc_frequencies(vocab, doc_frequency_delta(adds, drops))``
+    instead of recomputing ``doc_frequencies`` over the full corpus."""
+    import pyarrow.compute as pc
+
+    merged = (
+        committed.union(delta)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def live(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("df"), 0))
+
+    return merged.map_batches(live, batch_format="pyarrow")
 
 
 def tfidf_top_terms(

@@ -222,3 +222,56 @@ def test_tfidf_top_terms_matches_pandas_oracle():
         got[["doc_id", "token", "tfidf", "rank"]], want
     )
     assert 3 not in set(got["doc_id"])  # empty doc contributes nothing
+
+
+def test_incremental_doc_frequencies_equals_recompute():
+    """Folding a signed delta (adds + removes, including a full doc
+    UPDATE as remove-old/add-new) into a committed vocabulary must
+    equal a fresh doc_frequencies over the live doc set; tokens whose
+    df reaches zero retire from the table entirely."""
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        doc_frequencies,
+        doc_frequency_delta,
+        merge_doc_frequencies,
+    )
+
+    base = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": ["apple banana", "banana cherry", "date date egg"],
+    })
+    # delta: remove doc 3 (retires 'date' and 'egg'), update doc 2
+    # (remove old text, add new), add doc 4.
+    removed = pd.DataFrame({
+        "doc_id": pd.array([3, 2], dtype="int64"),
+        "text": ["date date egg", "banana cherry"],
+    })
+    added = pd.DataFrame({
+        "doc_id": pd.array([2, 4], dtype="int64"),
+        "text": ["cherry fig", "apple fig  "],
+    })
+    live = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 4], dtype="int64"),
+        "text": ["apple banana", "cherry fig", "apple fig  "],
+    })
+
+    vocab = doc_frequencies(
+        rd.from_pandas(base).repartition(3), "text", "doc_id"
+    )
+    delta = doc_frequency_delta(
+        rd.from_pandas(added).repartition(2),
+        rd.from_pandas(removed).repartition(2),
+        "text",
+    )
+    got = (
+        merge_doc_frequencies(vocab, delta)
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    want = (
+        doc_frequencies(rd.from_pandas(live), "text", "doc_id")
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert "date" not in set(got["token"])  # retired, not df=0
+    assert got.set_index("token")["df"].to_dict() == {
+        "apple": 2, "banana": 1, "cherry": 1, "fig": 2,
+    }
