@@ -1567,12 +1567,17 @@ WHERE q.n_words >= 5 AND rep.dup_trigram_frac <= 0.3
 """
 
 
-def events_before_errors(sf_dir: str):
+def events_before_errors(sf_dir: str, banded: bool = False):
     """Interval-containment join (event attribution): for every error
     event, the count and value-sum of the SAME user's events in the
     hour before it — ``stages/joins.interval_join`` (equi-key
     co-location + fused band filter), aggregated per window, then a
-    partitioned left join restores zero-activity errors."""
+    partitioned left join restores zero-activity errors.
+
+    ``banded=True`` runs the hot-key-safe variant
+    (``banded_interval_join``): the join key gains a coarse hour band,
+    so one pathological user cannot explode the pre-filter cross
+    product — same oracle, same output."""
     from ray.data.aggregate import Count, Sum
 
     from standardized_omop_data_etl_ray.stages.joins import (
@@ -1621,11 +1626,25 @@ def events_before_errors(sf_dir: str):
          ("ts", pa.timestamp("us")), ("value_cents", pa.int64())]
     )
     wins = ev.map_batches(windows, batch_format="pyarrow")
-    pairs = interval_join(
-        ev.map_batches(cents, batch_format="pyarrow"), wins,
-        ["user_id"], "ts", "win_start", "win_end",
-        right_rows=n, left_schema=left_schema, right_schema=win_schema,
-    )
+    if banded:
+        from standardized_omop_data_etl_ray.stages.joins import (
+            banded_interval_join,
+        )
+
+        # band = the window length (1 h in µs): every window spans ≤2
+        # bands, a hot user's cross product is cut per (user, hour)
+        pairs = banded_interval_join(
+            ev.map_batches(cents, batch_format="pyarrow"), wins,
+            ["user_id"], "ts", "win_start", "win_end",
+            band_width=3_600_000_000,
+            right_rows=n, left_schema=left_schema, right_schema=win_schema,
+        )
+    else:
+        pairs = interval_join(
+            ev.map_batches(cents, batch_format="pyarrow"), wins,
+            ["user_id"], "ts", "win_start", "win_end",
+            right_rows=n, left_schema=left_schema, right_schema=win_schema,
+        )
     agg = pairs.groupby("error_event_id").aggregate(
         Count(alias_name="n_prior"),
         Sum("value_cents", alias_name="sum_prior_cents"),
@@ -3009,6 +3028,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
         "events_before_errors": events_before_errors,
+        "events_before_errors_banded": lambda sf: events_before_errors(
+            sf, banded=True
+        ),
         "curate_docs": curate_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "embedding_label_stats": embedding_label_stats,
@@ -3078,6 +3100,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_docs": _TFIDF_SQL,
         "incremental_doc_frequencies": _INC_DF_SQL,
         "events_before_errors": _INTERVAL_SQL,
+        "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),
         "ann_topk_cosine": _ANN_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,

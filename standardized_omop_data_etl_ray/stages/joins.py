@@ -777,3 +777,84 @@ def interval_join(
         return t.filter(keep)
 
     return j.map_batches(band, batch_format="pyarrow")
+
+
+def banded_interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    band_width: int,
+    right_rows: int | None = None,
+    num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """``interval_join`` for keys with pathological fan-out (the
+    salting analog, ROADMAP #16): add a coarse time band to the join
+    key so the pre-filter cross product is per-(key, band), not
+    per-key.  A single hot key whose |left|×|right| would explode under
+    the plain equi-join is cut by the band into products between rows
+    that can actually match.
+
+    Each left row joins in exactly ONE band (``floor(ts / w)``); each
+    right interval is REPLICATED to every band it overlaps — with
+    ``band_width`` ≥ the max interval length that is ≤ 2 copies — so
+    every matching pair meets in exactly one band and the output equals
+    the plain ``interval_join`` row-for-row, no dedup pass needed.
+
+    ``band_width`` is in the ts columns' underlying integer unit
+    (microseconds for ``timestamp[us]``).  ``right_rows`` is the
+    pre-replication bound; the broadcast decision scales it by the
+    worst-case copy count ``⌈max_len/w⌉+1 = 2`` under the
+    band_width-≥-max-length contract."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    w = int(band_width)
+
+    def _ints(col: pa.ChunkedArray) -> "np.ndarray":
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        b = np.floor_divide(_ints(t.column(ts_col)), w)
+        return t.append_column("__band", pa.array(b, pa.int64()))
+
+    def explode_right(t: pa.Table) -> pa.Table:
+        s = _ints(t.column(start_col))
+        e = _ints(t.column(end_col))
+        sb = np.floor_divide(s, w)
+        eb = np.floor_divide(e - 1, w)
+        counts = np.where(e > s, eb - sb + 1, 0).astype(np.int64)
+        rep = np.repeat(np.arange(len(counts)), counts)
+        offs = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return t.take(pa.array(rep, pa.int64())).append_column(
+            "__band", pa.array(sb[rep] + offs, pa.int64())
+        )
+
+    band_field = pa.field("__band", pa.int64())
+    ls = left_schema.append(band_field) if left_schema else None
+    rs = right_schema.append(band_field) if right_schema else None
+    j = auto_hash_join(
+        left.map_batches(tag_left, batch_format="pyarrow"),
+        right.map_batches(explode_right, batch_format="pyarrow"),
+        on + ["__band"],
+        right_rows=None if right_rows is None else 2 * right_rows,
+        num_buckets=num_buckets, left_schema=ls, right_schema=rs,
+    )
+
+    def band(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        keep = pc.and_(
+            pc.greater_equal(ts, t.column(start_col)),
+            pc.less(ts, t.column(end_col)),
+        )
+        return t.filter(keep).drop_columns(["__band", "__band_r"])
+
+    return j.map_batches(band, batch_format="pyarrow")

@@ -441,3 +441,60 @@ def test_interval_join_containment():
         left_schema=left.schema, right_schema=right.schema,
     ).to_pandas()
     assert sorted(zip(big["eid"], big["wid"])) == got
+
+
+def test_banded_interval_join_equals_plain():
+    """banded_interval_join must equal interval_join row-for-row on a
+    randomized workload with one pathological hot key, intervals that
+    straddle band boundaries, and boundary-exact timestamps — on both
+    the broadcast and the forced-partitioned path."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.joins import (
+        banded_interval_join,
+        interval_join,
+    )
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 120
+    hot = rng.random(n_l) < 0.6  # 60% of events on key 7
+    lk = np.where(hot, 7, rng.integers(0, 5, n_l)).astype(np.int64)
+    lts = rng.integers(0, 10_000, n_l).astype(np.int64)
+    rk = np.where(rng.random(n_r) < 0.6, 7,
+                  rng.integers(0, 5, n_r)).astype(np.int64)
+    rs = rng.integers(0, 10_000, n_r).astype(np.int64)
+    rlen = rng.integers(0, 900, n_r).astype(np.int64)  # incl. empty
+    left = pa.table({
+        "eid": pa.array(np.arange(n_l), pa.int64()),
+        "k": pa.array(lk), "ts": pa.array(lts),
+    })
+    right = pa.table({
+        "wid": pa.array(np.arange(n_r), pa.int64()),
+        "k": pa.array(rk), "s": pa.array(rs),
+        "e": pa.array(rs + rlen),
+    })
+
+    def pairs(ds):
+        out = ds.to_pandas()
+        return sorted(zip(out["eid"], out["wid"]))
+
+    want = pairs(interval_join(
+        rd.from_arrow(left).repartition(3), rd.from_arrow(right),
+        ["k"], "ts", "s", "e", right_rows=n_r,
+        left_schema=left.schema, right_schema=right.schema,
+    ))
+    assert len(want) > 50  # non-trivial workload
+    for rr in (n_r, 10_000_000):  # broadcast then forced-partitioned
+        got_ds = banded_interval_join(
+            rd.from_arrow(left).repartition(3), rd.from_arrow(right),
+            ["k"], "ts", "s", "e", band_width=1000, right_rows=rr,
+            left_schema=left.schema, right_schema=right.schema,
+        )
+        assert pairs(got_ds) == want
+    # column parity with the plain join (no __band leakage)
+    cols = banded_interval_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        ["k"], "ts", "s", "e", band_width=1000, right_rows=n_r,
+        left_schema=left.schema, right_schema=right.schema,
+    ).to_pandas().columns
+    assert sorted(cols) == ["e", "eid", "k", "k_r", "s", "ts", "wid"]
