@@ -1797,6 +1797,45 @@ SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
 """
 
 
+def dup_span_stats_docs(sf_dir: str):
+    """Exact duplicate-span stats at 8-token-window granularity (the
+    window form of exact-substring dedup): per doc, total windows and
+    windows whose text occurs ≥2 times corpus-wide.  One window-scale
+    bucket exchange (multiplicity + per-doc partials resolve inside
+    each hash bucket), one doc-scale groupby — see
+    stages/dedup.dup_span_stats."""
+    from standardized_omop_data_etl_ray.stages.dedup import dup_span_stats
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
+
+    return dup_span_stats(
+        docs, "text", "doc_id", k=8,
+        num_buckets=default_buckets(n * 64),  # ~64 windows/doc at sf
+    )
+
+
+_DUP_SPAN_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+),
+win AS (
+    SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS w
+    FROM tok, LATERAL unnest(generate_series(1, len(toks)-8+1)) AS u(i)
+    WHERE len(toks) >= 8
+),
+g AS (SELECT w, count(*) AS n FROM win GROUP BY w)
+SELECT win.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN g.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+FROM win JOIN g USING (w)
+GROUP BY win.doc_id
+"""
+
+
 def rolling_user_event_stats(sf_dir: str):
     """Per-user ROW-frame rolling aggregates (last 5 events): frame max
     of the raw value plus an integer-cents frame sum — both exactly
@@ -3027,6 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_event_stats": rolling_user_event_stats,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
+        "dup_span_stats_docs": dup_span_stats_docs,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3099,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_event_stats": _ROLLING_SQL,
         "tfidf_top_terms_docs": _TFIDF_SQL,
         "incremental_doc_frequencies": _INC_DF_SQL,
+        "dup_span_stats_docs": _DUP_SPAN_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

@@ -865,6 +865,80 @@ def decontaminate(
     return corpus.map_batches(fn, batch_format="pyarrow")
 
 
+# ---------------------------------------------- duplicate span stats --
+
+def dup_span_stats(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Exact duplicate-SPAN detection at k-token-window granularity
+    (the window form of Lee et al.'22 exact-substring dedup): for each
+    document with ≥k whitespace tokens, count how many of its k-token
+    windows occur ≥2 times corpus-wide (all occurrences counted,
+    including repeats inside one document).
+
+    Output: one row per doc with ≥1 window —
+    ``(id_col, n_windows, n_dup_windows)``.
+
+    Scale shape — ONE window-scale exchange, one doc-scale groupby:
+      1. per batch, hash each token once (``hash_u64``) and combine
+         each k-window with a positional polynomial (uint64 wraparound)
+         — equal window strings ⟺ equal hashes (collisions ~2⁻⁶⁴),
+         fully vectorized via ``sliding_window_view``;
+      2. co-locate (win_hash, doc_id) rows by hash bucket
+         (``bucketed_groupby``) — inside each bucket, multiplicity and
+         the per-doc PARTIAL (n_windows, n_dup_windows) are one
+         vectorized pandas pass, so only doc-sized partials leave;
+      3. one final ``groupby(id_col).sum`` over the partials.
+    """
+    from .joins import bucketed_groupby
+    from ray.data.aggregate import Sum
+
+    kk = int(k)
+    pows = np.uint64(1099511628211) ** np.arange(kk, dtype=np.uint64)
+
+    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.strip().str.split()
+        ids_out, h_out = [], []
+        for did, t in zip(df[id_col], toks):
+            n = len(t)
+            if n < kk:
+                continue
+            th = T.hash_u64(np.asarray(t, dtype=object))
+            sw = np.lib.stride_tricks.sliding_window_view(th, kk)
+            h_out.append((sw * pows).sum(axis=1, dtype=np.uint64))
+            ids_out.append(np.full(n - kk + 1, did, np.int64))
+        if not ids_out:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "win_hash": pd.Series([], dtype="uint64"),
+            })
+        return pd.DataFrame({
+            id_col: np.concatenate(ids_out),
+            "win_hash": np.concatenate(h_out),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("win_hash")["win_hash"].transform("size") >= 2
+        part = g.assign(__dup=dup.astype(np.int64)).groupby(
+            id_col, sort=False
+        ).agg(
+            n_windows=("win_hash", "size"), n_dup_windows=("__dup", "sum")
+        ).reset_index()
+        part["n_windows"] = part["n_windows"].astype(np.int64)
+        return part
+
+    wins = ds.map_batches(win_rows, batch_format="pandas")
+    partials = bucketed_groupby(wins, ["win_hash"], per_bucket, num_buckets)
+    return partials.groupby(id_col).aggregate(
+        Sum("n_windows", alias_name="n_windows"),
+        Sum("n_dup_windows", alias_name="n_dup_windows"),
+    )
+
+
 # -------------------------------------------- incremental components --
 
 def incremental_components(

@@ -419,3 +419,32 @@ def test_incremental_components_equals_batch():
     empty = rd.from_arrow(tbl([(1, 2)])).filter(lambda r: False)
     same = incremental_components(lab, empty).to_pandas()
     assert same.set_index("node")["group_id"].to_dict() == got
+
+
+def test_dup_span_stats_window_semantics():
+    """dup_span_stats: k-window counting, <k-token docs emit nothing,
+    a window repeated INSIDE one doc is duplicated, and cross-doc
+    shared spans mark both docs — invariant to partitioning."""
+    from standardized_omop_data_etl_ray.stages.dedup import dup_span_stats
+
+    shared = "a b c d"  # k=4 window shared by docs 1 and 2
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": [
+            f"{shared} x y",        # windows: abcd, bcdx, cdxy
+            f"q {shared}",          # windows: qabc, abcd
+            "a b c",                # 3 tokens < k → no windows
+            "r r r r r",            # 2 windows 'r r r r' — intra-doc dup
+            "u v w z",              # 1 unique window
+        ],
+    })
+    got = (
+        dup_span_stats(rd.from_pandas(docs).repartition(3),
+                       "text", "doc_id", k=4, num_buckets=5)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert list(got.index) == [1, 2, 4, 5]  # doc 3 has no windows
+    assert got.loc[1].tolist() == [3, 1]   # only 'a b c d' duplicated
+    assert got.loc[2].tolist() == [2, 1]
+    assert got.loc[4].tolist() == [2, 2]   # both intra-doc copies dup
+    assert got.loc[5].tolist() == [1, 0]
