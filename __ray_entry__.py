@@ -2297,13 +2297,20 @@ def _omop_inputs(sf_dir: str):
 
     # rows_hint: without it Ray splits even the 15k-row customer file
     # into ~2×cpus blocks and every one of the ~30 downstream OMOP
-    # stages pays per-block task overhead on ~200-row blocks
+    # stages pays per-block task overhead on ~200-row blocks.
+    # rows_per_block=16384 (vs the 4096 default): this pipeline runs
+    # ~30 narrow stages over every block, so per-task overhead
+    # dominates until blocks are this coarse (measured 23s → 14s at
+    # sf0.1/32cpus); the clamp never fires on large inputs, so the
+    # at-scale plan is unchanged.
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
-               rows_hint=_nrows(sf_dir, "customer"))
+               rows_hint=_nrows(sf_dir, "customer"),
+               rows_per_block=16384)
     orders = _pq(
         sf_dir, "orders",
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
         rows_hint=_nrows(sf_dir, "orders"),
+        rows_per_block=16384,
     )
 
     def demographics(df: pd.DataFrame) -> pd.DataFrame:
