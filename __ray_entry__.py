@@ -1816,6 +1816,77 @@ def dup_span_stats_docs(sf_dir: str):
     )
 
 
+def incremental_window_histogram_docs(sf_dir: str):
+    """CDC-maintained window-multiplicity table (ROADMAP #17): commit
+    k-token-window occurrence counts over a base corpus slice, fold
+    one signed delta batch (adds + removes) with
+    ``merge_window_multiplicities(base, window_multiplicity_delta(...))``
+    — every exchange is window-vocabulary/delta-sized — and summarize
+    as a (multiplicity, n_windows) histogram the SQL oracle mirrors
+    from window STRINGS over the live doc set.  Same live-set split as
+    ``incremental_doc_frequencies``."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        merge_window_multiplicities,
+        window_multiplicity_delta,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+
+    def part(keep):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(keep(t.column("doc_id")))
+        return fn
+
+    base = docs.map_batches(
+        part(lambda i: pc.not_equal(_pc_mod(i, 4), 0)),
+        batch_format="pyarrow",
+    )
+    added = docs.map_batches(
+        part(lambda i: pc.equal(_pc_mod(i, 4), 0)),
+        batch_format="pyarrow",
+    )
+    removed = docs.map_batches(
+        part(lambda i: pc.and_(pc.not_equal(_pc_mod(i, 4), 0),
+                               pc.equal(_pc_mod(i, 5), 0))),
+        batch_format="pyarrow",
+    )
+    committed = window_multiplicity_delta(base, None, "text", k=8)
+    delta = window_multiplicity_delta(added, removed, "text", k=8)
+    merged = merge_window_multiplicities(committed, delta)
+    hist = merged.groupby("n").aggregate(Count(alias_name="n_windows"))
+    return hist.map_batches(
+        lambda t: pa.table({
+            "multiplicity": t.column("n"),
+            "n_windows": pc.cast(t.column("n_windows"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_INC_WIN_SQL = r"""
+WITH live AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 4 = 0 OR doc_id % 5 <> 0
+),
+tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM live WHERE trim(text) <> ''
+),
+win AS (
+    SELECT array_to_string(toks[i:i+7], ' ') AS w
+    FROM tok, LATERAL unnest(generate_series(1, len(toks)-8+1)) AS u(i)
+    WHERE len(toks) >= 8
+),
+g AS (SELECT w, count(*) AS n FROM win GROUP BY w)
+SELECT n AS multiplicity, count(*) AS n_windows FROM g GROUP BY n
+"""
+
+
 _DUP_SPAN_SQL = r"""
 WITH tok AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -3074,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
         "dup_span_stats_docs": dup_span_stats_docs,
+        "incremental_window_histogram": incremental_window_histogram_docs,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3147,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_docs": _TFIDF_SQL,
         "incremental_doc_frequencies": _INC_DF_SQL,
         "dup_span_stats_docs": _DUP_SPAN_SQL,
+        "incremental_window_histogram": _INC_WIN_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

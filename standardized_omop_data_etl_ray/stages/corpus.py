@@ -298,20 +298,23 @@ def redact_pii(
 def _df_partial(text_col: str, sign: int = 1):
     """Per-batch document-frequency combiner: distinct tokens per doc,
     summed locally, emitted as (token, df·sign) rows — ≤1 row per
-    distinct token per block through the groupby exchange."""
+    distinct token per block through the groupby exchange.  Returns
+    ARROW: Ray's sort-based groupby is ~10× slower over pandas blocks
+    than Arrow blocks."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         toks = _ws_tokens(df[text_col])
         arrays = [np.unique(np.asarray(t, dtype=object))
                   for t in toks if len(t)]
         if not arrays:
-            return pd.DataFrame({
-                "token": pd.Series([], dtype=object),
-                "df": pd.Series([], dtype="int64"),
-            })
-        u, c = np.unique(np.concatenate(arrays), return_counts=True)
-        return pd.DataFrame({"token": u,
-                             "df": c.astype(np.int64) * sign})
+            u = np.array([], dtype=object)
+            c = np.array([], dtype=np.int64)
+        else:
+            u, c = np.unique(np.concatenate(arrays), return_counts=True)
+        return pa.table({
+            "token": pa.array(u, pa.string()),
+            "df": pa.array(c.astype(np.int64) * sign, pa.int64()),
+        })
 
     return partial
 
@@ -319,11 +322,14 @@ def _df_partial(text_col: str, sign: int = 1):
 def doc_frequencies(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     """Document frequency per token (each doc counted once): per-batch
     distinct-tokens-per-doc with a local combiner, so the exchange
-    moves ≤1 (token, df) row per distinct token per block."""
-    return (
-        ds.map_batches(_df_partial(text_col), batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    moves ≤1 (token, df) row per distinct token per block.  The final
+    sum is a vectorized bucketed reduce — token cardinality ≈ the
+    vocabulary, far too high for Ray's per-group aggregate step."""
+    from .joins import bucketed_sum
+
+    return bucketed_sum(
+        ds.map_batches(_df_partial(text_col), batch_format="pandas"),
+        ["token"], ["df"],
     )
 
 
@@ -343,7 +349,9 @@ def doc_frequency_delta(
             removed.map_batches(_df_partial(text_col, -1),
                                 batch_format="pandas")
         )
-    return parts.groupby("token").aggregate(Sum("df", alias_name="df"))
+    from .joins import bucketed_sum
+
+    return bucketed_sum(parts, ["token"], ["df"])
 
 
 def merge_doc_frequencies(
@@ -361,11 +369,9 @@ def merge_doc_frequencies(
     instead of recomputing ``doc_frequencies`` over the full corpus."""
     import pyarrow.compute as pc
 
-    merged = (
-        committed.union(delta)
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
-    )
+    from .joins import bucketed_sum
+
+    merged = bucketed_sum(committed.union(delta), ["token"], ["df"])
 
     def live(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("df"), 0))

@@ -867,6 +867,87 @@ def decontaminate(
 
 # ---------------------------------------------- duplicate span stats --
 
+def _window_pows(k: int) -> np.ndarray:
+    return np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+
+
+def _doc_window_hashes(text: list, kk: int, pows: np.ndarray) -> np.ndarray:
+    """All k-token-window polynomial hashes of one tokenized doc —
+    equal window strings ⟺ equal hashes (collisions ~2⁻⁶⁴)."""
+    th = T.hash_u64(np.asarray(text, dtype=object))
+    sw = np.lib.stride_tricks.sliding_window_view(th, kk)
+    return (sw * pows).sum(axis=1, dtype=np.uint64)
+
+
+def window_multiplicity_delta(
+    added: rd.Dataset,
+    removed: rd.Dataset | None,
+    text_col: str,
+    k: int = 8,
+) -> rd.Dataset:
+    """Signed k-token-window occurrence delta for a CDC batch of
+    documents (ROADMAP #17, the ``doc_frequency_delta`` analog at
+    window granularity): +count per distinct window hash of added
+    docs, −count for removed docs.  Per-block ``np.unique`` combiner —
+    the exchange moves ≤1 (win_hash, n) row per distinct window per
+    block, never one row per occurrence."""
+    from .joins import bucketed_sum
+
+    kk = int(k)
+    pows = _window_pows(kk)
+
+    # NB: partials return ARROW (not pandas) — Ray's sort-based
+    # groupby is ~10× slower over pandas blocks than Arrow blocks
+    # (measured 38.7 s vs 3.5 s for a 17k-row uint64-key aggregate)
+    def partial(sign: int):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            toks = df[text_col].fillna("").str.strip().str.split()
+            hs = [
+                _doc_window_hashes(t, kk, pows)
+                for t in toks if len(t) >= kk
+            ]
+            if not hs:
+                u = np.array([], np.uint64)
+                c = np.array([], np.int64)
+            else:
+                u, c = np.unique(np.concatenate(hs), return_counts=True)
+            return pa.table({
+                "win_hash": pa.array(u, pa.uint64()),
+                "n": pa.array(c.astype(np.int64) * sign, pa.int64()),
+            })
+        return fn
+
+    parts = added.map_batches(partial(1), batch_format="pandas")
+    if removed is not None:
+        parts = parts.union(
+            removed.map_batches(partial(-1), batch_format="pandas")
+        )
+    # high-cardinality key: vectorized bucketed sum, NOT Ray's
+    # per-group aggregate reduce (~1 ms of Python per distinct window)
+    return bucketed_sum(parts, ["win_hash"], ["n"])
+
+
+def merge_window_multiplicities(
+    committed: rd.Dataset, delta: rd.Dataset
+) -> rd.Dataset:
+    """Fold a signed window-occurrence delta into a committed
+    (win_hash, n) multiplicity table: one table-sized co-partitioning
+    groupby; windows whose count hits zero retire.  Keeping this table
+    as a lake table makes duplicate-span scoring incremental — a new
+    CDC batch folds its delta and scores its OWN docs against the
+    committed multiplicities instead of re-reading the corpus."""
+    import pyarrow.compute as pc
+
+    from .joins import bucketed_sum
+
+    merged = bucketed_sum(committed.union(delta), ["win_hash"], ["n"])
+
+    def live(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n"), 0))
+
+    return merged.map_batches(live, batch_format="pyarrow")
+
+
 def dup_span_stats(
     ds: rd.Dataset,
     text_col: str,
@@ -894,11 +975,10 @@ def dup_span_stats(
          vectorized pandas pass, so only doc-sized partials leave;
       3. one final ``groupby(id_col).sum`` over the partials.
     """
-    from .joins import bucketed_groupby
-    from ray.data.aggregate import Sum
+    from .joins import bucketed_groupby, bucketed_sum
 
     kk = int(k)
-    pows = np.uint64(1099511628211) ** np.arange(kk, dtype=np.uint64)
+    pows = _window_pows(kk)
 
     def win_rows(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].fillna("").str.strip().str.split()
@@ -907,9 +987,7 @@ def dup_span_stats(
             n = len(t)
             if n < kk:
                 continue
-            th = T.hash_u64(np.asarray(t, dtype=object))
-            sw = np.lib.stride_tricks.sliding_window_view(th, kk)
-            h_out.append((sw * pows).sum(axis=1, dtype=np.uint64))
+            h_out.append(_doc_window_hashes(t, kk, pows))
             ids_out.append(np.full(n - kk + 1, did, np.int64))
         if not ids_out:
             return pd.DataFrame({
@@ -921,21 +999,32 @@ def dup_span_stats(
             "win_hash": np.concatenate(h_out),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         dup = g.groupby("win_hash")["win_hash"].transform("size") >= 2
         part = g.assign(__dup=dup.astype(np.int64)).groupby(
             id_col, sort=False
         ).agg(
             n_windows=("win_hash", "size"), n_dup_windows=("__dup", "sum")
         ).reset_index()
-        part["n_windows"] = part["n_windows"].astype(np.int64)
-        return part
+        # Arrow out: the downstream groupby is ~10× faster over Arrow
+        # blocks than pandas blocks
+        return pa.table({
+            id_col: pa.array(part[id_col].to_numpy(), pa.int64()),
+            "n_windows": pa.array(
+                part["n_windows"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "n_dup_windows": pa.array(
+                part["n_dup_windows"].to_numpy().astype(np.int64),
+                pa.int64(),
+            ),
+        })
 
     wins = ds.map_batches(win_rows, batch_format="pandas")
     partials = bucketed_groupby(wins, ["win_hash"], per_bucket, num_buckets)
-    return partials.groupby(id_col).aggregate(
-        Sum("n_windows", alias_name="n_windows"),
-        Sum("n_dup_windows", alias_name="n_dup_windows"),
+    # per-doc key is corpus-cardinality: vectorized bucketed sum, not
+    # Ray's per-group aggregate reduce
+    return bucketed_sum(
+        partials, [id_col], ["n_windows", "n_dup_windows"], num_buckets
     )
 
 

@@ -155,6 +155,28 @@ def bucketed_groupby(
     )
 
 
+def bucketed_sum(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    sum_cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """groupby-SUM for HIGH-CARDINALITY keys: Ray's sort-based
+    ``groupby().aggregate()`` reduce step pays ~1 ms of Python per
+    GROUP (measured 22 s for a 17k-distinct-key sum that takes 20 ms
+    vectorized), so keys with ~row-count cardinality must reduce
+    inside a bucket with ONE pandas groupby per bucket instead.  Same
+    output as ``groupby(key).aggregate(Sum(c) for c in sum_cols)``
+    (column order: keys then sums; nulls kept as groups)."""
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(key_cols, sort=False, as_index=False,
+                        dropna=False)[sum_cols].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_groupby(ds, key_cols, per_bucket, num_buckets)
+
+
 @ray.remote
 def _block_rows(block) -> int:
     from ray.data.block import BlockAccessor

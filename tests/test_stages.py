@@ -498,3 +498,32 @@ def test_banded_interval_join_equals_plain():
         left_schema=left.schema, right_schema=right.schema,
     ).to_pandas().columns
     assert sorted(cols) == ["e", "eid", "k", "k_r", "s", "ts", "wid"]
+
+
+def test_bucketed_sum_matches_ray_aggregate():
+    """bucketed_sum == groupby().aggregate(Sum) including null keys and
+    multiple sum columns, on any partitioning."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from standardized_omop_data_etl_ray.stages.joins import bucketed_sum
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 900, n).astype("float64"),
+        "a": rng.integers(-10, 10, n).astype("int64"),
+        "b": rng.integers(0, 100, n).astype("int64"),
+    })
+    df.loc[df.index % 97 == 0, "k"] = np.nan  # null-key group
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        bucketed_sum(ds, ["k"], ["a", "b"], num_buckets=6)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        ds.groupby("k").aggregate(Sum("a", alias_name="a"),
+                                  Sum("b", alias_name="b"))
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
