@@ -231,6 +231,10 @@ def q3_top_orders(sf_dir: str, _broadcast_limit: int = 2_000_000):
                          "o_orderdate": t.column("o_orderdate"),
                          "rev": r})
 
+    # NB: measured FASTER through Ray's aggregate than bucketed_agg
+    # here — ~30k groups keeps the per-group reduce cost small while
+    # the input is large (the bucketed path pays pandas conversion on
+    # every pre-agg row); see joins.bucketed_agg for the inverse case
     agg = (
         joined.map_batches(rev, batch_format="pyarrow")
         .groupby(["l_orderkey", "o_orderdate"])

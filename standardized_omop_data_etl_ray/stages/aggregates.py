@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min
+
 
 from ..functions.dates import INDEX_DATE, exclude_sentinel
 
@@ -47,8 +47,12 @@ def observation_periods(
         for dc in date_cols:
             def proj(batch: pa.Table, dc=dc) -> pa.Table:
                 # keep null/sentinel rows so the person still forms a
-                # group; min/max ignore nulls, the fill below defaults
-                d = exclude_sentinel(batch.column(dc))
+                # group; min/max ignore nulls, the fill below defaults.
+                # Dates reduce as int32 epoch DAYS: a nullable date32
+                # turns into a pandas object column whose NaN/date mix
+                # breaks groupby min/max, while nullable ints reduce as
+                # clean float64 — fill() casts back to date32.
+                d = pc.cast(exclude_sentinel(batch.column(dc)), pa.int32())
                 t = pa.table(
                     {person_col: batch.column(person_col), "d": d}
                 )
@@ -70,9 +74,15 @@ def observation_periods(
     u = projected[0]
     for p in projected[1:]:
         u = u.union(p)
-    agg = u.repartition(reduce_partitions).groupby(person_col).aggregate(
-        Min("d_min", alias_name="observation_period_start_date"),
-        Max("d_max", alias_name="observation_period_end_date"),
+    # person-cardinality key: vectorized bucketed reduce (Ray's
+    # aggregate pays ~0.1 ms of Python per group)
+    from .joins import bucketed_agg
+
+    agg = bucketed_agg(
+        u, [person_col],
+        {"observation_period_start_date": ("d_min", "min"),
+         "observation_period_end_date": ("d_max", "max")},
+        num_buckets=reduce_partitions, combine=False,
     )
 
     def fill(t: pa.Table) -> pa.Table:
@@ -80,8 +90,9 @@ def observation_periods(
         for c in ("observation_period_start_date",
                   "observation_period_end_date"):
             i = t.column_names.index(c)
+            days = pc.cast(t.column(c), pa.int32())  # float64 → days
             t = t.set_column(
-                i, c, pc.fill_null(pc.cast(t.column(c), pa.date32()), d)
+                i, c, pc.fill_null(pc.cast(days, pa.date32()), d)
             )
         return t
 

@@ -329,7 +329,7 @@ def doc_frequencies(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
 
     return bucketed_sum(
         ds.map_batches(_df_partial(text_col), batch_format="pandas"),
-        ["token"], ["df"],
+        ["token"], ["df"], combine=False,
     )
 
 
@@ -351,7 +351,7 @@ def doc_frequency_delta(
         )
     from .joins import bucketed_sum
 
-    return bucketed_sum(parts, ["token"], ["df"])
+    return bucketed_sum(parts, ["token"], ["df"], combine=False)
 
 
 def merge_doc_frequencies(
@@ -371,7 +371,8 @@ def merge_doc_frequencies(
 
     from .joins import bucketed_sum
 
-    merged = bucketed_sum(committed.union(delta), ["token"], ["df"])
+    merged = bucketed_sum(committed.union(delta), ["token"], ["df"],
+                          combine=False)
 
     def live(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("df"), 0))

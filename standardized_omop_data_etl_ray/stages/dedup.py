@@ -924,7 +924,7 @@ def window_multiplicity_delta(
         )
     # high-cardinality key: vectorized bucketed sum, NOT Ray's
     # per-group aggregate reduce (~1 ms of Python per distinct window)
-    return bucketed_sum(parts, ["win_hash"], ["n"])
+    return bucketed_sum(parts, ["win_hash"], ["n"], combine=False)
 
 
 def merge_window_multiplicities(
@@ -940,7 +940,8 @@ def merge_window_multiplicities(
 
     from .joins import bucketed_sum
 
-    merged = bucketed_sum(committed.union(delta), ["win_hash"], ["n"])
+    merged = bucketed_sum(committed.union(delta), ["win_hash"], ["n"],
+                          combine=False)
 
     def live(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("n"), 0))
@@ -1024,7 +1025,8 @@ def dup_span_stats(
     # per-doc key is corpus-cardinality: vectorized bucketed sum, not
     # Ray's per-group aggregate reduce
     return bucketed_sum(
-        partials, [id_col], ["n_windows", "n_dup_windows"], num_buckets
+        partials, [id_col], ["n_windows", "n_dup_windows"], num_buckets,
+        combine=False,
     )
 
 
