@@ -2246,6 +2246,46 @@ FROM documents
 """
 
 
+def cdc_curated_replay_docs(sf_dir: str):
+    """Streaming curation (ROADMAP #18): the flagship CDC replay with a
+    quality gate INSIDE the apply path — I/U events whose content fails
+    a 5-word floor arrive as tombstones (retraction semantics, see
+    stages/standardize.make_curation_gate), so the lake's merge-on-read
+    state is the curated latest state.  The oracle is the closed-form
+    replay SQL filtered on the winning (v2) content's word count."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import run_flagship
+    from standardized_omop_data_etl_ray.spec import TableSpec
+    from standardized_omop_data_etl_ray.stages.standardize import (
+        make_curation_gate,
+    )
+
+    def min_words(batch: pa.Table):
+        s = batch.column("content").to_pandas().fillna("")
+        n = s.str.strip().str.split().str.len().fillna(0)
+        return (n >= 5).to_numpy()
+
+    gate = make_curation_gate(TableSpec(name="docs_cdc"), min_words)
+    lake_root = tempfile.mkdtemp(prefix="cdc_lake_curated_")
+    return run_flagship(sf_dir, lake_root, epochs=3, gate=gate)
+
+
+_CDC_CURATED_SQL = r"""
+-- closed form of the curated flagship replay: each key's LWW winner is
+-- its v=2 event; the in-path gate tombstones winners whose content
+-- ('text v2') has fewer than 5 whitespace tokens, so they vanish from
+-- the state.
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+       doc_id * 3 + 2 AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':2' AS "commit",
+       lang,
+       text || ' v2' AS content
+FROM documents
+WHERE len(string_split_regex(trim(text || ' v2'), '\s+')) >= 5
+"""
+
+
 def simhash_fingerprints_docs(sf_dir: str):
     """No SQL oracle (64-bit token-hash arithmetic), so the query
     SELF-CHECKS determinism: byte-identical texts must carry identical
@@ -3150,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
         "dup_span_stats_docs": dup_span_stats_docs,
         "incremental_window_histogram": incremental_window_histogram_docs,
+        "cdc_curated_replay_docs": cdc_curated_replay_docs,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3224,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_doc_frequencies": _INC_DF_SQL,
         "dup_span_stats_docs": _DUP_SPAN_SQL,
         "incremental_window_histogram": _INC_WIN_SQL,
+        "cdc_curated_replay_docs": _CDC_CURATED_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

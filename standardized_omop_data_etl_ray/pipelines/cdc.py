@@ -139,9 +139,15 @@ def _watermark_filter(wm_array: np.ndarray, lsn_col: str = "lsn"):
 class CDCLake:
     """Single-writer CDC lake table (copy-on-write Parquet + manifests)."""
 
-    def __init__(self, root: str, spec: TableSpec | None = None):
+    def __init__(self, root: str, spec: TableSpec | None = None,
+                 gate=None):
         self.root = str(root)
         self.spec = spec or TableSpec(name="cdc")
+        # streaming curation hook (stages/standardize.make_curation_gate):
+        # a batch fn run on every incoming event batch in phase 1, on
+        # BOTH the batch and stream apply paths — failing I/U events
+        # arrive in the lake as tombstones (retraction semantics)
+        self.gate = gate
         m = mf.read_manifest(self.root, self.spec.name)
         if m is not None:
             # restore persisted schema + partitioning (must not drift);
@@ -441,6 +447,8 @@ class CDCLake:
         at its own submit time (else delta file schemas become
         timing-dependent)."""
         spec = spec or self.spec
+        if self.gate is not None:
+            events = events.map_batches(self.gate, batch_format="pyarrow")
         P = spec.num_partitions
         writer = _delta_writer(self.root, spec.name, epoch, spec)
         if shuffle_mode == "winners":

@@ -81,17 +81,20 @@ def events_from_documents(docs: rd.Dataset, versions: int = 3) -> rd.Dataset:
 
 
 def run_flagship(
-    sf_dir: str, lake_root: str, epochs: int = 3, num_partitions: int = 16
+    sf_dir: str, lake_root: str, epochs: int = 3, num_partitions: int = 16,
+    gate=None,
 ) -> rd.Dataset:
     """Full replay: documents → events → micro-batched lake apply →
-    merge-on-read state."""
+    merge-on-read state.  ``gate`` (stages/standardize.make_curation_gate)
+    curates events ON ARRIVAL inside the apply path."""
     from .cdc import CDCLake
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
     versions = 3
     total = n_docs * versions
-    lake = CDCLake(lake_root, TableSpec(name="docs_cdc", num_partitions=num_partitions))
+    lake = CDCLake(lake_root, TableSpec(name="docs_cdc", num_partitions=num_partitions),
+                   gate=gate)
     events = events_from_documents(docs, versions)
     step = (total + epochs - 1) // epochs
     for e in range(epochs):

@@ -19,6 +19,7 @@ implementation (see functions/hashing.py).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import key_hash_u64, partition_of, sha256_hex
 from ..spec import TableSpec
@@ -88,3 +89,54 @@ def make_sha_appender(spec: TableSpec):
         )
 
     return add_sha
+
+
+def make_curation_gate(spec: TableSpec, predicate):
+    """Streaming curation (ROADMAP #18): a batch fn that converts I/U
+    events whose payload FAILS ``predicate`` into tombstones, applied
+    INSIDE the lake's apply path (``CDCLake(gate=...)``) so newly
+    ingested rows are scored on arrival and the merge-on-read state is
+    always the CURATED latest state.
+
+    Retraction semantics — why a failing update becomes a DELETE rather
+    than being dropped: if the latest version of a key fails the gate,
+    dropping the event would leave the previous (accepted) version live
+    in the state; the quality verdict applies to the KEY's current
+    content, so the correct streaming outcome is a retraction.  Real
+    deletes pass through untouched; gated rows keep their key columns +
+    lsn and null every payload column (tombstones carry no payload,
+    matching delete events).
+
+    ``predicate``: Callable[[pa.Table], bool ndarray] over the RAW
+    event batch (pre-standardize) — compose it from the same vectorized
+    kernels the batch curation pass uses (functions/text.py)."""
+    import numpy as np
+
+    op_col = spec.op_col
+    keep_cols = set(spec.key_cols) | {spec.lsn_col, op_col}
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ops = np.asarray(batch.column(op_col).to_pylist(), dtype=object)
+        is_del = ops == "D"
+        ok = np.asarray(predicate(batch), dtype=bool)
+        to_tomb = ~ok & ~is_del
+        if not to_tomb.any():
+            return batch
+        mask = pa.array(to_tomb)
+        i_op = batch.column_names.index(op_col)
+        batch = batch.set_column(
+            i_op, op_col,
+            pc.if_else(mask, pa.scalar("D", pa.string()),
+                       pc.cast(batch.column(op_col), pa.string())),
+        )
+        for c in batch.column_names:
+            if c in keep_cols:
+                continue
+            col = batch.column(c)
+            batch = batch.set_column(
+                batch.column_names.index(c), c,
+                pc.if_else(mask, pa.scalar(None, col.type), col),
+            )
+        return batch
+
+    return gate

@@ -448,3 +448,46 @@ def test_schema_rename_remapping_through_lake(tmp_path):
     assert list(df["content"]) == ["v5-renamed", "v2"]
     assert "body" not in df.columns
     assert "body" not in [f.name for f in lake.spec.schema]
+
+
+def test_curation_gate_retracts_and_passes_deletes(tmp_path):
+    """make_curation_gate inside the apply path: an UPDATE that fails
+    the gate retracts its key (the earlier accepted version must NOT
+    survive by LWW), a failing INSERT never appears, a real delete
+    passes through, and passing rows are untouched."""
+    from standardized_omop_data_etl_ray.stages.standardize import (
+        make_curation_gate,
+    )
+
+    spec = _spec(4)
+
+    def content_ok(batch: pa.Table):
+        import numpy as np
+
+        c = batch.column("content").to_pandas().fillna("")
+        return (~c.str.contains("BAD")).to_numpy()
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    events = rd.from_items([
+        ev("I", 1, "keep.txt", "good v0"),
+        ev("U", 2, "keep.txt", "good v1"),
+        ev("I", 3, "retract.txt", "good v0"),
+        ev("U", 4, "retract.txt", "BAD v1"),      # gate → tombstone
+        ev("I", 5, "nevergood.txt", "BAD v0"),    # gated insert
+        ev("I", 6, "deleted.txt", "good v0"),
+        ev("D", 7, "deleted.txt", None),           # real delete passes
+    ])
+    lake = CDCLake(tmp_path, spec, gate=make_curation_gate(spec, content_ok))
+    lake.apply_events(events)
+    st = _state(lake)
+    by_path = {r["path"]: r for r in st.to_pylist()}
+    assert set(by_path) == {"keep.txt"}
+    assert by_path["keep.txt"]["content"] == "good v1"
+    # a later GOOD update revives a retracted key (gate is per-version)
+    lake.apply_events(rd.from_items([ev("U", 8, "retract.txt", "good v2")]))
+    st2 = _state(lake)
+    paths = {r["path"]: r["content"] for r in st2.to_pylist()}
+    assert paths == {"keep.txt": "good v1", "retract.txt": "good v2"}
