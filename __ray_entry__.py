@@ -2286,6 +2286,103 @@ WHERE len(string_split_regex(trim(text || ' v2'), '\s+')) >= 5
 """
 
 
+def cdc_incremental_vocab_docs(sf_dir: str):
+    """Curated CDC replay + incremental vocabulary in the SAME
+    composition (ROADMAP #20): after each epoch the lake state is
+    diffed against the previous snapshot (``snapshot_diff`` with
+    ``carry_cols`` — change-set output carrying old/new content), the
+    diff feeds a signed ``doc_frequency_delta`` (retracted content
+    counts −1, inserted +1), and the delta folds into the committed
+    vocabulary with ``merge_doc_frequencies``.  After three epochs of
+    inserts, updates, deletes, re-inserts and gate retractions, the
+    folded vocabulary must equal document frequencies computed fresh
+    over the final curated state — which is what the SQL oracle
+    computes from the closed-form replay."""
+    import tempfile as _tf
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        doc_frequencies,
+        doc_frequency_delta,
+        merge_doc_frequencies,
+    )
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+    from standardized_omop_data_etl_ray.stages.standardize import (
+        make_curation_gate,
+    )
+
+    def min_words(batch: pa.Table):
+        s = batch.column("content").to_pandas().fillna("")
+        n = s.str.strip().str.split().str.len().fillna(0)
+        return (n >= 5).to_numpy()
+
+    spec = TableSpec(name="docs_cdc", num_partitions=16)
+    lake = CDCLake(_tf.mkdtemp(prefix="cdc_vocab_"), spec,
+                   gate=make_curation_gate(spec, min_words))
+    docs = _pq(sf_dir, "documents")
+    n_docs = _nrows(sf_dir, "documents")
+    versions, epochs = 3, 3
+    total = n_docs * versions
+    events = events_from_documents(docs, versions)
+    step = (total + epochs - 1) // epochs
+
+    def texts(ds, col):
+        return ds.map_batches(
+            lambda t, c=col: pa.table(
+                {"text": pc.cast(t.column(c), pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    prev = vocab = None
+    for e in range(epochs):
+        lake.apply_events(
+            events.filter(expr=f"lsn >= {e * step} and "
+                               f"lsn < {min((e + 1) * step, total)}")
+        )
+        state = lake.read_state(drop_engine_cols=True).materialize()
+        if vocab is None:
+            vocab = doc_frequencies(state, "content", "path")
+        else:
+            diff = snapshot_diff(
+                prev, state, ["repo", "path"], "lsn",
+                carry_cols=["content"],
+            ).materialize()
+            added = texts(
+                diff.filter(expr="change == 'added' or change == 'updated'"),
+                "new_content",
+            )
+            removed = texts(
+                diff.filter(expr="change == 'deleted' or change == 'updated'"),
+                "old_content",
+            )
+            vocab = merge_doc_frequencies(
+                vocab, doc_frequency_delta(added, removed, "text")
+            )
+        vocab = vocab.materialize()
+        prev = state
+    return vocab
+
+
+_CDC_VOCAB_SQL = r"""
+-- document frequencies over the CURATED final replay state: each key's
+-- winner is its v=2 event ('text v2'), gated on a 5-token floor.
+WITH live AS (
+    SELECT doc_id, text || ' v2' AS content FROM documents
+    WHERE len(string_split_regex(trim(text || ' v2'), '\s+')) >= 5
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(content), '\s+')) AS token
+    FROM live
+)
+SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+"""
+
+
 def simhash_fingerprints_docs(sf_dir: str):
     """No SQL oracle (64-bit token-hash arithmetic), so the query
     SELF-CHECKS determinism: byte-identical texts must carry identical
@@ -3191,6 +3288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats_docs": dup_span_stats_docs,
         "incremental_window_histogram": incremental_window_histogram_docs,
         "cdc_curated_replay_docs": cdc_curated_replay_docs,
+        "cdc_incremental_vocab": cdc_incremental_vocab_docs,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3266,6 +3364,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats_docs": _DUP_SPAN_SQL,
         "incremental_window_histogram": _INC_WIN_SQL,
         "cdc_curated_replay_docs": _CDC_CURATED_SQL,
+        "cdc_incremental_vocab": _CDC_VOCAB_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

@@ -214,13 +214,17 @@ def snapshot_diff(
     schema_a: pa.Schema | None = None,
     schema_b: pa.Schema | None = None,
     num_buckets: int = 32,
+    carry_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Diff two table SNAPSHOTS (e.g. a lake state at two watermarks):
     emits one row per changed key — ``change`` ∈ {'added', 'deleted',
     'updated'} with the old/new ``ver_col`` values (null on the missing
     side).  Unchanged keys (same version) are dropped inside the
     per-bucket merge, so the output is proportional to the CHANGE SET,
-    not the snapshots.
+    not the snapshots.  ``carry_cols`` additionally emits
+    ``old_<c>``/``new_<c>`` payload columns for each changed key — the
+    hook downstream incremental maintenance (vocabulary / multiplicity
+    deltas) uses to see the retracted and inserted content.
 
     Scale shape: one full-outer partitioned hash join on the key
     (both snapshots stream; no driver materialization), then a
@@ -255,6 +259,9 @@ def snapshot_diff(
         cols["change"] = pa.array(change, pa.string())
         cols["old_" + ver_col] = t.column(va)
         cols["new_" + ver_col] = t.column(vb)
+        for cc in carry_cols or ():
+            cols["old_" + cc] = t.column(cc)
+            cols["new_" + cc] = t.column(cc + "_r")
         return pa.table(cols)
 
     return j.map_batches(classify, batch_format="pyarrow")

@@ -141,3 +141,32 @@ def test_snapshot_diff_classification():
     assert (out.loc[3, ["old_v", "new_v"]] == [30, 31]).all()
     assert out.loc[5, "change"] == "added" and pd.isna(out.loc[5, "old_v"])
     assert set(out.index) == {1, 3, 5}  # 2 and 4 unchanged → dropped
+
+
+def test_snapshot_diff_carry_cols():
+    """carry_cols emits old_/new_ payload columns for changed keys —
+    the hook incremental vocabulary maintenance reads content from."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+
+    a = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+        "txt": ["one", "two", "three"],
+    })
+    b = pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "v": pa.array([20, 31, 40], pa.int64()),
+        "txt": ["two", "THREE", "four"],
+    })
+    out = snapshot_diff(
+        rd.from_arrow(a), rd.from_arrow(b), ["k"], "v",
+        schema_a=a.schema, schema_b=b.schema, num_buckets=2,
+        carry_cols=["txt"],
+    ).to_pandas().set_index("k").sort_index()
+    assert out.loc[1, "old_txt"] == "one" and pd.isna(out.loc[1, "new_txt"])
+    assert (out.loc[3, ["old_txt", "new_txt"]] == ["three", "THREE"]).all()
+    assert pd.isna(out.loc[4, "old_txt"]) and out.loc[4, "new_txt"] == "four"
