@@ -172,7 +172,9 @@ QUERY_SUBSET = [
     "dedup_exact_docs", "minhash_self_near_dups", "simhash_self_near_dups",
     "jaccard_near_dups", "near_dup_groups", "embedding_self_near_dups",
     "ann_topk_cosine",
-    "token_vocab_top100", "chunk_docs_64", "omop_full_pipeline",
+    "token_vocab_top100", "chunk_docs_64",
+    "dup_span_stats_docs", "incremental_doc_frequencies",
+    "events_before_errors_banded", "omop_full_pipeline",
 ]
 
 
