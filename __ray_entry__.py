@@ -2286,6 +2286,42 @@ WHERE len(string_split_regex(trim(text || ' v2'), '\s+')) >= 5
 """
 
 
+def pack_sequences_docs(sf_dir: str):
+    """Training-sequence packing (concat-and-cut at 1024 tokens): each
+    doc's (seq_id, seq_offset) from the global token prefix-sum in
+    doc_id order — one sort, then per-block token sums + driver prefix
+    offsets (one scalar per block), the ``sequential_ids`` two-pass
+    trick generalized to token counts."""
+    from standardized_omop_data_etl_ray.stages.corpus import pack_sequences
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+    return pack_sequences(docs, "text", "doc_id", seq_tokens=1024)
+
+
+_PACK_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start
+    FROM tok
+)
+SELECT doc_id, n_tokens,
+       start // 1024 AS seq_id,
+       start % 1024 AS seq_offset
+FROM c
+"""
+
+
 def cdc_incremental_vocab_docs(sf_dir: str):
     """Curated CDC replay + incremental vocabulary in the SAME
     composition (ROADMAP #20): after each epoch the lake state is
@@ -3289,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_window_histogram": incremental_window_histogram_docs,
         "cdc_curated_replay_docs": cdc_curated_replay_docs,
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
+        "pack_sequences_docs": pack_sequences_docs,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3365,6 +3402,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_window_histogram": _INC_WIN_SQL,
         "cdc_curated_replay_docs": _CDC_CURATED_SQL,
         "cdc_incremental_vocab": _CDC_VOCAB_SQL,
+        "pack_sequences_docs": _PACK_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

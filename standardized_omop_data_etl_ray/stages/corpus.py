@@ -463,3 +463,68 @@ def tfidf_top_terms(
         return g[g["rank"] <= k]
 
     return bucketed_groupby(scored, [id_col], per_bucket, num_buckets)
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    seq_tokens: int = 1024,
+) -> rd.Dataset:
+    """Training-sequence PACKING (the concat-and-cut step before
+    pretraining): documents are concatenated in ``id_col`` order into
+    one virtual token stream cut every ``seq_tokens`` tokens; each doc
+    is assigned the sequence its FIRST token lands in and its offset
+    within that sequence.  Docs may straddle a cut — that is the
+    standard packing semantics (the loader re-reads the tail).
+
+    Output: (id_col, n_tokens, seq_id, seq_offset) — exact,
+    deterministic under any partitioning, and SQL-mirrorable as a
+    window prefix-sum over ``id_col`` order.
+
+    Scale shape: ONE global sort by id (the order contract), then the
+    ``sequential_ids`` two-pass trick generalized from row counts to
+    token counts — per-block token sums → driver prefix offsets
+    (scalars, one per block) → vectorized in-block cumsum.  No second
+    shuffle, no per-row driver work."""
+    import ray
+
+    sorted_ds = ds.sort(id_col)
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _tok_rows(t) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        toks = _ws_tokens(t.column(text_col).to_pandas())
+        n = toks.str.len().fillna(0).to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    @ray.remote
+    def _block_sum(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        return int(pc.sum(t.column("n_tokens")).as_py() or 0)
+
+    @ray.remote
+    def _assign(t: pa.Table, offset: int, cap: int) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        start = offset + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": t.column("n_tokens"),
+            "seq_id": pa.array(start // cap, pa.int64()),
+            "seq_offset": pa.array(start % cap, pa.int64()),
+        })
+
+    tok_refs = [_tok_rows.remote(r) for r in refs]
+    sums = ray.get([_block_sum.remote(r) for r in tok_refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    out = [
+        _assign.remote(r, int(off), int(seq_tokens))
+        for r, off in zip(tok_refs, offsets)
+    ]
+    return rd.from_arrow_refs(out)

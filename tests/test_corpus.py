@@ -275,3 +275,31 @@ def test_incremental_doc_frequencies_equals_recompute():
     assert got.set_index("token")["df"].to_dict() == {
         "apple": 2, "banana": 1, "cherry": 1, "fig": 2,
     }
+
+
+def test_pack_sequences_prefix_sum_and_invariance():
+    """pack_sequences: global concat-and-cut semantics — offsets are the
+    exact token prefix sum in id order, docs straddle cuts (seq_id =
+    the sequence holding the FIRST token), tokenless docs occupy no
+    space, and the result is invariant to input partitioning."""
+    docs = pd.DataFrame({
+        "doc_id": pd.array([3, 1, 2, 4, 5], dtype="int64"),
+        "text": ["c1 c2 c3", "a1 a2", "", "d1 d2 d3 d4", "e1"],
+    })
+
+    def run(parts):
+        from standardized_omop_data_etl_ray.stages.corpus import (
+            pack_sequences,
+        )
+        out = pack_sequences(
+            rd.from_pandas(docs).repartition(parts),
+            "text", "doc_id", seq_tokens=4,
+        ).to_pandas().set_index("doc_id").sort_index()
+        return out
+
+    got = run(3)
+    # id order: 1(2 tok) 2(0) 3(3) 4(4) 5(1); starts: 0,2,2,5,9
+    assert got["n_tokens"].tolist() == [2, 0, 3, 4, 1]
+    assert got["seq_id"].tolist() == [0, 0, 0, 1, 2]
+    assert got["seq_offset"].tolist() == [0, 2, 2, 1, 1]
+    pd.testing.assert_frame_equal(got, run(1))
