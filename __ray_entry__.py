@@ -2299,6 +2299,58 @@ def pack_sequences_docs(sf_dir: str):
     return pack_sequences(docs, "text", "doc_id", seq_tokens=1024)
 
 
+def shuffle_docs_deterministic(sf_dir: str):
+    """Deterministic global shuffle (training-output ordering): docs
+    ordered by md5(doc_id) — reproducible on any cluster size/resume,
+    exactly SQL-mirrorable.  Returns (rank, doc_id) so the oracle's
+    hash pins the full permutation."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        sequential_ids,
+    )
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        deterministic_shuffle,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id"], rows_hint=n)
+    shuffled = deterministic_shuffle(docs, "doc_id")
+    # enumerate WITHOUT re-sorting (sequential_ids(sort_col=None)
+    # numbers blocks in order) — the shuffle's order is the contract
+    return sequential_ids(shuffled, "rank")
+
+
+_SHUFFLE_SQL = """
+SELECT row_number() OVER (
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+       ) AS rank,
+       doc_id
+FROM documents
+"""
+
+
+def cap_docs_per_source(sf_dir: str):
+    """Per-source quota (domain caps): keep the 50 longest docs per
+    source (ties broken by doc_id asc) — one coarse-bucket co-location,
+    every source resolved vectorized inside its bucket."""
+    from standardized_omop_data_etl_ray.stages.corpus import cap_per_key
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"],
+               rows_hint=n)
+    return cap_per_key(docs, "source", "n_chars", 50, "doc_id")
+
+
+_CAP_SQL = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 50
+"""
+
+
 _PACK_SQL = r"""
 WITH tok AS (
     SELECT doc_id,
@@ -3326,6 +3378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_curated_replay_docs": cdc_curated_replay_docs,
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "shuffle_docs_deterministic": shuffle_docs_deterministic,
+        "cap_docs_per_source": cap_docs_per_source,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3403,6 +3457,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_curated_replay_docs": _CDC_CURATED_SQL,
         "cdc_incremental_vocab": _CDC_VOCAB_SQL,
         "pack_sequences_docs": _PACK_SQL,
+        "shuffle_docs_deterministic": _SHUFFLE_SQL,
+        "cap_docs_per_source": _CAP_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

@@ -528,3 +528,68 @@ def pack_sequences(
         for r, off in zip(tok_refs, offsets)
     ]
     return rd.from_arrow_refs(out)
+
+
+def deterministic_shuffle(
+    ds: rd.Dataset, id_col: str, digits: int = 8
+) -> rd.Dataset:
+    """Deterministic global shuffle for training output: order by
+    ``md5(str(id))`` — content-independent, partitioning-independent,
+    reproducible across cluster sizes and resumes (the property an
+    RNG-seeded ``random_shuffle`` cannot give), and SQL-mirrorable.
+    One sort; the hash column is computed per batch and dropped."""
+
+    def add_h(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import _HAVE_DUCKDB, _con
+
+        sv = pa.table({"v": t.column(id_col).cast(pa.string())})
+        if _HAVE_DUCKDB:
+            h = (
+                _con()
+                .execute(f"SELECT substr(md5(v), 1, {digits}) AS h FROM sv")
+                .fetch_arrow_table().column("h")
+            )
+        else:  # pragma: no cover - duckdb is a baked-in dependency
+            import hashlib
+
+            h = pa.array([
+                hashlib.md5(s.encode()).hexdigest()[:digits]
+                for s in sv.column("v").to_pylist()
+            ])
+        return t.append_column("__shuffle_key", h)
+
+    return (
+        ds.map_batches(add_h, batch_format="pyarrow")
+        .sort(["__shuffle_key", id_col])
+        .drop_columns(["__shuffle_key"])
+    )
+
+
+def cap_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    rank_col: str,
+    n: int,
+    id_col: str,
+    descending: bool = True,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key quota (domain caps à la RefinedWeb): keep at most ``n``
+    rows per ``key_col``, ranked by ``rank_col`` (ties broken by
+    ``id_col`` asc — a total order, so the cut is deterministic and
+    SQL-mirrorable as ``row_number() OVER (PARTITION BY key ORDER BY
+    rank [DESC], id)``).
+
+    Scale shape: keys co-locate by coarse hash bucket and every key in
+    a bucket resolves in ONE vectorized pandas pass
+    (``bucketed_groupby``) — hot keys cost sort-within-bucket, never a
+    Python call per key."""
+    from .joins import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, rank_col, id_col],
+                          ascending=[True, not descending, True])
+        keep = g.groupby(key_col, sort=False).cumcount() < n
+        return g[keep.to_numpy()]
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)

@@ -303,3 +303,44 @@ def test_pack_sequences_prefix_sum_and_invariance():
     assert got["seq_id"].tolist() == [0, 0, 0, 1, 2]
     assert got["seq_offset"].tolist() == [0, 2, 2, 1, 1]
     pd.testing.assert_frame_equal(got, run(1))
+
+
+def test_cap_per_key_quota_and_ties():
+    """cap_per_key keeps exactly n per key ranked by rank_col desc with
+    id ascending tiebreak, vectorized per bucket, any partitioning."""
+    from standardized_omop_data_etl_ray.stages.corpus import cap_per_key
+
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(10), dtype="int64"),
+        "src": ["a"] * 6 + ["b"] * 3 + ["c"],
+        "score": pd.array([5, 9, 9, 1, 9, 2, 7, 7, 3, 4], dtype="int64"),
+    })
+    out = (
+        cap_per_key(rd.from_pandas(df).repartition(4),
+                    "src", "score", 2, "doc_id", num_buckets=3)
+        .to_pandas().sort_values("doc_id")
+    )
+    # a: scores [5,9,9,1,9,2] → top2 by (score desc, id asc) = ids 1,2
+    # b: [7,7,3] → ids 6,7 ; c: id 9
+    assert out["doc_id"].tolist() == [1, 2, 6, 7, 9]
+
+
+def test_deterministic_shuffle_partitioning_invariant():
+    """deterministic_shuffle yields the SAME permutation on any input
+    partitioning (md5-keyed order, not RNG)."""
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        deterministic_shuffle,
+    )
+
+    df = pd.DataFrame({"doc_id": pd.array(range(40), dtype="int64")})
+
+    def order(parts):
+        return (
+            deterministic_shuffle(
+                rd.from_pandas(df).repartition(parts), "doc_id"
+            ).to_pandas()["doc_id"].tolist()
+        )
+
+    o1, o2 = order(1), order(5)
+    assert o1 == o2
+    assert sorted(o1) == list(range(40)) and o1 != list(range(40))
