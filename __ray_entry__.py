@@ -2319,6 +2319,30 @@ def shuffle_docs_deterministic(sf_dir: str):
     return sequential_ids(shuffled, "rank")
 
 
+_QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def quantiles_lineitem_price(sf_dir: str):
+    """Exact distributed quantiles of l_extendedprice: one global sort
+    of the single projected column; the driver reads only per-block
+    counts + the few blocks holding target ranks
+    (stages/aggregates.exact_quantiles, quantile_disc semantics)."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        exact_quantiles,
+    )
+
+    n = _nrows(sf_dir, "lineitem")
+    li = _pq(sf_dir, "lineitem", ["l_extendedprice"], rows_hint=n)
+    return exact_quantiles(li, "l_extendedprice", _QUANTILE_QS)
+
+
+_QUANTILE_SQL = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+    for q in _QUANTILE_QS
+)
+
+
 _SHUFFLE_SQL = """
 SELECT row_number() OVER (
            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
@@ -3380,6 +3404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": pack_sequences_docs,
         "shuffle_docs_deterministic": shuffle_docs_deterministic,
         "cap_docs_per_source": cap_docs_per_source,
+        "quantiles_lineitem_price": quantiles_lineitem_price,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3459,6 +3484,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_docs": _PACK_SQL,
         "shuffle_docs_deterministic": _SHUFFLE_SQL,
         "cap_docs_per_source": _CAP_SQL,
+        "quantiles_lineitem_price": _QUANTILE_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

@@ -527,3 +527,30 @@ def test_bucketed_sum_matches_ray_aggregate():
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_exact_quantiles_matches_duckdb_semantics():
+    """exact_quantiles == quantile_disc (rank = max(0, ceil(q·n)−1)) on
+    odd/even n, with duplicates, on any partitioning."""
+    import duckdb
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        exact_quantiles,
+    )
+
+    rng = np.random.default_rng(3)
+    for n in (7, 20, 101):
+        vals = rng.integers(0, 40, n).astype("int64")  # duplicates
+        qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        got = exact_quantiles(
+            rd.from_pandas(pd.DataFrame({"x": vals})).repartition(4),
+            "x", qs,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("v", pd.DataFrame({"x": vals}))
+        for q, v in zip(got["q"], got["value"]):
+            want = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM v"
+            ).fetchone()[0]
+            assert v == want, (n, q, v, want)
