@@ -2319,6 +2319,23 @@ def shuffle_docs_deterministic(sf_dir: str):
     return sequential_ids(shuffled, "rank")
 
 
+def approx_distinct_users_per_type(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type (p=12,
+    ~1.6% RSE) — the sketch path for cardinalities where exact
+    count(DISTINCT) would shuffle every distinct value; one fixed-size
+    register vector per (group, block) moves instead.  No SQL oracle
+    (the estimate is implementation-defined); accuracy and
+    partitioning-determinism are gated in tests/test_sketches.py, and
+    the EXACT twin `distinct_users_per_type` is oracle-green."""
+    from standardized_omop_data_etl_ray.stages.sketches import (
+        grouped_approx_distinct,
+    )
+
+    n = _nrows(sf_dir, "events")
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"], rows_hint=n)
+    return grouped_approx_distinct(ev, "event_type", "user_id", p=12)
+
+
 _QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3405,6 +3422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs_deterministic": shuffle_docs_deterministic,
         "cap_docs_per_source": cap_docs_per_source,
         "quantiles_lineitem_price": quantiles_lineitem_price,
+        "approx_distinct_users_per_type": approx_distinct_users_per_type,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True

@@ -1,0 +1,129 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+HyperLogLog (Flajolet et al. 2007, with the HLL++ small-range linear
+counting correction) — the approximate-distinct operator a 100 TB
+pipeline uses where an exact ``count(DISTINCT x)`` would shuffle every
+distinct value: the exchange moves ONE fixed-size register vector per
+(group, block) partial, and merges are an element-wise ``max`` — fully
+associative/commutative, so the result is a pure function of the value
+SET (deterministic under any partitioning, ordering, or cluster size —
+the property the tests pin).
+
+Register width: 2^p uint8 registers per group (p=12 → 4 KiB,
+~1.6% relative standard error; p=14 → 16 KiB, ~0.8%).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.text import hash_u64
+
+
+def _rho64(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, leading-zero rank) per 64-bit hash: the top p
+    bits pick the register; the rank is 1 + the count of leading zeros
+    of the remaining 64-p bits (capped at 64-p+1 for an all-zero
+    suffix)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining bits, left-aligned
+    # leading zeros of a 64-bit value, vectorized: 63 - floor(log2(v));
+    # v == 0 → all 64-p suffix bits zero → maximum rank
+    nz = rest != 0
+    lz = np.full(len(h), 64, dtype=np.int64)
+    # float64 mantissa (52 bits) cannot hold a 64-bit value exactly, so
+    # log2 could round across a power-of-two boundary; use the exact
+    # bit-length route instead: lz = 64 - bit_length(v)
+    v = rest[nz]
+    bl = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        ge = x >= (np.uint64(1) << np.uint64(shift))
+        bl[ge] += shift
+        x = np.where(ge, x >> np.uint64(shift), x)
+    bl += 1  # bit_length
+    lz[nz] = 64 - bl
+    rank = np.minimum(lz, 64 - p) + 1
+    return idx, rank.astype(np.uint8)
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(regs: np.ndarray, p: int) -> float:
+    """Registers → cardinality estimate (classic estimator + linear
+    counting below the 2.5·m small-range threshold)."""
+    m = 1 << p
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return m * np.log(m / zeros)
+    return float(est)
+
+
+def grouped_approx_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    p: int = 12,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Approximate ``count(DISTINCT val) GROUP BY key``:
+
+      1. per batch, per group: hash values once (``hash_u64``) and fold
+         them into one 2^p-register vector (``np.maximum.at``) — the
+         exchange moves one (key, registers) row per group per block,
+         independent of the number of values;
+      2. co-locate by key hash bucket and element-wise-``max`` the
+         register vectors per key (one vectorized pass per bucket);
+      3. estimate.
+
+    Output: (key_col, approx_distinct float64).  Deterministic: the
+    registers are a max-fold of a pure hash, so any partitioning gives
+    byte-identical registers."""
+    from .joins import bucketed_groupby
+
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        keys_out, regs_out = [], []
+        for k, g in df.groupby(key_col, sort=False, dropna=False):
+            h = hash_u64(g[val_col].astype(str).to_numpy(dtype=object))
+            idx, rank = _rho64(h, p)
+            regs = np.zeros(m, np.uint8)
+            np.maximum.at(regs, idx, rank)
+            keys_out.append(k)
+            regs_out.append(regs.tobytes())
+        return pa.table({
+            key_col: pa.array(keys_out),
+            "regs": pa.array(regs_out, pa.binary(m)),
+        })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        keys_out, est_out = [], []
+        for k, grp in g.groupby(key_col, sort=False, dropna=False):
+            stack = np.stack([
+                np.frombuffer(b, np.uint8) for b in grp["regs"]
+            ])
+            regs = stack.max(axis=0)
+            keys_out.append(k)
+            est_out.append(hll_estimate(regs, p))
+        return pa.table({
+            key_col: pa.array(keys_out),
+            "approx_distinct": pa.array(est_out, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, [key_col], merge, num_buckets)

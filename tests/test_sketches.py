@@ -1,0 +1,61 @@
+"""HyperLogLog grouped approx-distinct: accuracy, determinism,
+merge associativity (stages/sketches.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.stages.sketches import (
+    _rho64,
+    grouped_approx_distinct,
+    hll_estimate,
+)
+
+
+def test_hll_accuracy_and_partition_invariance():
+    """p=12 → ~1.6% RSE: gate at 3× that; identical estimates on any
+    partitioning (registers are a max-fold of a pure hash)."""
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 120_000),
+        "v": rng.integers(0, 30_000, 120_000),
+    })
+    exact = df.groupby("k")["v"].nunique()
+
+    def run(parts):
+        return (
+            grouped_approx_distinct(
+                rd.from_pandas(df).repartition(parts), "k", "v", p=12
+            ).to_pandas().set_index("k")["approx_distinct"].sort_index()
+        )
+
+    a, b = run(1), run(6)
+    pd.testing.assert_series_equal(a, b)
+    assert ((a - exact) / exact).abs().max() < 0.05
+
+
+def test_hll_small_range_linear_counting():
+    """Tiny cardinalities route through linear counting — near-exact."""
+    df = pd.DataFrame({"k": ["x"] * 1000, "v": [i % 7 for i in range(1000)]})
+    got = (
+        grouped_approx_distinct(rd.from_pandas(df), "k", "v", p=12)
+        .to_pandas()["approx_distinct"].iloc[0]
+    )
+    assert abs(got - 7) < 0.5
+
+
+def test_rho64_exact_bit_semantics():
+    """Register index = top p bits; rank = leading zeros of the
+    left-aligned suffix + 1, capped for an all-zero suffix."""
+    p = 4
+    h = np.array([
+        0xF000000000000000,   # idx 15, suffix 0 → max rank 61
+        0x0800000000000000,   # idx 0,  suffix 1000... → rank 1
+        0x0000000000000001,   # idx 0,  suffix ...0001 → rank 60
+    ], dtype=np.uint64)
+    idx, rank = _rho64(h, p)
+    assert idx.tolist() == [15, 0, 0]
+    assert rank.tolist() == [61, 1, 60]
+    # estimator sanity: empty registers → estimate 0-ish via linear count
+    assert hll_estimate(np.zeros(16, np.uint8), 4) == 0.0
