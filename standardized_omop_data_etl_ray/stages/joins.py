@@ -932,3 +932,70 @@ def banded_interval_join(
         return t.filter(keep).drop_columns(["__band", "__band_r"])
 
     return j.map_batches(band, batch_format="pyarrow")
+
+
+def build_bloom(
+    ds: rd.Dataset, col: str, n_bits: int = 1 << 23, k: int = 4
+) -> tuple["ray.ObjectRef", int, int]:
+    """Distributed Bloom filter over a join column: each block folds
+    its keys into one ``n_bits``-bit bitmap (double hashing, k probes),
+    the driver ORs the per-block bitmaps (one ``n_bits/8``-byte row per
+    block — never the keys) and ``ray.put``s the result once.
+
+    Sizing: fpr ≈ (1 − e^(−k·n/m))^k — the 1 MiB default holds ~1.5M
+    keys at ~5% fpr; scale ``n_bits`` with the build side (the bitmap,
+    not the keys, is what ships).  Returns (bitmap ref, n_bits, k)."""
+    import numpy as np
+
+    import ray
+
+    from ..functions.text import hash_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).cast(pa.string()).to_pandas().to_numpy(dtype=object)
+        h1 = hash_u64(v)
+        h2 = ((h1 >> np.uint64(31)) | (h1 << np.uint64(33))) | np.uint64(1)
+        bits = np.zeros(n_bits // 8, np.uint8)
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(
+                np.int64
+            )
+            np.bitwise_or.at(
+                bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
+            )
+        return pa.table({"bm": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    bitmap = np.zeros(n_bits // 8, np.uint8)
+    for b in parts["bm"]:
+        bitmap |= np.frombuffer(b, np.uint8)
+    return ray.put(bitmap), n_bits, k
+
+
+def bloom_prefilter(
+    ds: rd.Dataset, col: str, bloom: tuple
+) -> rd.Dataset:
+    """Drop probe-side rows whose join key CANNOT be in the build side
+    (no false negatives — semantics-preserving before an INNER join):
+    the classic shuffle-volume cut for selective joins.  The bitmap is
+    fetched once per worker process (``_cached_get``)."""
+    import numpy as np
+
+    from ..functions.text import hash_u64
+
+    ref, n_bits, k = bloom
+
+    def keep(t: pa.Table) -> pa.Table:
+        bitmap: np.ndarray = _cached_get(ref)
+        v = t.column(col).cast(pa.string()).to_pandas().to_numpy(dtype=object)
+        h1 = hash_u64(v)
+        h2 = ((h1 >> np.uint64(31)) | (h1 << np.uint64(33))) | np.uint64(1)
+        ok = np.ones(len(v), bool)
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(
+                np.int64
+            )
+            ok &= (bitmap[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

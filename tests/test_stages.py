@@ -554,3 +554,44 @@ def test_exact_quantiles_matches_duckdb_semantics():
                 f"SELECT quantile_disc(x, {q}) FROM v"
             ).fetchone()[0]
             assert v == want, (n, q, v, want)
+
+
+def test_bloom_prefilter_no_false_negatives_and_join_equal():
+    """bloom_prefilter never drops a true join key (inner-join results
+    identical with and without it) and rejects most non-members."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.joins import (
+        bloom_prefilter,
+        build_bloom,
+        partitioned_hash_join,
+    )
+
+    rng = np.random.default_rng(2)
+    build_keys = rng.choice(100_000, 500, replace=False).astype("int64")
+    build = pa.table({
+        "k": pa.array(build_keys),
+        "name": [f"n{k}" for k in build_keys],
+    })
+    probe_keys = rng.integers(0, 100_000, 20_000).astype("int64")
+    probe = pa.table({
+        "k": pa.array(probe_keys),
+        "v": pa.array(rng.integers(0, 9, 20_000).astype("int64")),
+    })
+    bds, pds = rd.from_arrow(build), rd.from_arrow(probe).repartition(4)
+    bloom = build_bloom(bds, "k", n_bits=1 << 16, k=4)
+    pre = bloom_prefilter(pds, "k", bloom).materialize()
+    kept = set(pre.to_pandas()["k"])
+    assert set(build_keys) & set(probe_keys) <= kept  # no false negatives
+    assert pre.count() < 20_000 * 0.25  # rejects most non-members
+
+    def join(p):
+        return (
+            partitioned_hash_join(
+                p, bds, ["k"], how="inner",
+                left_schema=probe.schema, right_schema=build.schema,
+                num_buckets=4,
+            ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(join(pre), join(pds))
