@@ -2369,6 +2369,45 @@ GROUP BY l_orderkey
 """
 
 
+def skew_join_user_purchases(sf_dir: str):
+    """Skew-aware join demo with a real frequency pre-pass: events'
+    measured top keys (``detect_hot_keys`` — vocabulary-sized count,
+    bounded hot list to the driver) route through the broadcast plan,
+    the cold tail through the partitioned join; per-user rollup after.
+    Identical results to the plain join SQL by construction — the skew
+    split is a routing decision, not a semantics change."""
+    from ray.data.aggregate import Count
+
+    from standardized_omop_data_etl_ray.stages.joins import (
+        detect_hot_keys,
+        skew_join,
+    )
+
+    n_ev = _nrows(sf_dir, "events")
+    ev = _pq(sf_dir, "events", ["event_id", "user_id"], rows_hint=n_ev)
+    n_c = _nrows(sf_dir, "customer")
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"], rows_hint=n_c)
+    hot = detect_hot_keys(ev, "user_id", min_rows=max(2, n_ev // 2000))
+    j = skew_join(
+        ev, cust, "user_id", "c_custkey", hot_keys=hot,
+        right_rows=10_000_000,  # force the cold side partitioned
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_name", pa.string())]),
+    )
+    return j.groupby(["user_id", "c_name"]).aggregate(
+        Count(alias_name="n_events")
+    )
+
+
+_SKEW_JOIN_SQL = """
+SELECT user_id, c_name, count(*) AS n_events
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY user_id, c_name
+"""
+
+
 def approx_distinct_users_per_type(sf_dir: str):
     """HyperLogLog approximate distinct users per event type (p=12,
     ~1.6% RSE) — the sketch path for cardinalities where exact
@@ -3474,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "approx_distinct_users_per_type": approx_distinct_users_per_type,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
+        "skew_join_user_purchases": skew_join_user_purchases,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3555,6 +3595,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_docs_per_source": _CAP_SQL,
         "quantiles_lineitem_price": _QUANTILE_SQL,
         "bloom_join_highvalue_lineitems": _BLOOM_JOIN_SQL,
+        "skew_join_user_purchases": _SKEW_JOIN_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

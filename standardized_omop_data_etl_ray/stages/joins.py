@@ -999,3 +999,93 @@ def bloom_prefilter(
         return t.filter(pa.array(ok))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def detect_hot_keys(
+    ds: rd.Dataset, col: str, min_rows: int, cap: int = 64
+) -> list:
+    """Probe-side keys with ≥ ``min_rows`` occurrences (top ``cap`` by
+    count): per-block count partials → one vocabulary-sized bucketed
+    sum → threshold filter.  Only the (bounded) hot list reaches the
+    driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([([], "count_all")])
+        # arrow names the count column 'count_all'; normalize + order
+        return pa.table({
+            col: g.column(col),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+        })
+
+    counts = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [col], ["n"], combine=False,
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), min_rows)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot = hot.sort_values("n", ascending=False).head(cap)
+    return hot[col].tolist()
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    hot_keys: list | None = None,
+    right_rows: int | None = None,
+    num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Skew-aware inner equi-join: rows whose key is in ``hot_keys``
+    (caller-known, or ``detect_hot_keys``) take the BROADCAST plan —
+    the hot build rows ship once, the hot probe rows never enter a
+    shuffle partition that one reducer would have to swallow — while
+    cold keys take the normal partitioned hash join; the two plans'
+    outputs are column/dtype-identical (both are ``auto_hash_join``
+    shapes) and union back.  Semantics-preserving: every row goes
+    through exactly one plan."""
+    import pyarrow.compute as pc
+
+    right_on = right_on or left_on
+    if not hot_keys:
+        return auto_hash_join(
+            left, right, [left_on], [right_on],
+            right_rows=right_rows, num_buckets=num_buckets,
+            left_schema=left_schema, right_schema=right_schema,
+        )
+    hot_arr = pa.array(hot_keys)
+
+    def split(col):
+        def fn(t: pa.Table, keep_hot: bool, c: str) -> pa.Table:
+            m = pc.is_in(t.column(c), value_set=hot_arr)
+            return t.filter(m if keep_hot else pc.invert(m))
+        return fn
+
+    lf, rf = split(left_on), split(right_on)
+    l_hot = left.map_batches(lambda t: lf(t, True, left_on),
+                             batch_format="pyarrow")
+    l_cold = left.map_batches(lambda t: lf(t, False, left_on),
+                              batch_format="pyarrow")
+    r_hot = right.map_batches(lambda t: rf(t, True, right_on),
+                              batch_format="pyarrow")
+    r_cold = right.map_batches(lambda t: rf(t, False, right_on),
+                               batch_format="pyarrow")
+    # hot side: force the broadcast plan (hot build rows are bounded by
+    # |hot_keys| × per-key build fan-in — dimension-sized by contract)
+    hot_join = auto_hash_join(
+        l_hot, r_hot, [left_on], [right_on],
+        right_rows=len(hot_keys),  # ≤ broadcast_limit → broadcast plan
+        left_schema=left_schema, right_schema=right_schema,
+    )
+    cold_join = auto_hash_join(
+        l_cold, r_cold, [left_on], [right_on],
+        right_rows=right_rows, num_buckets=num_buckets,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+    return hot_join.union(cold_join)
