@@ -1736,6 +1736,35 @@ SELECT doc_id, token, tfidf, rank FROM (
 """
 
 
+def _live_split(docs):
+    """Deterministic base/delta split shared by the incremental
+    maintenance queries and their SQL oracles (live set =
+    doc_id%4=0 OR doc_id%5<>0): base = id%4!=0, adds = id%4==0,
+    removes = base AND id%5==0.  ONE definition — the two queries and
+    two oracles must never drift."""
+    import pyarrow.compute as pc
+
+    def part(keep):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(keep(t.column("doc_id")))
+        return fn
+
+    base = docs.map_batches(
+        part(lambda i: pc.not_equal(_pc_mod(i, 4), 0)),
+        batch_format="pyarrow",
+    )
+    added = docs.map_batches(
+        part(lambda i: pc.equal(_pc_mod(i, 4), 0)),
+        batch_format="pyarrow",
+    )
+    removed = docs.map_batches(
+        part(lambda i: pc.and_(pc.not_equal(_pc_mod(i, 4), 0),
+                               pc.equal(_pc_mod(i, 5), 0))),
+        batch_format="pyarrow",
+    )
+    return base, added, removed
+
+
 def incremental_doc_frequencies_docs(sf_dir: str):
     """CDC-maintained document-frequency vocabulary (ROADMAP #15):
     commit a vocabulary over a base corpus slice, then fold in one
@@ -1757,26 +1786,7 @@ def incremental_doc_frequencies_docs(sf_dir: str):
 
     n = _nrows(sf_dir, "documents")
     docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
-
-    def part(keep):
-        def fn(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id")
-            return t.filter(keep(ids))
-        return fn
-
-    base = docs.map_batches(
-        part(lambda i: pc.not_equal(_pc_mod(i, 4), 0)),
-        batch_format="pyarrow",
-    )
-    added = docs.map_batches(
-        part(lambda i: pc.equal(_pc_mod(i, 4), 0)),
-        batch_format="pyarrow",
-    )
-    removed = docs.map_batches(
-        part(lambda i: pc.and_(pc.not_equal(_pc_mod(i, 4), 0),
-                               pc.equal(_pc_mod(i, 5), 0))),
-        batch_format="pyarrow",
-    )
+    base, added, removed = _live_split(docs)
     vocab = doc_frequencies(base, "text", "doc_id")
     delta = doc_frequency_delta(added, removed, "text")
     return merge_doc_frequencies(vocab, delta)
@@ -1840,25 +1850,7 @@ def incremental_window_histogram_docs(sf_dir: str):
 
     n = _nrows(sf_dir, "documents")
     docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
-
-    def part(keep):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.filter(keep(t.column("doc_id")))
-        return fn
-
-    base = docs.map_batches(
-        part(lambda i: pc.not_equal(_pc_mod(i, 4), 0)),
-        batch_format="pyarrow",
-    )
-    added = docs.map_batches(
-        part(lambda i: pc.equal(_pc_mod(i, 4), 0)),
-        batch_format="pyarrow",
-    )
-    removed = docs.map_batches(
-        part(lambda i: pc.and_(pc.not_equal(_pc_mod(i, 4), 0),
-                               pc.equal(_pc_mod(i, 5), 0))),
-        batch_format="pyarrow",
-    )
+    base, added, removed = _live_split(docs)
     committed = window_multiplicity_delta(base, None, "text", k=8)
     delta = window_multiplicity_delta(added, removed, "text", k=8)
     merged = merge_window_multiplicities(committed, delta)

@@ -447,6 +447,7 @@ class CDCLake:
         at its own submit time (else delta file schemas become
         timing-dependent)."""
         spec = spec or self.spec
+        raw_events = events
         if self.gate is not None:
             events = events.map_batches(self.gate, batch_format="pyarrow")
         P = spec.num_partitions
@@ -455,8 +456,12 @@ class CDCLake:
             # winner-only path: (1) NARROW pass over (keys, lsn) only —
             # content never read, no sha — to find each key's winning
             # lsn; (2) main pass keeps only winners, hashes only them.
+            # The curation gate is SKIPPED on the narrow pass: it only
+            # rewrites op/payload, never keys or lsn, so winners are
+            # identical — and running it here would read content in the
+            # pass whose whole point is to never touch content.
             key_cols = list(spec.key_cols)
-            narrow = events.select_columns(
+            narrow = raw_events.select_columns(
                 key_cols + [spec.lsn_col]
             ).map_batches(
                 make_standardizer(spec, with_content_sha=False),

@@ -899,9 +899,11 @@ def window_multiplicity_delta(
     # NB: partials return ARROW (not pandas) — Ray's sort-based
     # groupby is ~10× slower over pandas blocks than Arrow blocks
     # (measured 38.7 s vs 3.5 s for a 17k-row uint64-key aggregate)
+    from .corpus import _ws_tokens
+
     def partial(sign: int):
         def fn(df: pd.DataFrame) -> pa.Table:
-            toks = df[text_col].fillna("").str.strip().str.split()
+            toks = _ws_tokens(df[text_col])
             hs = [
                 _doc_window_hashes(t, kk, pows)
                 for t in toks if len(t) >= kk
@@ -981,8 +983,10 @@ def dup_span_stats(
     kk = int(k)
     pows = _window_pows(kk)
 
+    from .corpus import _ws_tokens
+
     def win_rows(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].fillna("").str.strip().str.split()
+        toks = _ws_tokens(df[text_col])
         ids_out, h_out = [], []
         for did, t in zip(df[id_col], toks):
             n = len(t)

@@ -199,6 +199,11 @@ def bucketed_agg(
     off when batches rarely repeat keys (pre-reduced inputs), where
     the extra pass is pure overhead.
 
+    Null semantics match Ray's aggregates: a group whose values are
+    ALL null sums to NULL, not pandas' 0 — a hidden non-null count
+    rides with every sum and masks the result (min/max already agree:
+    both yield null for all-null groups).
+
     WHEN TO USE WHICH (measured at sf0.1/32cpus): group count ≈ row
     count, or input already pre-combined → this function (Ray's
     per-group reduce cost dominates: 71 s → 3.5 s on the window
@@ -206,23 +211,56 @@ def bucketed_agg(
     (≲50k) → Ray's ``groupby().aggregate()`` (its Arrow-native
     partial beats this function's pandas conversion of every input
     row: q3 measured 3.1 s vs 4.7 s)."""
+    import numpy as np
+
+    sum_outs = [o for o, (c, op) in aggs.items() if op == "sum"]
+
+    def _emit(out: pd.DataFrame, names: list[str]) -> pa.Table:
+        cols = {}
+        for kc in key_cols:
+            cols[kc] = pa.Array.from_pandas(out[kc])
+        for o in names:
+            if o in sum_outs:
+                mask = (out["__nn_" + o] == 0).to_numpy(dtype=bool)
+                cols[o] = pa.Array.from_pandas(out[o], mask=mask)
+            else:
+                cols[o] = pa.Array.from_pandas(out[o])
+        for o in sum_outs:
+            cols["__nn_" + o] = pa.Array.from_pandas(out["__nn_" + o])
+        return pa.table(cols)
 
     def partial(df: pd.DataFrame) -> pa.Table:
+        named = {
+            o: pd.NamedAgg(column=c, aggfunc=_AGG_OPS[op][0])
+            for o, (c, op) in aggs.items()
+        }
+        for o in sum_outs:
+            named["__nn_" + o] = pd.NamedAgg(column=aggs[o][0],
+                                             aggfunc="count")
         out = df.groupby(key_cols, sort=False, dropna=False).agg(
-            **{o: pd.NamedAgg(column=c, aggfunc=_AGG_OPS[op][0])
-               for o, (c, op) in aggs.items()}
+            **named
         ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _emit(out, list(aggs))
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
-        src = (lambda o, c: o) if combine else (lambda o, c: c)
-        fin = 1 if combine else 0
+        named = {}
+        for o, (c, op) in aggs.items():
+            if combine:
+                named[o] = pd.NamedAgg(column=o,
+                                       aggfunc=_AGG_OPS[op][1])
+            else:
+                named[o] = pd.NamedAgg(column=c,
+                                       aggfunc=_AGG_OPS[op][0])
+        for o in sum_outs:
+            src = "__nn_" + o if combine else aggs[o][0]
+            named["__nn_" + o] = pd.NamedAgg(
+                column=src, aggfunc="sum" if combine else "count"
+            )
         out = g.groupby(key_cols, sort=False, dropna=False).agg(
-            **{o: pd.NamedAgg(column=src(o, c),
-                              aggfunc=_AGG_OPS[op][fin])
-               for o, (c, op) in aggs.items()}
+            **named
         ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        t = _emit(out, list(aggs))
+        return t.drop_columns([f"__nn_{o}" for o in sum_outs])
 
     if combine:
         ds = ds.map_batches(partial, batch_format="pandas")
@@ -865,6 +903,7 @@ def banded_interval_join(
     num_buckets: int = 32,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    max_copies: int = 2,
 ) -> rd.Dataset:
     """``interval_join`` for keys with pathological fan-out (the
     salting analog, ROADMAP #16): add a coarse time band to the join
@@ -881,9 +920,13 @@ def banded_interval_join(
 
     ``band_width`` is in the ts columns' underlying integer unit
     (microseconds for ``timestamp[us]``).  ``right_rows`` is the
-    pre-replication bound; the broadcast decision scales it by the
-    worst-case copy count ``⌈max_len/w⌉+1 = 2`` under the
-    band_width-≥-max-length contract."""
+    pre-replication bound; the broadcast decision scales it by
+    ``max_copies`` — and that contract is ENFORCED: an interval
+    spanning more than ``max_copies`` bands raises inside
+    ``explode_right`` (at the data, with the offending span) instead of
+    silently exploding the build side past what the broadcast plan was
+    sized for.  Raise ``max_copies`` (or ``band_width``) for workloads
+    with longer intervals."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -904,6 +947,14 @@ def banded_interval_join(
         sb = np.floor_divide(s, w)
         eb = np.floor_divide(e - 1, w)
         counts = np.where(e > s, eb - sb + 1, 0).astype(np.int64)
+        if counts.size and counts.max() > max_copies:
+            i = int(counts.argmax())
+            raise ValueError(
+                f"banded_interval_join: interval [{s[i]}, {e[i]}) spans "
+                f"{counts[i]} bands of width {w} > max_copies="
+                f"{max_copies}; raise band_width or max_copies (the "
+                "broadcast sizing relies on this bound)"
+            )
         rep = np.repeat(np.arange(len(counts)), counts)
         offs = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
             np.cumsum(counts) - counts, counts
@@ -919,7 +970,7 @@ def banded_interval_join(
         left.map_batches(tag_left, batch_format="pyarrow"),
         right.map_batches(explode_right, batch_format="pyarrow"),
         on + ["__band"],
-        right_rows=None if right_rows is None else 2 * right_rows,
+        right_rows=None if right_rows is None else max_copies * right_rows,
         num_buckets=num_buckets, left_schema=ls, right_schema=rs,
     )
 
@@ -932,6 +983,24 @@ def banded_interval_join(
         return t.filter(keep).drop_columns(["__band", "__band_r"])
 
     return j.map_batches(band, batch_format="pyarrow")
+
+
+def _bloom_probe_indices(col: pa.ChunkedArray, n_bits: int, k: int):
+    """The k probe bit-indices per key — ONE definition shared by the
+    build and filter sides (the no-false-negative guarantee is exactly
+    'both sides compute identical indices', so the double-hash math
+    must never fork).  Yields k int64 index arrays."""
+    import numpy as np
+
+    from ..functions.text import hash_u64
+
+    v = col.cast(pa.string()).to_pandas().to_numpy(dtype=object)
+    h1 = hash_u64(v)
+    h2 = ((h1 >> np.uint64(31)) | (h1 << np.uint64(33))) | np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(
+            np.int64
+        )
 
 
 def build_bloom(
@@ -949,17 +1018,9 @@ def build_bloom(
 
     import ray
 
-    from ..functions.text import hash_u64
-
     def partial(t: pa.Table) -> pa.Table:
-        v = t.column(col).cast(pa.string()).to_pandas().to_numpy(dtype=object)
-        h1 = hash_u64(v)
-        h2 = ((h1 >> np.uint64(31)) | (h1 << np.uint64(33))) | np.uint64(1)
         bits = np.zeros(n_bits // 8, np.uint8)
-        for i in range(k):
-            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(
-                np.int64
-            )
+        for idx in _bloom_probe_indices(t.column(col), n_bits, k):
             np.bitwise_or.at(
                 bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8)
             )
@@ -981,20 +1042,12 @@ def bloom_prefilter(
     fetched once per worker process (``_cached_get``)."""
     import numpy as np
 
-    from ..functions.text import hash_u64
-
     ref, n_bits, k = bloom
 
     def keep(t: pa.Table) -> pa.Table:
         bitmap: np.ndarray = _cached_get(ref)
-        v = t.column(col).cast(pa.string()).to_pandas().to_numpy(dtype=object)
-        h1 = hash_u64(v)
-        h2 = ((h1 >> np.uint64(31)) | (h1 << np.uint64(33))) | np.uint64(1)
-        ok = np.ones(len(v), bool)
-        for i in range(k):
-            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(
-                np.int64
-            )
+        ok = np.ones(t.num_rows, bool)
+        for idx in _bloom_probe_indices(t.column(col), n_bits, k):
             ok &= (bitmap[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
         return t.filter(pa.array(ok))
 
@@ -1041,6 +1094,7 @@ def skew_join(
     num_buckets: int = 32,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    materialize_inputs: bool = False,
 ) -> rd.Dataset:
     """Skew-aware inner equi-join: rows whose key is in ``hot_keys``
     (caller-known, or ``detect_hot_keys``) take the BROADCAST plan —
@@ -1049,7 +1103,15 @@ def skew_join(
     cold keys take the normal partitioned hash join; the two plans'
     outputs are column/dtype-identical (both are ``auto_hash_join``
     shapes) and union back.  Semantics-preserving: every row goes
-    through exactly one plan."""
+    through exactly one plan.
+
+    COST NOTE: the hot/cold split consumes each input's lineage twice
+    (Ray re-executes a lazy upstream per filter branch).
+    ``materialize_inputs=True`` pins each input in the (spillable)
+    object store first — one upstream execution, two cheap scans.
+    Choose by upstream cost: re-reading pruned parquet twice is often
+    cheaper than spilling a huge probe side; a compute-heavy upstream
+    (joins, parsing) should materialize."""
     import pyarrow.compute as pc
 
     right_on = right_on or left_on
@@ -1059,6 +1121,9 @@ def skew_join(
             right_rows=right_rows, num_buckets=num_buckets,
             left_schema=left_schema, right_schema=right_schema,
         )
+    if materialize_inputs:
+        left = left.materialize()
+        right = right.materialize()
     hot_arr = pa.array(hot_keys)
 
     def split(col):

@@ -100,10 +100,15 @@ def grouped_approx_distinct(
     def partial(df: pd.DataFrame) -> pa.Table:
         keys_out, regs_out = [], []
         for k, g in df.groupby(key_col, sort=False, dropna=False):
-            h = hash_u64(g[val_col].astype(str).to_numpy(dtype=object))
-            idx, rank = _rho64(h, p)
+            # count(DISTINCT val) semantics: NULL values are not
+            # members (astype(str) would otherwise hash 'nan'/'None'
+            # into the registers and inflate every affected group)
+            vals = g[val_col].dropna()
             regs = np.zeros(m, np.uint8)
-            np.maximum.at(regs, idx, rank)
+            if len(vals):
+                h = hash_u64(vals.astype(str).to_numpy(dtype=object))
+                idx, rank = _rho64(h, p)
+                np.maximum.at(regs, idx, rank)
             keys_out.append(k)
             regs_out.append(regs.tobytes())
         return pa.table({

@@ -116,8 +116,11 @@ def make_curation_gate(spec: TableSpec, predicate):
     keep_cols = set(spec.key_cols) | {spec.lsn_col, op_col}
 
     def gate(batch: pa.Table) -> pa.Table:
-        ops = np.asarray(batch.column(op_col).to_pylist(), dtype=object)
-        is_del = ops == "D"
+        # vectorized Arrow kernel — this runs on every batch of every
+        # epoch in the apply hot path, so no per-element Python
+        is_del = pc.fill_null(
+            pc.equal(batch.column(op_col), "D"), False
+        ).to_numpy(zero_copy_only=False)
         ok = np.asarray(predicate(batch), dtype=bool)
         to_tomb = ~ok & ~is_del
         if not to_tomb.any():

@@ -528,6 +528,23 @@ def test_bucketed_sum_matches_ray_aggregate():
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+    # all-null VALUE groups must sum to NULL like Ray's Sum, not
+    # pandas' 0 (and partially-null groups skip nulls) — on both the
+    # combine=True and combine=False paths
+    df2 = pd.DataFrame({
+        "k": [1, 1, 2, 2, 3],
+        "v": [np.nan, np.nan, 5.0, np.nan, 7.0],
+    })
+    ds2 = rd.from_pandas(df2).repartition(3)
+    for combine in (True, False):
+        g2 = (
+            bucketed_sum(ds2, ["k"], ["v"], num_buckets=2,
+                         combine=combine)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert pd.isna(g2.loc[0, "v"])          # all-null group → NULL
+        assert g2.loc[1, "v"] == 5.0 and g2.loc[2, "v"] == 7.0
+
 
 def test_exact_quantiles_matches_duckdb_semantics():
     """exact_quantiles == quantile_disc (rank = max(0, ceil(q·n)−1)) on
