@@ -2441,6 +2441,34 @@ _QUANTILE_SQL = " UNION ALL ".join(
 )
 
 
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic temperature sampling: keep each doc with
+    probability min(1, n_chars/2000) decided by a 32-bit md5 fraction
+    of the id — the corpus-mixing reweighting step, reproducible on
+    any cluster size and exactly SQL-mirrored."""
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        weighted_sample,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars"], rows_hint=n)
+    withw = docs.map_batches(
+        lambda t: t.append_column(
+            "w", pc.divide(pc.cast(t.column("n_chars"), pa.float64()),
+                           2000.0)
+        ),
+        batch_format="pyarrow",
+    )
+    return weighted_sample(withw, "doc_id", "w").drop_columns(["w"])
+
+
+_WEIGHTED_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < floor(LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0) * 4294967296.0)
+"""
+
+
 _SHUFFLE_SQL = """
 SELECT row_number() OVER (
            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
@@ -3506,6 +3534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_per_type": approx_distinct_users_per_type,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         "skew_join_user_purchases": skew_join_user_purchases,
+        "weighted_sample_docs": weighted_sample_docs,
         "events_before_errors": events_before_errors,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -3588,6 +3617,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_lineitem_price": _QUANTILE_SQL,
         "bloom_join_highvalue_lineitems": _BLOOM_JOIN_SQL,
         "skew_join_user_purchases": _SKEW_JOIN_SQL,
+        "weighted_sample_docs": _WEIGHTED_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

@@ -593,3 +593,47 @@ def cap_per_key(
         return g[keep.to_numpy()]
 
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
+def weighted_sample(
+    ds: rd.Dataset, id_col: str, weight_col: str
+) -> rd.Dataset:
+    """Deterministic weighted (temperature) sampling — the domain-
+    reweighting step of corpus mixing: keep a row with probability
+    ``weight_col`` (clamped to [0, 1]), decided by comparing a
+    content-independent 32-bit hash fraction of the id against the
+    row's weight.  Like ``stratified_sample`` the decision is a pure
+    function of (id, weight): the SAME rows survive on any cluster
+    size, resume or partitioning, and the rule is SQL-mirrorable
+    exactly (``CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) <
+    floor(weight * 2^32)``)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import _HAVE_DUCKDB, _con
+
+        sv = pa.table({"v": t.column(id_col).cast(pa.string())})
+        if _HAVE_DUCKDB:
+            u = (
+                _con()
+                .execute(
+                    "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT)"
+                    " AS u FROM sv"
+                )
+                .fetch_arrow_table().column("u")
+                .to_numpy(zero_copy_only=False)
+            )
+        else:  # pragma: no cover - duckdb is a baked-in dependency
+            import hashlib
+
+            u = np.array([
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                for s in sv.column("v").to_pylist()
+            ], dtype=np.int64)
+        w = np.clip(
+            t.column(weight_col).to_numpy(zero_copy_only=False)
+            .astype(np.float64), 0.0, 1.0,
+        )
+        thr = np.floor(w * 4294967296.0)
+        return t.filter(pa.array(u < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -344,3 +344,36 @@ def test_deterministic_shuffle_partitioning_invariant():
     o1, o2 = order(1), order(5)
     assert o1 == o2
     assert sorted(o1) == list(range(40)) and o1 != list(range(40))
+
+
+def test_weighted_sample_deterministic_and_monotone():
+    """weighted_sample: identical survivors on any partitioning; weight
+    1.0 keeps everything, 0.0 keeps nothing; a row kept at weight w is
+    kept at any w' > w (hash-fraction threshold is monotone)."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        weighted_sample,
+    )
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(500), dtype="int64"),
+        "w": rng.random(500),
+    })
+
+    def ids(frame, parts):
+        out = weighted_sample(
+            rd.from_pandas(frame).repartition(parts), "doc_id", "w"
+        ).to_pandas()
+        # an all-empty result carries no columns (Ray skips map UDFs
+        # on empty blocks)
+        return set(out["doc_id"]) if "doc_id" in out.columns else set()
+
+    a = ids(df, 1)
+    assert a == ids(df, 5)
+    assert 50 < len(a) < 450  # ~uniform weights keep roughly half
+    assert ids(df.assign(w=1.0), 2) == set(range(500))
+    assert ids(df.assign(w=0.0), 2) == set()
+    bumped = ids(df.assign(w=np.minimum(1.0, df["w"] + 0.3)), 2)
+    assert a <= bumped  # monotone in weight
