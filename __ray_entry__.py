@@ -2340,10 +2340,14 @@ def shuffle_docs_deterministic(sf_dir: str):
 
     n = _nrows(sf_dir, "documents")
     docs = _pq(sf_dir, "documents", ["doc_id"], rows_hint=n)
-    shuffled = deterministic_shuffle(docs, "doc_id")
-    # enumerate WITHOUT re-sorting (sequential_ids(sort_col=None)
-    # numbers blocks in order) — the shuffle's order is the contract
-    return sequential_ids(shuffled, "rank")
+    # keep the shuffle key so enumeration can re-derive the global
+    # order from the DATA (block position is not an order contract
+    # under Ray's default preserve_order=False)
+    shuffled = deterministic_shuffle(docs, "doc_id", keep_key=True)
+    ranked = sequential_ids(
+        shuffled, "rank", order_cols=["__shuffle_key", "doc_id"]
+    )
+    return ranked.drop_columns(["__shuffle_key"])
 
 
 def bloom_join_highvalue_lineitems(sf_dir: str):

@@ -52,6 +52,7 @@ _STATS_SCHEMA = pa.schema(
         ("file", pa.string()),
         ("rows", pa.int64()),
         ("tombstones", pa.int64()),
+        ("gated", pa.int64()),
         ("bytes", pa.int64()),
         ("watermark", pa.int64()),
         ("sha_rollup", pa.string()),
@@ -73,6 +74,15 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
         part = int(group.column("part")[0].as_py())
         events_seen = group.num_rows
         delta = lww_reduce_table(group, key_cols, lsn_col)
+        # gate audit (ROADMAP #19): count the WINNING gated tombstones,
+        # then drop the marker so the delta schema stays canonical
+        n_gated = 0
+        if "__gated" in delta.column_names:
+            n_gated = int(
+                pc.sum(pc.fill_null(delta.column("__gated"), False)).as_py()
+                or 0
+            )
+            delta = delta.drop_columns(["__gated"])
         # deterministic file bytes: stable row order
         delta = delta.sort_by([(c, "ascending") for c in key_cols])
         pdir = Path(root) / table / f"part={part:05d}" / f"epoch={epoch:06d}"
@@ -93,6 +103,7 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
             "file": rel,
             "rows": delta.num_rows,
             "tombstones": n_tomb,
+            "gated": n_gated,
             "bytes": fpath.stat().st_size,
             "watermark": wm,
             "sha_rollup": roll,
@@ -140,7 +151,7 @@ class CDCLake:
     """Single-writer CDC lake table (copy-on-write Parquet + manifests)."""
 
     def __init__(self, root: str, spec: TableSpec | None = None,
-                 gate=None):
+                 gate=None, auto_compact_files: int | None = 16):
         self.root = str(root)
         self.spec = spec or TableSpec(name="cdc")
         # streaming curation hook (stages/standardize.make_curation_gate):
@@ -148,6 +159,12 @@ class CDCLake:
         # BOTH the batch and stream apply paths — failing I/U events
         # arrive in the lake as tombstones (retraction semantics)
         self.gate = gate
+        # size-tiered maintenance wired into the commit path: after a
+        # commit, any partition holding more than this many delta files
+        # is rewritten to one base file (merge-on-read cost is linear in
+        # accumulated delta files, so without this a long-running tail
+        # makes read_state drift slower every epoch).  None disables.
+        self.auto_compact_files = auto_compact_files
         m = mf.read_manifest(self.root, self.spec.name)
         if m is not None:
             # restore persisted schema + partitioning (must not drift);
@@ -281,6 +298,7 @@ class CDCLake:
             "partitions_touched": len(stats),
             "rows_upserted": int(sum(s["rows"] - s["tombstones"] for s in stats)),
             "tombstones": int(sum(s["tombstones"] for s in stats)),
+            "rows_gated": int(sum(s.get("gated", 0) for s in stats)),
             "events_seen": int(sum(s["events_seen"] for s in stats)),
             "wall_sec": round(time.time() - t0, 3),
         }
@@ -290,6 +308,7 @@ class CDCLake:
 
         self._commit(m, epoch, stats, record)
         record["committed"] = True
+        self._maybe_autocompact()
         return record
 
     def apply_stream(
@@ -408,6 +427,7 @@ class CDCLake:
             "partitions_touched": len(stats),
             "rows_upserted": int(sum(s["rows"] - s["tombstones"] for s in stats)),
             "tombstones": int(sum(s["tombstones"] for s in stats)),
+            "rows_gated": int(sum(s.get("gated", 0) for s in stats)),
             "events_seen": int(sum(s["events_seen"] for s in stats)),
             "wall_sec": round(time.time() - t0, 3),
             "commit_wait_sec": round(commit_wait, 3),
@@ -427,6 +447,7 @@ class CDCLake:
                 if s["watermark"] > wm[p]:
                     wm[p] = s["watermark"]
         record["committed"] = True
+        self._maybe_autocompact()
         return record
 
     def _phase1(
@@ -520,6 +541,8 @@ class CDCLake:
                 "watermark": max(old["watermark"], s["watermark"]),
                 "rows": old["rows"] + s["rows"],
                 "sha_rollup": s["sha_rollup"],
+                # cumulative gate-audit counter (ROADMAP #19)
+                "gated": old.get("gated", 0) + int(s.get("gated", 0)),
             }
         lineage.append(record)
         manifest = {
@@ -587,6 +610,22 @@ class CDCLake:
 
     # -- maintenance ------------------------------------------------------
 
+    def _maybe_autocompact(self) -> dict | None:
+        """Commit-path hook: size-tiered compaction when any partition's
+        delta-file count exceeds ``auto_compact_files`` (VERDICT r3 #3 —
+        ``state_read_sec`` doubled as epochs accumulated with the policy
+        left manual).  Single-writer, called from the commit thread, so
+        it cannot race an in-flight phase 2."""
+        k = self.auto_compact_files
+        if not k:
+            return None
+        m = mf.read_manifest(self.root, self.spec.name)
+        if not m or not any(
+            len(info["files"]) > k for info in m["partitions"].values()
+        ):
+            return None
+        return self.compact(max_files=k)
+
     def compact(self, max_files: int | None = None) -> dict:
         """Rewrite partitions' deltas into one base file each (new epoch),
         then swap the manifest.  ``max_files=None`` compacts everything;
@@ -637,6 +676,10 @@ class CDCLake:
                 "rows": s["rows"],
                 "sha_rollup": s["sha_rollup"],
                 "base": True,
+                # the gate-audit counter is lineage-cumulative: carry it
+                # through the rewrite (the gated tombstones themselves
+                # are resolved away by compaction)
+                "gated": m["partitions"][p].get("gated", 0),
             }
         # a targeted partition whose keys were ALL deleted yields no
         # output group: drop its files, keep the watermark
@@ -645,6 +688,7 @@ class CDCLake:
                 partitions[p] = {
                     "files": [], "watermark": info["watermark"],
                     "rows": 0, "sha_rollup": None, "base": True,
+                    "gated": info.get("gated", 0),
                 }
         record = {
             "epoch": epoch,
@@ -697,6 +741,9 @@ class CDCLake:
                 ),
                 "sha_rollup": pa.array(
                     [v.get("sha_rollup") for _, v in parts], pa.string()
+                ),
+                "gated": pa.array(
+                    [v.get("gated", 0) for _, v in parts], pa.int64()
                 ),
             }
         )

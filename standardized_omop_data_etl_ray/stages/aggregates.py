@@ -114,18 +114,72 @@ def deterministic_ids(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@ray.remote
+def _block_order_key(t, cols: list[str]):
+    """(first-row, last-row) key tuples of a block that is internally
+    sorted by ``cols`` — None for an empty block.  Null key components
+    map to a null-safe pair so tuples stay comparable (Arrow/Ray sorts
+    place nulls last by default)."""
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if t.num_rows == 0:
+        return None
+
+    def ns(v):
+        return (v is None, 0 if v is None else v)
+
+    first = tuple(ns(t.column(c)[0].as_py()) for c in cols)
+    last = tuple(ns(t.column(c)[-1].as_py()) for c in cols)
+    return (first, last)
+
+
+def ordered_sorted_refs(
+    ds: rd.Dataset, key_cols: list[str]
+) -> list["ray.ObjectRef"]:
+    """Arrow refs of a dataset sorted by ``key_cols``, returned in
+    GLOBAL key order derived from the DATA (each block's first/last key
+    — blocks from a sort are range-partitioned and internally sorted),
+    not from executor bundle order: with the default
+    ``execution_options.preserve_order = False`` Ray may hand back
+    post-sort blocks permuted, which would silently scramble any
+    block-position-based enumeration (advisor finding, round 3).
+    Empty blocks sort last.  Cost: one tiny task per block reading two
+    rows — no extra pass over the data."""
+    refs = ds.to_arrow_refs()
+    keys = ray.get([_block_order_key.remote(r, key_cols) for r in refs])
+    order = sorted(
+        range(len(refs)),
+        key=lambda i: (keys[i] is None, keys[i] or ()),
+    )
+    return [refs[i] for i in order]
+
+
 def sequential_ids(
-    ds: rd.Dataset, id_col: str, sort_col: str | None = None, start: int = 1
+    ds: rd.Dataset,
+    id_col: str,
+    sort_col: str | None = None,
+    start: int = 1,
+    order_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Exact reference semantics (A5): global 1..N enumeration.  Requires
     a defined global order — pass ``sort_col`` (the reference's implicit
-    order is concat order, which is not reproducible at scale).
+    order is concat order, which is not reproducible at scale), or
+    ``order_cols`` when the input is ALREADY sorted by those columns
+    (skips the re-sort; blocks are re-ordered by their first/last keys).
+
+    Enumeration is fully deterministic when the order key is unique;
+    rows tied on the key may be numbered in any order among themselves
+    (same caveat as any non-total sort order).
 
     Implementation: per-block counts → prefix-sum offsets → add offset
     per block (two passes, no shuffle beyond the sort)."""
     if sort_col is not None:
         ds = ds.sort(sort_col)
-    refs = ds.to_arrow_refs()
+        refs = ordered_sorted_refs(ds, [sort_col])
+    elif order_cols is not None:
+        refs = ordered_sorted_refs(ds, order_cols)
+    else:
+        refs = ds.to_arrow_refs()
 
     # Ray skips UDF execution on empty blocks, so a zero-row pandas
     # block from an upstream pandas stage can survive every
@@ -228,11 +282,22 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     sort is the honest cost of an exact quantile; approximate needs
     (t-digest) trade it away but lose the oracle.
 
+    NULL rows are dropped before the sort so rank math matches
+    ``quantile_disc`` (which ignores NULLs) on nullable columns —
+    otherwise nulls would occupy sorted ranks and shift every quantile.
+
     Returns a small in-memory table (q float64, value <col type>)."""
     import math
 
-    s = ds.select_columns([col]).sort(col)
-    refs = s.to_arrow_refs()
+    s = (
+        ds.select_columns([col])
+        .map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+        .sort(col)
+    )
+    # block order re-derived from the data, not executor bundle order
+    # (ties across block boundaries are identical values, so any
+    # non-decreasing block arrangement yields the same rank→value map)
+    refs = ordered_sorted_refs(s, [col])
     from .joins import _block_rows
 
     counts = ray.get([_block_rows.remote(r) for r in refs])

@@ -486,11 +486,16 @@ def pack_sequences(
     ``sequential_ids`` two-pass trick generalized from row counts to
     token counts — per-block token sums → driver prefix offsets
     (scalars, one per block) → vectorized in-block cumsum.  No second
-    shuffle, no per-row driver work."""
+    shuffle, no per-row driver work.  Block order is re-derived from
+    each block's first/last id (``ordered_sorted_refs``), not from
+    executor bundle order, which Ray does not guarantee with
+    ``preserve_order`` off."""
     import ray
 
+    from .aggregates import ordered_sorted_refs
+
     sorted_ds = ds.sort(id_col)
-    refs = sorted_ds.to_arrow_refs()
+    refs = ordered_sorted_refs(sorted_ds, [id_col])
 
     @ray.remote
     def _tok_rows(t) -> pa.Table:
@@ -531,13 +536,18 @@ def pack_sequences(
 
 
 def deterministic_shuffle(
-    ds: rd.Dataset, id_col: str, digits: int = 8
+    ds: rd.Dataset, id_col: str, digits: int = 8, keep_key: bool = False
 ) -> rd.Dataset:
     """Deterministic global shuffle for training output: order by
     ``md5(str(id))`` — content-independent, partitioning-independent,
     reproducible across cluster sizes and resumes (the property an
     RNG-seeded ``random_shuffle`` cannot give), and SQL-mirrorable.
-    One sort; the hash column is computed per batch and dropped."""
+    One sort; the hash column is computed per batch and dropped unless
+    ``keep_key`` — pass ``keep_key=True`` when a downstream step needs
+    to recover the shuffle order from the data (e.g. enumeration via
+    ``sequential_ids(order_cols=["__shuffle_key", id_col])``), since
+    block order alone is not an order contract under Ray's default
+    ``preserve_order = False``."""
 
     def add_h(t: pa.Table) -> pa.Table:
         from ..functions.hashing import _HAVE_DUCKDB, _con
@@ -558,11 +568,10 @@ def deterministic_shuffle(
             ])
         return t.append_column("__shuffle_key", h)
 
-    return (
-        ds.map_batches(add_h, batch_format="pyarrow")
-        .sort(["__shuffle_key", id_col])
-        .drop_columns(["__shuffle_key"])
+    out = ds.map_batches(add_h, batch_format="pyarrow").sort(
+        ["__shuffle_key", id_col]
     )
+    return out if keep_key else out.drop_columns(["__shuffle_key"])
 
 
 def cap_per_key(

@@ -887,8 +887,10 @@ def window_multiplicity_delta(
 ) -> rd.Dataset:
     """Signed k-token-window occurrence delta for a CDC batch of
     documents (ROADMAP #17, the ``doc_frequency_delta`` analog at
-    window granularity): +count per distinct window hash of added
-    docs, −count for removed docs.  Per-block ``np.unique`` combiner —
+    window granularity): +occurrence count per window hash of added
+    docs (intra-doc repeats INCLUDED — the histogram-merge semantics;
+    not distinct-per-doc), −count for removed docs.  Per-block
+    ``np.unique`` combiner —
     the exchange moves ≤1 (win_hash, n) row per distinct window per
     block, never one row per occurrence."""
     from .joins import bucketed_sum

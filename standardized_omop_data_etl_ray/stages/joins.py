@@ -215,6 +215,47 @@ def bucketed_agg(
 
     sum_outs = [o for o, (c, op) in aggs.items() if op == "sum"]
 
+    # Pin numeric output dtypes from the SOURCE schema once: a bucket
+    # holding an all-null group routes through pandas NaN and would emit
+    # float64 where other buckets emit int64, so blocks of one logical
+    # column could disagree in Arrow dtype and break downstream schema
+    # unification (advisor finding, round 3).  Non-numeric (temporal /
+    # string min-max) outputs keep the from_pandas type — callers like
+    # observation_periods re-cast those explicitly.
+    def _source_arrow_types() -> dict[str, pa.DataType]:
+        try:
+            sch = ds.schema(fetch_if_missing=True)
+            out = {}
+            for name, typ in zip(sch.names, sch.types):
+                if typ is None or typ is object:
+                    # Ray's sentinel for a pandas dtype it could not
+                    # convert (extension dtypes) — NB from_numpy_dtype(
+                    # None) would silently yield float64
+                    raise TypeError(f"unconvertible dtype for {name}")
+                if not isinstance(typ, pa.DataType):
+                    typ = pa.from_numpy_dtype(typ)  # pandas blocks
+                out[name] = typ
+            return out
+        except Exception:
+            pass
+        try:  # pandas blocks w/ extension dtypes (Int64, …)
+            head = ds.limit(1).to_pandas()
+            asch = pa.Schema.from_pandas(head, preserve_index=False)
+            return {f.name: f.type for f in asch}
+        except Exception:
+            return {}
+
+    out_types: dict[str, pa.DataType] = {}
+    src_t = _source_arrow_types()
+    for o, (c, op) in aggs.items():
+        st = src_t.get(c)
+        if op == "count":
+            out_types[o] = pa.int64()
+        elif st is not None and pa.types.is_integer(st):
+            out_types[o] = pa.int64() if op == "sum" else st
+        elif st is not None and pa.types.is_floating(st):
+            out_types[o] = pa.float64()
+
     def _emit(out: pd.DataFrame, names: list[str]) -> pa.Table:
         cols = {}
         for kc in key_cols:
@@ -222,11 +263,21 @@ def bucketed_agg(
         for o in names:
             if o in sum_outs:
                 mask = (out["__nn_" + o] == 0).to_numpy(dtype=bool)
-                cols[o] = pa.Array.from_pandas(out[o], mask=mask)
+                ser = out[o]
+                if pd.api.types.is_extension_array_dtype(ser.dtype):
+                    # from_pandas(mask=...) rejects extension arrays
+                    ser = ser.astype("float64")
+                arr = pa.Array.from_pandas(ser, mask=mask)
             else:
-                cols[o] = pa.Array.from_pandas(out[o])
+                arr = pa.Array.from_pandas(out[o])
+            tt = out_types.get(o)
+            if tt is not None and arr.type != tt:
+                arr = arr.cast(tt)
+            cols[o] = arr
         for o in sum_outs:
-            cols["__nn_" + o] = pa.Array.from_pandas(out["__nn_" + o])
+            cols["__nn_" + o] = pa.Array.from_pandas(
+                out["__nn_" + o]
+            ).cast(pa.int64())
         return pa.table(cols)
 
     def partial(df: pd.DataFrame) -> pa.Table:
@@ -1141,11 +1192,18 @@ def skew_join(
                               batch_format="pyarrow")
     r_cold = right.map_batches(lambda t: rf(t, False, right_on),
                                batch_format="pyarrow")
-    # hot side: force the broadcast plan (hot build rows are bounded by
-    # |hot_keys| × per-key build fan-in — dimension-sized by contract)
+    # hot side: MEASURE the hot build slice instead of assuming one
+    # build row per hot key (a build-side-skewed input could otherwise
+    # blow past what the broadcast plan was sized for — advisor
+    # finding, round 3).  The slice is materialized once (spillable,
+    # expected dimension-sized) and its true count drives the plan:
+    # small → broadcast; huge → partitioned fallback.
+    r_hot = r_hot.materialize()
+    n_hot_build = r_hot.count()
     hot_join = auto_hash_join(
         l_hot, r_hot, [left_on], [right_on],
-        right_rows=len(hot_keys),  # ≤ broadcast_limit → broadcast plan
+        right_rows=n_hot_build,
+        num_buckets=num_buckets,
         left_schema=left_schema, right_schema=right_schema,
     )
     cold_join = auto_hash_join(

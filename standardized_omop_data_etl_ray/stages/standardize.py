@@ -109,7 +109,14 @@ def make_curation_gate(spec: TableSpec, predicate):
 
     ``predicate``: Callable[[pa.Table], bool ndarray] over the RAW
     event batch (pre-standardize) — compose it from the same vectorized
-    kernels the batch curation pass uses (functions/text.py)."""
+    kernels the batch curation pass uses (functions/text.py).
+
+    AUDIT TRAIL (ROADMAP #19, the analog of the reference's per-script
+    skip-warning logs, vital_signs--measurement.py:52,155-165): gated
+    rows carry a ``__gated`` marker column through the apply path; the
+    delta writer counts the WINNING gated tombstones per partition and
+    drops the marker, so commit records / partition_metrics report
+    ``rows_gated`` separately from organic deletes."""
     import numpy as np
 
     op_col = spec.op_col
@@ -124,7 +131,9 @@ def make_curation_gate(spec: TableSpec, predicate):
         ok = np.asarray(predicate(batch), dtype=bool)
         to_tomb = ~ok & ~is_del
         if not to_tomb.any():
-            return batch
+            return batch.append_column(
+                "__gated", pa.array(np.zeros(batch.num_rows, dtype=bool))
+            )
         mask = pa.array(to_tomb)
         i_op = batch.column_names.index(op_col)
         batch = batch.set_column(
@@ -140,6 +149,6 @@ def make_curation_gate(spec: TableSpec, predicate):
                 batch.column_names.index(c), c,
                 pc.if_else(mask, pa.scalar(None, col.type), col),
             )
-        return batch
+        return batch.append_column("__gated", mask)
 
     return gate

@@ -491,3 +491,73 @@ def test_curation_gate_retracts_and_passes_deletes(tmp_path):
     st2 = _state(lake)
     paths = {r["path"]: r["content"] for r in st2.to_pylist()}
     assert paths == {"keep.txt": "good v1", "retract.txt": "good v2"}
+
+
+def test_gate_audit_counts_in_commit_and_metrics(tmp_path):
+    """ROADMAP #19: per-epoch gated-row counts surface in the commit
+    record (`rows_gated`, distinct from organic deletes) and accumulate
+    in partition_metrics()."""
+    from standardized_omop_data_etl_ray.stages.standardize import (
+        make_curation_gate,
+    )
+
+    spec = _spec(4)
+
+    def content_ok(batch: pa.Table):
+        import numpy as np
+
+        c = batch.column("content").to_pandas().fillna("")
+        return (~c.str.contains("BAD")).to_numpy()
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    lake = CDCLake(tmp_path, spec,
+                   gate=make_curation_gate(spec, content_ok))
+    rec1 = lake.apply_events(rd.from_items([
+        ev("I", 1, "a.txt", "good"),
+        ev("I", 2, "b.txt", "BAD one"),      # gated
+        ev("I", 3, "c.txt", "BAD two"),      # gated
+        ev("I", 4, "d.txt", "good"),
+        ev("D", 5, "a.txt", None),           # organic delete, NOT gated
+    ]))
+    assert rec1["rows_gated"] == 2
+    assert rec1["tombstones"] == 3          # 2 gated + 1 organic
+    rec2 = lake.apply_events(rd.from_items([
+        ev("U", 6, "d.txt", "BAD now"),      # gated update
+    ]))
+    assert rec2["rows_gated"] == 1
+    pm = lake.partition_metrics().to_pandas()
+    assert int(pm["gated"].sum()) == 3       # cumulative across epochs
+    # state has only the surviving good row; no __gated column leaks
+    st = lake.read_state().to_pandas()
+    assert "__gated" not in st.columns
+    assert len(st) == 0  # d gated, a deleted, b/c never in
+
+
+def test_auto_compaction_caps_delta_files(tmp_path):
+    """Size-tiered compaction fires from the commit path once any
+    partition exceeds auto_compact_files deltas; state stays exact and
+    file counts drop back to one base per partition."""
+    spec = _spec(2)
+    lake = CDCLake(tmp_path, spec, auto_compact_files=3)
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    for e in range(6):
+        lake.apply_events(rd.from_items([
+            ev("I" if e == 0 else "U", 10 * e + 1, "x.txt", f"v{e}"),
+            ev("I" if e == 0 else "U", 10 * e + 2, "y.txt", f"w{e}"),
+        ]))
+    pm = lake.partition_metrics().to_pandas()
+    assert int(pm["n_files"].max()) <= 4     # capped, not 6
+    assert any(r.get("compaction") for r in lake.lineage())
+    st = lake.read_state().to_pandas().sort_values("path")
+    assert list(st["content"]) == ["v5", "w5"]
+    # exactly-once survives compaction: replaying an old window is a no-op
+    lake.apply_events(rd.from_items([ev("U", 3, "x.txt", "stale")]))
+    st2 = lake.read_state().to_pandas().sort_values("path")
+    assert list(st2["content"]) == ["v5", "w5"]

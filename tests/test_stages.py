@@ -657,3 +657,101 @@ def test_skew_join_equals_plain_join_with_forced_hot_key():
         left_schema=left.schema, right_schema=right.schema,
     ))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_exact_quantiles_ignores_nulls():
+    """NULLs must not occupy sorted ranks (quantile_disc ignores them) —
+    advisor finding, round 3."""
+    import duckdb
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        exact_quantiles,
+    )
+
+    vals = [None, 10, None, 30, 20, None, 40, None, 50]
+    df = pd.DataFrame({"x": pd.array(vals, dtype="Int64")})
+    got = exact_quantiles(
+        rd.from_pandas(df).repartition(3), "x", [0.0, 0.5, 1.0]
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("v", df)
+    for q, v in zip(got["q"], got["value"]):
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM v"
+        ).fetchone()[0]
+        assert v == want, (q, v, want)
+
+
+def test_ordered_sorted_refs_reconstructs_global_order():
+    """Block order is re-derived from each block's first/last key, so a
+    permuted block list (what preserve_order=False can hand back after
+    a sort) still enumerates correctly."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        ordered_sorted_refs,
+        sequential_ids,
+    )
+
+    # blocks deliberately OUT of global order (and internally sorted)
+    blocks = [
+        pa.table({"k": pa.array([20, 21, 22], pa.int64())}),
+        pa.table({"k": pa.array([], pa.int64())}),
+        pa.table({"k": pa.array([0, 1, 2], pa.int64())}),
+        pa.table({"k": pa.array([10, 11], pa.int64())}),
+    ]
+    ds = rd.from_arrow_refs([ray.put(b) for b in blocks])
+    refs = ordered_sorted_refs(ds, ["k"])
+    got = pa.concat_tables([
+        t if isinstance(t, pa.Table)
+        else pa.Table.from_pandas(t, preserve_index=False)
+        for t in ray.get(refs)
+    ])
+    assert got.column("k").to_pylist() == [0, 1, 2, 10, 11, 20, 21, 22]
+
+    # order_cols path on sequential_ids: data already sorted by k,
+    # block positions scrambled → ids must still follow k order
+    out = sequential_ids(ds, "rid", order_cols=["k"]).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["rid"].tolist() == list(range(1, 9))
+
+
+def test_bucketed_agg_stable_dtype_with_all_null_bucket():
+    """A bucket whose groups are all-null must not flip a sum/min/max
+    column to float64 while other buckets emit int64 — output dtype is
+    pinned from the source schema (advisor finding, round 3)."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.joins import bucketed_agg
+
+    df = pd.DataFrame({
+        "k": list(range(40)),
+        "v": pd.array(
+            [None] * 20 + list(range(20)), dtype="Int64"
+        ),
+    })
+    out = bucketed_agg(
+        rd.from_pandas(df).repartition(4),
+        ["k"],
+        {"s": ("v", "sum"), "mn": ("v", "min"), "n": ("v", "count")},
+        num_buckets=8,
+    ).materialize()
+    # every output block must agree on Arrow dtype for each column
+    schemas = {
+        tuple(
+            (f.name, str(f.type))
+            for f in (
+                t.schema if isinstance(t, pa.Table)
+                else pa.Schema.from_pandas(t)
+            )
+        )
+        for t in ray.get(out.to_arrow_refs())
+        if (t.num_rows if isinstance(t, pa.Table) else len(t)) > 0
+    }
+    assert len(schemas) == 1, schemas
+    (schema,) = schemas
+    types = dict(schema)
+    assert types["s"] == "int64"
+    assert types["mn"] == "int64"
+    assert types["n"] == "int64"
+    p = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert p["s"].isna()[:20].all()
+    assert (p["s"][20:].to_numpy() == np.arange(20)).all()
