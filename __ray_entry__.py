@@ -2565,29 +2565,33 @@ FROM c
 
 def cdc_incremental_vocab_docs(sf_dir: str):
     """Curated CDC replay + incremental vocabulary in the SAME
-    composition (ROADMAP #20): after each epoch the lake state is
-    diffed against the previous snapshot (``snapshot_diff`` with
-    ``carry_cols`` — change-set output carrying old/new content), the
-    diff feeds a signed ``doc_frequency_delta`` (retracted content
-    counts −1, inserted +1), and the delta folds into the committed
-    vocabulary with ``merge_doc_frequencies``.  After three epochs of
+    composition (ROADMAP #20/#21): after each epoch's commit, the
+    change set comes from the epoch's OWN delta files
+    (``pipelines/cdc.epoch_change_set`` — untouched partitions are
+    never read; VERDICT r3 #5 replaced the former full-state
+    ``snapshot_diff`` per epoch), feeds a signed
+    ``doc_frequency_delta`` (retracted content counts −1, inserted
+    +1), and folds into the committed vocabulary with
+    ``merge_doc_frequencies``.  Fully incremental from the empty
+    state: the lake state is NEVER re-read.  After three epochs of
     inserts, updates, deletes, re-inserts and gate retractions, the
     folded vocabulary must equal document frequencies computed fresh
     over the final curated state — which is what the SQL oracle
     computes from the closed-form replay."""
     import tempfile as _tf
 
-    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        epoch_change_set,
+    )
     from standardized_omop_data_etl_ray.pipelines.flagship import (
         events_from_documents,
     )
     from standardized_omop_data_etl_ray.spec import TableSpec
     from standardized_omop_data_etl_ray.stages.corpus import (
-        doc_frequencies,
         doc_frequency_delta,
         merge_doc_frequencies,
     )
-    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
     from standardized_omop_data_etl_ray.stages.standardize import (
         make_curation_gate,
     )
@@ -2615,33 +2619,28 @@ def cdc_incremental_vocab_docs(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    prev = vocab = None
+    vocab = None
     for e in range(epochs):
-        lake.apply_events(
+        rec = lake.apply_events(
             events.filter(expr=f"lsn >= {e * step} and "
                                f"lsn < {min((e + 1) * step, total)}")
         )
-        state = lake.read_state(drop_engine_cols=True).materialize()
-        if vocab is None:
-            vocab = doc_frequencies(state, "content", "path")
-        else:
-            diff = snapshot_diff(
-                prev, state, ["repo", "path"], "lsn",
-                carry_cols=["content"],
-            ).materialize()
-            added = texts(
-                diff.filter(expr="change == 'added' or change == 'updated'"),
-                "new_content",
-            )
-            removed = texts(
-                diff.filter(expr="change == 'deleted' or change == 'updated'"),
-                "old_content",
-            )
-            vocab = merge_doc_frequencies(
-                vocab, doc_frequency_delta(added, removed, "text")
-            )
-        vocab = vocab.materialize()
-        prev = state
+        diff = epoch_change_set(
+            lake, rec["epoch"], carry_cols=["content"]
+        ).materialize()
+        added = texts(
+            diff.filter(expr="change == 'added' or change == 'updated'"),
+            "new_content",
+        )
+        removed = texts(
+            diff.filter(expr="change == 'deleted' or change == 'updated'"),
+            "old_content",
+        )
+        delta = doc_frequency_delta(added, removed, "text")
+        vocab = (
+            delta if vocab is None
+            else merge_doc_frequencies(vocab, delta)
+        ).materialize()
     return vocab
 
 

@@ -134,6 +134,140 @@ def _partition_resolver(schema: pa.Schema, spec: TableSpec):
     return resolve_partition
 
 
+def _file_epoch(rel_path: str) -> int:
+    """Epoch number encoded in a delta file's relative path
+    (``part=NNNNN/epoch=NNNNNN/delta.parquet``)."""
+    for seg in Path(rel_path).parts:
+        if seg.startswith("epoch="):
+            return int(seg.split("=", 1)[1])
+    return -1
+
+
+def epoch_change_set(
+    lake: "CDCLake",
+    epoch: int,
+    carry_cols: list[str] | None = None,
+    stats_out: dict | None = None,
+) -> rd.Dataset:
+    """DELTA-SOURCED change set for one committed epoch (ROADMAP #21 /
+    VERDICT r3 #5): same output contract as ``stages/merge.snapshot_diff``
+    — one row per changed key, ``change`` ∈ {'added','deleted','updated'},
+    ``old_``/``new_`` version and carry columns — but computed from the
+    epoch's OWN delta files joined against the prior winners of only the
+    TOUCHED partitions, never by diffing two full state snapshots.
+
+    Scale shape: untouched partitions are never read (per-epoch cost is
+    proportional to the change set across partitions); within a touched
+    partition the prior winner comes from that partition's delta history,
+    which commit-path auto-compaction keeps bounded.  One Ray task per
+    touched partition; the driver handles file lists only.
+
+    Timing contract: call after the epoch's commit and before a LATER
+    compaction collapses the partition's file history (compaction
+    rewrites prior deltas into a base tagged with a newer epoch).
+    ``stats_out`` (optional dict) receives rows-processed evidence:
+    partitions touched/total and file counts read per side."""
+    import pyarrow.dataset as pds
+
+    spec = lake.spec
+    m = mf.read_manifest(lake.root, spec.name)
+    troot = Path(lake.root) / spec.name
+    key_cols, lsn_col, op_col = (
+        list(spec.key_cols), spec.lsn_col, spec.op_col,
+    )
+    carry = list(carry_cols or ())
+    schema = mf.schema_from_b64(m["schema"]) if m else lake._state_schema()
+
+    new_files, old_files = [], []
+    for info in (m or {"partitions": {}})["partitions"].values():
+        nf = [f for f in info["files"] if _file_epoch(f) == epoch]
+        if not nf:
+            continue
+        of = [f for f in info["files"] if _file_epoch(f) < epoch]
+        new_files.append([str(troot / f) for f in nf])
+        old_files.append([str(troot / f) for f in of])
+
+    if stats_out is not None:
+        stats_out.update(
+            partitions_touched=len(new_files),
+            partitions_total=len((m or {"partitions": {}})["partitions"]),
+            files_new=sum(map(len, new_files)),
+            files_old=sum(map(len, old_files)),
+        )
+
+    diff_schema = pa.schema(
+        [schema.field(k) for k in key_cols]
+        + [pa.field("change", pa.string()),
+           pa.field("old_" + lsn_col, schema.field(lsn_col).type),
+           pa.field("new_" + lsn_col, schema.field(lsn_col).type)]
+        + [f for c in carry
+           for f in (pa.field("old_" + c, schema.field(c).type),
+                     pa.field("new_" + c, schema.field(c).type))]
+    )
+    if not new_files:
+        return rd.from_arrow(diff_schema.empty_table())
+
+    keep_cols = key_cols + [lsn_col, op_col, "key_hash"] + carry
+
+    def classify_partition(batch: pa.Table) -> pa.Table:
+        out = []
+        for nfs, ofs in zip(batch.column("new").to_pylist(),
+                            batch.column("old").to_pylist()):
+            new = pds.dataset(nfs, schema=schema).to_table().select(keep_cols)
+            new = lww_reduce_table(new, key_cols, lsn_col)
+            if ofs:
+                old = pds.dataset(ofs, schema=schema).to_table().select(
+                    keep_cols
+                )
+                old = drop_tombstones(
+                    lww_reduce_table(old, key_cols, lsn_col), op_col
+                )
+                # cheap prefilter: only keys touched this epoch (hash
+                # collisions are supersets — the key join below is exact)
+                khn = new.column("key_hash").to_numpy(zero_copy_only=False)
+                kho = old.column("key_hash").to_numpy(zero_copy_only=False)
+                old = old.filter(pa.array(np.isin(kho, khn)))
+            else:
+                old = new.schema.empty_table()
+            j = new.drop_columns(["key_hash"]).join(
+                old.drop_columns(["key_hash", op_col]),
+                keys=key_cols, join_type="left outer",
+                right_suffix="_old",
+            )
+            is_del = pc.fill_null(
+                pc.equal(j.column(op_col), "D"), False
+            ).to_numpy(zero_copy_only=False)
+            was_live = pc.is_valid(
+                j.column(lsn_col + "_old")
+            ).to_numpy(zero_copy_only=False)
+            change = np.where(
+                was_live, np.where(is_del, "deleted", "updated"),
+                np.where(is_del, "drop", "added"),
+            )
+            keep = change != "drop"  # tombstone of a never-live key
+            j = j.filter(pa.array(keep))
+            change = change[keep]
+            cols = {k: j.column(k) for k in key_cols}
+            cols["change"] = pa.array(change, pa.string())
+            cols["old_" + lsn_col] = j.column(lsn_col + "_old")
+            cols["new_" + lsn_col] = j.column(lsn_col)
+            for c in carry:
+                cols["old_" + c] = j.column(c + "_old")
+                # a delete's payload is null in the delta row itself
+                cols["new_" + c] = j.column(c)
+            out.append(pa.table(cols).cast(diff_schema))
+        if not out:
+            return diff_schema.empty_table()
+        return pa.concat_tables(out)
+
+    plan = pa.table({"new": pa.array(new_files), "old": pa.array(old_files)})
+    return (
+        rd.from_arrow(plan)
+        .repartition(len(new_files))
+        .map_batches(classify_partition, batch_format="pyarrow")
+    )
+
+
 def _watermark_filter(wm_array: np.ndarray, lsn_col: str = "lsn"):
     """Drop events at or below the committed watermark of their partition
     (idempotent re-apply on replay/resume).  ``part`` is engine-derived

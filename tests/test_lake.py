@@ -561,3 +561,58 @@ def test_auto_compaction_caps_delta_files(tmp_path):
     lake.apply_events(rd.from_items([ev("U", 3, "x.txt", "stale")]))
     st2 = lake.read_state().to_pandas().sort_values("path")
     assert list(st2["content"]) == ["v5", "w5"]
+
+
+def test_epoch_change_set_matches_snapshot_diff_and_prunes(tmp_path):
+    """Delta-sourced change set (epoch_change_set) equals the full-state
+    snapshot_diff for the same epoch, and a sparse epoch reads ONLY the
+    touched partitions (rows-processed evidence, VERDICT r3 #5)."""
+    import pandas as pd
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        epoch_change_set,
+    )
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+
+    spec = _spec(8)
+    lake = CDCLake(tmp_path, spec)
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    # epoch 1: broad insert
+    lake.apply_events(rd.from_items([
+        ev("I", i, f"f{i}.txt", f"v0 of {i}") for i in range(1, 33)
+    ]))
+    state1 = lake.read_state(drop_engine_cols=True).materialize()
+
+    # epoch 2 (sparse): one update, one delete, one insert, one no-op
+    # tombstone of a never-live key
+    rec = lake.apply_events(rd.from_items([
+        ev("U", 100, "f3.txt", "v1 of 3"),
+        ev("D", 101, "f7.txt", None),
+        ev("I", 102, "new.txt", "brand new"),
+        ev("D", 103, "ghost.txt", None),
+    ]))
+    state2 = lake.read_state(drop_engine_cols=True).materialize()
+
+    stats = {}
+    got = (
+        epoch_change_set(lake, rec["epoch"], carry_cols=["content"],
+                         stats_out=stats)
+        .to_pandas().sort_values("path").reset_index(drop=True)
+    )
+    want = (
+        snapshot_diff(state1, state2, ["repo", "path"], "lsn",
+                      carry_cols=["content"])
+        .to_pandas().sort_values("path").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "change", "old_content", "new_content"]],
+        want[["repo", "path", "change", "old_content", "new_content"]],
+    )
+    assert set(got["change"]) == {"updated", "deleted", "added"}
+    # pruning: 4 touched keys can touch at most 4 of 8 partitions
+    assert stats["partitions_touched"] <= 4
+    assert stats["partitions_total"] == 8
