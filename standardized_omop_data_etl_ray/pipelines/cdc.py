@@ -555,6 +555,7 @@ class CDCLake:
         t_wait = time.time()
         stats = fut.result()
         commit_wait = time.time() - t_wait
+        t_commit = time.time()
         prev = mf.read_manifest(self.root, self.spec.name)
         record = {
             "epoch": epoch,
@@ -569,6 +570,10 @@ class CDCLake:
         # commit with the epoch's OWN spec snapshot: the live spec may
         # already carry columns from still-uncommitted in-flight windows
         self._commit(prev, epoch, stats, record, spec_snap)
+        # the DRIVER-SIDE constant per epoch (manifest read + swap) —
+        # distinct from commit_wait_sec, which is time spent waiting on
+        # the epoch's distributed phase 1 and scales with the cluster
+        record["commit_sec"] = round(time.time() - t_commit, 3)
         # tighten the shared watermark snapshot so windows submitted
         # AFTER this commit filter against it (in-flight windows keep
         # their own copies — still safe, they can only under-drop, and
