@@ -2153,6 +2153,60 @@ HAVING COUNT(DISTINCT l_returnflag) >= 2
 """
 
 
+def pivot_quantity_by_returnflag(sf_dir: str):
+    """Long→wide pivot with aggregation (inverse of M7's unpivot):
+    per-part quantity totals split into one column per return flag —
+    SQL conditional-aggregation semantics (missing cell = NULL)."""
+    from standardized_omop_data_etl_ray.stages.unpivot import pivot_agg
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_returnflag", "l_quantity"],
+             rows_hint=_nrows(sf_dir, "lineitem"))
+    out = pivot_agg(li, ["l_partkey"], "l_returnflag", "l_quantity",
+                    names=["A", "N", "R"])
+    return out.map_batches(
+        _round_cols({"A": 2, "N": 2, "R": 2}), batch_format="pyarrow"
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_partkey,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+       ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def grouped_price_quantiles(sf_dir: str):
+    """Per-group exact discrete quantiles (quantile_disc semantics) at
+    group-key cardinality — the vectorized per-bucket path, vs the
+    global-sort ``exact_quantiles``."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        grouped_quantiles,
+    )
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"],
+             rows_hint=_nrows(sf_dir, "lineitem"))
+    return grouped_quantiles(li, ["l_partkey"], "l_extendedprice",
+                             [0.25, 0.5, 0.75])
+
+
+_GROUPED_Q_SQL = """
+SELECT l_partkey, CAST(0.25 AS DOUBLE) AS q,
+       quantile_disc(l_extendedprice, 0.25) AS value
+FROM lineitem GROUP BY l_partkey
+UNION ALL
+SELECT l_partkey, CAST(0.5 AS DOUBLE),
+       quantile_disc(l_extendedprice, 0.5)
+FROM lineitem GROUP BY l_partkey
+UNION ALL
+SELECT l_partkey, CAST(0.75 AS DOUBLE),
+       quantile_disc(l_extendedprice, 0.75)
+FROM lineitem GROUP BY l_partkey
+"""
+
+
 def ivf_topk_cosine(sf_dir: str):
     """IVF-bucketed approximate top-k (the ANN scale path: probe only the
     nearest cells) — SELF-VERIFYING: the query also runs the exact brute
@@ -3605,6 +3659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_window_histogram": incremental_window_histogram_docs,
         # -- sketches / scale joins ------------------------------------
         "quantiles_lineitem_price": quantiles_lineitem_price,
+        "grouped_price_quantiles": grouped_price_quantiles,
+        "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
@@ -3627,8 +3683,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- relational core + temporal joins --------------------------
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q10_returned_customers": q10_returned_customers,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
         ),
@@ -3637,6 +3691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
+        "q5_nation_revenue": q5_nation_revenue,
+        "q10_returned_customers": q10_returned_customers,
         "events_before_errors": events_before_errors,
         "hourly_event_windows": hourly_event_windows,
         "q6_revenue_forecast": q6_revenue_forecast,
@@ -3741,6 +3797,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_cosine": _IVF_AUDIT_SQL,
         "normalize_dates_orders": _NORM_DATES_SQL,
         "redundant_sources_lineitem": _REDUNDANT_SQL,
+        "pivot_quantity_by_returnflag": _PIVOT_SQL,
+        "grouped_price_quantiles": _GROUPED_Q_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
         "langid_docs": _langid_sql(),

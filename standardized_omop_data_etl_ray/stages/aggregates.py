@@ -330,3 +330,58 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
         "q": pa.array([out_q[i] for i in order], pa.float64()),
         "value": pa.array([out_v[i].as_py() for i in order]),
     })
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    col: str,
+    qs: list[float],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-group EXACT discrete quantiles (DuckDB ``quantile_disc``
+    semantics: the element at rank ``max(0, ceil(q·n)−1)`` of the
+    group's non-null values, ascending).  Output: one row per
+    (group × q) — columns ``key_cols + [q, value]``.  Groups with no
+    non-null values are omitted (SQL emits NULL for them; filter the
+    oracle accordingly on nullable inputs).
+
+    Scale shape: unlike the global ``exact_quantiles`` (one full sort),
+    groups co-locate by coarse hash bucket and EVERY group in a bucket
+    resolves in one vectorized pass — sort-within-bucket + offset
+    arithmetic, never a Python call or a pandas ``.quantile`` per
+    group."""
+    from .joins import bucketed_groupby
+
+    qs_arr = np.asarray(sorted(float(q) for q in qs), dtype=np.float64)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[col]).sort_values(
+            key_cols + [col], kind="mergesort"
+        )
+        if not len(g):
+            return pd.DataFrame(
+                {**{k: g[k] for k in key_cols},
+                 "q": pd.Series([], dtype="float64"),
+                 "value": g[col]}
+            )
+        grp = g.groupby(key_cols, sort=False)
+        sizes = grp.size().reset_index(name="__n")
+        n = sizes["__n"].to_numpy()
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        vals = g[col].to_numpy()
+        # rank matrix (G × Q), clipped into each group's range
+        ranks = np.maximum(
+            0, np.ceil(np.outer(n, qs_arr) - 1e-9).astype(np.int64) - 1
+        )
+        idx = (starts[:, None] + ranks).ravel()
+        out = sizes.loc[sizes.index.repeat(len(qs_arr)),
+                        key_cols].reset_index(drop=True)
+        out["q"] = np.tile(qs_arr, len(n))
+        out["value"] = vals[idx]
+        return out
+
+    return bucketed_groupby(
+        ds.select_columns(key_cols + [col]), key_cols, per_bucket,
+        num_buckets,
+    )

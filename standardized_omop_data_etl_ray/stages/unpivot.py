@@ -109,3 +109,43 @@ def make_unpivoter(
         return pa.concat_tables(outs, promote_options="permissive")
 
     return unpivot
+
+
+def pivot_agg(
+    ds,
+    key_cols: list[str],
+    name_col: str,
+    value_col: str,
+    names: list,
+    num_buckets: int | None = None,
+    agg: str = "sum",
+):
+    """Long→wide PIVOT with aggregation — the inverse of
+    ``make_unpivoter`` (M7): one output row per key, one column per
+    pivot name, cells = ``agg`` of ``value_col`` over rows whose
+    ``name_col`` equals the name.  ``names`` must be the explicit
+    output vocabulary (discovering it would need a pre-pass; SQL's
+    PIVOT has the same constraint).  A key with no rows for a name
+    gets NULL — matching SQL conditional aggregation
+    (``SUM(CASE WHEN name=... THEN value END)``).
+
+    Scale shape: one vectorized map pass turns each block into per-name
+    conditional columns, then a single cardinality-safe bucketed reduce
+    over the keys (``bucketed_agg`` — per-batch combiner, one pandas
+    pass per bucket, never a Python call per key)."""
+    from .joins import bucketed_agg
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in key_cols}
+        nc, v = t.column(name_col), t.column(value_col)
+        null = pa.scalar(None, v.type)
+        for nm in names:
+            cols[str(nm)] = pc.if_else(pc.equal(nc, nm), v, null)
+        return pa.table(cols)
+
+    return bucketed_agg(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        key_cols,
+        {str(nm): (str(nm), agg) for nm in names},
+        num_buckets,
+    )

@@ -755,3 +755,64 @@ def test_bucketed_agg_stable_dtype_with_all_null_bucket():
     p = out.to_pandas().sort_values("k").reset_index(drop=True)
     assert p["s"].isna()[:20].all()
     assert (p["s"][20:].to_numpy() == np.arange(20)).all()
+
+
+def test_pivot_agg_matches_conditional_aggregation():
+    """pivot_agg == SUM(CASE WHEN name=... THEN value END) per key,
+    including the all-null cell (NULL, not 0) and dtype stability."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.unpivot import pivot_agg
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "name": ["a", "a", "b", "b", "b", "a"],
+        "v": pa.array([10, 20, 5, 7, None, 4], pa.int64()),
+    })
+    out = (
+        pivot_agg(rd.from_arrow(t).repartition(3), ["k"], "name", "v",
+                  names=["a", "b", "c"], num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["a"].tolist() == [30, None, 4] or (
+        out["a"][0] == 30 and pd.isna(out["a"][1]) and out["a"][2] == 4
+    )
+    assert out["b"][0] == 5 and out["b"][1] == 7 and pd.isna(out["b"][2])
+    assert pd.isna(out["c"]).all()          # name never present → NULL
+
+
+def test_grouped_quantiles_matches_quantile_disc():
+    """grouped_quantiles == DuckDB quantile_disc per group, nulls
+    ignored, any partitioning."""
+    import duckdb
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        grouped_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.integers(0, 23, n),
+        "x": rng.integers(0, 100, n).astype("float64"),
+    })
+    df.loc[df.index % 11 == 0, "x"] = None  # nulls ignored
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = (
+        grouped_quantiles(rd.from_pandas(df).repartition(5), ["g"], "x",
+                          qs, num_buckets=4)
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(" UNION ALL ".join(
+        f"SELECT g, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(x, {q}) AS value FROM t "
+        f"WHERE x IS NOT NULL GROUP BY g"
+        for q in qs
+    ) + " ORDER BY g, q").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"g": "int64"}), want.astype({"g": "int64"}),
+        check_dtype=False,
+    )
