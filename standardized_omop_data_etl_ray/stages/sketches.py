@@ -132,3 +132,117 @@ def grouped_approx_distinct(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_groupby(partials, [key_col], merge, num_buckets)
+
+
+def _mg_reduce(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries summary compression: keep at most k−1 (key, count)
+    entries; decrementing by the evicted weight preserves the guarantee
+    count_true(x) − n/k ≤ count_mg(x) ≤ count_true(x)."""
+    if len(keys) < k:
+        return keys, counts
+    # vectorized equivalent of the per-item decrement: drop the
+    # smallest-count entries and subtract the weight they absorb
+    order = np.argsort(counts, kind="stable")
+    cut = len(keys) - (k - 1)
+    evict_weight = int(counts[order[cut - 1]])
+    keep = order[cut:]
+    new_counts = counts[keep] - evict_weight
+    pos = new_counts > 0
+    return keys[keep][pos], new_counts[pos]
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    k: int = 16,
+    min_share: float | None = None,
+) -> rd.Dataset:
+    """EXACT frequent-items at scale via the classic two-pass shape:
+    pass 1 builds per-block Misra-Gries summaries (map-only, ≤k−1
+    entries each) whose merge keeps every item with true count
+    > n/k (sketch guarantee — summaries are mergeable: concatenate and
+    re-compress); pass 2 re-counts ONLY the surviving candidate set
+    exactly (candidates broadcast into a map-side partial count, one
+    tiny reduce).  Output: (value, n) for every item whose exact count
+    exceeds ``max(n·min_share, n/k)`` — deterministic and
+    SQL-mirrorable as ``GROUP BY HAVING count(*) > n/k``, WITHOUT ever
+    shuffling the full value domain the way a plain groupby would.
+
+    ``min_share`` defaults to 1/k (the sketch's natural threshold)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    share = (1.0 / k) if min_share is None else float(min_share)
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        v = t.column(col).cast(pa.string()).to_pandas()
+        vc = v.value_counts()
+        keys = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy(dtype=np.int64)
+        keys, counts = _mg_reduce(keys, counts, k)
+        # sentinel row (null value, mg=0) so the block's row count
+        # reaches the driver even when compression empties the summary
+        # (e.g. all values distinct): n_total must be the TRUE total
+        return pa.table({
+            "value": pa.array(
+                np.concatenate([keys, [None]]), pa.string()
+            ),
+            "mg": pa.array(
+                np.concatenate([counts, [0]]).astype(np.int64), pa.int64()
+            ),
+            "block_rows": pa.array([len(v)] * (len(keys) + 1), pa.int64()),
+        })
+
+    # merge summaries on the driver: ≤(k−1) rows PER BLOCK arrive —
+    # sketch-sized, independent of the value domain
+    parts = [
+        t for t in ray.get(
+            ds.map_batches(block_summary, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "value": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }))
+    merged = pa.concat_tables(parts)
+    # total rows: each block summary carries its row count as a
+    # constant column — take it once per block
+    n_total = sum(int(t.column("block_rows")[0].as_py()) for t in parts)
+    df = merged.to_pandas()
+    df = df[df["value"].notna()]  # drop the row-count sentinels
+    agg = df.groupby("value", sort=False)["mg"].sum()
+    keys = agg.index.to_numpy(dtype=object)
+    counts = agg.to_numpy(dtype=np.int64)
+    keys, counts = _mg_reduce(keys, counts, k)
+    candidates = set(keys.tolist())
+    cand_arr = pa.array(sorted(candidates), pa.string())
+    cand_ref = ray.put(cand_arr)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        from .joins import _cached_get
+
+        cand = _cached_get(cand_ref)
+        v = t.column(col).cast(pa.string())
+        m = pc.is_in(v, value_set=cand)
+        hit = v.filter(m).to_pandas().value_counts()
+        return pa.table({
+            "value": pa.array(hit.index.to_numpy(dtype=object), pa.string()),
+            "n": pa.array(hit.to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    floor = int(np.floor(n_total * share))
+
+    def threshold(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n"), floor))
+
+    return exact.map_batches(threshold, batch_format="pyarrow")

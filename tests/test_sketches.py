@@ -59,3 +59,39 @@ def test_rho64_exact_bit_semantics():
     assert rank.tolist() == [61, 1, 60]
     # estimator sanity: empty registers → estimate 0-ish via linear count
     assert hll_estimate(np.zeros(16, np.uint8), 4) == 0.0
+
+
+def test_heavy_hitters_exact_above_threshold():
+    """Two-pass Misra-Gries → exact recount: result is EXACTLY the items
+    with count > floor(n·share), under any partitioning, including a
+    no-heavy-hitter (uniform) input."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # skewed: 'hot' 30%, 'warm' 12%, tail ~uniform over 200 values
+    n = 20_000
+    vals = np.where(
+        rng.random(n) < 0.30, "hot",
+        np.where(rng.random(n) < 0.17, "warm",
+                 rng.integers(0, 200, n).astype(str)),
+    )
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals.tolist(), pa.string())}))
+    out = (
+        heavy_hitters(ds.repartition(7), "v", k=16)
+        .to_pandas().sort_values("value").reset_index(drop=True)
+    )
+    import collections
+
+    true = collections.Counter(vals.tolist())
+    floor = n // 16
+    want = sorted((v, c) for v, c in true.items() if c > floor)
+    assert list(zip(out["value"], out["n"])) == want
+
+    # uniform input: empty result, stable schema
+    uni = rd.from_arrow(pa.table(
+        {"v": pa.array([str(i % 500) for i in range(5000)], pa.string())}
+    )).repartition(4)
+    empty = heavy_hitters(uni, "v", k=16).to_pandas()
+    assert len(empty) == 0
