@@ -1354,6 +1354,116 @@ WHERE doc_id NOT IN (SELECT doc_id FROM grp WHERE doc_id <> group_id)
 """
 
 
+def dedup_best_quality_docs(sf_dir: str):
+    """Quality-ranked canonical dedup — the production selection rule
+    (keep the BEST member of each near-dup component, not the smallest
+    id; here score = text length, ties → min id).  Singletons pass
+    through.  Because the planted clones append a marker suffix, the
+    clone (longer) must win its pair — so this exercises a non-trivial
+    winner, unlike min-id canonical.
+
+    Scale shape: component labels join member scores through a
+    partitioned hash join; winners resolve vectorized per hash bucket;
+    the drop set streams back as a partitioned anti-filter — no
+    driver-side sets anywhere."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        connected_components,
+    )
+    from standardized_omop_data_etl_ray.stages.joins import (
+        bucketed_groupby,
+        partitioned_hash_join,
+    )
+
+    both, verified, B = _doubled_corpus_pairs(sf_dir)
+    comp = connected_components(verified)
+    labels = comp.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("node"), pa.int64()),
+            "group_id": pc.cast(t.column("group_id"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    scores = both.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "score": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    members = partitioned_hash_join(
+        labels, scores, ["doc_id"], how="inner", num_buckets=B,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("group_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("score", pa.int64())]),
+    )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["group_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+        non_winner = g.groupby("group_id", sort=False).cumcount() > 0
+        d = g[non_winner.to_numpy()]
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(),
+            "dropped": np.ones(len(d), dtype=bool),
+        })
+
+    drop_ds = bucketed_groupby(members, ["group_id"], losers, B)
+    ids = both.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    joined = partitioned_hash_join(
+        ids, drop_ds, ["doc_id"], how="left", num_buckets=B,
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("dropped", pa.bool_())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(
+            pc.is_null(t.column("dropped"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+_DEDUP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS (
+{_JACCARD_SQL}
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+grp AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+),
+allids AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zzzmarker' FROM documents
+),
+members AS (
+    SELECT g.doc_id, g.group_id, length(a.text) AS score
+    FROM grp g JOIN allids a USING (doc_id)
+),
+winners AS (
+    SELECT doc_id, ROW_NUMBER() OVER (
+        PARTITION BY group_id ORDER BY score DESC, doc_id
+    ) AS rn FROM members
+)
+SELECT doc_id FROM allids
+WHERE doc_id NOT IN (SELECT doc_id FROM winners WHERE rn > 1)
+"""
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing ≥5 distinct
     3-gram shingles with a benchmark slice (doc_id % 50 == 0) — the
@@ -3704,6 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_groups": near_dup_groups,
         "incremental_near_dup_groups": incremental_near_dup_groups,
         "dedup_canonical_docs": dedup_canonical_docs,
+        "dedup_best_quality_docs": dedup_best_quality_docs,
         "decontaminate_docs": decontaminate_docs,
         # -- text analysis ---------------------------------------------
         "token_counts_docs": token_counts_docs,
@@ -3719,10 +3830,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
         ),
-        "priority_merge_orders": priority_merge_orders,
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
+        "priority_merge_orders": priority_merge_orders,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "q5_nation_revenue": q5_nation_revenue,
         "q10_returned_customers": q10_returned_customers,
@@ -3806,6 +3917,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
         "incremental_near_dup_groups": _NEAR_DUP_GROUPS_SQL,
         "dedup_canonical_docs": _DEDUP_CANONICAL_SQL,
+        "dedup_best_quality_docs": _DEDUP_BEST_SQL,
         "decontaminate_docs": _DECONTAM_SQL,
         "redact_pii_docs": _REDACT_SQL,
         "split_docs": _split_sql(),
