@@ -162,15 +162,23 @@ def epoch_change_set(
     which commit-path auto-compaction keeps bounded.  One Ray task per
     touched partition; the driver handles file lists only.
 
-    Timing contract: call after the epoch's commit and before a LATER
-    compaction collapses the partition's file history (compaction
-    rewrites prior deltas into a base tagged with a newer epoch).
+    Reads the MANIFEST SNAPSHOT written by ``epoch``'s own commit
+    (``read_manifest_at`` — the COW manifest log gives snapshot
+    isolation), so later commits and even a compaction fired by the
+    SAME commit cannot perturb the diff: in that snapshot the epoch's
+    deltas are exactly the files tagged ``epoch``, and every OTHER file
+    is prior state regardless of its epoch tag (a mid-stream compaction
+    base may carry a higher number).  Valid until ``gc()`` reclaims the
+    superseded data files — then the read raises FileNotFoundError
+    rather than silently mis-diffing (review finding, round 4).
     ``stats_out`` (optional dict) receives rows-processed evidence:
     partitions touched/total and file counts read per side."""
     import pyarrow.dataset as pds
 
     spec = lake.spec
-    m = mf.read_manifest(lake.root, spec.name)
+    m = mf.read_manifest_at(lake.root, spec.name, epoch)
+    if m is None:  # pre-upgrade lake without a snapshot for this epoch
+        m = mf.read_manifest(lake.root, spec.name)
     troot = Path(lake.root) / spec.name
     key_cols, lsn_col, op_col = (
         list(spec.key_cols), spec.lsn_col, spec.op_col,
@@ -183,7 +191,7 @@ def epoch_change_set(
         nf = [f for f in info["files"] if _file_epoch(f) == epoch]
         if not nf:
             continue
-        of = [f for f in info["files"] if _file_epoch(f) < epoch]
+        of = [f for f in info["files"] if _file_epoch(f) != epoch]
         new_files.append([str(troot / f) for f in nf])
         old_files.append([str(troot / f) for f in of])
 
@@ -299,6 +307,13 @@ class CDCLake:
         # accumulated delta files, so without this a long-running tail
         # makes read_state drift slower every epoch).  None disables.
         self.auto_compact_files = auto_compact_files
+        # single-writer epoch allocator high-water mark: epochs must be
+        # UNIQUE across data commits AND compactions — apply_stream
+        # pre-assigns epochs for in-flight windows, so a compaction
+        # fired mid-stream must allocate ABOVE every reservation, not
+        # just above the committed manifest epoch (review finding,
+        # round 4: the collision overwrote an in-flight window's delta)
+        self._epoch_hwm = 0
         m = mf.read_manifest(self.root, self.spec.name)
         if m is not None:
             # restore persisted schema + partitioning (must not drift);
@@ -398,6 +413,22 @@ class CDCLake:
             ds.map_batches(to_events, batch_format="pyarrow")
         )
 
+    def _alloc_epoch(self) -> int:
+        """Next unique epoch number: above both the committed manifest
+        epoch and every epoch this instance has already handed out
+        (in-flight stream windows, prior compactions).  Single-writer,
+        driver-thread only.  Crash-resume safety is unchanged: a fresh
+        instance re-reads the manifest and re-assigns the same epoch to
+        the open window, whose deterministic delta path overwrites the
+        orphan."""
+        m = mf.read_manifest(self.root, self.spec.name)
+        committed = max(m["epoch"], m.get("epoch_hwm", 0)) if m else 0
+        # getattr: the actor path borrows this class via __new__ for
+        # shared read/compact paths without running __init__
+        nxt = max(committed, getattr(self, "_epoch_hwm", 0)) + 1
+        self._epoch_hwm = nxt
+        return nxt
+
     def _watermarks(self, m: dict | None) -> np.ndarray:
         wm = np.full(self.spec.num_partitions, -1, dtype=np.int64)
         if m:
@@ -416,7 +447,7 @@ class CDCLake:
         """Apply one micro-batch (one epoch).  Returns the commit record."""
         t0 = time.time()
         m = mf.read_manifest(self.root, self.spec.name)
-        epoch = (m["epoch"] + 1) if m else 1
+        epoch = self._alloc_epoch()
 
         # schema evolution: unify incoming event schema into the spec
         # (_as_arrow_schema: pandas-block datasets report numpy dtypes)
@@ -495,7 +526,6 @@ class CDCLake:
             cap = limit = int(max_inflight)
 
         m = mf.read_manifest(self.root, self.spec.name)
-        base = (m["epoch"] + 1) if m else 1
         wm = self._watermarks(m)
         records: list[dict] = []
 
@@ -539,11 +569,12 @@ class CDCLake:
                 from dataclasses import replace as _dc_replace
 
                 spec_snap = _dc_replace(self.spec)  # freeze per-window
+                epoch = self._alloc_epoch()
                 fut = ex.submit(
-                    self._phase1, w, base + i, wm.copy(),
+                    self._phase1, w, epoch, wm.copy(),
                     salt_factor, shuffle_mode, spec_snap,
                 )
-                pending.append((base + i, fut, time.time(), spec_snap))
+                pending.append((epoch, fut, time.time(), spec_snap))
                 while len(pending) >= limit:
                     _commit_and_adapt()
             while pending:
@@ -687,6 +718,11 @@ class CDCLake:
         manifest = {
             "table": self.spec.name,
             "epoch": epoch,
+            # persisted allocator high-water mark: a crash-resumed
+            # instance must never re-issue an epoch already used by a
+            # mid-stream compaction whose number exceeds this commit's
+            "epoch_hwm": max(self._epoch_hwm, epoch,
+                             (prev or {}).get("epoch_hwm", 0)),
             "num_partitions": self.spec.num_partitions,
             "schema": mf.schema_to_b64(self._state_schema(spec)),
             "partitions": partitions,
@@ -786,7 +822,10 @@ class CDCLake:
         if not targets:
             return {"epoch": m["epoch"], "compaction": True,
                     "partitions_touched": 0, "rows": 0}
-        epoch = m["epoch"] + 1
+        # allocated ABOVE any in-flight stream reservation, so a
+        # mid-stream compaction can never share an epoch (and thus a
+        # delta file path or manifest snapshot name) with a window
+        epoch = self._alloc_epoch()
         troot = Path(self.root) / self.spec.name
         schema = mf.schema_from_b64(m["schema"])
         part_files = [
@@ -843,6 +882,8 @@ class CDCLake:
         manifest = {
             "table": self.spec.name,
             "epoch": epoch,
+            "epoch_hwm": max(self._epoch_hwm, epoch,
+                             m.get("epoch_hwm", 0)),
             "num_partitions": self.spec.num_partitions,
             "schema": m["schema"],
             "partitions": partitions,

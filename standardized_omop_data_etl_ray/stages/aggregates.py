@@ -365,7 +365,11 @@ def grouped_quantiles(
                  "q": pd.Series([], dtype="float64"),
                  "value": g[col]}
             )
-        grp = g.groupby(key_cols, sort=False)
+        # dropna=False: null-KEY groups are real groups (SQL GROUP BY
+        # emits them) — and with the default dropna their rows would
+        # still occupy the sorted value array, shifting every later
+        # group's offsets (review finding, round 4)
+        grp = g.groupby(key_cols, sort=False, dropna=False)
         sizes = grp.size().reset_index(name="__n")
         n = sizes["__n"].to_numpy()
         starts = np.concatenate([[0], np.cumsum(n)[:-1]])

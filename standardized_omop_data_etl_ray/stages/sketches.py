@@ -168,12 +168,16 @@ def heavy_hitters(
     SQL-mirrorable as ``GROUP BY HAVING count(*) > n/k``, WITHOUT ever
     shuffling the full value domain the way a plain groupby would.
 
-    ``min_share`` defaults to 1/k (the sketch's natural threshold)."""
+    ``min_share`` defaults to 1/k and is CLAMPED to ≥ 1/k: the sketch
+    only guarantees candidacy for items with count > n/k, so a smaller
+    threshold would return a silently partitioning-dependent result
+    (raise k to lower the detectable share)."""
     import pyarrow.compute as pc
 
     import ray
 
-    share = (1.0 / k) if min_share is None else float(min_share)
+    share = max(1.0 / k, float(min_share) if min_share is not None
+                else 0.0)
 
     def block_summary(t: pa.Table) -> pa.Table:
         v = t.column(col).cast(pa.string()).to_pandas()

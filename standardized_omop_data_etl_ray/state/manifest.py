@@ -60,6 +60,20 @@ def read_manifest(root: str | Path, table: str) -> dict | None:
         return json.load(f)
 
 
+def read_manifest_at(root: str | Path, table: str, epoch: int) -> dict | None:
+    """Snapshot isolation via the COW manifest log: the root manifest as
+    of ``epoch``'s commit (``_manifests/manifest-{epoch:06d}.json``),
+    independent of later commits/compactions.  Old manifests are kept by
+    gc() as the audit trail; the DATA files a snapshot references may be
+    reclaimed by gc once superseded — readers get a loud
+    FileNotFoundError then, never silent wrong answers."""
+    p = table_root(root, table) / "_manifests" / f"manifest-{epoch:06d}.json"
+    if not p.exists():
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def _fsync_dir(path: Path) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:

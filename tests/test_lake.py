@@ -616,3 +616,76 @@ def test_epoch_change_set_matches_snapshot_diff_and_prunes(tmp_path):
     # pruning: 4 touched keys can touch at most 4 of 8 partitions
     assert stats["partitions_touched"] <= 4
     assert stats["partitions_total"] == 8
+
+
+def test_midstream_autocompaction_no_epoch_collision(tmp_path):
+    """A compaction fired from the commit path while later stream
+    windows are still in flight must not share an epoch with any
+    pre-assigned window (review finding, round 4: the collision
+    overwrote an in-flight window's delta file).  Final state must be
+    the last version of every key."""
+    spec = _spec(2)
+    lake = CDCLake(tmp_path, spec, auto_compact_files=3)
+
+    def win(e):
+        return pa.table({
+            "op": ["I" if e == 0 else "U"] * 2,
+            "lsn": pa.array([10 * e + 1, 10 * e + 2], pa.int64()),
+            "repo": ["r", "r"],
+            "path": ["x.txt", "y.txt"],
+            "commit": [f"c{e}a", f"c{e}b"],
+            "content": [f"vx{e}", f"vy{e}"],
+        })
+
+    windows = (rd.from_arrow(win(e)) for e in range(8))
+    records = lake.apply_stream(windows, max_inflight=6)
+    assert len(records) == 8
+    # unique epochs across data commits AND compactions
+    data_epochs = [r["epoch"] for r in records]
+    comp_epochs = [r["epoch"] for r in lake.lineage()
+                   if r.get("compaction")]
+    assert comp_epochs, "compaction should have fired"
+    all_epochs = data_epochs + comp_epochs
+    assert len(all_epochs) == len(set(all_epochs)), all_epochs
+    st = lake.read_state().to_pandas().sort_values("path")
+    assert list(st["content"]) == ["vx7", "vy7"]
+    # manifest rows accounting: each file appears once
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    for p, info in m["partitions"].items():
+        assert len(info["files"]) == len(set(info["files"])), info
+
+
+def test_epoch_change_set_survives_same_commit_compaction(tmp_path):
+    """epoch_change_set reads the epoch's OWN manifest snapshot, so a
+    compaction triggered by that very commit (or any later one) cannot
+    zero out the change set (review finding, round 4)."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        epoch_change_set,
+    )
+
+    spec = _spec(2)
+    lake = CDCLake(tmp_path, spec, auto_compact_files=2)
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    recs = []
+    for e in range(5):
+        recs.append(lake.apply_events(rd.from_items([
+            ev("I" if e == 0 else "U", 10 * e + 1, "x.txt", f"v{e}"),
+            ev("I" if e == 0 else "U", 10 * e + 2, "y.txt", f"w{e}"),
+        ])))
+    assert any(r.get("compaction") for r in lake.lineage())
+    # every epoch's change set is non-empty and correct, even those
+    # whose commit fired the compaction
+    for e, rec in enumerate(recs):
+        diff = epoch_change_set(
+            lake, rec["epoch"], carry_cols=["content"]
+        ).to_pandas().sort_values("path").reset_index(drop=True)
+        assert len(diff) == 2, (e, rec["epoch"], diff)
+        want = "added" if e == 0 else "updated"
+        assert set(diff["change"]) == {want}
+        assert list(diff["new_content"]) == [f"v{e}", f"w{e}"]
+        if e > 0:
+            assert list(diff["old_content"]) == [f"v{e-1}", f"w{e-1}"]

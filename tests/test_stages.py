@@ -816,3 +816,29 @@ def test_grouped_quantiles_matches_quantile_disc():
         got.astype({"g": "int64"}), want.astype({"g": "int64"}),
         check_dtype=False,
     )
+
+
+def test_grouped_quantiles_null_keys():
+    """Null-KEY groups are real groups and must not shift other groups'
+    value offsets (review finding, round 4)."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        grouped_quantiles,
+    )
+
+    df = pd.DataFrame({
+        "g1": [1, 1, 1, 1, 1, 1, 2, 2, 2],
+        "g2": ["a", "a", "a", None, None, None, "a", "a", "a"],
+        "x": [1.0, 2.0, 3.0, 100.0, 200.0, 300.0, 10.0, 20.0, 30.0],
+    })
+    out = (
+        grouped_quantiles(rd.from_pandas(df).repartition(2),
+                          ["g1", "g2"], "x", [0.5], num_buckets=2)
+        .to_pandas()
+    )
+    vals = {}
+    for _, r in out.iterrows():
+        key = (r["g1"], None if pd.isna(r["g2"]) else r["g2"])
+        vals[key] = r["value"]
+    assert vals[(1, "a")] == 2.0
+    assert vals[(1, None)] == 200.0   # null-key group present
+    assert vals[(2, "a")] == 20.0     # offsets not shifted
