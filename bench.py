@@ -224,6 +224,7 @@ def run_maintenance() -> dict:
                 yield rd.read_parquet(w, override_num_blocks=len(w))
 
     out = {"epochs": epochs}
+    counts = {}
     for label, k in (("auto", 6), ("off", None)):
         root = f"/tmp/bench_lake_maint_{label}"
         shutil.rmtree(root, ignore_errors=True)
@@ -233,7 +234,7 @@ def run_maintenance() -> dict:
         lake.apply_stream(windows(), max_inflight=8)
         out[f"apply_sec_{label}"] = round(time.time() - t0, 3)
         t1 = time.time()
-        lake.read_state().count()
+        counts[label] = lake.read_state().count()
         out[f"state_read_sec_{label}"] = round(time.time() - t1, 3)
         pm = lake.partition_metrics().to_pandas()
         out[f"max_files_{label}"] = int(pm["n_files"].max())
@@ -241,6 +242,9 @@ def run_maintenance() -> dict:
             1 for r in lake.lineage() if r.get("compaction")
         )
         shutil.rmtree(root, ignore_errors=True)
+    # maintenance must be invisible to the state (the round-4 epoch
+    # collision would have failed this)
+    out["state_rows_equal"] = counts["auto"] == counts["off"]
     return out
 
 
