@@ -2263,6 +2263,55 @@ HAVING COUNT(DISTINCT l_returnflag) >= 2
 """
 
 
+def except_all_lineitem_orders(sf_dir: str):
+    """SQL EXCEPT ALL (bag difference — duplicates count): lineitem
+    order keys minus one occurrence per existing order, so each key
+    appears (n_lineitems − 1) times.  One bucketed count reduce; no
+    side ever materializes on the driver."""
+    from standardized_omop_data_etl_ray.stages.schema_ops import except_all
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey"],
+             rows_hint=_nrows(sf_dir, "lineitem"))
+    o = _pq(sf_dir, "orders", ["o_orderkey"],
+            rows_hint=_nrows(sf_dir, "orders")).map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("o_orderkey")}),
+        batch_format="pyarrow",
+    )
+    return except_all(li, o, ["l_orderkey"])
+
+
+_EXCEPT_ALL_SQL = """
+SELECT l_orderkey FROM lineitem
+EXCEPT ALL
+SELECT o_orderkey FROM orders
+"""
+
+
+def intersect_all_lineitem_orders(sf_dir: str):
+    """SQL INTERSECT ALL (bag intersection): min(count_left,
+    count_right) occurrences per key — here one row per order that has
+    any lineitem."""
+    from standardized_omop_data_etl_ray.stages.schema_ops import (
+        intersect_all,
+    )
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey"],
+             rows_hint=_nrows(sf_dir, "lineitem"))
+    o = _pq(sf_dir, "orders", ["o_orderkey"],
+            rows_hint=_nrows(sf_dir, "orders")).map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("o_orderkey")}),
+        batch_format="pyarrow",
+    )
+    return intersect_all(li, o, ["l_orderkey"])
+
+
+_INTERSECT_ALL_SQL = """
+SELECT l_orderkey FROM lineitem
+INTERSECT ALL
+SELECT o_orderkey FROM orders
+"""
+
+
 def pivot_quantity_by_returnflag(sf_dir: str):
     """Long→wide pivot with aggregation (inverse of M7's unpivot):
     per-part quantity totals split into one column per return flag —
@@ -3804,6 +3853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_price_quantiles": grouped_price_quantiles,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "heavy_hitter_tokens": heavy_hitter_tokens,
+        "except_all_lineitem_orders": except_all_lineitem_orders,
+        "intersect_all_lineitem_orders": intersect_all_lineitem_orders,
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
@@ -3825,14 +3876,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_docs": redact_pii_docs,
         "split_docs": split_docs,
         # -- relational core + temporal joins --------------------------
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
         ),
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
         "priority_merge_orders": priority_merge_orders,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "q5_nation_revenue": q5_nation_revenue,
@@ -3945,6 +3996,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_quantity_by_returnflag": _PIVOT_SQL,
         "grouped_price_quantiles": _GROUPED_Q_SQL,
         "heavy_hitter_tokens": _HEAVY_HITTERS_SQL,
+        "except_all_lineitem_orders": _EXCEPT_ALL_SQL,
+        "intersect_all_lineitem_orders": _INTERSECT_ALL_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
         "langid_docs": _langid_sql(),

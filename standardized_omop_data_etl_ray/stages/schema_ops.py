@@ -147,3 +147,104 @@ def union_by_name(datasets: list[rd.Dataset]) -> rd.Dataset:
     for ds in padded[1:]:
         out = out.union(ds)
     return out
+
+
+def multiset_counts(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Shared engine for bag (multiset) set operations: one
+    cardinality-safe reduce producing per-row-value counts on each side
+    — (cols..., n_left, n_right).  Each input pre-counts inside its own
+    map pass (one row per distinct value per block through the
+    exchange), then a single bucketed sum co-locates the two sides."""
+    import pyarrow as pa
+
+    from .joins import bucketed_sum
+
+    def counted(tag: str):
+        def fn(df):
+            import pandas as pd
+
+            g = df.groupby(cols, sort=False, dropna=False).size()
+            out = g.reset_index(name="__n")
+            out["n_left"] = out["__n"] if tag == "l" else 0
+            out["n_right"] = out["__n"] if tag == "r" else 0
+            return out.drop(columns="__n")
+
+        return fn
+
+    both = left.select_columns(cols).map_batches(
+        counted("l"), batch_format="pandas"
+    ).union(
+        right.select_columns(cols).map_batches(
+            counted("r"), batch_format="pandas"
+        )
+    )
+    return bucketed_sum(both, cols, ["n_left", "n_right"],
+                        num_buckets=num_buckets, combine=False)
+
+
+def _replicate(t, cols: list[str], reps):
+    """Rows of ``t[cols]`` repeated per-row ``reps`` times (vectorized
+    take on a repeat index)."""
+    import numpy as np
+    import pyarrow as pa
+
+    idx = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+    return t.select(cols).take(pa.array(idx))
+
+
+def except_all(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``EXCEPT ALL`` (bag difference): each row value appears
+    ``max(0, count_left − count_right)`` times.  Never materializes
+    either input on the driver — both sides stream through per-block
+    pre-counts into one bucketed reduce, and the output replicates
+    values vectorized from the count table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    counts = multiset_counts(left, right, cols, num_buckets)
+
+    def emit(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nl = t.column("n_left").to_numpy(zero_copy_only=False)
+        nr = pc.fill_null(t.column("n_right"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        reps = np.maximum(0, nl - nr)
+        return _replicate(t, cols, reps)
+
+    return counts.map_batches(emit, batch_format="pyarrow")
+
+
+def intersect_all(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``INTERSECT ALL`` (bag intersection): each row value appears
+    ``min(count_left, count_right)`` times.  Same one-reduce shape as
+    ``except_all``."""
+    import pyarrow as pa
+
+    counts = multiset_counts(left, right, cols, num_buckets)
+
+    def emit(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nl = t.column("n_left").to_numpy(zero_copy_only=False)
+        nr = t.column("n_right").to_numpy(zero_copy_only=False)
+        reps = np.minimum(nl, nr)
+        return _replicate(t, cols, reps)
+
+    return counts.map_batches(emit, batch_format="pyarrow")

@@ -842,3 +842,34 @@ def test_grouped_quantiles_null_keys():
     assert vals[(1, "a")] == 2.0
     assert vals[(1, None)] == 200.0   # null-key group present
     assert vals[(2, "a")] == 20.0     # offsets not shifted
+
+
+def test_except_intersect_all_multiset_semantics():
+    """except_all / intersect_all == SQL EXCEPT ALL / INTERSECT ALL
+    including duplicate multiplicities and null values."""
+    import duckdb
+
+    from standardized_omop_data_etl_ray.stages.schema_ops import (
+        except_all,
+        intersect_all,
+    )
+
+    l = pd.DataFrame({"k": ["a", "a", "a", "b", "c", None, None]})
+    r = pd.DataFrame({"k": ["a", "b", "b", "d", None]})
+    lds = rd.from_pandas(l).repartition(3)
+    rds = rd.from_pandas(r).repartition(2)
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    for fn, sql in (
+        (except_all, "SELECT k FROM l EXCEPT ALL SELECT k FROM r"),
+        (intersect_all, "SELECT k FROM l INTERSECT ALL SELECT k FROM r"),
+    ):
+        got = sorted(
+            fn(lds, rds, ["k"], num_buckets=2).to_pandas()["k"]
+            .fillna("~null~").tolist()
+        )
+        want = sorted(
+            con.execute(sql).df()["k"].fillna("~null~").tolist()
+        )
+        assert got == want, (fn.__name__, got, want)
