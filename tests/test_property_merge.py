@@ -49,3 +49,67 @@ def test_merge_equals_oracle_for_any_log(
         assert sum(t.num_rows for t in tabs) == 0
         return
     assert_states_equal(engine, oracle)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_keys=st.integers(5, 80),
+    n_events=st.integers(40, 600),
+    delete_rate=st.floats(0.0, 0.4),
+    num_partitions=st.integers(1, 9),
+    auto_k=st.sampled_from([None, 1, 2]),
+)
+def test_epoch_change_set_equals_snapshot_diff_any_log(
+    tmp_path_factory, seed, n_keys, n_events, delete_rate,
+    num_partitions, auto_k,
+):
+    """For ANY event log, epoch sizing, partitioning and auto-compaction
+    threshold: the delta-sourced epoch_change_set equals the full-state
+    snapshot_diff between consecutive states, at every epoch."""
+    import pandas as pd
+
+    from standardized_omop_data_etl_ray.datagen import micro_batches
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        epoch_change_set,
+    )
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+
+    events = make_change_events(
+        n_keys=n_keys, n_events=n_events, seed=seed,
+        delete_rate=delete_rate, window=100, content_len_median=30,
+    )
+    lake = CDCLake(
+        tmp_path_factory.mktemp("ecs"),
+        TableSpec(name="cdc", num_partitions=num_partitions),
+        auto_compact_files=auto_k,
+    )
+    prev = None
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["repo", "path", "change", "old_content", "new_content"]
+        return (
+            df[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+        )
+
+    for batch in micro_batches(events, batch_windows=2, window=100):
+        rec = lake.apply_events(rd.from_arrow(batch))
+        state = lake.read_state(drop_engine_cols=True).materialize()
+        got = epoch_change_set(
+            lake, rec["epoch"], carry_cols=["content"]
+        ).to_pandas()
+        if prev is None:
+            # first epoch: everything is an add of the current state
+            assert set(got["change"]) <= {"added"}
+            assert len(got) == state.count()
+        else:
+            want = snapshot_diff(
+                prev, state, ["repo", "path"], "lsn",
+                carry_cols=["content"],
+            ).to_pandas()
+            pd.testing.assert_frame_equal(norm(got), norm(want))
+        prev = state
