@@ -2156,6 +2156,73 @@ GROUP BY window_start
 """
 
 
+def late_events_hourly(sf_dir: str):
+    """Streaming watermark semantics replayed over a batch: events
+    arrive in a deterministically DISORDERED order (local 4-block
+    reversal of event_id — a bijection), the watermark tracks the max
+    event time of prior arrivals, and rows trailing it by >1 minute are
+    LATE (allowed-lateness policy).  Output: per event-time hour, the
+    on-time and late counts — what a streaming engine's side-output
+    metrics would show."""
+    from standardized_omop_data_etl_ray.stages.windows import (
+        watermark_split,
+    )
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts"],
+             rows_hint=_nrows(sf_dir, "events"))
+
+    def arrival(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        arr = (eid // 4) * 4 + (3 - eid % 4)
+        return pa.table({
+            "arrival": pa.array(arr, pa.int64()),
+            "ts": t.column("ts"),
+        })
+
+    marked = watermark_split(
+        ds.map_batches(arrival, batch_format="pyarrow"),
+        "ts", "arrival", lateness_us=60_000_000,
+    )
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        win = (us // 3_600_000_000) * 3_600_000_000
+        late = t.column("__late").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_start": pa.array(win).cast(pa.timestamp("us")),
+            "n_ontime": pa.array((~late).astype(np.int64)),
+            "n_late": pa.array(late.astype(np.int64)),
+        })
+
+    return (
+        marked.map_batches(hourly, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_ontime", alias_name="n_ontime"),
+                   Sum("n_late", alias_name="n_late"))
+    )
+
+
+_LATE_EVENTS_SQL = """
+WITH a AS (
+    SELECT ts, (event_id // 4) * 4 + (3 - event_id % 4) AS arrival
+    FROM events
+),
+w AS (
+    SELECT ts, max(ts) OVER (ORDER BY arrival
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+    FROM a
+)
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+           AS window_start,
+       COUNT(*) FILTER (WHERE wm IS NULL
+                        OR ts >= wm - INTERVAL 1 MINUTE) AS n_ontime,
+       COUNT(*) FILTER (WHERE ts < wm - INTERVAL 1 MINUTE) AS n_late
+FROM w GROUP BY 1
+"""
+
+
 def regex_extract_rekey(sf_dir: str):
     """J5 reverse-parse join: recover the numeric key embedded in a
     formatted string column, then aggregate on it."""
@@ -3855,6 +3922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "except_all_lineitem_orders": except_all_lineitem_orders,
         "intersect_all_lineitem_orders": intersect_all_lineitem_orders,
+        "late_events_hourly": late_events_hourly,
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
@@ -3868,7 +3936,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best_quality_docs": dedup_best_quality_docs,
         "decontaminate_docs": decontaminate_docs,
         # -- text analysis ---------------------------------------------
-        "token_counts_docs": token_counts_docs,
         "quality_stats_docs": quality_stats_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "lang_distribution": lang_distribution,
@@ -3882,6 +3949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
+        # (demoted multiply-green rows continue below)
+        "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "priority_merge_orders": priority_merge_orders,
@@ -3998,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens": _HEAVY_HITTERS_SQL,
         "except_all_lineitem_orders": _EXCEPT_ALL_SQL,
         "intersect_all_lineitem_orders": _INTERSECT_ALL_SQL,
+        "late_events_hourly": _LATE_EVENTS_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,
         "langid_docs": _langid_sql(),

@@ -201,3 +201,64 @@ def rolling_aggregate(
         return out
 
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
+def watermark_split(
+    ds: rd.Dataset,
+    ts_col: str,
+    order_col: str,
+    lateness_us: int,
+) -> rd.Dataset:
+    """Streaming WATERMARK semantics over a batch replay: rows process
+    in ``order_col`` (arrival) order; the watermark at a row is the max
+    event time of all STRICTLY PRIOR arrivals; a row is LATE when its
+    event time trails the watermark by more than ``lateness_us``
+    (allowed lateness).  Appends a ``__late`` bool column — callers
+    route late rows to side output / counters exactly as a streaming
+    engine would.
+
+    Exact and deterministic in parallel via the two-pass prefix trick
+    (same shape as ``sequential_ids``/``pack_sequences``): one sort by
+    arrival, per-block event-time maxima → driver prefix maxima (one
+    scalar per block, never the data) → vectorized in-block running
+    max.  SQL mirror: ``max(ts) OVER (ORDER BY arrival ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``."""
+    import numpy as np
+
+    import ray
+
+    from .aggregates import ordered_sorted_refs
+
+    sorted_ds = ds.sort(order_col)
+    refs = ordered_sorted_refs(sorted_ds, [order_col])
+
+    NEG_INF = -(2**62)
+
+    @ray.remote
+    def _block_max(t) -> int:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            return NEG_INF
+        m = pc.max(pc.cast(t.column(ts_col), pa.int64())).as_py()
+        return NEG_INF if m is None else int(m)
+
+    @ray.remote
+    def _mark(t, prefix_max: int) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        tsv = pc.cast(t.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        run = np.maximum.accumulate(tsv)
+        before = np.concatenate(([prefix_max], run[:-1]))
+        late = tsv < (before - lateness_us)
+        return t.append_column("__late", pa.array(late))
+
+    maxes = ray.get([_block_max.remote(r) for r in refs])
+    prefix = NEG_INF
+    out = []
+    for r, m in zip(refs, maxes):
+        out.append(_mark.remote(r, int(prefix)))
+        prefix = max(prefix, m)
+    return rd.from_arrow_refs(out)
