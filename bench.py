@@ -258,6 +258,10 @@ QUERY_SUBSET = [
     "token_vocab_top100", "chunk_docs_64",
     "dup_span_stats_docs", "incremental_doc_frequencies",
     "events_before_errors_banded", "omop_full_pipeline",
+    # round-4 operators
+    "heavy_hitter_tokens", "pivot_quantity_by_returnflag",
+    "grouped_price_quantiles", "except_all_lineitem_orders",
+    "late_events_hourly", "dedup_best_quality_docs",
 ]
 
 
