@@ -744,8 +744,42 @@ class CDCLake:
 
     # -- read path --------------------------------------------------------
 
-    def read_deltas(self) -> rd.Dataset | None:
-        m = mf.read_manifest(self.root, self.spec.name)
+    def _manifest_for(self, at_epoch: int | None) -> dict | None:
+        """Current manifest, or the COW snapshot committed at ``at_epoch``
+        (time travel).  Snapshot reads verify their data files still
+        exist — one driver-side stat per file, a metadata-only cost —
+        because gc(retain_manifests=K) may have reclaimed superseded
+        deltas; a loud SnapshotExpired beats a mid-pipeline
+        FileNotFoundError from a worker task."""
+        if at_epoch is None:
+            return mf.read_manifest(self.root, self.spec.name)
+        m = mf.read_manifest_at(self.root, self.spec.name, at_epoch)
+        if m is None:
+            avail = mf.list_manifest_epochs(self.root, self.spec.name)
+            raise ValueError(
+                f"no manifest snapshot for epoch {at_epoch}; "
+                f"available epochs: {avail}"
+            )
+        troot = Path(self.root) / self.spec.name
+        missing = [
+            f for f in mf.live_files(self.root, self.spec.name, m)
+            if not Path(f).exists()
+        ] if troot.exists() else []
+        if missing:
+            raise ValueError(
+                f"snapshot epoch {at_epoch} expired: {len(missing)} data "
+                f"file(s) reclaimed by gc (first: {missing[0]}); re-run "
+                "gc with retain_manifests covering this epoch to keep "
+                "snapshots readable"
+            )
+        return m
+
+    def snapshot_epochs(self) -> list[int]:
+        """Valid ``at_epoch`` targets (retained manifest snapshots)."""
+        return mf.list_manifest_epochs(self.root, self.spec.name)
+
+    def read_deltas(self, at_epoch: int | None = None) -> rd.Dataset | None:
+        m = self._manifest_for(at_epoch)
         if not m or not m["partitions"]:
             return None
         files = mf.live_files(self.root, self.spec.name, m)
@@ -754,14 +788,20 @@ class CDCLake:
         schema = mf.schema_from_b64(m["schema"])
         return rd.read_parquet(files, schema=schema)
 
-    def read_state(self, drop_engine_cols: bool = False) -> rd.Dataset:
+    def read_state(self, drop_engine_cols: bool = False,
+                   at_epoch: int | None = None) -> rd.Dataset:
         """Merge-on-read current state: LWW-resolve live delta files,
         drop tombstones.  NO shuffle — delta files are already
         partition-segregated, so resolution is a map-only pass (one task
         per partition reading that partition's files).  After compact()
-        this is a plain scan."""
-        m = mf.read_manifest(self.root, self.spec.name)
-        ds = self.read_deltas()
+        this is a plain scan.
+
+        ``at_epoch`` time-travels: the state as committed by that epoch
+        (COW manifest snapshot — later commits and compactions never
+        touch a snapshot's files until gc reclaims them; see
+        ``gc(retain_manifests=K)`` for the retention contract)."""
+        m = self._manifest_for(at_epoch)
+        ds = self.read_deltas(at_epoch)
         if ds is None:
             return rd.from_arrow(self._state_schema().empty_table())
         if m.get("compacted"):
@@ -893,8 +933,11 @@ class CDCLake:
         mf.commit_manifest(self.root, self.spec.name, manifest)
         return record
 
-    def gc(self) -> list[str]:
-        return mf.gc(self.root, self.spec.name)
+    def gc(self, retain_manifests: int = 1) -> list[str]:
+        """Reclaim unreferenced data files; ``retain_manifests=K`` keeps
+        the newest K snapshots time-travel-readable (VACUUM retention)."""
+        return mf.gc(self.root, self.spec.name,
+                     retain_manifests=retain_manifests)
 
     def lineage(self) -> list[dict]:
         m = mf.read_manifest(self.root, self.spec.name)

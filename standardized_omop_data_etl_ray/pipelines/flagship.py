@@ -82,11 +82,13 @@ def events_from_documents(docs: rd.Dataset, versions: int = 3) -> rd.Dataset:
 
 def run_flagship(
     sf_dir: str, lake_root: str, epochs: int = 3, num_partitions: int = 16,
-    gate=None,
+    gate=None, return_lake: bool = False,
 ) -> rd.Dataset:
     """Full replay: documents → events → micro-batched lake apply →
     merge-on-read state.  ``gate`` (stages/standardize.make_curation_gate)
-    curates events ON ARRIVAL inside the apply path."""
+    curates events ON ARRIVAL inside the apply path.  ``return_lake``
+    hands back the CDCLake instead of the state, for callers that need
+    the manifest log (time travel, change sets)."""
     from .cdc import CDCLake
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -103,4 +105,6 @@ def run_flagship(
             expr=f"lsn >= {lo} and lsn < {hi}"
         )
         lake.apply_events(window)
+    if return_lake:
+        return lake
     return lake.read_state(drop_engine_cols=True)

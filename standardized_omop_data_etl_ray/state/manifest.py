@@ -60,6 +60,18 @@ def read_manifest(root: str | Path, table: str) -> dict | None:
         return json.load(f)
 
 
+def list_manifest_epochs(root: str | Path, table: str) -> list[int]:
+    """Epoch numbers of every retained root-manifest snapshot, ascending.
+    Each is a valid time-travel target for ``read_manifest_at`` (its DATA
+    files may have been gc-reclaimed — readers check, see CDCLake)."""
+    mdir = table_root(root, table) / "_manifests"
+    if not mdir.exists():
+        return []
+    return sorted(
+        int(p.stem.split("-")[1]) for p in mdir.glob("manifest-*.json")
+    )
+
+
 def read_manifest_at(root: str | Path, table: str, epoch: int) -> dict | None:
     """Snapshot isolation via the COW manifest log: the root manifest as
     of ``epoch``'s commit (``_manifests/manifest-{epoch:06d}.json``),
@@ -144,13 +156,24 @@ def live_files(root: str | Path, table: str, manifest: dict) -> list[str]:
     return files
 
 
-def gc(root: str | Path, table: str) -> list[str]:
-    """Delete data files not referenced by the CURRENT manifest (orphans
+def gc(root: str | Path, table: str, retain_manifests: int = 1) -> list[str]:
+    """Delete data files not referenced by a RETAINED manifest (orphans
     from crashed epochs, superseded pre-compaction deltas).  Markers and
-    old manifests are kept as the audit/lineage trail."""
+    old manifests are kept as the audit/lineage trail.
+
+    ``retain_manifests`` is the time-travel retention window (Delta-Lake
+    VACUUM semantics): files referenced by any of the newest K manifest
+    snapshots survive, so ``read_state(at_epoch=e)`` keeps working for
+    those epochs.  K=1 (default) retains only the current state.  Crashed
+    -epoch orphans are in NO manifest, so they are reclaimed at any K."""
     m = read_manifest(root, table)
     troot = table_root(root, table)
     keep = set(live_files(root, table, m)) if m else set()
+    if m and retain_manifests > 1:
+        for e in list_manifest_epochs(root, table)[-retain_manifests:]:
+            snap = read_manifest_at(root, table, e)
+            if snap:
+                keep.update(live_files(root, table, snap))
     removed: list[str] = []
     for p in troot.rglob("*.parquet"):
         if str(p) not in keep:

@@ -30,8 +30,8 @@ ORACLE = oracle_apply(EVENTS)
 BATCHES = list(micro_batches(EVENTS, batch_windows=3, window=WINDOW))
 
 
-def _state(lake: CDCLake) -> pa.Table:
-    refs = lake.read_state().to_arrow_refs()
+def _state(lake: CDCLake, at_epoch: int | None = None) -> pa.Table:
+    refs = lake.read_state(at_epoch=at_epoch).to_arrow_refs()
     tabs = [t for t in ray.get(refs) if t.num_rows]
     return pa.concat_tables(tabs) if tabs else pa.table({})
 
@@ -689,3 +689,41 @@ def test_epoch_change_set_survives_same_commit_compaction(tmp_path):
         assert list(diff["new_content"]) == [f"v{e}", f"w{e}"]
         if e > 0:
             assert list(diff["old_content"]) == [f"v{e-1}", f"w{e-1}"]
+
+
+def test_time_travel_read_and_retention(tmp_path):
+    """read_state(at_epoch=e) reproduces the state as of each commit via
+    the COW manifest log; compaction never perturbs a snapshot; gc's
+    retention window controls when snapshots expire (loudly)."""
+    lake = CDCLake(tmp_path, _spec())
+    states, epochs = [], []
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+        epochs.append(mf.read_manifest(str(tmp_path), "cdc")["epoch"])
+        states.append(canonical_state(_state(lake)))
+    assert lake.snapshot_epochs() == epochs
+
+    for e, want in zip(epochs, states):
+        assert canonical_state(_state(lake, at_epoch=e)).equals(want)
+
+    # compaction commits a NEW manifest; old snapshots read the old
+    # files (copy-on-write), byte-identical
+    lake.compact()
+    assert canonical_state(_state(lake, at_epoch=epochs[0])).equals(states[0])
+
+    # delta files are shared across manifest snapshots (merge-on-read
+    # accumulates), so retaining the last pre-compaction manifest keeps
+    # EVERY earlier epoch readable too
+    lake.gc(retain_manifests=2)
+    assert canonical_state(_state(lake, at_epoch=epochs[0])).equals(states[0])
+
+    # tight retention reclaims the superseded deltas: the snapshot read
+    # fails loudly at plan time, never mid-pipeline
+    lake.gc(retain_manifests=1)
+    with pytest.raises(ValueError, match="expired"):
+        lake.read_state(at_epoch=epochs[0])
+    with pytest.raises(ValueError, match="no manifest snapshot"):
+        lake.read_state(at_epoch=9999)
+
+    # current state unaffected throughout
+    assert canonical_state(_state(lake)).equals(states[-1])
