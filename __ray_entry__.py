@@ -2660,6 +2660,50 @@ WHERE len(string_split_regex(trim(text || ' v2'), '\s+')) >= 5
 """
 
 
+def cdc_time_travel_docs(sf_dir: str):
+    """Time travel (snapshot isolation over the COW manifest log): run
+    the 3-epoch flagship replay, then read the lake AS OF the SECOND
+    commit — ``read_state(at_epoch=...)`` resolves merge-on-read against
+    that epoch's retained manifest snapshot, untouched by the later
+    commit.  The oracle regenerates the event log in SQL and replays
+    only the first two epochs' lsn window (lsn < 2·n_docs — epoch
+    windows are ceil(total/epochs) wide, flagship.py:101-103)."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import run_flagship
+
+    lake_root = tempfile.mkdtemp(prefix="cdc_lake_tt_")
+    lake = run_flagship(sf_dir, lake_root, epochs=3, return_lake=True)
+    mid = lake.snapshot_epochs()[1]
+    return lake.read_state(drop_engine_cols=True, at_epoch=mid)
+
+
+_CDC_TIME_TRAVEL_SQL = """
+-- the flagship event log regenerated in SQL (flagship.py derivation
+-- rule), truncated to the first two epoch windows (lsn < 2*n_docs),
+-- LWW-resolved: the state the lake held after its second commit.
+WITH ev AS (
+  SELECT CASE WHEN v = 0 THEN 'I'
+              WHEN doc_id % 13 = 0 AND v = 1 THEN 'D'
+              WHEN doc_id % 13 = 0 AND v = 2 THEN 'I'
+              ELSE 'U' END AS op,
+         doc_id * 3 + v AS lsn,
+         source AS repo,
+         'doc_' || doc_id || '.txt' AS path,
+         doc_id || ':' || v AS commit_col,
+         CASE WHEN doc_id % 13 = 0 AND v = 1 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 13 = 0 AND v = 1 THEN NULL
+              WHEN v = 0 THEN text
+              ELSE text || ' v' || v END AS content
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS v)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) rn
+  FROM ev WHERE lsn < 2 * (SELECT COUNT(*) FROM documents)
+)
+SELECT op, lsn, repo, path, commit_col AS "commit", lang, content
+FROM ranked WHERE rn = 1 AND op != 'D'
+"""
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-and-cut at 1024 tokens): each
     doc's (seq_id, seq_offset) from the global token prefix-sum in
@@ -3897,6 +3941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_upsert": cdc_lww_upsert,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "cdc_snapshot_diff": cdc_snapshot_diff,
+        "cdc_time_travel": cdc_time_travel_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -3937,7 +3982,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         # -- text analysis ---------------------------------------------
         "quality_stats_docs": quality_stats_docs,
-        "repetition_stats_docs": repetition_stats_docs,
         "lang_distribution": lang_distribution,
         "langid_docs": langid_docs,
         "redact_pii_docs": redact_pii_docs,
@@ -3950,6 +3994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "repetition_stats_docs": repetition_stats_docs,
         "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -4026,6 +4071,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_with_deletes": _CDC_DELETES_SQL,
         "cdc_full_replay_docs": _CDC_FULL_SQL,
         "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,
