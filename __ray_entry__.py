@@ -2704,6 +2704,106 @@ FROM ranked WHERE rn = 1 AND op != 'D'
 """
 
 
+def incremental_lang_stats_docs(sf_dir: str):
+    """Incrementally-maintained GROUP BY view (stages/incremental.py)
+    over the CDC lake: per-lang COUNT/SUM/AVG/MIN/MAX of content
+    length, maintained from each epoch's DELTA-SOURCED change set —
+    never recomputed over the state.  The replay uses VERSION-MAJOR
+    lsns (lsn = v·n + doc_id) so each epoch is one full version wave:
+    epoch 1 retracts every doc's v0 payload (and deletes the %13
+    keys), epoch 2 re-asserts — the maintenance path's retraction and
+    MIN/MAX-rescan machinery is load-bearing, not decorative.  The
+    oracle aggregates the closed-form final state (content
+    'text v2' for every doc) in SQL."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        epoch_change_set,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+    from standardized_omop_data_etl_ray.stages.incremental import (
+        IncAggSpec,
+        apply_change_set,
+        empty_agg_view,
+        view_result,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def version_major(t: pa.Table) -> pa.Table:
+        lsn = t.column("lsn")
+        v = pc.subtract(lsn, pc.multiply(pc.divide(lsn, 3), 3))
+        d = pc.divide(lsn, 3)
+        return t.set_column(
+            t.schema.get_field_index("lsn"), "lsn",
+            pc.add(pc.multiply(v, n), d),
+        )
+
+    events = events_from_documents(docs, 3).map_batches(
+        version_major, batch_format="pyarrow"
+    )
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_view_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+
+    spec = IncAggSpec(
+        group_cols=["lang"], count="n_docs",
+        sums={"sum_chars": "chars"}, means={"avg_chars": "chars"},
+        mins={"min_chars": "chars"}, maxs={"max_chars": "chars"},
+    )
+
+    def with_chars(df: pd.DataFrame) -> pd.DataFrame:
+        for side in ("old", "new"):
+            df[f"{side}_chars"] = (
+                df[f"{side}_content"].str.len().astype("Int64")
+            )
+        return df
+
+    view = empty_agg_view(spec, {"lang": pa.string(), "chars": pa.int64()})
+    for v in range(3):
+        rec = lake.apply_events(
+            events.filter(expr=f"lsn >= {v * n} and lsn < {(v + 1) * n}")
+        )
+        cs = epoch_change_set(
+            lake, rec["epoch"], carry_cols=["lang", "content"]
+        ).map_batches(with_chars, batch_format="pandas")
+        # the MIN/MAX rescan reads the live state projected to the
+        # view's source columns — derive chars the same way
+        state = lake.read_state(drop_engine_cols=True).map_batches(
+            lambda df: df.assign(
+                chars=df["content"].str.len().astype("int64")
+            ),
+            batch_format="pandas",
+        )
+        view = apply_change_set(view, cs, spec, state=state).materialize()
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("avg_chars"), "avg_chars",
+            pa.array(round_half_away(t.column("avg_chars"), 6),
+                     from_pandas=True),
+        )
+
+    return view_result(view, spec).map_batches(final, batch_format="pyarrow")
+
+
+_INC_LANG_STATS_SQL = """
+-- final state of the replay: every doc live with content 'text v2'
+-- (deleted %13 keys are re-inserted by the v2 wave)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(length(text || ' v2')) AS sum_chars,
+       ROUND(AVG(length(text || ' v2')), 6) AS avg_chars,
+       MIN(length(text || ' v2')) AS min_chars,
+       MAX(length(text || ' v2')) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-and-cut at 1024 tokens): each
     doc's (seq_id, seq_offset) from the global token prefix-sum in
@@ -3942,6 +4042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_time_travel": cdc_time_travel_docs,
+        "incremental_lang_stats": incremental_lang_stats_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -3982,7 +4083,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         # -- text analysis ---------------------------------------------
         "quality_stats_docs": quality_stats_docs,
-        "lang_distribution": lang_distribution,
         "langid_docs": langid_docs,
         "redact_pii_docs": redact_pii_docs,
         "split_docs": split_docs,
@@ -3995,6 +4095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
         "repetition_stats_docs": repetition_stats_docs,
+        "lang_distribution": lang_distribution,
         "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -4072,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_full_replay_docs": _CDC_FULL_SQL,
         "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
+        "incremental_lang_stats": _INC_LANG_STATS_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,
