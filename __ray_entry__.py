@@ -2039,6 +2039,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def lag_lead_user_values(sf_dir: str):
+    """Per-user LAG/LEAD (stages/windows.lag_lead): previous and next
+    value plus microseconds since the previous event, over the (ts,
+    event_id) per-user total order — one bucketed shuffle, every
+    offset from a single vectorized grouped shift."""
+    from standardized_omop_data_etl_ray.stages.windows import lag_lead
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    shifted = lag_lead(
+        ds, "user_id", ["ts", "event_id"], ["value", "ts"],
+        lags=1, leads=1,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.timestamp("us"))
+        prev = pc.cast(t.column("ts_lag1"), pa.timestamp("us"))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "value": t.column("value"),
+            "prev_value": t.column("value_lag1"),
+            "next_value": t.column("value_lead1"),
+            "us_since_prev": pc.cast(pc.subtract(ts, prev), pa.int64()),
+        })
+
+    return shifted.map_batches(finish, batch_format="pyarrow")
+
+
+_LAG_LEAD_SQL = """
+SELECT user_id, event_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       date_diff('microsecond', lag(ts) OVER w, ts) AS us_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def ranked_orders_per_customer(sf_dir: str):
+    """SQL ranking trio in one pass (stages/windows.group_rank):
+    row_number over the full deterministic order (price desc, orderkey
+    asc tiebreak) next to rank/dense_rank tying on price alone."""
+    from standardized_omop_data_etl_ray.stages.windows import group_rank
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return group_rank(
+        ds, "o_custkey", ["o_totalprice", "o_orderkey"],
+        ascending=[False, True], rank_prefix=1,
+    ).select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice",
+         "row_number", "rank", "dense_rank"]
+    )
+
+
+_RANKED_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey)
+           AS row_number,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+           AS rank,
+       dense_rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS dense_rank
+FROM orders
+"""
+
+
 def ann_topk_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the first 10 vectors as queries."""
     from standardized_omop_data_etl_ray.stages.ann import brute_force_topk
@@ -4069,6 +4136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all_lineitem_orders": except_all_lineitem_orders,
         "intersect_all_lineitem_orders": intersect_all_lineitem_orders,
         "late_events_hourly": late_events_hourly,
+        "lag_lead_user_values": lag_lead_user_values,
+        "ranked_orders_per_customer": ranked_orders_per_customer,
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
@@ -4084,8 +4153,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis ---------------------------------------------
         "quality_stats_docs": quality_stats_docs,
         "langid_docs": langid_docs,
-        "redact_pii_docs": redact_pii_docs,
-        "split_docs": split_docs,
         # -- relational core + temporal joins --------------------------
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
@@ -4096,6 +4163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (demoted multiply-green rows continue below)
         "repetition_stats_docs": repetition_stats_docs,
         "lang_distribution": lang_distribution,
+        "redact_pii_docs": redact_pii_docs,
+        "split_docs": split_docs,
         "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -4174,6 +4243,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
         "incremental_lang_stats": _INC_LANG_STATS_SQL,
+        "lag_lead_user_values": _LAG_LEAD_SQL,
+        "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,

@@ -262,3 +262,88 @@ def watermark_split(
         out.append(_mark.remote(r, int(prefix)))
         prefix = max(prefix, m)
     return rd.from_arrow_refs(out)
+
+
+def lag_lead(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+    lags: int = 1,
+    leads: int = 0,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key LAG/LEAD (SQL ``lag(c, k) OVER (PARTITION BY key ORDER
+    BY order_cols)``): one bucketed shuffle co-locates each key, then a
+    single vectorized ``groupby().shift`` across ALL keys in the
+    bucket produces every offset.  ``order_cols`` must be a per-key
+    total order or the shifts are nondeterministic (same contract as
+    SQL).  Appends ``{col}_lag{k}`` / ``{col}_lead{k}`` columns; all
+    input columns pass through."""
+    from .joins import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + list(order_cols))
+        gb = g.groupby(key_col, sort=False)
+        for c in value_cols:
+            for k in range(1, lags + 1):
+                g[f"{c}_lag{k}"] = gb[c].shift(k)
+            for k in range(1, leads + 1):
+                g[f"{c}_lead{k}"] = gb[c].shift(-k)
+        return g
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
+def group_rank(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    ascending: list[bool] | None = None,
+    rank_prefix: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ranking functions per key: appends ``row_number`` (unique
+    within key — ``order_cols`` should end in a tiebreaker), ``rank``
+    (ties share, gaps after) and ``dense_rank`` (ties share, no gaps),
+    all ``OVER (PARTITION BY key ORDER BY order_cols)``.
+
+    ``rank_prefix`` ranks ties on only the first N order columns while
+    row_number still follows the full (deterministic) sort — SQL's
+    ``row_number() OVER (ORDER BY a, tiebreak)`` next to ``rank() OVER
+    (ORDER BY a)`` in one pass.
+
+    One bucketed shuffle, then a vectorized pass: after the in-bucket
+    sort, a row starts a new rank iff its (key, order) tuple differs
+    from the previous row's — rank is the row_number at each start
+    (forward-filled; key changes always start a new tuple so the fill
+    never crosses keys), dense_rank the per-key running count of
+    starts."""
+    import numpy as np
+
+    from .joins import bucketed_groupby
+
+    cols = [key_col] + list(order_cols)
+    asc = [True] + list(ascending) if ascending is not None else True
+    npfx = len(order_cols) if rank_prefix is None else rank_prefix
+    tie_cols = [key_col] + list(order_cols)[:npfx]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(cols, ascending=asc, kind="mergesort")
+        rn = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
+        tup = g[tie_cols]
+        new_start = tup.ne(tup.shift()).any(axis=1).to_numpy()
+        new_start[0:1] = True
+        rank = pd.Series(np.where(new_start, rn, np.nan)).ffill().to_numpy()
+        dense = (
+            pd.Series(new_start.astype(np.int64))
+            .groupby(g[key_col].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        g["row_number"] = rn.astype(np.int64)
+        g["rank"] = rank.astype(np.int64)
+        g["dense_rank"] = dense.astype(np.int64)
+        return g
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)

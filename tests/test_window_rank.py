@@ -1,0 +1,72 @@
+"""lag/lead and ranking window functions (stages/windows.py) against
+DuckDB window semantics, with crafted ties and single-row groups."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.stages.windows import group_rank, lag_lead
+
+
+def _frame(seed=7, n=200):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 12, n),          # incl. multi-row keys
+        "o": np.arange(n),                     # unique tiebreaker
+        "p": rng.integers(0, 6, n).astype("float64"),  # heavy ties
+        "v": rng.normal(size=n),
+    })
+
+
+def test_group_rank_matches_duckdb():
+    df = _frame()
+    df.loc[5, "k"] = 999  # single-row group
+    got = (
+        group_rank(
+            rd.from_pandas(df), "k", ["p", "o"],
+            ascending=[False, True], rank_prefix=1, num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    want = duckdb.sql("""
+        SELECT k, o, p, v,
+               row_number() OVER (PARTITION BY k ORDER BY p DESC, o)
+                   AS row_number,
+               rank() OVER (PARTITION BY k ORDER BY p DESC) AS rank,
+               dense_rank() OVER (PARTITION BY k ORDER BY p DESC)
+                   AS dense_rank
+        FROM df ORDER BY k, o
+    """).df()
+    for c in ("row_number", "rank", "dense_rank"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_group_rank_full_order_rank_equals_row_number():
+    df = _frame(8)
+    got = group_rank(
+        rd.from_pandas(df), "k", ["p", "o"], num_buckets=4
+    ).to_pandas()
+    assert got["rank"].tolist() == got["row_number"].tolist()
+
+
+def test_lag_lead_matches_duckdb():
+    df = _frame(9)
+    got = (
+        lag_lead(rd.from_pandas(df), "k", ["o"], ["v"], lags=2, leads=1,
+                 num_buckets=5)
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    want = duckdb.sql("""
+        SELECT k, o,
+               lag(v) OVER w AS v_lag1, lag(v, 2) OVER w AS v_lag2,
+               lead(v) OVER w AS v_lead1
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o)
+        ORDER BY k, o
+    """).df()
+    for c in ("v_lag1", "v_lag2", "v_lead1"):
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_names=False, check_dtype=False
+        )
