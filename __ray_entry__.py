@@ -3038,6 +3038,75 @@ _QUANTILE_SQL = " UNION ALL ".join(
 )
 
 
+def quantiles_cont_lineitem_price(sf_dir: str):
+    """Interpolated (quantile_cont) exact quantiles — same single-sort
+    plan as the discrete variant, but each q fetches its two bracketing
+    ranks and interpolates (stages/aggregates.exact_quantiles with
+    interpolation='linear').  Rounded to 4 decimals on both sides: the
+    interpolation arithmetic (lo + frac·(hi−lo) on doubles) is
+    engine-internal, so last-bit parity is not contractual."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        exact_quantiles,
+    )
+
+    n = _nrows(sf_dir, "lineitem")
+    li = _pq(sf_dir, "lineitem", ["l_extendedprice"], rows_hint=n)
+    t = exact_quantiles(li, "l_extendedprice", _QUANTILE_QS,
+                        interpolation="linear")
+    return t.set_column(
+        t.schema.get_field_index("value"), "value",
+        pa.array(round_half_away(t.column("value"), 4), from_pandas=True),
+    )
+
+
+_QUANTILE_CONT_SQL = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"ROUND(quantile_cont(l_extendedprice, {q}), 4) AS value FROM lineitem"
+    for q in _QUANTILE_QS
+)
+
+
+def grouped_cont_quantiles_orders(sf_dir: str):
+    """Per-group quantile_cont (linear interpolation) — per
+    orderpriority quartiles of o_totalprice, every group resolved in
+    one vectorized pass per bucket
+    (stages/aggregates.grouped_quantiles, interpolation='linear')."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        grouped_quantiles,
+    )
+
+    n = _nrows(sf_dir, "orders")
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"],
+             rows_hint=n)
+    out = grouped_quantiles(
+        ds, ["o_orderpriority"], "o_totalprice", [0.25, 0.5, 0.75],
+        interpolation="linear",
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("value"), "value",
+            pa.array(round_half_away(t.column("value"), 4),
+                     from_pandas=True),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+_GROUPED_CONT_SQL = " UNION ALL ".join(
+    f"SELECT o_orderpriority, CAST({q} AS DOUBLE) AS q, "
+    f"ROUND(quantile_cont(o_totalprice, {q}), 4) AS value "
+    "FROM orders GROUP BY o_orderpriority"
+    for q in (0.25, 0.5, 0.75)
+)
+
+
 def weighted_sample_docs(sf_dir: str):
     """Deterministic temperature sampling: keep each doc with
     probability min(1, n_chars/2000) decided by a 32-bit md5 fraction
@@ -4130,7 +4199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_window_histogram": incremental_window_histogram_docs,
         # -- sketches / scale joins ------------------------------------
         "quantiles_lineitem_price": quantiles_lineitem_price,
+        "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
         "grouped_price_quantiles": grouped_price_quantiles,
+        "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "except_all_lineitem_orders": except_all_lineitem_orders,
@@ -4143,8 +4214,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup family ----------------------------------------------
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_self_near_dups": minhash_self_near_dups,
-        "simhash_self_near_dups": simhash_self_near_dups,
-        "jaccard_near_dups": jaccard_near_dups,
         "near_dup_groups": near_dup_groups,
         "incremental_near_dup_groups": incremental_near_dup_groups,
         "dedup_canonical_docs": dedup_canonical_docs,
@@ -4165,6 +4234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": lang_distribution,
         "redact_pii_docs": redact_pii_docs,
         "split_docs": split_docs,
+        "simhash_self_near_dups": simhash_self_near_dups,
+        "jaccard_near_dups": jaccard_near_dups,
         "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -4245,6 +4316,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_lang_stats": _INC_LANG_STATS_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
+        "quantiles_cont_lineitem_price": _QUANTILE_CONT_SQL,
+        "grouped_cont_quantiles_orders": _GROUPED_CONT_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,

@@ -271,10 +271,19 @@ def partial_then_global_agg(
     )
 
 
-def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
+def exact_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float],
+    interpolation: str = "disc",
+) -> pa.Table:
     """EXACT distributed quantiles (discrete: the element at rank
     ``max(0, ceil(q·n) − 1)`` — DuckDB ``quantile_disc`` semantics,
     verified empirically for interior/0/1 q on odd and even n).
+
+    ``interpolation="linear"`` gives ``quantile_cont`` semantics
+    instead: the value at fractional rank ``h = q·(n−1)``, linearly
+    interpolated between ranks ``floor(h)`` and ``floor(h)+1`` (the
+    two ranks may land in different sorted blocks — both are fetched).
+    Linear output is always float64.
 
     Scale shape: one global sort of the single projected column, then
     the driver reads ONLY per-block row counts plus the ≤len(qs)
@@ -306,29 +315,48 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.null())})
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    targets = [
-        (float(q), max(0, math.ceil(q * total - 1e-9) - 1)) for q in qs
-    ]
+    if interpolation == "linear":
+        # quantile_cont: per q, the two bracketing ranks + the fraction
+        targets = []
+        for q in qs:
+            h = float(q) * (total - 1)
+            lo = int(math.floor(h))
+            targets.append((float(q), lo, min(lo + 1, total - 1), h - lo))
+        want_ranks = sorted({r for _, lo, hi, _ in targets for r in (lo, hi)})
+    else:
+        targets = [
+            (float(q), max(0, math.ceil(q * total - 1e-9) - 1), None, None)
+            for q in qs
+        ]
+        want_ranks = sorted({t[1] for t in targets})
     # fetch each needed block once
-    need = {}
-    for q, rank in targets:
+    need: dict[int, list[int]] = {}
+    for rank in want_ranks:
         b = int(np.searchsorted(starts, rank, side="right") - 1)
         # skip empty blocks whose start equals the next block's start
         while counts[b] == 0:
             b += 1
-        need.setdefault(b, []).append((q, rank))
-    out_q, out_v = [], []
-    for b, pairs in need.items():
+        need.setdefault(b, []).append(rank)
+    rank_val: dict[int, object] = {}
+    for b, ranks in need.items():
         t = ray.get(refs[b])
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
-        for q, rank in pairs:
-            out_q.append(q)
-            out_v.append(t.column(col)[int(rank - starts[b])])
-    order = np.argsort(out_q, kind="stable")
+        for rank in ranks:
+            rank_val[rank] = t.column(col)[int(rank - starts[b])].as_py()
+    out_q, out_v = [], []
+    for q, lo, hi, frac in sorted(targets):
+        out_q.append(q)
+        if interpolation == "linear":
+            vlo, vhi = float(rank_val[lo]), float(rank_val[hi])
+            out_v.append(vlo + frac * (vhi - vlo))
+        else:
+            out_v.append(rank_val[lo])
     return pa.table({
-        "q": pa.array([out_q[i] for i in order], pa.float64()),
-        "value": pa.array([out_v[i].as_py() for i in order]),
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(
+            out_v, pa.float64() if interpolation == "linear" else None
+        ),
     })
 
 
@@ -338,6 +366,7 @@ def grouped_quantiles(
     col: str,
     qs: list[float],
     num_buckets: int | None = None,
+    interpolation: str = "disc",
 ) -> rd.Dataset:
     """Per-group EXACT discrete quantiles (DuckDB ``quantile_disc``
     semantics: the element at rank ``max(0, ceil(q·n)−1)`` of the
@@ -345,6 +374,10 @@ def grouped_quantiles(
     (group × q) — columns ``key_cols + [q, value]``.  Groups with no
     non-null values are omitted (SQL emits NULL for them; filter the
     oracle accordingly on nullable inputs).
+
+    ``interpolation="linear"`` gives ``quantile_cont`` semantics (the
+    value at fractional rank ``q·(n−1)``, interpolated; float64
+    output), same vectorized offset arithmetic.
 
     Scale shape: unlike the global ``exact_quantiles`` (one full sort),
     groups co-locate by coarse hash bucket and EVERY group in a bucket
@@ -374,15 +407,25 @@ def grouped_quantiles(
         n = sizes["__n"].to_numpy()
         starts = np.concatenate([[0], np.cumsum(n)[:-1]])
         vals = g[col].to_numpy()
-        # rank matrix (G × Q), clipped into each group's range
-        ranks = np.maximum(
-            0, np.ceil(np.outer(n, qs_arr) - 1e-9).astype(np.int64) - 1
-        )
-        idx = (starts[:, None] + ranks).ravel()
         out = sizes.loc[sizes.index.repeat(len(qs_arr)),
                         key_cols].reset_index(drop=True)
         out["q"] = np.tile(qs_arr, len(n))
-        out["value"] = vals[idx]
+        if interpolation == "linear":
+            # fractional rank matrix (G × Q); bracketing ranks clipped
+            # into each group's range, then one vectorized interpolate
+            h = np.outer(n - 1, qs_arr)
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            hi = np.minimum(lo + 1, (n - 1)[:, None])
+            vlo = vals[(starts[:, None] + lo).ravel()].astype(np.float64)
+            vhi = vals[(starts[:, None] + hi).ravel()].astype(np.float64)
+            out["value"] = vlo + frac.ravel() * (vhi - vlo)
+        else:
+            # rank matrix (G × Q), clipped into each group's range
+            ranks = np.maximum(
+                0, np.ceil(np.outer(n, qs_arr) - 1e-9).astype(np.int64) - 1
+            )
+            out["value"] = vals[(starts[:, None] + ranks).ravel()]
         return out
 
     return bucketed_groupby(

@@ -873,3 +873,55 @@ def test_except_intersect_all_multiset_semantics():
             con.execute(sql).df()["k"].fillna("~null~").tolist()
         )
         assert got == want, (fn.__name__, got, want)
+
+
+def test_quantile_cont_matches_duckdb():
+    """interpolation='linear' == quantile_cont, including n=1, q=0/1
+    and fractional-rank interior points, global and per-group."""
+    import duckdb
+
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        exact_quantiles,
+        grouped_quantiles,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 7, 100):
+        x = np.sort(rng.normal(size=n) * 100)
+        qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+        got = exact_quantiles(
+            rd.from_pandas(pd.DataFrame({"x": x})), "x", qs,
+            interpolation="linear",
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE v AS SELECT * FROM UNNEST(?) t(x)", [list(x)])
+        for q, v in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+            want = con.execute(
+                f"SELECT quantile_cont(x, {q}) FROM v"
+            ).fetchone()[0]
+            assert abs(v - want) < 1e-9, (n, q, v, want)
+
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "x": rng.normal(size=200) * 10,
+    })
+    df.loc[0, "k"] = 99  # single-row group
+    got = (
+        grouped_quantiles(rd.from_pandas(df), ["k"], "x",
+                          [0.25, 0.5, 0.75], interpolation="linear")
+        .to_pandas().sort_values(["k", "q"], ignore_index=True)
+    )
+    want = duckdb.sql("""
+        SELECT k, q, quantile_cont(x, 0.25) AS v25,
+               quantile_cont(x, 0.5) AS v50,
+               quantile_cont(x, 0.75) AS v75
+        FROM df, (SELECT 1 AS q) GROUP BY k, q ORDER BY k
+    """).df()
+    for _, r in want.iterrows():
+        sub = got[got["k"] == r["k"]]
+        np.testing.assert_allclose(
+            sub["value"].to_numpy(), [r["v25"], r["v50"], r["v75"]],
+            rtol=1e-12,
+        )
