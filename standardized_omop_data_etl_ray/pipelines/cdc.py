@@ -29,6 +29,7 @@ stats table returns to the driver).
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -57,6 +58,9 @@ _STATS_SCHEMA = pa.schema(
         ("watermark", pa.int64()),
         ("sha_rollup", pa.string()),
         ("events_seen", pa.int64()),
+        # JSON {col: [min, max]} over lsn + key columns — zone-map
+        # style file statistics for pruned reads (lookup / lsn_range)
+        ("stats", pa.string()),
     ]
 )
 
@@ -96,6 +100,13 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
         # partition-level content checksum (lineage): sha over the
         # key-ordered row shas (delta is already key-sorted)
         roll = hashing.sha_rollup(delta.column("content_sha").to_pylist())
+        # zone-map file statistics: exact min/max of the lsn and every
+        # key column (full values, never truncated — truncating a max
+        # string would understate the bound and make pruning unsound)
+        fstats: dict[str, list] = {}
+        for c in [lsn_col] + list(key_cols):
+            mm = pc.min_max(delta.column(c)).as_py()
+            fstats[c] = [mm["min"], mm["max"]]
         rel = str(fpath.relative_to(Path(root) / table))
         info = {
             "part": part,
@@ -108,6 +119,7 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
             "watermark": wm,
             "sha_rollup": roll,
             "events_seen": events_seen,
+            "stats": json.dumps(fstats),
         }
         mf.write_marker(root, table, epoch, part, info)
         return pa.Table.from_pylist([info], schema=_STATS_SCHEMA)
@@ -713,6 +725,11 @@ class CDCLake:
                 "sha_rollup": s["sha_rollup"],
                 # cumulative gate-audit counter (ROADMAP #19)
                 "gated": old.get("gated", 0) + int(s.get("gated", 0)),
+                # per-file zone maps for pruned reads
+                "file_stats": {
+                    **old.get("file_stats", {}),
+                    s["file"]: json.loads(s["stats"]),
+                },
             }
         lineage.append(record)
         manifest = {
@@ -778,10 +795,38 @@ class CDCLake:
         """Valid ``at_epoch`` targets (retained manifest snapshots)."""
         return mf.list_manifest_epochs(self.root, self.spec.name)
 
-    def read_deltas(self, at_epoch: int | None = None) -> rd.Dataset | None:
+    def read_deltas(
+        self,
+        at_epoch: int | None = None,
+        lsn_range: tuple[int, int] | None = None,
+    ) -> rd.Dataset | None:
+        """Raw delta rows.  ``lsn_range=(lo, hi)`` (inclusive) prunes
+        files whose manifest zone map can't overlap the range before
+        the scan starts, then exact-filters rows — the incremental-
+        consumer read (a change feed for one lsn window never touches
+        cold files).  Files without stats (pre-upgrade lakes) are
+        conservatively read.  NOT a state read: a key's winner may lie
+        outside the range by design."""
         m = self._manifest_for(at_epoch)
         if not m or not m["partitions"]:
             return None
+        if lsn_range is not None:
+            lo, hi = lsn_range
+            troot = Path(self.root) / self.spec.name
+            lsn_col = self.spec.lsn_col
+            files = []
+            for info in m["partitions"].values():
+                fstats = info.get("file_stats", {})
+                for f in info["files"]:
+                    st = fstats.get(f, {}).get(lsn_col)
+                    if st is None or (st[1] >= lo and st[0] <= hi):
+                        files.append(str(troot / f))
+            if not files:
+                return None
+            schema = mf.schema_from_b64(m["schema"])
+            return rd.read_parquet(files, schema=schema).filter(
+                expr=f"{lsn_col} >= {lo} and {lsn_col} <= {hi}"
+            )
         files = mf.live_files(self.root, self.spec.name, m)
         if not files:
             return None
@@ -822,6 +867,90 @@ class CDCLake:
         if drop_engine_cols:
             out = out.drop_columns(["content_sha", "key_hash", "part"])
         return out
+
+    def lookup(
+        self,
+        keys: list[dict],
+        stats_out: dict | None = None,
+        at_epoch: int | None = None,
+    ) -> pa.Table:
+        """Point lookup: the live state rows for a few keys WITHOUT a
+        full scan.  Each key routes to its hash partition (same
+        ``key_hash_u64 % P`` the write path uses), that partition's
+        delta files are pruned by the manifest zone maps (a file whose
+        [min, max] excludes every sought key on any key column cannot
+        hold the key), and only the survivors are read + LWW-resolved.
+        Zone-map pruning is sound regardless of row order — deltas are
+        additionally key-sorted at write, which tightens the ranges.
+
+        Driver-side by design: a point lookup touches a handful of
+        files; cost is O(files in touched partitions) metadata + the
+        pruned reads, never O(state).  ``stats_out`` receives
+        files_total / files_read evidence.  Files without stats
+        (pre-upgrade lakes) are conservatively read."""
+        import pyarrow.dataset as pds
+
+        key_cols = list(self.spec.key_cols)
+        m = self._manifest_for(at_epoch)
+        empty = drop_tombstones(
+            self._state_schema().empty_table(), self.spec.op_col
+        )
+        if not m or not m["partitions"] or not keys:
+            if stats_out is not None:
+                stats_out.update(files_total=0, files_read=0)
+            return empty
+        schema = mf.schema_from_b64(m["schema"])
+        troot = Path(self.root) / self.spec.name
+        arrs = [pa.array([k[c] for k in keys]) for c in key_cols]
+        kh = hashing.key_hash_u64(*arrs)
+        parts = hashing.partition_of(
+            kh, self.spec.num_partitions
+        ).to_pylist()
+        by_part: dict[int, list[int]] = {}
+        for i, p in enumerate(parts):
+            by_part.setdefault(int(p), []).append(i)
+        keys_tbl = pa.table(
+            {c: a for c, a in zip(key_cols, arrs)}
+        ).group_by(key_cols).aggregate([])  # distinct sought keys
+        total = read = 0
+        tabs = []
+        for p, idxs in by_part.items():
+            info = m["partitions"].get(str(p))
+            if not info or not info["files"]:
+                continue
+            fstats = info.get("file_stats", {})
+            cand = []
+            for f in info["files"]:
+                total += 1
+                st = fstats.get(f)
+                if st is None:
+                    cand.append(f)
+                    continue
+                hit = any(
+                    all(
+                        st.get(c) is None
+                        or (st[c][0] <= keys[i][c] <= st[c][1])
+                        for c in key_cols
+                    )
+                    for i in idxs
+                )
+                if hit:
+                    cand.append(f)
+            read += len(cand)
+            if not cand:
+                continue
+            t = pds.dataset(
+                [str(troot / f) for f in cand], schema=schema
+            ).to_table()
+            t = t.join(keys_tbl, keys=key_cols, join_type="left semi")
+            if t.num_rows:
+                t = lww_reduce_table(t, key_cols, self.spec.lsn_col)
+                tabs.append(drop_tombstones(t, self.spec.op_col))
+        if stats_out is not None:
+            stats_out.update(files_total=total, files_read=read)
+        if not tabs:
+            return empty
+        return pa.concat_tables([t.cast(empty.schema) for t in tabs])
 
     # -- maintenance ------------------------------------------------------
 
@@ -898,6 +1027,9 @@ class CDCLake:
                 # through the rewrite (the gated tombstones themselves
                 # are resolved away by compaction)
                 "gated": m["partitions"][p].get("gated", 0),
+                # fresh zone map for the rewritten base file; stale
+                # per-delta stats drop with their files
+                "file_stats": {s["file"]: json.loads(s["stats"])},
             }
         # a targeted partition whose keys were ALL deleted yields no
         # output group: drop its files, keep the watermark

@@ -9,6 +9,7 @@ to the single-process oracle.
 import json
 from pathlib import Path
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray
@@ -727,3 +728,60 @@ def test_time_travel_read_and_retention(tmp_path):
 
     # current state unaffected throughout
     assert canonical_state(_state(lake)).equals(states[-1])
+
+
+def test_zone_map_lookup_and_lsn_pruned_reads(tmp_path):
+    """Manifest zone maps (per-file lsn/key min-max): point lookups
+    read only surviving files and match the oracle; lsn-range delta
+    reads prune cold files at plan time; compaction rewrites stats."""
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    n_files = sum(len(i["files"]) for i in m["partitions"].values())
+    for info in m["partitions"].values():
+        assert set(info["file_stats"]) == set(info["files"])
+        for st in info["file_stats"].values():
+            assert set(st) == {"lsn", "repo", "path"}
+
+    # point lookup of known keys == oracle rows for those keys
+    odf = ORACLE.to_pandas()
+    sought = odf[["repo", "path"]].drop_duplicates().head(5)
+    keys = sought.to_dict("records")
+    stats = {}
+    got = lake.lookup(keys, stats_out=stats)
+    want = odf.merge(sought, on=["repo", "path"])
+    gdf = got.to_pandas()[["repo", "path", "commit", "content"]]
+    wdf = want[["repo", "path", "commit", "content"]]
+    pd.testing.assert_frame_equal(
+        gdf.sort_values(["repo", "path"], ignore_index=True),
+        wdf.sort_values(["repo", "path"], ignore_index=True),
+    )
+    assert 0 < stats["files_read"] <= stats["files_total"] <= n_files
+
+    # a key above every zone map prunes ALL files
+    stats = {}
+    miss = lake.lookup([{"repo": "￿", "path": "￿"}],
+                       stats_out=stats)
+    assert miss.num_rows == 0 and stats["files_read"] == 0
+    assert stats["files_total"] > 0
+
+    # lsn-range read: plan-time file pruning + exact row filter
+    lo, hi = WINDOW, 2 * WINDOW - 1  # exactly batch window 1
+    pruned = lake.read_deltas(lsn_range=(lo, hi))
+    assert len(pruned.input_files()) < n_files
+    lsns = pruned.to_pandas()["lsn"]
+    full = lake.read_deltas().to_pandas()
+    assert sorted(lsns) == sorted(
+        full[(full["lsn"] >= lo) & (full["lsn"] <= hi)]["lsn"]
+    )
+
+    # compaction: fresh stats for base files, stale ones dropped;
+    # lookup still oracle-exact afterwards
+    lake.compact()
+    m2 = mf.read_manifest(str(tmp_path), "cdc")
+    for info in m2["partitions"].values():
+        assert set(info["file_stats"]) == set(info["files"])
+    got2 = lake.lookup(keys)
+    assert canonical_state(got2).equals(canonical_state(got))
