@@ -262,6 +262,10 @@ QUERY_SUBSET = [
     "heavy_hitter_tokens", "pivot_quantity_by_returnflag",
     "grouped_price_quantiles", "except_all_lineitem_orders",
     "late_events_hourly", "dedup_best_quality_docs",
+    # round-4b operators
+    "cdc_time_travel", "incremental_lang_stats",
+    "lag_lead_user_values", "ranked_orders_per_customer",
+    "quantiles_cont_lineitem_price",
 ]
 
 
