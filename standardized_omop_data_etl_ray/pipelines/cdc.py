@@ -952,6 +952,62 @@ class CDCLake:
             return empty
         return pa.concat_tables([t.cast(empty.schema) for t in tabs])
 
+    def changes_between(
+        self,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        carry_cols: list[str] | None = None,
+    ) -> rd.Dataset:
+        """NET change set over an epoch span — the changefeed consumer's
+        resume path: a reader that last saw ``from_epoch`` gets one row
+        per key whose live value differs at ``to_epoch`` (default:
+        current), with the old/new payloads.  Composed from the
+        DELTA-SOURCED per-epoch change sets (``epoch_change_set``) and
+        collapsed by ``stages/merge.net_change_sets`` — change-set-sized
+        everywhere, state never re-read; equals ``snapshot_diff`` of the
+        two time-travel snapshots.  Compaction epochs are skipped (they
+        rewrite files, never state)."""
+        from ..stages.merge import net_change_sets
+
+        m = mf.read_manifest(self.root, self.spec.name)
+        if not m:
+            raise ValueError("empty lake")
+        hi = m["epoch"] if to_epoch is None else to_epoch
+        apply_epochs = sorted(
+            r["epoch"] for r in m.get("lineage", [])
+            if not r.get("compaction") and from_epoch < r["epoch"] <= hi
+        )
+        if not apply_epochs:
+            # empty span: no committed apply epochs inside it
+            key_fields = [
+                f for f in mf.schema_from_b64(m["schema"])
+                if f.name in self.spec.key_cols
+            ]
+            lsn_t = mf.schema_from_b64(m["schema"]).field(
+                self.spec.lsn_col).type
+            sch = pa.schema(
+                key_fields
+                + [pa.field("change", pa.string()),
+                   pa.field("old_" + self.spec.lsn_col, lsn_t),
+                   pa.field("new_" + self.spec.lsn_col, lsn_t)]
+                + [f2 for c in (carry_cols or ())
+                   for f2 in (
+                       pa.field("old_" + c,
+                                mf.schema_from_b64(m["schema"]).field(c).type),
+                       pa.field("new_" + c,
+                                mf.schema_from_b64(m["schema"]).field(c).type),
+                   )]
+            )
+            return rd.from_arrow(sch.empty_table())
+        diffs = [
+            epoch_change_set(self, e, carry_cols=carry_cols)
+            for e in apply_epochs
+        ]
+        return net_change_sets(
+            diffs, list(self.spec.key_cols), self.spec.lsn_col,
+            carry_cols=carry_cols,
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def _maybe_autocompact(self) -> dict | None:

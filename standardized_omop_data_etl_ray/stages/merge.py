@@ -265,3 +265,92 @@ def snapshot_diff(
         return pa.table(cols)
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def net_change_sets(
+    diffs: list[rd.Dataset],
+    key_cols: list[str],
+    ver_col: str,
+    carry_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Collapse an ORDERED sequence of change sets (snapshot_diff /
+    epoch_change_set rows) into the NET change set of the whole span:
+    per key, the first appearance's old side + the last appearance's
+    new side, reclassified — added→…→deleted nets to nothing,
+    added→updated stays added, updated→deleted keeps the original old
+    payload.  Everything that moves is change-set-sized; composing K
+    epochs never re-reads state (the changefeed consumer's resume
+    path — equals ``snapshot_diff`` of the two endpoint snapshots).
+
+    Keys whose net old and new version are EQUAL (changed and changed
+    back within the span) drop, matching what a snapshot diff of the
+    endpoints would emit."""
+    import numpy as np
+
+    from .joins import bucketed_groupby
+
+    carry = list(carry_cols or ())
+    if not diffs:
+        raise ValueError("net_change_sets needs at least one change set")
+    import pyarrow as pa  # noqa: F811
+
+    schema = None
+    for d in diffs:
+        try:
+            s = d.schema(fetch_if_missing=True)
+            schema = pa.schema(list(zip(s.names, s.types)))
+            break
+        except Exception:
+            continue
+
+    tagged = [
+        d.map_batches(
+            lambda t, i=i: t.append_column(
+                "__seq", pa.array(np.full(t.num_rows, i, np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        for i, d in enumerate(diffs)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.union(t)
+
+    old_cols = [f"old_{ver_col}"] + [f"old_{c}" for c in carry]
+    new_cols = [f"new_{ver_col}"] + [f"new_{c}" for c in carry]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + ["__seq"], kind="mergesort")
+        first = g.groupby(key_cols, sort=False).head(1)
+        last = g.groupby(key_cols, sort=False).tail(1)
+        m = first[key_cols + ["change"] + old_cols].merge(
+            last[key_cols + ["change"] + new_cols],
+            on=key_cols, suffixes=("_first", "_last"),
+        )
+        f_add = (m["change_first"] == "added").to_numpy()
+        l_del = (m["change_last"] == "deleted").to_numpy()
+        change = np.where(
+            f_add & l_del, "drop",
+            np.where(f_add, "added", np.where(l_del, "deleted", "updated")),
+        )
+        # changed-and-reverted keys: net old == net new version → drop
+        same = (
+            (change == "updated")
+            & (m[f"old_{ver_col}"] == m[f"new_{ver_col}"]).to_numpy()
+        )
+        change = np.where(same, "drop", change)
+        m["change"] = change
+        m = m[m["change"] != "drop"]
+        return m[key_cols + ["change"] + old_cols + new_cols]
+
+    out = bucketed_groupby(u, key_cols, per_bucket, num_buckets)
+    if schema is None:
+        return out
+
+    def pin(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df[schema.names], preserve_index=False
+        ).cast(schema)
+
+    return out.map_batches(pin, batch_format="pandas")

@@ -785,3 +785,57 @@ def test_zone_map_lookup_and_lsn_pruned_reads(tmp_path):
         assert set(info["file_stats"]) == set(info["files"])
     got2 = lake.lookup(keys)
     assert canonical_state(got2).equals(canonical_state(got))
+
+
+def test_changes_between_equals_endpoint_snapshot_diff(tmp_path):
+    """The composed net change set over an epoch span equals
+    snapshot_diff of the two endpoint time-travel snapshots — including
+    add→delete netting to nothing, delete→re-add, update chains, and a
+    changed-and-reverted key dropping out."""
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+
+    spec = _spec(4)
+    lake = CDCLake(tmp_path, spec, auto_compact_files=None)
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    epochs = []
+    for batch in (
+        # epoch 1 (baseline for the span)
+        [ev("I", 1, "a", "a0"), ev("I", 2, "b", "b0"),
+         ev("I", 3, "c", "c0"), ev("I", 4, "r1", "r0")],
+        # epoch 2: add d, update a, delete b, revert-prep r1
+        [ev("I", 11, "d", "d0"), ev("U", 12, "a", "a1"),
+         ev("D", 13, "b", None), ev("U", 14, "r1", "r1x")],
+        # epoch 3: delete d (added in span → nets out), update a again,
+        # delete-then-readd b nets to updated, add e (pure add), delete
+        # c (pure delete of a baseline key)
+        [ev("D", 21, "d", None), ev("U", 22, "a", "a2"),
+         ev("I", 23, "b", "b1"), ev("I", 24, "e", "e0"),
+         ev("D", 25, "c", None)],
+    ):
+        rec = lake.apply_events(rd.from_items(batch))
+        epochs.append(rec["epoch"])
+
+    got = (
+        lake.changes_between(epochs[0], carry_cols=["content"])
+        .to_pandas().sort_values("path", ignore_index=True)
+    )
+    want = (
+        snapshot_diff(
+            lake.read_state(drop_engine_cols=True, at_epoch=epochs[0]),
+            lake.read_state(drop_engine_cols=True),
+            ["repo", "path"], "lsn", carry_cols=["content"],
+        )
+        .to_pandas().sort_values("path", ignore_index=True)
+    )
+    cols = ["repo", "path", "change", "old_content", "new_content"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # d was added AND deleted inside the span — absent from the net
+    assert "d" not in set(got["path"])
+    assert set(got["change"]) == {"updated", "deleted", "added"}
+
+    # empty span
+    assert lake.changes_between(epochs[-1]).count() == 0
