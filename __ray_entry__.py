@@ -3038,6 +3038,52 @@ _QUANTILE_SQL = " UNION ALL ".join(
 )
 
 
+def approx_quantiles_selfcheck(sf_dir: str):
+    """t-digest approximate quantiles, self-verified: the sketch path
+    (mergeable per-block centroid partials, no global sort —
+    stages/sketches.tdigest_quantiles) is asserted IN-QUERY to land
+    inside a ±1% rank bracket of the exact sorted answer; the emitted
+    rows are the exact quantile_disc values plus the passing flag, so
+    the driver hash pins the exact path while the sketch's bound is
+    load-bearing (the ivf_topk_cosine self-verifying pattern)."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        exact_quantiles,
+    )
+    from standardized_omop_data_etl_ray.stages.sketches import (
+        tdigest_quantiles,
+    )
+
+    eps = 0.01
+    n = _nrows(sf_dir, "lineitem")
+    li = _pq(sf_dir, "lineitem", ["l_extendedprice"], rows_hint=n)
+    est = tdigest_quantiles(li, "l_extendedprice", _QUANTILE_QS)
+    grid = sorted({
+        min(max(b, 0.0), 1.0)
+        for q in _QUANTILE_QS for b in (q - eps, q, q + eps)
+    })
+    exact = exact_quantiles(li, "l_extendedprice", grid)
+    ex = dict(zip(exact["q"].to_pylist(), exact["value"].to_pylist()))
+    ok = []
+    for q, v in zip(est["q"].to_pylist(), est["value"].to_pylist()):
+        lo = ex[min(max(q - eps, 0.0), 1.0)]
+        hi = ex[min(max(q + eps, 0.0), 1.0)]
+        ok.append(bool(lo <= v <= hi))
+    assert all(ok), f"t-digest outside ±{eps} rank bracket: {ok}"
+    return pa.table({
+        "q": pa.array([float(q) for q in _QUANTILE_QS], pa.float64()),
+        "value": pa.array([ex[float(q)] for q in _QUANTILE_QS]),
+        "sketch_within_bound": pa.array(ok),
+    })
+
+
+_APPROX_Q_SQL = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(l_extendedprice, {q}) AS value, "
+    "TRUE AS sketch_within_bound FROM lineitem"
+    for q in _QUANTILE_QS
+)
+
+
 def quantiles_cont_lineitem_price(sf_dir: str):
     """Interpolated (quantile_cont) exact quantiles — same single-sort
     plan as the discrete variant, but each q fetches its two bracketing
@@ -4200,6 +4246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sketches / scale joins ------------------------------------
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
+        "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
@@ -4218,7 +4265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup_groups": incremental_near_dup_groups,
         "dedup_canonical_docs": dedup_canonical_docs,
         "dedup_best_quality_docs": dedup_best_quality_docs,
-        "decontaminate_docs": decontaminate_docs,
         # -- text analysis ---------------------------------------------
         "quality_stats_docs": quality_stats_docs,
         "langid_docs": langid_docs,
@@ -4236,6 +4282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_docs": split_docs,
         "simhash_self_near_dups": simhash_self_near_dups,
         "jaccard_near_dups": jaccard_near_dups,
+        "decontaminate_docs": decontaminate_docs,
         "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -4318,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
         "quantiles_cont_lineitem_price": _QUANTILE_CONT_SQL,
         "grouped_cont_quantiles_orders": _GROUPED_CONT_SQL,
+        "approx_quantiles_selfcheck": _APPROX_Q_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,

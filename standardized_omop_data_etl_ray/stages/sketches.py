@@ -250,3 +250,92 @@ def heavy_hitters(
         return t.filter(pc.greater(t.column("n"), floor))
 
     return exact.map_batches(threshold, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# t-digest (Dunning & Ertl) — mergeable approximate quantiles.  The
+# 100 TB path where exact_quantiles' global sort is too expensive: the
+# exchange moves ≤ ~delta centroid rows per BLOCK, merges are
+# associative, and accuracy concentrates at the tails (the k1 scale
+# function bounds centroid width by the local quantile density).
+# Centroid layout depends on block boundaries, so the ESTIMATE is not
+# bit-deterministic across cluster sizes — callers that need an oracle
+# assert a rank-error bound against the exact path instead (the
+# self-verifying-query pattern).
+
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    return (delta / (2 * np.pi)) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+
+
+def _compress(means: np.ndarray, weights: np.ndarray,
+              delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """One vectorized compression pass: sort by mean, assign each
+    centroid to the k1 bin of its cumulative-weight center, and merge
+    each bin into its weighted mean (np.add.reduceat — no Python loop
+    over centroids)."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    if total <= 0 or len(means) == 0:
+        return means[:0], weights[:0]
+    centers = (np.cumsum(weights) - weights / 2) / total
+    bins = np.floor(_k1(centers, delta) - _k1(np.zeros(1), delta)).astype(
+        np.int64
+    )
+    starts = np.flatnonzero(np.diff(bins, prepend=bins[0] - 1))
+    w_out = np.add.reduceat(weights, starts)
+    m_out = np.add.reduceat(means * weights, starts) / w_out
+    return m_out, w_out
+
+
+def tdigest_partials(
+    ds: rd.Dataset, col: str, delta: float = 200.0
+) -> rd.Dataset:
+    """Per-block digest partials: centroid rows (mean, weight) plus the
+    block's exact min/max (tails must never be approximated away)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(col).drop_null().to_numpy(zero_copy_only=False)
+        x = np.asarray(x, dtype=np.float64)
+        if len(x) == 0:
+            return pa.table({
+                "mean": pa.array([], pa.float64()),
+                "weight": pa.array([], pa.float64()),
+                "lo": pa.array([], pa.float64()),
+                "hi": pa.array([], pa.float64()),
+            })
+        m, w = _compress(np.sort(x), np.ones(len(x)), delta)
+        return pa.table({
+            "mean": pa.array(m), "weight": pa.array(w),
+            "lo": pa.array(np.full(len(m), x.min())),
+            "hi": pa.array(np.full(len(m), x.max())),
+        })
+
+    return ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
+def tdigest_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], delta: float = 200.0
+) -> pa.Table:
+    """Approximate quantiles from one streaming pass: per-block
+    partials → a single driver-side merge-compress of the (small)
+    centroid union → interpolation.  The driver never sees data, only
+    ≤ ~delta centroids per block; for block counts where even that is
+    large, feed the partials through another tdigest_partials-style
+    reduce first (associative)."""
+    parts = tdigest_partials(ds, col, delta).to_pandas()
+    if parts.empty:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    m, w = _compress(parts["mean"].to_numpy(), parts["weight"].to_numpy(),
+                     delta)
+    lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    total = w.sum()
+    centers = (np.cumsum(w) - w / 2) / total
+    xs = np.concatenate([[0.0], centers, [1.0]])
+    ys = np.concatenate([[lo], m, [hi]])
+    vals = np.interp(np.asarray(qs, dtype=np.float64), xs, ys)
+    return pa.table({"q": pa.array(np.asarray(qs, np.float64)),
+                     "value": pa.array(vals)})

@@ -925,3 +925,30 @@ def test_quantile_cont_matches_duckdb():
             sub["value"].to_numpy(), [r["v25"], r["v50"], r["v75"]],
             rtol=1e-12,
         )
+
+
+def test_tdigest_rank_error_bound():
+    """t-digest quantile estimates stay inside a ±1% rank bracket of
+    the exact empirical quantiles on a skewed distribution, across
+    block splits (mergeability is the construction)."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.sketches import (
+        tdigest_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    x = np.exp(rng.normal(size=120_000) * 2.0)  # heavy right tail
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999]
+    ds = rd.from_pandas(pd.DataFrame({"x": x})).repartition(13)
+    got = tdigest_quantiles(ds, "x", qs, delta=200.0)
+    eps = 0.01
+    for q, v in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+        lo = np.quantile(x, max(0.0, q - eps))
+        hi = np.quantile(x, min(1.0, q + eps))
+        assert lo <= v <= hi, (q, v, lo, hi)
+
+    # empty + all-null inputs degrade cleanly
+    empty = rd.from_pandas(pd.DataFrame({"x": pd.array([], dtype="float64")}))
+    t = tdigest_quantiles(empty, "x", [0.5])
+    assert t["value"].to_pylist() == [None]
