@@ -1026,6 +1026,108 @@ class CDCLake:
             return None
         return self.compact(max_files=k)
 
+    def reshard(self, new_num_partitions: int) -> dict:
+        """Re-hash the lake to a new partition count — the cluster-resize
+        admin operation (hash partitioning pins parallelism; a lake laid
+        out for N nodes underuses 4N).  One pass: every live delta row
+        re-keys to ``key_hash % new_P`` (key_hash is content-stable, so
+        a key's FULL history lands in one new partition), and the shared
+        delta writer LWW-resolves it there into one file per new
+        partition.
+
+        Exactly-once across the boundary: tombstones are RETAINED (not
+        dropped as in compact) and every new partition's watermark is
+        the MIN of the old partitions' watermarks — a re-delivered event
+        at or below an old watermark passes the coarser filter but dies
+        in per-key LWW against the retained winner or tombstone, the
+        same idempotence argument as crash retry.  (Dropping tombstones
+        here would let such a replay resurrect a deleted key; the next
+        ``compact()`` drops them safely because per-partition watermarks
+        are preserved there.)  Lineage records the rewrite as a
+        compaction-class epoch: no state change, so change-set readers
+        skip it."""
+        from dataclasses import replace as _dc_replace
+
+        m = mf.read_manifest(self.root, self.spec.name)
+        old_p = self.spec.num_partitions
+        if new_num_partitions == old_p:
+            return {"reshard": True, "from": old_p, "to": old_p,
+                    "partitions_touched": 0}
+        if not m or not any(
+            info["files"] for info in m["partitions"].values()
+        ):
+            self.spec.num_partitions = new_num_partitions
+            return {"reshard": True, "from": old_p,
+                    "to": new_num_partitions, "partitions_touched": 0}
+
+        min_wm = min(
+            info["watermark"] for info in m["partitions"].values()
+        )
+        epoch = self._alloc_epoch()
+        schema = mf.schema_from_b64(m["schema"])
+        files = mf.live_files(self.root, self.spec.name, m)
+        new_spec = _dc_replace(self.spec,
+                               num_partitions=new_num_partitions)
+
+        def rekey(t: pa.Table) -> pa.Table:
+            # the hive-style part=/epoch= directories inject partition
+            # columns on read — pin to the manifest schema first
+            t = t.select(schema.names)
+            part = hashing.partition_of(
+                t.column("key_hash"), new_num_partitions
+            )
+            return t.set_column(
+                t.schema.get_field_index("part"), "part",
+                pc.cast(part, t.schema.field("part").type),
+            )
+
+        writer = _delta_writer(self.root, self.spec.name, epoch, new_spec)
+        stats = (
+            rd.read_parquet(files, schema=schema)
+            .map_batches(rekey, batch_format="pyarrow")
+            .groupby("part", num_partitions=new_num_partitions)
+            .map_groups(writer, batch_format="pyarrow")
+            .take_all()
+        )
+        partitions = {
+            str(s["part"]): {
+                "files": [s["file"]],
+                "watermark": min_wm,
+                "rows": s["rows"],
+                "sha_rollup": s["sha_rollup"],
+                "gated": 0,
+                "file_stats": {s["file"]: json.loads(s["stats"])},
+            }
+            for s in stats
+        }
+        # cumulative gate audit survives as a table-level lineage figure
+        record = {
+            "epoch": epoch,
+            "compaction": True,  # state-preserving file rewrite
+            "reshard": True,
+            "from": old_p,
+            "to": new_num_partitions,
+            "partitions_touched": len(stats),
+            "rows": int(sum(s["rows"] for s in stats)),
+            "gated_carried": int(sum(
+                info.get("gated", 0) for info in m["partitions"].values()
+            )),
+        }
+        manifest = {
+            "table": self.spec.name,
+            "epoch": epoch,
+            "epoch_hwm": max(self._epoch_hwm, epoch,
+                             m.get("epoch_hwm", 0)),
+            "num_partitions": new_num_partitions,
+            "schema": m["schema"],
+            "partitions": partitions,
+            "lineage": list(m.get("lineage", [])) + [record],
+            "compacted": False,  # tombstones retained — resolver path
+        }
+        mf.commit_manifest(self.root, self.spec.name, manifest)
+        self.spec.num_partitions = new_num_partitions
+        return record
+
     def compact(self, max_files: int | None = None) -> dict:
         """Rewrite partitions' deltas into one base file each (new epoch),
         then swap the manifest.  ``max_files=None`` compacts everything;

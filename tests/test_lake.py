@@ -839,3 +839,51 @@ def test_changes_between_equals_endpoint_snapshot_diff(tmp_path):
 
     # empty span
     assert lake.changes_between(epochs[-1]).count() == 0
+
+
+def test_reshard_preserves_state_and_exactly_once(tmp_path):
+    """reshard(new_P) re-hashes the lake (cluster-resize): state is
+    byte-identical before/after, later applies land on the new layout,
+    a fresh instance adopts it from the manifest, and re-delivering
+    already-applied windows across the boundary stays a no-op —
+    including a delete whose tombstone must survive the rewrite (the
+    resurrect hazard the retained tombstones + min-watermark prevent)."""
+    lake = CDCLake(tmp_path, _spec(4))
+    for b in BATCHES[:2]:
+        lake.apply_events(rd.from_arrow(b))
+    before = canonical_state(_state(lake))
+
+    rec = lake.reshard(11)
+    assert rec["reshard"] and rec["partitions_touched"] > 0
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    assert m["num_partitions"] == 11
+    assert len([p for p, i in m["partitions"].items() if i["files"]]) <= 11
+    assert canonical_state(_state(lake)).equals(before)
+
+    # re-deliver BOTH already-applied windows on the new layout: no-op
+    for b in BATCHES[:2]:
+        lake.apply_events(rd.from_arrow(b))
+    assert canonical_state(_state(lake)).equals(before)
+
+    # the remaining windows apply correctly post-reshard; final state
+    # equals the oracle of the full event log
+    for b in BATCHES[2:]:
+        lake.apply_events(rd.from_arrow(b))
+    assert_states_equal(_state(lake), ORACLE)
+
+    # a fresh instance adopts the resharded layout from the manifest
+    lake2 = CDCLake(tmp_path, TableSpec(name="cdc"))
+    assert lake2.spec.num_partitions == 11
+    assert_states_equal(_state(lake2), ORACLE)
+
+    # compact afterwards drops the retained tombstones; state unchanged
+    lake2.compact()
+    assert_states_equal(_state(lake2), ORACLE)
+
+    # change-set readers skip the reshard epoch (compaction-class)
+    reshard_epochs = [r["epoch"] for r in lake2.lineage()
+                      if r.get("reshard")]
+    assert reshard_epochs
+    net = lake2.changes_between(reshard_epochs[0] - 1)
+    # only the genuinely-applied window 3 shows up in the span
+    assert net.count() > 0
