@@ -2847,7 +2847,8 @@ def incremental_lang_stats_docs(sf_dir: str):
             ),
             batch_format="pandas",
         )
-        view = apply_change_set(view, cs, spec, state=state).materialize()
+        view = apply_change_set(view, cs, spec, state=state,
+                                num_buckets=8).materialize()
 
     def final(t: pa.Table) -> pa.Table:
         return t.set_column(

@@ -175,19 +175,22 @@ def _change_set_to_signed(spec: IncAggSpec):
 
 
 def _minmax_scan(
-    rows: rd.Dataset, spec: IncAggSpec, schema: pa.Schema
+    rows: rd.Dataset, spec: IncAggSpec, schema: pa.Schema,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Exact per-group extrema over ``rows`` (full build, or the
     touched-group rescan), Arrow-schema-pinned."""
     aggs = {f"__mn_{o}": (src, "min") for o, src in spec.mins.items()}
     aggs.update({f"__mx_{o}": (src, "max") for o, src in spec.maxs.items()})
-    return bucketed_agg(rows, list(spec.group_cols), aggs).map_batches(
+    return bucketed_agg(rows, list(spec.group_cols), aggs,
+                        num_buckets=num_buckets).map_batches(
         _cast_to(schema), batch_format="pandas"
     )
 
 
 def _fold(
-    parts: rd.Dataset, spec: IncAggSpec, schema: pa.Schema
+    parts: rd.Dataset, spec: IncAggSpec, schema: pa.Schema,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Sum partial differential rows per group; groups whose row count
     reaches zero retire from the view (no dead-group leak under
@@ -196,6 +199,7 @@ def _fold(
         parts,
         list(spec.group_cols),
         {c: (c, "sum") for c in spec.diff_cols()},
+        num_buckets=num_buckets,
         combine=False,
     )
 
@@ -227,9 +231,18 @@ def _arrow_types(ds: rd.Dataset, strip: str = "") -> dict[str, pa.DataType]:
     return out
 
 
-def build_agg_view(rows: rd.Dataset, spec: IncAggSpec) -> rd.Dataset:
+def build_agg_view(
+    rows: rd.Dataset, spec: IncAggSpec,
+    num_buckets: int | None = None,
+    expected_groups: int | None = None,
+) -> rd.Dataset:
     """Materialize the view from scratch over a row Dataset (the same
-    fold path maintenance uses, with every row asserted once)."""
+    fold path maintenance uses, with every row asserted once).
+
+    ``num_buckets`` sizes the reduces to the GROUP cardinality, not the
+    input (a 6-group view over 10^9 rows wants a handful of buckets);
+    ``expected_groups`` (an upper bound) lets the diff↔extrema join
+    broadcast instead of shuffling."""
     types = _arrow_types(rows)
     pschema = _partial_schema(spec, types)
 
@@ -243,13 +256,16 @@ def build_agg_view(rows: rd.Dataset, spec: IncAggSpec) -> rd.Dataset:
     diff = _fold(
         base.map_batches(_signed_partial(spec, pschema),
                          batch_format="pandas"),
-        spec, pschema,
+        spec, pschema, num_buckets,
     )
     if not (spec.mins or spec.maxs):
         return diff
     mm = _minmax_scan(rows.select_columns(keep), spec,
-                      _mm_schema(spec, types))
-    joined = auto_hash_join(diff, mm, list(spec.group_cols), how="left")
+                      _mm_schema(spec, types), num_buckets)
+    # inner ≡ left here: every live diff group has ≥1 input row, so the
+    # extrema scan covers it — and inner unlocks the broadcast plan
+    joined = auto_hash_join(diff, mm, list(spec.group_cols), how="inner",
+                            right_rows=expected_groups)
     return joined.select_columns(
         list(spec.group_cols) + spec.diff_cols() + spec.mm_cols()
     )
@@ -271,6 +287,7 @@ def apply_change_set(
     change_set: rd.Dataset,
     spec: IncAggSpec,
     state: rd.Dataset | None = None,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """One maintenance step: fold an epoch's change set into the view.
 
@@ -290,7 +307,7 @@ def apply_change_set(
     ).materialize()  # read twice: the fold and the touched-group list
     folded = _fold(
         view.select_columns(gcols + spec.diff_cols()).union(dparts),
-        spec, pschema,
+        spec, pschema, num_buckets,
     )
     if not (spec.mins or spec.maxs):
         return folded
@@ -312,14 +329,25 @@ def apply_change_set(
         rescan_rows = broadcast_join(
             state.select_columns(keep), touched, on=gcols, how="semi"
         )
-        mm_touched = _minmax_scan(rescan_rows, spec, mmschema)
+        mm_touched = _minmax_scan(rescan_rows, spec, mmschema,
+                                  num_buckets)
         mm_prev = broadcast_join(mm_prev, touched, on=gcols, how="anti")
         mm = mm_prev.map_batches(
             _cast_to(mmschema), batch_format="pandas"
         ).union(mm_touched)
     else:
         mm = mm_prev
-    joined = auto_hash_join(folded, mm, gcols, how="left")
+    # inner ≡ left under the maintenance contract: a live folded group
+    # is either untouched (extrema kept from the view) or touched (its
+    # live rows rescanned), so mm always covers it; inner unlocks the
+    # broadcast plan for small views.  Bound = view groups + touched.
+    try:
+        mm_rows = view.count() + len(touched)  # metadata-cheap when the
+        # caller keeps the view materialized (the intended usage)
+    except Exception:
+        mm_rows = None
+    joined = auto_hash_join(folded, mm, gcols, how="inner",
+                            right_rows=mm_rows)
     return joined.select_columns(gcols + spec.diff_cols() + spec.mm_cols())
 
 
