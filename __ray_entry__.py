@@ -2771,6 +2771,129 @@ FROM ranked WHERE rn = 1 AND op != 'D'
 """
 
 
+def cdc_point_lookup_docs(sf_dir: str):
+    """Zone-map point lookup: replay the flagship log, then read 20
+    specific keys WITHOUT a scan (CDCLake.lookup — hash-route to the
+    partition, prune its files by the manifest's per-file key min/max,
+    LWW-resolve only survivors).  Includes a key that never existed.
+    The oracle selects the same keys from the closed-form final state."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import run_flagship
+
+    lake_root = tempfile.mkdtemp(prefix="cdc_lake_pl_")
+    lake = run_flagship(sf_dir, lake_root, epochs=3, return_lake=True)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    picks = docs.sort_values("doc_id").iloc[::max(1, len(docs) // 20)][:20]
+    keys = [{"repo": r["source"], "path": f"doc_{r['doc_id']}.txt"}
+            for _, r in picks.iterrows()]
+    keys.append({"repo": "no/such-repo", "path": "missing.txt"})
+    stats = {}
+    t = lake.lookup(keys, stats_out=stats)
+    assert stats["files_read"] <= stats["files_total"]
+    return t.select(["op", "lsn", "repo", "path", "commit", "lang",
+                     "content"])
+
+
+_CDC_LOOKUP_SQL = """
+-- the sampled keys' rows from the closed-form final state (v=2 winner
+-- per key; the missing key matches nothing)
+WITH final AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+         doc_id * 3 + 2 AS lsn, source AS repo,
+         'doc_' || doc_id || '.txt' AS path,
+         doc_id || ':2' AS commit_col, lang, text || ' v2' AS content,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS c FROM documents)
+SELECT op, lsn, repo, path, commit_col AS "commit", lang, content
+FROM final WHERE rk % greatest(1, (SELECT c FROM n) // 20) = 0
+                 AND rk // greatest(1, (SELECT c FROM n) // 20) < 20
+"""
+
+
+def cdc_reshard_replay_docs(sf_dir: str):
+    """Cluster-resize drill: the flagship replay applied on 16
+    partitions, resharded to 25 mid-history (after epoch 2 of 3), the
+    remaining window applied on the NEW layout, plus a full redelivery
+    of the whole log (must be a no-op — retained tombstones + min
+    watermark).  The state must equal the plain replay's closed form."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    total = n_docs * 3
+    events = events_from_documents(docs, 3)
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_rs_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    step = (total + 2) // 3
+    for e in range(3):
+        lo, hi = e * step, min((e + 1) * step, total)
+        if e == 2:
+            lake.reshard(25)
+        lake.apply_events(events.filter(expr=f"lsn >= {lo} and lsn < {hi}"))
+    # full redelivery on the resharded layout: exactly-once no-op
+    lake.apply_events(events)
+    return lake.read_state(drop_engine_cols=True)
+
+
+def cdc_changes_between_docs(sf_dir: str):
+    """Changefeed resume: the NET change set between the flagship
+    replay's first commit and its final state (CDCLake.changes_between
+    — composed delta-sourced epoch change sets, state never re-read).
+    The oracle diffs the two lsn-window LWW states in SQL."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import run_flagship
+
+    lake_root = tempfile.mkdtemp(prefix="cdc_lake_cb_")
+    lake = run_flagship(sf_dir, lake_root, epochs=3, return_lake=True)
+    first = lake.snapshot_epochs()[0]
+    ds = lake.changes_between(first, carry_cols=["content"])
+    return ds.select_columns(
+        ["repo", "path", "change", "old_content", "new_content"]
+    )
+
+
+_CDC_CHANGES_BETWEEN_SQL = """
+-- net diff between the state after epoch 1 (lsn < n_docs) and the
+-- final state, over the SQL-regenerated event log
+WITH ev AS (
+  SELECT CASE WHEN v = 0 THEN 'I'
+              WHEN doc_id % 13 = 0 AND v = 1 THEN 'D'
+              WHEN doc_id % 13 = 0 AND v = 2 THEN 'I'
+              ELSE 'U' END AS op,
+         doc_id * 3 + v AS lsn, source AS repo,
+         'doc_' || doc_id || '.txt' AS path,
+         CASE WHEN doc_id % 13 = 0 AND v = 1 THEN NULL
+              WHEN v = 0 THEN text ELSE text || ' v' || v END AS content
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS v)
+),
+s0 AS (
+  SELECT repo, path, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) rn
+    FROM ev WHERE lsn < (SELECT COUNT(*) FROM documents))
+  WHERE rn = 1 AND op != 'D'),
+s1 AS (
+  SELECT repo, path, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) rn
+    FROM ev)
+  WHERE rn = 1 AND op != 'D')
+SELECT coalesce(a.repo, b.repo) AS repo,
+       coalesce(a.path, b.path) AS path,
+       CASE WHEN a.repo IS NULL THEN 'added'
+            WHEN b.repo IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       a.content AS old_content, b.content AS new_content
+FROM s0 a FULL OUTER JOIN s1 b USING (repo, path)
+WHERE a.repo IS NULL OR b.repo IS NULL OR a.content IS DISTINCT FROM b.content
+"""
+
+
 def incremental_lang_stats_docs(sf_dir: str):
     """Incrementally-maintained GROUP BY view (stages/incremental.py)
     over the CDC lake: per-lang COUNT/SUM/AVG/MIN/MAX of content
@@ -4225,6 +4348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_time_travel": cdc_time_travel_docs,
+        "cdc_point_lookup": cdc_point_lookup_docs,
+        "cdc_reshard_replay": cdc_reshard_replay_docs,
+        "cdc_changes_between": cdc_changes_between_docs,
         "incremental_lang_stats": incremental_lang_stats_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
@@ -4262,9 +4388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup family ----------------------------------------------
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_self_near_dups": minhash_self_near_dups,
-        "near_dup_groups": near_dup_groups,
         "incremental_near_dup_groups": incremental_near_dup_groups,
-        "dedup_canonical_docs": dedup_canonical_docs,
         "dedup_best_quality_docs": dedup_best_quality_docs,
         # -- text analysis ---------------------------------------------
         "quality_stats_docs": quality_stats_docs,
@@ -4284,6 +4408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_self_near_dups": simhash_self_near_dups,
         "jaccard_near_dups": jaccard_near_dups,
         "decontaminate_docs": decontaminate_docs,
+        "near_dup_groups": near_dup_groups,
+        "dedup_canonical_docs": dedup_canonical_docs,
         "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -4361,6 +4487,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_full_replay_docs": _CDC_FULL_SQL,
         "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "cdc_time_travel": _CDC_TIME_TRAVEL_SQL,
+        "cdc_point_lookup": _CDC_LOOKUP_SQL,
+        "cdc_reshard_replay": _CDC_FULL_SQL,
+        "cdc_changes_between": _CDC_CHANGES_BETWEEN_SQL,
         "incremental_lang_stats": _INC_LANG_STATS_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
