@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt-factor", type=int, default=0)
     ap.add_argument("--compact", action="store_true",
                     help="compact + gc after the tail drains")
+    ap.add_argument("--retain-manifests", type=int, default=1,
+                    help="gc retention window: keep the newest K manifest "
+                         "snapshots time-travel-readable (VACUUM semantics)")
+    ap.add_argument("--reshard", type=int, default=None,
+                    help="re-hash the lake to this partition count before "
+                         "tailing (cluster-resize drill; exactly-once "
+                         "preserved across the boundary)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; under `ray job submit` "
                          "the cluster is already up")
@@ -59,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
         (p["watermark"] for p in m["partitions"].values()), default=-1
     ) if m else -1
 
+    if args.reshard:
+        print(json.dumps(lake.reshard(args.reshard)))
+        spec = lake.spec
+
     tail = BinlogTail(args.segments)
     total_events, t0 = 0, time.time()
     for window in tail.windows(start_after, args.segments_per_window):
@@ -67,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(rec))
     if args.compact:
         print(json.dumps(lake.compact()))
-        lake.gc()
+        lake.gc(retain_manifests=args.retain_manifests)
     wall = time.time() - t0
     print(
         json.dumps(

@@ -101,6 +101,21 @@ def test_cli_replay_and_resume(tmp_path):
     second = run()  # resume: everything already applied
     assert second[-1]["events_applied"] == 0
 
+    # admin flags: reshard to a new partition count, then resume again —
+    # still a no-op, and the resharded lake adopts the new layout
+    out = subprocess.run(
+        [sys.executable, "-m", "standardized_omop_data_etl_ray.replay",
+         "--segments", str(d), "--lake", str(lake_dir),
+         "--num-partitions", "4", "--segments-per-window", "2",
+         "--num-cpus", "2", "--reshard", "7", "--compact",
+         "--retain-manifests", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert recs[0]["reshard"] and recs[0]["to"] == 7
+    assert recs[-1]["events_applied"] == 0
+
 
 def test_binlog_missing_stats_and_missing_lsn(tmp_path):
     """Stats-less segments must be INCLUDED (unknown ≠ already applied:
