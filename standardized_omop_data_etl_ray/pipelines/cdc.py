@@ -127,6 +127,83 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
     return write_group
 
 
+_VALID_OPS = ("I", "U", "D")
+
+
+def _dead_letter_splitter(root: str, table: str, epoch: int,
+                          spec: TableSpec):
+    """Batch fn: divert malformed events (null key column, null lsn,
+    unknown op) to ``_dead_letter/epoch=N/`` parquet instead of failing
+    the epoch — the poison-pill containment every production ingest
+    needs.  Runs BEFORE the curation gate and standardize (whose key
+    hash fails loudly on null keys by design).
+
+    Side-effect write from inside the map task, like the delta writer;
+    the file name is a content hash of the diverted rows, so a task
+    retry overwrites the same file (no duplicate dead letters).  A
+    ``reason`` column records which rule each row tripped.  An entirely
+    MISSING key column is a schema error and still raises — per-row
+    diversion is for per-row faults."""
+    rename = dict(spec.rename)
+    inv = {v: k for k, v in rename.items()}
+
+    def incoming(batch: pa.Table, canonical: str) -> str | None:
+        if canonical in batch.column_names:
+            return canonical
+        src = inv.get(canonical)
+        return src if src and src in batch.column_names else None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        reasons = np.full(batch.num_rows, "", dtype=object)
+
+        def mark(mask: np.ndarray, why: str):
+            fresh = mask & (reasons == "")
+            reasons[fresh] = why
+
+        for k in spec.key_cols:
+            col = incoming(batch, k)
+            if col is None:
+                raise ValueError(
+                    f"key column {k!r} missing from the event batch "
+                    "entirely — schema error, not a per-row fault"
+                )
+            mark(pc.is_null(batch.column(col)).to_numpy(
+                zero_copy_only=False), f"null key {k}")
+        lsn = incoming(batch, spec.lsn_col)
+        if lsn is None:
+            raise ValueError(f"lsn column {spec.lsn_col!r} missing")
+        mark(pc.is_null(batch.column(lsn)).to_numpy(zero_copy_only=False),
+             "null lsn")
+        opc = incoming(batch, spec.op_col)
+        if opc is not None:
+            op = batch.column(opc)
+            bad_op = pc.or_kleene(
+                pc.is_null(op),
+                pc.invert(pc.is_in(op, value_set=pa.array(_VALID_OPS))),
+            )
+            mark(pc.fill_null(bad_op, True).to_numpy(zero_copy_only=False),
+                 "invalid op")
+        bad = reasons != ""
+        if not bad.any():
+            return batch
+        bad_rows = batch.filter(pa.array(bad)).append_column(
+            "__dlq_reason", pa.array(reasons[bad], pa.string())
+        )
+        ddir = Path(root) / table / "_dead_letter" / f"epoch={epoch:06d}"
+        ddir.mkdir(parents=True, exist_ok=True)
+        digest = hashing.sha256_hex_str(
+            json.dumps(bad_rows.to_pydict(), default=str, sort_keys=True)
+        )[:16]
+        tmp = ddir / f"bad-{digest}.parquet.tmp"
+        pq.write_table(bad_rows, tmp)
+        tmp.replace(ddir / f"bad-{digest}.parquet")
+        return batch.filter(pa.array(~bad))
+
+    return fn
+
+
 def _partition_resolver(schema: pa.Schema, spec: TableSpec):
     """Batch fn over a table of per-partition file lists: read the
     partition's delta files, LWW-resolve, drop tombstones.  Shared by
@@ -305,9 +382,16 @@ class CDCLake:
     """Single-writer CDC lake table (copy-on-write Parquet + manifests)."""
 
     def __init__(self, root: str, spec: TableSpec | None = None,
-                 gate=None, auto_compact_files: int | None = 16):
+                 gate=None, auto_compact_files: int | None = 16,
+                 dead_letter: bool = False):
         self.root = str(root)
         self.spec = spec or TableSpec(name="cdc")
+        # poison-pill containment: divert malformed events (null key /
+        # null lsn / unknown op) to _dead_letter/ parquet instead of
+        # failing the epoch.  OFF by default — the fail-loud contract
+        # (key_hash_u64 raising on null keys) is the right default for
+        # trusted logs; turn on for untrusted upstream feeds.
+        self.dead_letter = dead_letter
         # streaming curation hook (stages/standardize.make_curation_gate):
         # a batch fn run on every incoming event batch in phase 1, on
         # BOTH the batch and stream apply paths — failing I/U events
@@ -479,6 +563,8 @@ class CDCLake:
             "events_seen": int(sum(s["events_seen"] for s in stats)),
             "wall_sec": round(time.time() - t0, 3),
         }
+        if self.dead_letter:
+            record["rows_dead_lettered"] = self._dlq_rows(epoch)
         if _fail_before_commit:  # test hook: die between phase 1 and 2
             record["committed"] = False
             return record
@@ -610,6 +696,8 @@ class CDCLake:
             "wall_sec": round(time.time() - t0, 3),
             "commit_wait_sec": round(commit_wait, 3),
         }
+        if self.dead_letter:
+            record["rows_dead_lettered"] = self._dlq_rows(epoch)
         # commit with the epoch's OWN spec snapshot: the live spec may
         # already carry columns from still-uncommitted in-flight windows
         self._commit(prev, epoch, stats, record, spec_snap)
@@ -650,6 +738,11 @@ class CDCLake:
         at its own submit time (else delta file schemas become
         timing-dependent)."""
         spec = spec or self.spec
+        if self.dead_letter:
+            events = events.map_batches(
+                _dead_letter_splitter(self.root, spec.name, epoch, spec),
+                batch_format="pyarrow",
+            )
         raw_events = events
         if self.gate is not None:
             events = events.map_batches(self.gate, batch_format="pyarrow")
@@ -790,6 +883,27 @@ class CDCLake:
                 "snapshots readable"
             )
         return m
+
+    def _dlq_rows(self, epoch: int) -> int:
+        ddir = (Path(self.root) / self.spec.name / "_dead_letter"
+                / f"epoch={epoch:06d}")
+        if not ddir.exists():
+            return 0
+        return sum(
+            pq.read_metadata(f).num_rows for f in ddir.glob("*.parquet")
+        )
+
+    def read_dead_letters(self, epoch: int | None = None) -> rd.Dataset | None:
+        """Diverted malformed events (original columns + ``__dlq_reason``),
+        optionally for one epoch — the repair/inspection surface."""
+        base = Path(self.root) / self.spec.name / "_dead_letter"
+        if epoch is not None:
+            base = base / f"epoch={epoch:06d}"
+        files = sorted(str(p) for p in base.rglob("*.parquet")) \
+            if base.exists() else []
+        if not files:
+            return None
+        return rd.read_parquet(files)
 
     def snapshot_epochs(self) -> list[int]:
         """Valid ``at_epoch`` targets (retained manifest snapshots)."""

@@ -887,3 +887,67 @@ def test_reshard_preserves_state_and_exactly_once(tmp_path):
     net = lake2.changes_between(reshard_epochs[0] - 1)
     # only the genuinely-applied window 3 shows up in the span
     assert net.count() > 0
+
+
+def test_dead_letter_queue(tmp_path):
+    """dead_letter=True diverts malformed events (null key, null lsn,
+    unknown op) to _dead_letter/ instead of failing the epoch; clean
+    rows apply exactly as without the poison pills; the default lake
+    still fails loudly; a missing key COLUMN is a schema error either
+    way."""
+    import numpy as np
+
+    def ev_table(rows):
+        cols = {k: [r.get(k) for r in rows]
+                for k in ("op", "lsn", "repo", "path", "commit", "content")}
+        return pa.table({
+            "op": pa.array(cols["op"], pa.string()),
+            "lsn": pa.array(cols["lsn"], pa.int64()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "commit": pa.array(cols["commit"], pa.string()),
+            "content": pa.array(cols["content"], pa.string()),
+        })
+
+    good = [
+        {"op": "I", "lsn": 1, "repo": "r", "path": "a", "commit": "c1",
+         "content": "a0"},
+        {"op": "I", "lsn": 2, "repo": "r", "path": "b", "commit": "c2",
+         "content": "b0"},
+    ]
+    poison = [
+        {"op": "I", "lsn": 3, "repo": None, "path": "x", "commit": "c3",
+         "content": "x"},                                    # null key
+        {"op": "U", "lsn": None, "repo": "r", "path": "a", "commit": "c4",
+         "content": "a?"},                                   # null lsn
+        {"op": "Z", "lsn": 5, "repo": "r", "path": "b", "commit": "c5",
+         "content": "b?"},                                   # unknown op
+        {"op": None, "lsn": 6, "repo": "r", "path": "b", "commit": "c6",
+         "content": "b?"},                                   # null op
+    ]
+    mixed = ev_table(good + poison)
+
+    # default lake: fail loudly on the poison batch
+    strict = CDCLake(tmp_path / "strict", _spec(2))
+    with pytest.raises(Exception):
+        strict.apply_events(rd.from_arrow(mixed))
+
+    # DLQ lake: clean rows commit, poison rows diverted with reasons
+    lake = CDCLake(tmp_path / "dlq", _spec(2), dead_letter=True)
+    rec = lake.apply_events(rd.from_arrow(mixed))
+    assert rec["committed"] and rec["rows_dead_lettered"] == 4
+    st = canonical_state(_state(lake))
+    want = CDCLake(tmp_path / "clean", _spec(2))
+    want.apply_events(rd.from_arrow(ev_table(good)))
+    assert st.equals(canonical_state(_state(want)))
+
+    dl = lake.read_dead_letters().to_pandas()
+    assert len(dl) == 4
+    assert set(dl["__dlq_reason"]) == {"null key repo", "null lsn",
+                                       "invalid op"}
+
+    # a missing key COLUMN raises even with the DLQ on
+    with pytest.raises(Exception, match="schema error|missing"):
+        lake.apply_events(
+            rd.from_arrow(ev_table(good).drop_columns(["repo"]))
+        )
