@@ -2894,6 +2894,66 @@ WHERE a.repo IS NULL OR b.repo IS NULL OR a.content IS DISTINCT FROM b.content
 """
 
 
+def cdc_dead_letter_replay_docs(sf_dir: str):
+    """Poison-pill containment: the flagship event log with every
+    97th doc's v2 event corrupted (null lsn) replayed through a
+    dead_letter=True lake — corrupt events divert to _dead_letter/
+    parquet, clean rows commit, so each poisoned key's live winner
+    falls back to its v1 event (or vanishes, when v1 was the %13
+    delete).  The oracle encodes exactly that fallback."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    events = events_from_documents(docs, 3)
+
+    def poison(t: pa.Table) -> pa.Table:
+        lsn = t.column("lsn")
+        d = pc.divide(lsn, 3)
+        v = pc.subtract(lsn, pc.multiply(d, 3))
+        bad = pc.and_(pc.equal(pc.subtract(d, pc.multiply(
+            pc.divide(d, 97), 97)), 0), pc.equal(v, 2))
+        return t.set_column(
+            t.schema.get_field_index("lsn"), "lsn",
+            pc.if_else(bad, pa.scalar(None, pa.int64()), lsn),
+        )
+
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_dlq_"),
+                   TableSpec(name="docs_cdc", num_partitions=16),
+                   dead_letter=True)
+    rec = lake.apply_events(events.map_batches(poison,
+                                               batch_format="pyarrow"))
+    assert rec["rows_dead_lettered"] > 0
+    dlq = lake.read_dead_letters()
+    assert dlq is not None and dlq.count() == rec["rows_dead_lettered"]
+    return lake.read_state(drop_engine_cols=True)
+
+
+_CDC_DLQ_SQL = """
+-- fallback winners: poisoned (doc_id%97=0) keys keep their v1 event;
+-- poisoned keys whose v1 was the %13 delete vanish
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         (doc_id % 97 = 0) AS poisoned,
+         (doc_id % 13 = 0) AS del
+  FROM documents
+)
+SELECT CASE WHEN NOT poisoned AND del THEN 'I' ELSE 'U' END AS op,
+       CASE WHEN poisoned THEN doc_id * 3 + 1
+            ELSE doc_id * 3 + 2 END AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':' || (CASE WHEN poisoned THEN 1 ELSE 2 END)
+           AS "commit",
+       lang,
+       text || (CASE WHEN poisoned THEN ' v1' ELSE ' v2' END) AS content
+FROM base WHERE NOT (poisoned AND del)
+"""
+
+
 def incremental_lang_stats_docs(sf_dir: str):
     """Incrementally-maintained GROUP BY view (stages/incremental.py)
     over the CDC lake: per-lang COUNT/SUM/AVG/MIN/MAX of content
@@ -4351,6 +4411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
         "cdc_changes_between": cdc_changes_between_docs,
+        "cdc_dead_letter_replay": cdc_dead_letter_replay_docs,
         "incremental_lang_stats": incremental_lang_stats_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
@@ -4387,7 +4448,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
         "dedup_exact_docs": dedup_exact_docs,
-        "minhash_self_near_dups": minhash_self_near_dups,
         "incremental_near_dup_groups": incremental_near_dup_groups,
         "dedup_best_quality_docs": dedup_best_quality_docs,
         # -- text analysis ---------------------------------------------
@@ -4410,6 +4470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         "near_dup_groups": near_dup_groups,
         "dedup_canonical_docs": dedup_canonical_docs,
+        "minhash_self_near_dups": minhash_self_near_dups,
         "token_counts_docs": token_counts_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -4490,6 +4551,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": _CDC_LOOKUP_SQL,
         "cdc_reshard_replay": _CDC_FULL_SQL,
         "cdc_changes_between": _CDC_CHANGES_BETWEEN_SQL,
+        "cdc_dead_letter_replay": _CDC_DLQ_SQL,
         "incremental_lang_stats": _INC_LANG_STATS_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
