@@ -30,6 +30,7 @@ stats table returns to the driver).
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -1139,6 +1140,51 @@ class CDCLake:
         ):
             return None
         return self.compact(max_files=k)
+
+    def clone(self, dest_root: str, at_epoch: int | None = None) -> "CDCLake":
+        """Zero-copy branch: a new independent lake at ``dest_root``
+        whose state is this lake's (optionally as of ``at_epoch``).
+        Data files are immutable after commit, so the clone HARDLINKS
+        them (copy fallback for cross-device) — O(files) metadata, no
+        data movement; a later gc on either side unlinks only its own
+        directory entry, never the shared inode.  Both sides then
+        evolve independently (dev branches, backfill experiments,
+        point-in-time forks).  Lineage up to the fork point is carried;
+        markers (the phase-1 audit trail) stay with the source.
+
+        On an object store this becomes a server-side copy or a
+        manifest-level shallow clone — the manifest only stores
+        table-relative paths, which is what makes this operation
+        possible."""
+        import shutil as _sh
+
+        m = self._manifest_for(at_epoch)
+        if not m:
+            raise ValueError("cannot clone an empty lake")
+        src_troot = Path(self.root) / self.spec.name
+        dst_troot = Path(dest_root) / self.spec.name
+        if (dst_troot / "_manifests").exists():
+            raise ValueError(f"destination {dst_troot} already has a lake")
+        for rel in [f for info in m["partitions"].values()
+                    for f in info["files"]]:
+            src, dst = src_troot / rel, dst_troot / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                _sh.copy2(src, dst)
+        manifest = dict(m)
+        manifest["lineage"] = list(m.get("lineage", [])) + [{
+            "epoch": m["epoch"], "cloned_from": str(src_troot),
+            "at_epoch": at_epoch,
+        }]
+        mf.commit_manifest(dest_root, self.spec.name, manifest)
+        from dataclasses import replace as _dc_replace
+
+        return CDCLake(dest_root, _dc_replace(self.spec),
+                       gate=self.gate,
+                       auto_compact_files=self.auto_compact_files,
+                       dead_letter=self.dead_letter)
 
     def reshard(self, new_num_partitions: int) -> dict:
         """Re-hash the lake to a new partition count — the cluster-resize

@@ -951,3 +951,50 @@ def test_dead_letter_queue(tmp_path):
         lake.apply_events(
             rd.from_arrow(ev_table(good).drop_columns(["repo"]))
         )
+
+
+def test_clone_branches_independently(tmp_path):
+    """clone(dest) forks the lake by hardlinking immutable data files:
+    the branch reads the same state (or a time-travel snapshot), both
+    sides evolve independently, and gc on the SOURCE cannot break the
+    branch (shared inodes survive unlink)."""
+    lake = CDCLake(tmp_path / "src", _spec(4))
+    for b in BATCHES[:2]:
+        lake.apply_events(rd.from_arrow(b))
+    fork_state = canonical_state(_state(lake))
+    epochs = lake.snapshot_epochs()
+
+    branch = lake.clone(str(tmp_path / "branch"))
+    assert canonical_state(_state(branch)).equals(fork_state)
+
+    # time-travel clone: the branch is the FIRST epoch's state
+    early = lake.clone(str(tmp_path / "early"), at_epoch=epochs[0])
+    assert canonical_state(_state(early)).equals(
+        canonical_state(_state(lake, at_epoch=epochs[0]))
+    )
+
+    # diverge: source applies the remaining windows, branch applies a
+    # patch of its own — neither sees the other's writes
+    for b in BATCHES[2:]:
+        lake.apply_events(rd.from_arrow(b))
+    patch = pa.table({
+        "op": ["I"], "lsn": pa.array([10_000_000], pa.int64()),
+        "repo": ["branch-only"], "path": ["p"], "commit": ["c"],
+        "content": ["z"],
+    })
+    branch.apply_events(rd.from_arrow(patch))
+    assert_states_equal(_state(lake), ORACLE)
+    bdf = _state(branch).to_pandas()
+    assert "branch-only" in set(bdf["repo"])
+    assert canonical_state(_state(lake)).num_rows == ORACLE.num_rows
+
+    # source compact + tight gc reclaims ITS directory entries; the
+    # branch's hardlinked files keep the inodes alive
+    lake.compact()
+    lake.gc(retain_manifests=1)
+    assert "branch-only" in set(_state(branch).to_pandas()["repo"])
+    assert canonical_state(_state(branch)).num_rows == fork_state.num_rows + 1
+
+    # cloning onto an existing lake refuses
+    with pytest.raises(ValueError, match="already has a lake"):
+        lake.clone(str(tmp_path / "branch"))
