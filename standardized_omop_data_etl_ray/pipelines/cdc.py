@@ -404,6 +404,9 @@ class CDCLake:
         # accumulated delta files, so without this a long-running tail
         # makes read_state drift slower every epoch).  None disables.
         self.auto_compact_files = auto_compact_files
+        # finish any group commit that crashed between its commit point
+        # and the pointer roll-forward (multi-table transactions)
+        mf.recover_groups(self.root)
         # single-writer epoch allocator high-water mark: epochs must be
         # UNIQUE across data commits AND compactions — apply_stream
         # pre-assigns epochs for in-flight windows, so a compaction
@@ -539,9 +542,15 @@ class CDCLake:
         *,
         salt_factor: int = 0,
         shuffle_mode: str = "full",
+        txn: "LakeTransaction | None" = None,
         _fail_before_commit: bool = False,
     ) -> dict:
-        """Apply one micro-batch (one epoch).  Returns the commit record."""
+        """Apply one micro-batch (one epoch).  Returns the commit record.
+
+        ``txn`` defers the commit into a multi-table transaction: phase
+        1 runs now (delta files + markers, invisible), the manifest is
+        STAGED, and visibility arrives only at ``txn.commit()`` —
+        atomically with every other table in the transaction."""
         t0 = time.time()
         m = mf.read_manifest(self.root, self.spec.name)
         epoch = self._alloc_epoch()
@@ -570,7 +579,11 @@ class CDCLake:
             record["committed"] = False
             return record
 
-        self._commit(m, epoch, stats, record)
+        self._commit(m, epoch, stats, record, txn=txn)
+        if txn is not None:
+            record["committed"] = False  # until txn.commit()
+            txn._track(record)
+            return record
         record["committed"] = True
         self._maybe_autocompact()
         return record
@@ -805,7 +818,8 @@ class CDCLake:
         return stats_ds.take_all()  # ≤ P tiny rows — phase 1 complete here
 
     def _commit(self, prev: dict | None, epoch: int, stats: list[dict],
-                record: dict, spec: TableSpec | None = None):
+                record: dict, spec: TableSpec | None = None,
+                txn: "LakeTransaction | None" = None):
         spec = spec or self.spec
         partitions = dict(prev["partitions"]) if prev else {}
         lineage = list(prev.get("lineage", [])) if prev else []
@@ -840,6 +854,9 @@ class CDCLake:
             "lineage": lineage,
             "compacted": False,
         }
+        if txn is not None:
+            txn._stage(self.root, self.spec.name, manifest)
+            return
         mf.commit_manifest(self.root, self.spec.name, manifest)
 
     def _state_schema(self, spec: TableSpec | None = None) -> pa.Schema:
@@ -1420,3 +1437,56 @@ class CDCLake:
                 ),
             }
         )
+
+
+class LakeTransaction:
+    """Atomic multi-table commit scope (redo-log group commit over the
+    manifest layer, ``state/manifest.commit_group``): every
+    ``lake.apply_events(events, txn=txn)`` runs its phase 1 now and
+    STAGES its manifest; ``txn.commit()`` makes all participating
+    tables' epochs durable at one fsynced rename, then rolls pointers
+    forward (crash-recovered at lake open via ``recover_groups``).
+
+    An abandoned transaction (never committed) leaves only invisible
+    orphans — staged .staged manifests no reader resolves, and phase-1
+    delta files the retry overwrites deterministically, exactly like a
+    crash between phases.  All participating lakes must share one
+    ``root`` (the group record lives at ``root/_txn``).
+
+    The multi-table shape the composed OMOP pipeline needs: person +
+    nine fact tables appear to downstream readers at one instant, never
+    half-written."""
+
+    def __init__(self, root: str):
+        self.root = str(root)
+        self._manifests: dict[str, dict] = {}
+        self._records: list[dict] = []
+        self.committed = False
+
+    def _stage(self, root: str, table: str, manifest: dict) -> None:
+        if str(root) != self.root:
+            raise ValueError(
+                f"lake root {root!r} differs from transaction root "
+                f"{self.root!r} — a group commit spans one lake root"
+            )
+        if table in self._manifests:
+            raise ValueError(
+                f"table {table!r} already staged in this transaction "
+                "(one epoch per table per transaction)"
+            )
+        self._manifests[table] = manifest
+
+    def _track(self, record: dict) -> None:
+        self._records.append(record)
+
+    def commit(self) -> str | None:
+        """The all-or-nothing commit point for every staged table."""
+        if self.committed:
+            raise ValueError("transaction already committed")
+        if not self._manifests:
+            return None
+        gid = mf.commit_group(self.root, self._manifests)
+        for r in self._records:
+            r["committed"] = True
+        self.committed = True
+        return gid

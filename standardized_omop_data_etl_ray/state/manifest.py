@@ -184,3 +184,106 @@ def gc(root: str | Path, table: str, retain_manifests: int = 1) -> list[str]:
         if d.is_dir() and not any(d.iterdir()):
             d.rmdir()
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commit (redo-log group commit): N tables' new
+# manifests become durable together at ONE fsynced rename (the group
+# record); per-table pointer swaps ROLL FORWARD after it and are
+# crash-recovered by recover_groups().  Before the group record lands,
+# staged manifests live under a .staged suffix that every reader
+# (pointer resolution, list_manifest_epochs time travel, gc retention)
+# ignores — an aborted transaction leaves only invisible orphans.
+
+def _txn_dir(root: str | Path) -> Path:
+    return Path(root) / "_txn"
+
+
+def stage_manifest(root: str | Path, table: str, manifest: dict) -> str:
+    """Durably write a table's manifest under .staged (invisible)."""
+    mdir = table_root(root, table) / "_manifests"
+    mdir.mkdir(parents=True, exist_ok=True)
+    name = f"manifest-{manifest['epoch']:06d}.json"
+    tmp = mdir / (name + ".staged.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mdir / (name + ".staged"))
+    _fsync_dir(mdir)
+    return name
+
+
+def _manifest_name_epoch(name: str) -> int:
+    return int(name.split("-")[1].split(".")[0])
+
+
+def _roll_forward(root: str | Path, group: dict) -> None:
+    """Idempotent: promote each staged manifest and swap its pointer.
+    A pointer already AT or BEYOND the group's epoch is left alone —
+    recovery running after later commits must never rewind a table."""
+    for table, name in group["tables"].items():
+        mdir = table_root(root, table) / "_manifests"
+        staged, final = mdir / (name + ".staged"), mdir / name
+        if staged.exists():
+            os.replace(staged, final)
+            _fsync_dir(mdir)
+        troot = table_root(root, table)
+        ptr = troot / "MANIFEST"
+        if ptr.exists():
+            cur = ptr.read_text().strip()
+            if cur and _manifest_name_epoch(cur) >= _manifest_name_epoch(name):
+                continue
+        ptmp = troot / "MANIFEST.tmp"
+        with open(ptmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, troot / "MANIFEST")
+        _fsync_dir(troot)
+
+
+def commit_group(root: str | Path,
+                 entries: dict[str, dict]) -> str:
+    """Atomically commit ``{table: manifest}`` across tables.
+
+    1. stage every manifest (durable, invisible);
+    2. fsync-rename ONE group record — the commit point;
+    3. roll every pointer forward and mark the record done.
+    A crash after (2) is completed by ``recover_groups`` at next open;
+    a crash before (2) aborts cleanly (only .staged orphans remain)."""
+    names = {t: stage_manifest(root, t, m) for t, m in entries.items()}
+    gid = "-".join(
+        f"{t}:{m['epoch']}" for t, m in sorted(entries.items())
+    )
+    gdir = _txn_dir(root)
+    gdir.mkdir(parents=True, exist_ok=True)
+    group = {"tables": names, "id": gid}
+    tmp = gdir / f"group-{gid}.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(group, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, gdir / f"group-{gid}.json")  # COMMIT POINT
+    _fsync_dir(gdir)
+    _roll_forward(root, group)
+    os.replace(gdir / f"group-{gid}.json", gdir / f"group-{gid}.done")
+    _fsync_dir(gdir)
+    return gid
+
+
+def recover_groups(root: str | Path) -> list[str]:
+    """Finish any group commit that crashed between its commit point
+    and the pointer roll-forward.  Idempotent; call at lake open."""
+    gdir = _txn_dir(root)
+    if not gdir.exists():
+        return []
+    done = []
+    for p in sorted(gdir.glob("group-*.json")):
+        group = json.load(open(p))
+        _roll_forward(root, group)
+        os.replace(p, p.with_suffix(".done"))
+        done.append(group["id"])
+    if done:
+        _fsync_dir(gdir)
+    return done

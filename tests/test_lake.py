@@ -998,3 +998,66 @@ def test_clone_branches_independently(tmp_path):
     # cloning onto an existing lake refuses
     with pytest.raises(ValueError, match="already has a lake"):
         lake.clone(str(tmp_path / "branch"))
+
+
+def test_multi_table_transaction(tmp_path):
+    """LakeTransaction: two tables' epochs become visible TOGETHER at
+    txn.commit(); an abandoned transaction leaves both invisible and a
+    clean retry succeeds; a crash between the group-commit record and
+    the pointer roll-forward is recovered at lake open."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import LakeTransaction
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    a = CDCLake(tmp_path, TableSpec(name="ta", num_partitions=2))
+    b = CDCLake(tmp_path, TableSpec(name="tb", num_partitions=2))
+
+    # abandoned transaction: phase 1 ran, nothing visible
+    txn0 = LakeTransaction(tmp_path)
+    r1 = a.apply_events(rd.from_items([ev("I", 1, "x", "ax")]), txn=txn0)
+    r2 = b.apply_events(rd.from_items([ev("I", 1, "x", "bx")]), txn=txn0)
+    assert not r1["committed"] and not r2["committed"]
+    assert mf.read_manifest(str(tmp_path), "ta") is None
+    assert mf.read_manifest(str(tmp_path), "tb") is None
+    assert a.read_state().count() == 0 and b.read_state().count() == 0
+    # staged manifests are invisible to time travel too
+    assert a.snapshot_epochs() == []
+
+    # retry in a fresh transaction and commit: both visible at once
+    txn = LakeTransaction(tmp_path)
+    a.apply_events(rd.from_items([ev("I", 1, "x", "ax")]), txn=txn)
+    b.apply_events(rd.from_items([ev("I", 1, "x", "bx")]), txn=txn)
+    gid = txn.commit()
+    assert gid
+    assert a.read_state().count() == 1 and b.read_state().count() == 1
+    assert (Path(tmp_path) / "_txn" / f"group-{gid}.done").exists()
+
+    # exactly-once: replaying the same windows WITHOUT a txn is a no-op
+    a.apply_events(rd.from_items([ev("I", 1, "x", "ax")]))
+    assert a.read_state().count() == 1
+
+    # simulate a crash between the group record and the roll-forward:
+    # stage a second epoch for both tables, write the group record
+    # manually, do NOT roll forward — a fresh lake open recovers it
+    txn2 = LakeTransaction(tmp_path)
+    a.apply_events(rd.from_items([ev("I", 10, "y", "ay")]), txn=txn2)
+    b.apply_events(rd.from_items([ev("I", 10, "y", "by")]), txn=txn2)
+    names = {t: mf.stage_manifest(str(tmp_path), t, m)
+             for t, m in txn2._manifests.items()}
+    gdir = Path(tmp_path) / "_txn"
+    gdir.mkdir(exist_ok=True)
+    (gdir / "group-crash.json").write_text(
+        json.dumps({"tables": names, "id": "crash"}))
+    a2 = CDCLake(tmp_path, TableSpec(name="ta"))   # open → recovery
+    b2 = CDCLake(tmp_path, TableSpec(name="tb"))
+    assert a2.read_state().count() == 2 and b2.read_state().count() == 2
+    assert (gdir / "group-crash.done").exists()
+
+    # recovery never rewinds: a later direct commit, then re-running
+    # recovery over an old group record leaves the newer state current
+    a2.apply_events(rd.from_items([ev("I", 20, "z", "az")]))
+    (gdir / "group-crash.done").rename(gdir / "group-crash.json")
+    mf.recover_groups(str(tmp_path))
+    assert a2.read_state().count() == 3
