@@ -194,3 +194,70 @@ def test_read_jsonl_typed(tmp_path):
     assert df.loc[2, "code"] == "x7"
     assert df.loc[0, "code"] is None or pd.isna(df.loc[0, "code"])
     assert pd.isna(df.loc[2, "score"]) and df.loc[0, "score"] == 1.5
+
+
+def test_debezium_envelope_roundtrip(tmp_path):
+    """Debezium envelope JSONL → canonical events → lake replay equals
+    the single-process oracle over the same flat log; snapshot-read 'r'
+    maps to insert; deletes take keys from `before` with null payload;
+    an unknown op flattens to null and is DLQ-diverted."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.oracle import (
+        assert_states_equal,
+        oracle_apply,
+    )
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.sources.debezium import read_debezium
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    def env(op, lsn, repo, path, content=None, commit=None):
+        row = {"repo": repo, "path": path, "commit": commit,
+               "lang": "py", "content": content}
+        return {"op": op, "source": {"lsn": lsn, "db": "x"},
+                "before": row if op == "d" else None,
+                "after": None if op == "d" else row}
+
+    events = [
+        env("r", 1, "r1", "a", "a0", "c1"),     # snapshot read = insert
+        env("c", 2, "r1", "b", "b0", "c2"),
+        env("u", 4, "r1", "a", "a1", "c4"),     # out of order vs lsn 3
+        env("d", 3, "r1", "b"),
+        env("c", 5, "r1", "b", "b1", "c5"),     # delete-then-reinsert
+        env("u", 6, "r2", "a", "z0", "c6"),
+    ]
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join(_json.dumps(e) for e in events) + "\n")
+
+    ds = read_debezium(
+        str(p), key_cols=["repo", "path"],
+        payload_cols=["commit", "lang", "content"],
+    )
+    flat = pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    )
+    assert sorted(flat["op"].to_pylist()) == ["D", "I", "I", "I", "U", "U"]
+
+    lake = CDCLake(tmp_path / "lake", TableSpec(name="dbz",
+                                                num_partitions=2))
+    lake.apply_events(ds)
+    state = pa.concat_tables(
+        [t for t in ray.get(lake.read_state().to_arrow_refs())
+         if t.num_rows])
+    assert_states_equal(state, oracle_apply(flat))
+
+    # unknown op code → null op → diverted, not applied, not fatal
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(_json.dumps(env("x", 9, "r9", "q", "qq", "c9")) + "\n")
+    dlq = CDCLake(tmp_path / "lake2", TableSpec(name="dbz",
+                                                num_partitions=2),
+                  dead_letter=True)
+    rec = dlq.apply_events(read_debezium(
+        str(bad), key_cols=["repo", "path"],
+        payload_cols=["commit", "lang", "content"],
+    ))
+    assert rec["rows_dead_lettered"] == 1
+    assert dlq.read_state().count() == 0
