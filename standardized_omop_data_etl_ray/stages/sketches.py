@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -317,15 +318,38 @@ def tdigest_partials(
 
 
 def tdigest_quantiles(
-    ds: rd.Dataset, col: str, qs: list[float], delta: float = 200.0
+    ds: rd.Dataset, col: str, qs: list[float], delta: float = 200.0,
+    merge_tasks: int = 32,
 ) -> pa.Table:
     """Approximate quantiles from one streaming pass: per-block
-    partials → a single driver-side merge-compress of the (small)
-    centroid union → interpolation.  The driver never sees data, only
-    ≤ ~delta centroids per block; for block counts where even that is
-    large, feed the partials through another tdigest_partials-style
-    reduce first (associative)."""
-    parts = tdigest_partials(ds, col, delta).to_pandas()
+    partials → a TREE merge (``merge_tasks`` intermediate
+    merge-compress tasks, so the driver sees ≤ merge_tasks·delta
+    centroids no matter how many blocks the scan produced) → one final
+    driver-side compress + interpolation.  Merging is associative, so
+    the tree changes only which order centroids fold — the same
+    accuracy class as a flat merge."""
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        m, w = _compress(t.column("mean").to_numpy(zero_copy_only=False),
+                         t.column("weight").to_numpy(zero_copy_only=False),
+                         delta)
+        lo = pc.min(t.column("lo")).as_py()
+        hi = pc.max(t.column("hi")).as_py()
+        return pa.table({
+            "mean": pa.array(m), "weight": pa.array(w),
+            "lo": pa.array(np.full(len(m), lo)),
+            "hi": pa.array(np.full(len(m), hi)),
+        })
+
+    parts = (
+        tdigest_partials(ds, col, delta)
+        .repartition(merge_tasks)
+        .map_batches(merge_block, batch_format="pyarrow",
+                     batch_size=None)
+        .to_pandas()
+    )
     if parts.empty:
         return pa.table({"q": pa.array(qs, pa.float64()),
                          "value": pa.array([None] * len(qs), pa.float64())})
