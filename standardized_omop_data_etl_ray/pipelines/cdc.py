@@ -1435,6 +1435,13 @@ class CDCLake:
                 "gated": pa.array(
                     [v.get("gated", 0) for _, v in parts], pa.int64()
                 ),
+                # zone-map coverage: files with recorded stats (pruning
+                # candidates) vs total — pre-upgrade files read unpruned
+                "files_with_stats": pa.array(
+                    [sum(1 for f in v["files"]
+                         if f in v.get("file_stats", {})) for _, v in parts],
+                    pa.int32(),
+                ),
             }
         )
 

@@ -183,6 +183,8 @@ def test_partition_metrics_view(tmp_path):
     assert (pm["n_files"] >= 1).all()
     assert pm["watermark"].max() > 0
     assert pm["rows"].sum() > 0
+    # every file written by this engine carries zone-map stats
+    assert (pm["files_with_stats"] == pm["n_files"]).all()
 
 
 def test_partial_compaction_size_tiered(tmp_path):
