@@ -205,21 +205,41 @@ def _dead_letter_splitter(root: str, table: str, epoch: int,
     return fn
 
 
-def _partition_resolver(schema: pa.Schema, spec: TableSpec):
+def _partition_resolver(schema: pa.Schema, spec: TableSpec,
+                        honor_wm: bool = False):
     """Batch fn over a table of per-partition file lists: read the
     partition's delta files, LWW-resolve, drop tombstones.  Shared by
     the merge-on-read path and compaction so their semantics cannot
-    drift."""
+    drift.
+
+    ``honor_wm``: the plan table carries each partition's stored
+    watermark, and only tombstones AT OR BELOW it are dropped — the
+    classic delete-marker GC rule.  A tombstone above the watermark is
+    still load-bearing: dropping it would let a redelivered event in
+    (wm, tombstone_lsn) resurrect the deleted key (post-reshard
+    partitions hold wm = min over old partitions, below their own
+    tombstones' lsns).  Merge-on-read readers drop ALL tombstones (a
+    live view never shows them); only the COMPACTION rewrite, which
+    destroys the history, needs the guard."""
 
     def resolve_partition(batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pds
 
-        tables = []
-        for files in batch.column("files").to_pylist():
-            tables.append(pds.dataset(files, schema=schema).to_table())
-        merged = pa.concat_tables(tables, promote_options="permissive")
-        resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
-        return drop_tombstones(resolved, spec.op_col)
+        outs = []
+        wms = batch.column("wm").to_pylist() if honor_wm else None
+        for i, files in enumerate(batch.column("files").to_pylist()):
+            merged = pds.dataset(files, schema=schema).to_table()
+            resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
+            if honor_wm:
+                is_tomb = pc.equal(resolved.column(spec.op_col), "D")
+                droppable = pc.and_(
+                    is_tomb,
+                    pc.less_equal(resolved.column(spec.lsn_col), wms[i]),
+                )
+                outs.append(resolved.filter(pc.invert(droppable)))
+            else:
+                outs.append(drop_tombstones(resolved, spec.op_col))
+        return pa.concat_tables(outs, promote_options="permissive")
 
     return resolve_partition
 
@@ -267,8 +287,14 @@ def epoch_change_set(
 
     spec = lake.spec
     m = mf.read_manifest_at(lake.root, spec.name, epoch)
-    if m is None:  # pre-upgrade lake without a snapshot for this epoch
-        m = mf.read_manifest(lake.root, spec.name)
+    if m is None:
+        # falling back to the CURRENT manifest here would silently diff
+        # against FUTURE state (post-epoch files counted as prior
+        # winners) — fail loudly instead (review finding, round 4b)
+        raise ValueError(
+            f"no manifest snapshot for epoch {epoch} — change sets need "
+            "the COW manifest log (clones carry it; pre-log lakes don't)"
+        )
     troot = Path(lake.root) / spec.name
     key_cols, lsn_col, op_col = (
         list(spec.key_cols), spec.lsn_col, spec.op_col,
@@ -1190,10 +1216,25 @@ class CDCLake:
                 os.link(src, dst)
             except OSError:
                 _sh.copy2(src, dst)
+        # carry the COW manifest LOG (immutable json, metadata-sized):
+        # time travel and epoch change sets on the branch keep working
+        # for every epoch whose data files are shared with the fork
+        # point (merge-on-read accumulates, so that is most of them);
+        # epochs whose files were compacted away fail loudly, never
+        # silently (same contract as gc-expired snapshots)
+        (dst_troot / "_manifests").mkdir(parents=True, exist_ok=True)
+        for mj in (src_troot / "_manifests").glob("manifest-*.json"):
+            try:
+                os.link(mj, dst_troot / "_manifests" / mj.name)
+            except OSError:
+                _sh.copy2(mj, dst_troot / "_manifests" / mj.name)
         manifest = dict(m)
         manifest["lineage"] = list(m.get("lineage", [])) + [{
             "epoch": m["epoch"], "cloned_from": str(src_troot),
             "at_epoch": at_epoch,
+            # state-preserving, like a compaction: change-set readers
+            # must not treat the fork record as an apply epoch
+            "compaction": True, "clone": True,
         }]
         mf.commit_manifest(dest_root, self.spec.name, manifest)
         from dataclasses import replace as _dc_replace
@@ -1218,9 +1259,11 @@ class CDCLake:
         at or below an old watermark passes the coarser filter but dies
         in per-key LWW against the retained winner or tombstone, the
         same idempotence argument as crash retry.  (Dropping tombstones
-        here would let such a replay resurrect a deleted key; the next
-        ``compact()`` drops them safely because per-partition watermarks
-        are preserved there.)  Lineage records the rewrite as a
+        here would let such a replay resurrect a deleted key; a later
+        ``compact()`` drops only tombstones at or below the stored
+        watermark — the delete-marker GC rule — so the guard holds
+        until the watermark genuinely passes each tombstone.)
+        Lineage records the rewrite as a
         compaction-class epoch: no state change, so change-set readers
         skip it."""
         from dataclasses import replace as _dc_replace
@@ -1230,12 +1273,42 @@ class CDCLake:
         if new_num_partitions == old_p:
             return {"reshard": True, "from": old_p, "to": old_p,
                     "partitions_touched": 0}
-        if not m or not any(
-            info["files"] for info in m["partitions"].values()
-        ):
+        if not m:
+            # nothing committed yet: the layout is purely in-memory
             self.spec.num_partitions = new_num_partitions
             return {"reshard": True, "from": old_p,
                     "to": new_num_partitions, "partitions_touched": 0}
+        if not any(info["files"] for info in m["partitions"].values()):
+            # no data files, but committed WATERMARKS still guard
+            # redelivery (e.g. after a compact of fully-deleted keys) —
+            # persist the new layout with every new partition carrying
+            # the min of the old watermarks, same argument as below
+            min_wm = min(
+                (info["watermark"] for info in m["partitions"].values()),
+                default=-1,
+            )
+            epoch = self._alloc_epoch()
+            record = {"epoch": epoch, "compaction": True, "reshard": True,
+                      "from": old_p, "to": new_num_partitions,
+                      "partitions_touched": 0, "rows": 0}
+            manifest = {
+                "table": self.spec.name,
+                "epoch": epoch,
+                "epoch_hwm": max(self._epoch_hwm, epoch,
+                                 m.get("epoch_hwm", 0)),
+                "num_partitions": new_num_partitions,
+                "schema": m["schema"],
+                "partitions": {
+                    str(p): {"files": [], "watermark": min_wm, "rows": 0,
+                             "sha_rollup": None, "base": True, "gated": 0}
+                    for p in range(new_num_partitions)
+                },
+                "lineage": list(m.get("lineage", [])) + [record],
+                "compacted": False,
+            }
+            mf.commit_manifest(self.root, self.spec.name, manifest)
+            self.spec.num_partitions = new_num_partitions
+            return record
 
         min_wm = min(
             info["watermark"] for info in m["partitions"].values()
@@ -1335,11 +1408,18 @@ class CDCLake:
         part_files = [
             [str(troot / f) for f in info["files"]] for info in targets.values()
         ]
+        part_wms = [info["watermark"] for info in targets.values()]
         writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
         stats = (
-            rd.from_arrow(pa.table({"files": pa.array(part_files)}))
+            rd.from_arrow(pa.table({"files": pa.array(part_files),
+                                    "wm": pa.array(part_wms, pa.int64())}))
             .repartition(len(part_files))
-            .map_batches(_partition_resolver(schema, self.spec),
+            # honor_wm: drop only tombstones AT OR BELOW the stored
+            # watermark — a tombstone above it (post-reshard partitions
+            # carry wm = min over old partitions) still guards
+            # redelivery and survives the rewrite
+            .map_batches(_partition_resolver(schema, self.spec,
+                                             honor_wm=True),
                          batch_format="pyarrow")
             .groupby("part", num_partitions=min(len(part_files),
                                                 self.spec.num_partitions))
@@ -1357,7 +1437,9 @@ class CDCLake:
                 ),
                 "rows": s["rows"],
                 "sha_rollup": s["sha_rollup"],
-                "base": True,
+                # a retained above-watermark tombstone means the file is
+                # NOT a clean base: merge-on-read must keep resolving it
+                "base": s["tombstones"] == 0,
                 # the gate-audit counter is lineage-cumulative: carry it
                 # through the rewrite (the gated tombstones themselves
                 # are resolved away by compaction)
@@ -1492,8 +1574,16 @@ class LakeTransaction:
             raise ValueError("transaction already committed")
         if not self._manifests:
             return None
-        gid = mf.commit_group(self.root, self._manifests)
+        # the records live BY REFERENCE inside the staged manifests'
+        # lineage — flip them before serialization so the durable
+        # manifest says committed: true (roll back on failure)
         for r in self._records:
             r["committed"] = True
+        try:
+            gid = mf.commit_group(self.root, self._manifests)
+        except BaseException:
+            for r in self._records:
+                r["committed"] = False
+            raise
         self.committed = True
         return gid

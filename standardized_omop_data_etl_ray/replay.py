@@ -68,7 +68,6 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.reshard:
         print(json.dumps(lake.reshard(args.reshard)))
-        spec = lake.spec
 
     tail = BinlogTail(args.segments)
     total_events, t0 = 0, time.time()

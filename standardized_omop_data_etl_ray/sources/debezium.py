@@ -26,9 +26,6 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-_OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
-
-
 def flatten_debezium(
     key_cols: list[str],
     payload_cols: list[str],
@@ -53,23 +50,33 @@ def flatten_debezium(
             return pa.nulls(len(col), typ)
         return pc.cast(pc.struct_field(col, name), typ)
 
+    # one mapping, one place: snapshot reads are inserts
+    op_map = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+    def envelope(t: pa.Table, name: str) -> pa.Array:
+        # a block whose rows all omit the field has no column at all —
+        # degrade to nulls (before is legitimately absent on inserts)
+        if name in t.column_names:
+            return t.column(name)
+        return pa.nulls(t.num_rows)
+
     def fn(t: pa.Table) -> pa.Table:
-        op_raw = t.column("op")
+        op_raw = t.column("op")  # structural: every envelope has op
         op = pc.case_when(
-            pc.make_struct(
-                pc.equal(op_raw, "c"), pc.equal(op_raw, "r"),
-                pc.equal(op_raw, "u"), pc.equal(op_raw, "d"),
-            ),
-            "I", "I", "U", "D",
+            pc.make_struct(*[pc.equal(op_raw, k) for k in op_map]),
+            *op_map.values(),
         )
         is_del = pc.equal(op, "D")
-        before, after = t.column("before"), t.column("after")
-        cols: dict[str, pa.Array] = {
-            "op": op,
-            "lsn": pc.cast(
-                pc.struct_field(t.column("source"), lsn_field), pa.int64()
-            ),
-        }
+        before, after = envelope(t, "before"), envelope(t, "after")
+        source = envelope(t, "source")
+        if pa.types.is_null(source.type) or (
+            pa.types.is_struct(source.type)
+            and source.type.get_field_index(lsn_field) < 0
+        ):
+            lsn = pa.nulls(t.num_rows, pa.int64())  # → DLQ-divertible
+        else:
+            lsn = pc.cast(pc.struct_field(source, lsn_field), pa.int64())
+        cols: dict[str, pa.Array] = {"op": op, "lsn": lsn}
         for k in key_cols:
             cols[k] = pc.if_else(is_del, field(before, k), field(after, k))
         for p in payload_cols:

@@ -152,17 +152,24 @@ def _change_set_to_signed(spec: IncAggSpec):
     one."""
     cols = list(spec.group_cols) + spec.src_cols()
 
+    def pick(df: pd.DataFrame, side: str, c: str) -> pd.Series:
+        # change-set KEY columns arrive unprefixed (epoch_change_set /
+        # snapshot_diff emit keys once — old and new key are the same
+        # row identity); carry columns arrive as old_/new_ pairs
+        name = f"{side}_{c}"
+        return df[name] if name in df.columns else df[c]
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         ch = df["change"]
         olds = df[ch.isin(("deleted", "updated")).to_numpy()]
         news = df[ch.isin(("added", "updated")).to_numpy()]
         frames = []
         if len(olds):
-            f = pd.DataFrame({c: olds[f"old_{c}"] for c in cols})
+            f = pd.DataFrame({c: pick(olds, "old", c) for c in cols})
             f["__sign"] = -1
             frames.append(f)
         if len(news):
-            f = pd.DataFrame({c: news[f"new_{c}"] for c in cols})
+            f = pd.DataFrame({c: pick(news, "new", c) for c in cols})
             f["__sign"] = 1
             frames.append(f)
         if not frames:
@@ -297,7 +304,9 @@ def apply_change_set(
     (it is bounded by the change set's group cardinality, not its row
     count) and broadcast for the semi-join.
     """
-    types = _arrow_types(change_set, strip="new_")
+    # payload columns arrive as new_<c>; key columns arrive unprefixed
+    types = {**_arrow_types(change_set),
+             **_arrow_types(change_set, strip="new_")}
     pschema = _partial_schema(spec, types)
     gcols = list(spec.group_cols)
     dparts = change_set.map_batches(

@@ -332,7 +332,12 @@ def group_rank(
         g = g.sort_values(cols, ascending=asc, kind="mergesort")
         rn = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
         tup = g[tie_cols]
-        new_start = tup.ne(tup.shift()).any(axis=1).to_numpy()
+        # null-safe tuple inequality: SQL ORDER BY ranks NULLs as EQUAL
+        # to each other (two NULL rows share a rank), while pandas
+        # NaN.ne(NaN) is True — mask the both-null case out
+        prev = tup.shift()
+        differs = tup.ne(prev) & ~(tup.isna() & prev.isna())
+        new_start = differs.any(axis=1).to_numpy()
         new_start[0:1] = True
         rank = pd.Series(np.where(new_start, rn, np.nan)).ffill().to_numpy()
         dense = (

@@ -176,6 +176,10 @@ def gc(root: str | Path, table: str, retain_manifests: int = 1) -> list[str]:
                 keep.update(live_files(root, table, snap))
     removed: list[str] = []
     for p in troot.rglob("*.parquet"):
+        # the dead-letter queue is a side table outside the manifest's
+        # file accounting — gc must never reclaim the repair surface
+        if "_dead_letter" in p.parts:
+            continue
         if str(p) not in keep:
             p.unlink()
             removed.append(str(p))

@@ -155,3 +155,57 @@ def test_minmax_requires_state():
     cs = rd.from_pandas(_change_set(_rows(3), _rows(3).iloc[:-5]))
     with pytest.raises(ValueError, match="rescan"):
         apply_change_set(view, cs, SPEC, state=None)
+
+
+def test_view_grouped_by_change_set_key_column(tmp_path):
+    """A view grouped by a change-set KEY column (unprefixed in
+    epoch_change_set rows) must maintain — key identity is old==new
+    (review finding: this path raised KeyError)."""
+    import ray.data as rd2
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        epoch_change_set,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    lake = CDCLake(tmp_path, TableSpec(name="t", num_partitions=2))
+    spec = IncAggSpec(group_cols=["repo"], count="n",
+                      sums={"sum_chars": "chars"})
+
+    def ev(op, lsn, repo, path, content):
+        return {"op": op, "lsn": lsn, "repo": repo, "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    from standardized_omop_data_etl_ray.stages.incremental import (
+        empty_agg_view,
+    )
+    import pyarrow as pa2
+
+    view = empty_agg_view(spec, {"repo": pa2.string(),
+                                 "chars": pa2.int64()})
+    batches = [
+        [ev("I", 1, "r1", "a", "xxxx"), ev("I", 2, "r2", "b", "yy")],
+        [ev("U", 3, "r1", "a", "x"), ev("D", 4, "r2", "b", None),
+         ev("I", 5, "r2", "c", "zzz")],
+    ]
+    for batch in batches:
+        rec = lake.apply_events(rd2.from_items(batch))
+        cs = epoch_change_set(
+            lake, rec["epoch"], carry_cols=["content"]
+        ).map_batches(
+            lambda df: df.assign(
+                old_chars=df["old_content"].str.len().astype("Int64"),
+                new_chars=df["new_content"].str.len().astype("Int64"),
+            ),
+            batch_format="pandas",
+        )
+        view = apply_change_set(view, cs, spec, num_buckets=4).materialize()
+
+    got = (
+        view_result(view, spec).to_pandas()
+        .sort_values("repo", ignore_index=True)
+    )
+    assert got["repo"].tolist() == ["r1", "r2"]
+    assert got["n"].tolist() == [1, 1]
+    assert got["sum_chars"].tolist() == [1, 3]

@@ -1063,3 +1063,125 @@ def test_multi_table_transaction(tmp_path):
     (gdir / "group-crash.done").rename(gdir / "group-crash.json")
     mf.recover_groups(str(tmp_path))
     assert a2.read_state().count() == 3
+
+
+def test_reshard_then_compact_keeps_guarding_tombstones(tmp_path):
+    """The review-found exactly-once hole: post-reshard partitions hold
+    wm = min(old wms), BELOW some tombstones' lsns.  compact() must
+    retain those above-watermark tombstones (delete-marker GC rule) so
+    a redelivered pre-delete event cannot resurrect the key."""
+    from standardized_omop_data_etl_ray.functions.hashing import (
+        key_hash_u64,
+        partition_of,
+    )
+
+    # two keys in DIFFERENT partitions of a 2-partition lake
+    import pyarrow as _pa
+    paths = ["a.txt", "b.txt", "c.txt", "d.txt"]
+    parts = {
+        p: partition_of(
+            key_hash_u64(_pa.array(["r"]), _pa.array([p])), 2
+        )[0].as_py()
+        for p in paths
+    }
+    k1 = next(p for p in paths if parts[p] == 0)
+    k2 = next(p for p in paths if parts[p] == 1)
+
+    def ev(op, lsn, path, content):
+        return {"op": op, "lsn": lsn, "repo": "r", "path": path,
+                "commit": f"c{lsn}", "content": content}
+
+    lake = CDCLake(tmp_path, _spec(2), auto_compact_files=None)
+    # k1: insert, update, DELETE at lsn 190 (wm[part k1] = 190)
+    # k2: insert at lsn 50 only (wm[part k2] = 50)
+    lake.apply_events(rd.from_items([
+        ev("I", 10, k1, "v0"), ev("I", 50, k2, "w0")]))
+    lake.apply_events(rd.from_items([
+        ev("U", 80, k1, "v1"), ev("D", 190, k1, None)]))
+    assert _state(lake).num_rows == 1  # only k2 lives
+
+    lake.reshard(3)  # every new partition: wm = min(190, 50) = 50
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    assert all(i["watermark"] == 50 for i in m["partitions"].values())
+
+    rec = lake.compact()
+    # the lsn-190 tombstone is ABOVE wm 50 → retained, not a clean base
+    m2 = mf.read_manifest(str(tmp_path), "cdc")
+    assert not m2["compacted"]
+    assert _state(lake).num_rows == 1
+
+    # redeliver the pre-delete update: passes the coarse filter
+    # (80 > 50) but must DIE against the retained tombstone
+    lake.apply_events(rd.from_items([ev("U", 80, k1, "v1")]))
+    st = _state(lake).to_pandas()
+    assert set(st["path"]) == {k2}
+
+    # once real progress raises the watermark past the tombstone, a
+    # later compact may finally drop it — and the key stays dead
+    lake.apply_events(rd.from_items([ev("U", 500, k2, "w1")]))
+    lake.compact()
+    assert set(_state(lake).to_pandas()["path"]) == {k2}
+
+
+def test_gc_never_reclaims_dead_letters(tmp_path):
+    """gc()/compact-time gc must not delete the DLQ (it lives outside
+    the manifest's file accounting)."""
+    lake = CDCLake(tmp_path, _spec(2), dead_letter=True)
+    bad = pa.table({
+        "op": ["I", "Z", "I"], "lsn": pa.array([1, 5, None], pa.int64()),
+        "repo": ["r", "r", "r"], "path": ["a", "b", "c"],
+        "commit": ["c", "c", "c"], "content": ["x", "y", "z"],
+    })
+    rec = lake.apply_events(rd.from_arrow(bad))
+    assert rec["rows_dead_lettered"] == 2
+    lake.compact()
+    removed = lake.gc()
+    assert lake.read_dead_letters().count() == 2
+    assert not any("_dead_letter" in f for f in removed)
+
+
+def test_clone_carries_manifest_log_for_change_sets(tmp_path):
+    """A branch must answer change-set questions about pre-fork epochs
+    (the COW manifest log travels with the clone); a lake without the
+    needed snapshot fails loudly instead of diffing against future
+    state."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        epoch_change_set,
+    )
+
+    lake = CDCLake(tmp_path / "src", _spec(4))
+    epochs = []
+    for b in BATCHES[:3]:
+        rec = lake.apply_events(rd.from_arrow(b))
+        epochs.append(rec["epoch"])
+    branch = lake.clone(str(tmp_path / "branch"))
+
+    want = (
+        lake.changes_between(epochs[0], carry_cols=["content"])
+        .to_pandas().sort_values(["repo", "path"], ignore_index=True)
+    )
+    got = (
+        branch.changes_between(epochs[0], carry_cols=["content"])
+        .to_pandas().sort_values(["repo", "path"], ignore_index=True)
+    )
+    cols = ["repo", "path", "change", "old_content", "new_content"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+    # missing snapshot → loud error, never a silent wrong diff
+    with pytest.raises(ValueError, match="no manifest snapshot"):
+        epoch_change_set(branch, 99999)
+
+
+def test_transaction_lineage_records_committed_true(tmp_path):
+    """The durable manifest lineage of a transactional epoch must say
+    committed: true (the record is serialized at txn.commit time)."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import LakeTransaction
+
+    a = CDCLake(tmp_path, TableSpec(name="ta", num_partitions=2))
+    txn = LakeTransaction(tmp_path)
+    a.apply_events(rd.from_items([
+        {"op": "I", "lsn": 1, "repo": "r", "path": "x", "commit": "c",
+         "content": "v"}]), txn=txn)
+    txn.commit()
+    lin = mf.read_manifest(str(tmp_path), "ta")["lineage"]
+    assert lin[-1]["committed"] is True

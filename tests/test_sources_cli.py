@@ -261,3 +261,35 @@ def test_debezium_envelope_roundtrip(tmp_path):
     ))
     assert rec["rows_dead_lettered"] == 1
     assert dlq.read_state().count() == 0
+
+
+def test_debezium_missing_envelope_fields(tmp_path):
+    """Producers that omit null fields: a file whose rows all lack
+    `before`, or whose source struct lacks the lsn field, must degrade
+    to typed nulls (DLQ-divertible) — never fail the read (review
+    finding)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from standardized_omop_data_etl_ray.sources.debezium import read_debezium
+
+    rows = [
+        # no `before` key at all (insert-only producer)
+        {"op": "c", "source": {"lsn": 1},
+         "after": {"repo": "r", "path": "a", "commit": "c1",
+                   "lang": "py", "content": "x"}},
+        # source struct without lsn → null lsn (poison, DLQ shape)
+        {"op": "c", "source": {"db": "d"},
+         "after": {"repo": "r", "path": "b", "commit": "c2",
+                   "lang": "py", "content": "y"}},
+    ]
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    ds = read_debezium(str(p), key_cols=["repo", "path"],
+                       payload_cols=["commit", "lang", "content"])
+    flat = pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows])
+    assert flat.num_rows == 2
+    assert flat.column("lsn").to_pylist() == [1, None]
+    assert flat.column("op").to_pylist() == ["I", "I"]

@@ -70,3 +70,27 @@ def test_lag_lead_matches_duckdb():
         pd.testing.assert_series_equal(
             got[c], want[c], check_names=False, check_dtype=False
         )
+
+
+def test_group_rank_null_order_values_tie():
+    """SQL ORDER BY ranks NULLs as equal to each other — two NULL rows
+    in one key must share rank/dense_rank (review finding)."""
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "o": [0, 1, 2, 3, 4],
+        "p": [5.0, None, None, 1.0, None],
+    })
+    got = (
+        group_rank(rd.from_pandas(df), "k", ["p", "o"],
+                   ascending=[False, True], rank_prefix=1, num_buckets=2)
+        .to_pandas().sort_values(["k", "o"], ignore_index=True)
+    )
+    want = duckdb.sql("""
+        SELECT k, o,
+               rank() OVER (PARTITION BY k ORDER BY p DESC) AS rank,
+               dense_rank() OVER (PARTITION BY k ORDER BY p DESC)
+                   AS dense_rank
+        FROM df ORDER BY k, o
+    """).df()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    assert got["dense_rank"].tolist() == want["dense_rank"].tolist()
