@@ -265,7 +265,9 @@ QUERY_SUBSET = [
     # round-4b operators
     "cdc_time_travel", "incremental_lang_stats",
     "lag_lead_user_values", "ranked_orders_per_customer",
-    "quantiles_cont_lineitem_price",
+    "quantiles_cont_lineitem_price", "cdc_point_lookup",
+    "cdc_reshard_replay", "cdc_changes_between",
+    "cdc_dead_letter_replay", "approx_quantiles_selfcheck",
 ]
 
 

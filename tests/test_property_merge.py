@@ -113,3 +113,60 @@ def test_epoch_change_set_equals_snapshot_diff_any_log(
             ).to_pandas()
             pd.testing.assert_frame_equal(norm(got), norm(want))
         prev = state
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_keys=st.integers(5, 60),
+    n_events=st.integers(60, 500),
+    delete_rate=st.floats(0.05, 0.45),
+    num_partitions=st.integers(1, 7),
+    from_idx=st.integers(0, 2),
+)
+def test_changes_between_equals_endpoint_diff_any_log(
+    tmp_path_factory, seed, n_keys, n_events, delete_rate,
+    num_partitions, from_idx,
+):
+    """For ANY log and any resume point: the composed net change set
+    (changes_between) equals snapshot_diff of the two endpoint
+    time-travel snapshots — add→delete nets out, delete→re-add becomes
+    an update, changed-and-reverted drops."""
+    import pandas as pd
+
+    from standardized_omop_data_etl_ray.datagen import micro_batches
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.stages.merge import snapshot_diff
+
+    events = make_change_events(
+        n_keys=n_keys, n_events=n_events, seed=seed,
+        delete_rate=delete_rate, window=80, content_len_median=30,
+    )
+    lake = CDCLake(
+        tmp_path_factory.mktemp("cb"),
+        TableSpec(name="cdc", num_partitions=num_partitions),
+        auto_compact_files=None,
+    )
+    epochs = []
+    for batch in micro_batches(events, batch_windows=2, window=80):
+        epochs.append(lake.apply_events(rd.from_arrow(batch))["epoch"])
+    if len(epochs) < 2:
+        return
+    start = epochs[min(from_idx, len(epochs) - 2)]
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["repo", "path", "change", "old_content", "new_content"]
+        return (
+            df[cols].fillna("~").sort_values(cols).reset_index(drop=True)
+        )
+
+    got = lake.changes_between(start, carry_cols=["content"]).to_pandas()
+    want = snapshot_diff(
+        lake.read_state(drop_engine_cols=True, at_epoch=start),
+        lake.read_state(drop_engine_cols=True),
+        ["repo", "path"], "lsn", carry_cols=["content"],
+    ).to_pandas()
+    pd.testing.assert_frame_equal(norm(got), norm(want))
