@@ -132,12 +132,21 @@ _VALID_OPS = ("I", "U", "D")
 
 
 def _dead_letter_splitter(root: str, table: str, epoch: int,
-                          spec: TableSpec):
+                          spec: TableSpec,
+                          constraints: list | None = None):
     """Batch fn: divert malformed events (null key column, null lsn,
     unknown op) to ``_dead_letter/epoch=N/`` parquet instead of failing
     the epoch — the poison-pill containment every production ingest
     needs.  Runs BEFORE the curation gate and standardize (whose key
     hash fails loudly on null keys by design).
+
+    ``constraints``: declarative row contracts — ``(name, batch_fn)``
+    pairs where ``batch_fn(pa.Table) -> bool ndarray`` marks the rows
+    that SATISFY the contract; violators divert with reason
+    ``constraint:<name>`` (Delta-style CHECK constraints, but
+    non-fatal: the feed keeps flowing and the violations stay
+    queryable).  Deletes are exempt — a tombstone has no payload to
+    validate.
 
     Side-effect write from inside the map task, like the delta writer;
     the file name is a content hash of the diverted rows, so a task
@@ -186,6 +195,14 @@ def _dead_letter_splitter(root: str, table: str, epoch: int,
             )
             mark(pc.fill_null(bad_op, True).to_numpy(zero_copy_only=False),
                  "invalid op")
+        for name, check in constraints or ():
+            ok = np.asarray(check(batch), dtype=bool)
+            if opc is not None:
+                is_d = pc.fill_null(
+                    pc.equal(batch.column(opc), "D"), False
+                ).to_numpy(zero_copy_only=False)
+                ok = ok | is_d  # tombstones carry no payload to check
+            mark(~ok, f"constraint:{name}")
         bad = reasons != ""
         if not bad.any():
             return batch
@@ -410,7 +427,8 @@ class CDCLake:
 
     def __init__(self, root: str, spec: TableSpec | None = None,
                  gate=None, auto_compact_files: int | None = 16,
-                 dead_letter: bool = False):
+                 dead_letter: bool = False,
+                 constraints: list | None = None):
         self.root = str(root)
         self.spec = spec or TableSpec(name="cdc")
         # poison-pill containment: divert malformed events (null key /
@@ -419,6 +437,11 @@ class CDCLake:
         # (key_hash_u64 raising on null keys) is the right default for
         # trusted logs; turn on for untrusted upstream feeds.
         self.dead_letter = dead_letter
+        # declarative row contracts, enforced on the DLQ path (see
+        # _dead_letter_splitter); providing any implies dead_letter
+        self.constraints = list(constraints or ())
+        if self.constraints:
+            self.dead_letter = True
         # streaming curation hook (stages/standardize.make_curation_gate):
         # a batch fn run on every incoming event batch in phase 1, on
         # BOTH the batch and stream apply paths — failing I/U events
@@ -780,7 +803,8 @@ class CDCLake:
         spec = spec or self.spec
         if self.dead_letter:
             events = events.map_batches(
-                _dead_letter_splitter(self.root, spec.name, epoch, spec),
+                _dead_letter_splitter(self.root, spec.name, epoch, spec,
+                                      self.constraints),
                 batch_format="pyarrow",
             )
         raw_events = events

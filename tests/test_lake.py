@@ -1185,3 +1185,36 @@ def test_transaction_lineage_records_committed_true(tmp_path):
     txn.commit()
     lin = mf.read_manifest(str(tmp_path), "ta")["lineage"]
     assert lin[-1]["committed"] is True
+
+
+def test_declarative_row_constraints(tmp_path):
+    """CDCLake(constraints=[(name, fn)]): CHECK-style contracts divert
+    violators to the DLQ with constraint:<name> reasons; deletes are
+    exempt (no payload); clean rows apply normally."""
+    import numpy as np
+
+    def min_content(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+        # cast first: a one-row block whose content is null types the
+        # column as null, not string
+        col = pc.cast(batch.column("content"), pa.string())
+        n = pc.utf8_length(pc.fill_null(col, ""))
+        return pc.greater_equal(n, 3).to_numpy(zero_copy_only=False)
+
+    lake = CDCLake(tmp_path, _spec(2),
+                   constraints=[("content_min_3", min_content)])
+    assert lake.dead_letter  # implied
+    rows = [
+        {"op": "I", "lsn": 1, "repo": "r", "path": "a", "commit": "c1",
+         "content": "long enough"},
+        {"op": "I", "lsn": 2, "repo": "r", "path": "b", "commit": "c2",
+         "content": "x"},                      # violates
+        {"op": "D", "lsn": 3, "repo": "r", "path": "a", "commit": "c3",
+         "content": None},                     # delete: exempt
+    ]
+    rec = lake.apply_events(rd.from_items(rows))
+    assert rec["rows_dead_lettered"] == 1
+    dl = lake.read_dead_letters().to_pandas()
+    assert dl["__dlq_reason"].tolist() == ["constraint:content_min_3"]
+    # state: a inserted then deleted; b diverted → empty live state
+    assert _state(lake).num_rows == 0
