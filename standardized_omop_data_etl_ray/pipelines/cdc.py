@@ -1181,8 +1181,11 @@ class CDCLake:
                    )]
             )
             return rd.from_arrow(sch.empty_table())
+        # materialized: each diff is change-set-sized, and the net fold
+        # reads every diff twice (schema probe + union) — without this
+        # the per-epoch classify pipelines execute twice over
         diffs = [
-            epoch_change_set(self, e, carry_cols=carry_cols)
+            epoch_change_set(self, e, carry_cols=carry_cols).materialize()
             for e in apply_epochs
         ]
         return net_change_sets(
