@@ -66,12 +66,20 @@ _STATS_SCHEMA = pa.schema(
 )
 
 
-def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
+def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
+                  cluster_files: int = 1):
     """Per-partition merge + phase-1 write, run inside map_groups tasks.
 
-    Output file name is deterministic per (partition, epoch): a task retry
-    overwrites the same path via atomic rename → idempotent.
-    """
+    Output file names are deterministic per (partition, epoch, slice):
+    a task retry overwrites the same paths via atomic rename →
+    idempotent.
+
+    ``cluster_files > 1`` splits the partition's (key-sorted) output
+    into that many KEY-RANGE files — each with its own zone map, so a
+    point lookup reads one slice instead of the whole partition
+    (clustered/Z-order-lite compaction).  One stats row per file; the
+    partition-level lineage checksum is the rollup over ALL the
+    partition's key-ordered rows regardless of slicing."""
     key_cols, lsn_col = spec.key_cols, spec.lsn_col
 
     def write_group(group: pa.Table) -> pa.Table:
@@ -92,38 +100,49 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec):
         delta = delta.sort_by([(c, "ascending") for c in key_cols])
         pdir = Path(root) / table / f"part={part:05d}" / f"epoch={epoch:06d}"
         pdir.mkdir(parents=True, exist_ok=True)
-        fpath = pdir / "delta.parquet"
-        tmp = pdir / f"delta.parquet.tmp"
-        pq.write_table(delta, tmp)
-        tmp.replace(fpath)
-        n_tomb = int(pc.sum(pc.equal(delta.column(spec.op_col), "D")).as_py() or 0)
-        wm = int(pc.max(delta.column(lsn_col)).as_py())
         # partition-level content checksum (lineage): sha over the
-        # key-ordered row shas (delta is already key-sorted)
+        # key-ordered row shas — slicing-invariant by construction
         roll = hashing.sha_rollup(delta.column("content_sha").to_pylist())
-        # zone-map file statistics: exact min/max of the lsn and every
-        # key column (full values, never truncated — truncating a max
-        # string would understate the bound and make pruning unsound)
-        fstats: dict[str, list] = {}
-        for c in [lsn_col] + list(key_cols):
-            mm = pc.min_max(delta.column(c)).as_py()
-            fstats[c] = [mm["min"], mm["max"]]
-        rel = str(fpath.relative_to(Path(root) / table))
-        info = {
-            "part": part,
-            "epoch": epoch,
-            "file": rel,
-            "rows": delta.num_rows,
-            "tombstones": n_tomb,
-            "gated": n_gated,
-            "bytes": fpath.stat().st_size,
-            "watermark": wm,
-            "sha_rollup": roll,
-            "events_seen": events_seen,
-            "stats": json.dumps(fstats),
-        }
+        n = delta.num_rows
+        k = max(1, min(cluster_files, n)) if n else 1
+        bounds = [round(i * n / k) for i in range(k + 1)]
+        infos = []
+        for i in range(k):
+            chunk = delta.slice(bounds[i], bounds[i + 1] - bounds[i])
+            fname = ("delta.parquet" if cluster_files == 1
+                     else f"delta-{i:03d}.parquet")
+            fpath = pdir / fname
+            tmp = pdir / (fname + ".tmp")
+            pq.write_table(chunk, tmp)
+            tmp.replace(fpath)
+            fstats: dict[str, list] = {}
+            if chunk.num_rows:
+                # zone map: exact min/max of lsn + keys (full values,
+                # never truncated — a shortened max would understate
+                # the bound and make pruning unsound)
+                for c in [lsn_col] + list(key_cols):
+                    mm = pc.min_max(chunk.column(c)).as_py()
+                    fstats[c] = [mm["min"], mm["max"]]
+            infos.append({
+                "part": part,
+                "epoch": epoch,
+                "file": str(fpath.relative_to(Path(root) / table)),
+                "rows": chunk.num_rows,
+                "tombstones": int(pc.sum(pc.equal(
+                    chunk.column(spec.op_col), "D")).as_py() or 0),
+                "gated": n_gated if i == 0 else 0,
+                "bytes": fpath.stat().st_size,
+                "watermark": int(pc.max(chunk.column(lsn_col)).as_py())
+                if chunk.num_rows else -1,
+                "sha_rollup": roll,
+                "events_seen": events_seen if i == 0 else 0,
+                "stats": json.dumps(fstats),
+            })
+        # ONE marker per (epoch, partition): the union of the files
+        info = dict(infos[0])
+        info["files_all"] = [x["file"] for x in infos]
         mf.write_marker(root, table, epoch, part, info)
-        return pa.Table.from_pylist([info], schema=_STATS_SCHEMA)
+        return pa.Table.from_pylist(infos, schema=_STATS_SCHEMA)
 
     return write_group
 
@@ -1405,16 +1424,23 @@ class CDCLake:
         self.spec.num_partitions = new_num_partitions
         return record
 
-    def compact(self, max_files: int | None = None) -> dict:
-        """Rewrite partitions' deltas into one base file each (new epoch),
+    def compact(self, max_files: int | None = None,
+                cluster_files: int = 1) -> dict:
+        """Rewrite partitions' deltas into base file(s) (new epoch),
         then swap the manifest.  ``max_files=None`` compacts everything;
         with a threshold only partitions holding more than ``max_files``
         delta files are rewritten (size-tiered maintenance — call after
         apply with e.g. ``max_files=8``).  Old files stay until gc() —
         snapshots are retained (COW); readers of the old manifest are
-        unaffected.  Tombstones are dropped for rewritten partitions
-        (all their files participate, so nothing older remains to
-        shield against); watermarks survive."""
+        unaffected.  Tombstones at or below the stored watermark are
+        dropped (delete-marker GC rule); watermarks survive.
+
+        ``cluster_files=N`` is CLUSTERED compaction: each partition's
+        key-sorted output splits into N key-range files, each with its
+        own zone map — point lookups then read one slice of a
+        partition instead of all of it (the layout that makes
+        ``lookup``'s pruning effective: accumulated delta files each
+        span the whole key range, clustered bases don't)."""
         m = mf.read_manifest(self.root, self.spec.name)
         if not m:
             return {"epoch": 0, "partitions_touched": 0}
@@ -1436,7 +1462,8 @@ class CDCLake:
             [str(troot / f) for f in info["files"]] for info in targets.values()
         ]
         part_wms = [info["watermark"] for info in targets.values()]
-        writer = _delta_writer(self.root, self.spec.name, epoch, self.spec)
+        writer = _delta_writer(self.root, self.spec.name, epoch, self.spec,
+                               cluster_files=cluster_files)
         stats = (
             rd.from_arrow(pa.table({"files": pa.array(part_files),
                                     "wm": pa.array(part_wms, pa.int64())}))
@@ -1454,26 +1481,31 @@ class CDCLake:
             .take_all()
         )
         partitions = dict(m["partitions"])
-        rewritten = {str(s["part"]) for s in stats}
+        by_part: dict[str, list[dict]] = {}
         for s in stats:
-            p = str(s["part"])
+            by_part.setdefault(str(s["part"]), []).append(s)
+        rewritten = set(by_part)
+        for p, rows_ in by_part.items():
             partitions[p] = {
-                "files": [s["file"]],
+                "files": [s["file"] for s in rows_],
                 "watermark": max(
-                    s["watermark"], m["partitions"][p]["watermark"]
+                    max(s["watermark"] for s in rows_),
+                    m["partitions"][p]["watermark"],
                 ),
-                "rows": s["rows"],
-                "sha_rollup": s["sha_rollup"],
+                "rows": sum(s["rows"] for s in rows_),
+                "sha_rollup": rows_[0]["sha_rollup"],
                 # a retained above-watermark tombstone means the file is
                 # NOT a clean base: merge-on-read must keep resolving it
-                "base": s["tombstones"] == 0,
+                "base": sum(s["tombstones"] for s in rows_) == 0,
                 # the gate-audit counter is lineage-cumulative: carry it
                 # through the rewrite (the gated tombstones themselves
                 # are resolved away by compaction)
                 "gated": m["partitions"][p].get("gated", 0),
-                # fresh zone map for the rewritten base file; stale
+                # fresh zone maps for the rewritten base file(s); stale
                 # per-delta stats drop with their files
-                "file_stats": {s["file"]: json.loads(s["stats"])},
+                "file_stats": {
+                    s["file"]: json.loads(s["stats"]) for s in rows_
+                },
             }
         # a targeted partition whose keys were ALL deleted yields no
         # output group: drop its files, keep the watermark

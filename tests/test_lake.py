@@ -1218,3 +1218,44 @@ def test_declarative_row_constraints(tmp_path):
     assert dl["__dlq_reason"].tolist() == ["constraint:content_min_3"]
     # state: a inserted then deleted; b diverted → empty live state
     assert _state(lake).num_rows == 0
+
+
+def test_clustered_compaction_prunes_point_lookups(tmp_path):
+    """compact(cluster_files=N) splits each partition's base into
+    key-range slices with their own zone maps: state is unchanged and
+    a point lookup reads ~1 file per touched partition instead of all
+    of them (accumulated deltas each span the whole key range, so
+    pruning was ineffective before clustering)."""
+    lake = CDCLake(tmp_path, _spec(2), auto_compact_files=None)
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    before = canonical_state(_state(lake))
+    keys = (
+        ORACLE.to_pandas()[["repo", "path"]].drop_duplicates()
+        .head(3).to_dict("records")
+    )
+
+    stats_pre = {}
+    lake.lookup(keys, stats_out=stats_pre)
+
+    lake.compact(cluster_files=6)
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    for info in m["partitions"].values():
+        assert len(info["files"]) == 6
+        assert set(info["file_stats"]) == set(info["files"])
+        # slices carry DISJOINT, ordered key ranges
+        ranges = [info["file_stats"][f]["repo"] for f in info["files"]]
+        for a, b in zip(ranges, ranges[1:]):
+            assert a[1] <= b[0] or a[1] <= b[1]
+    assert canonical_state(_state(lake)).equals(before)
+    assert_states_equal(_state(lake), ORACLE)
+
+    stats_post = {}
+    got = lake.lookup(keys, stats_out=stats_post)
+    assert canonical_state(got).num_rows == len(keys)
+    # ≤2 slices per touched partition (a key can straddle one boundary
+    # only via duplicate boundary values); strictly better than
+    # reading all 6
+    touched_parts = min(len(keys), 2)
+    assert stats_post["files_read"] <= 2 * touched_parts
+    assert stats_post["files_read"] < stats_post["files_total"]
