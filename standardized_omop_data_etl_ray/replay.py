@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt-factor", type=int, default=0)
     ap.add_argument("--compact", action="store_true",
                     help="compact + gc after the tail drains")
+    ap.add_argument("--cluster-files", type=int, default=1,
+                    help="clustered compaction: split each partition's "
+                         "base into N key-range files (zone-map-prunable "
+                         "point lookups)")
     ap.add_argument("--retain-manifests", type=int, default=1,
                     help="gc retention window: keep the newest K manifest "
                          "snapshots time-travel-readable (VACUUM semantics)")
@@ -76,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         total_events += rec["events_seen"]
         print(json.dumps(rec))
     if args.compact:
-        print(json.dumps(lake.compact()))
+        print(json.dumps(lake.compact(cluster_files=args.cluster_files)))
         lake.gc(retain_manifests=args.retain_manifests)
     wall = time.time() - t0
     print(
