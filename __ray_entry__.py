@@ -3198,6 +3198,53 @@ def approx_distinct_users_per_type(sf_dir: str):
     return grouped_approx_distinct(ev, "event_type", "user_id", p=12)
 
 
+def approx_distinct_selfcheck(sf_dir: str):
+    """HyperLogLog distinct-users-per-type, SELF-VERIFIED: the sketch
+    estimate is asserted IN-QUERY to sit within 5× the p=12 register
+    RSE (~1.6%) of the exact count; the emitted rows are the exact
+    counts plus the passing flag, so the driver hash pins the exact
+    path while the sketch bound is load-bearing (the
+    approx_quantiles_selfcheck pattern applied to cardinality)."""
+    from standardized_omop_data_etl_ray.stages.sketches import (
+        grouped_approx_distinct,
+    )
+
+    n = _nrows(sf_dir, "events")
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"], rows_hint=n)
+    est = grouped_approx_distinct(ev, "event_type", "user_id",
+                                  p=12).to_pandas()
+    exact = (
+        ev.map_batches(lambda df: df.drop_duplicates(),
+                       batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(
+            lambda g: pd.DataFrame({
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [int(g["user_id"].nunique())],
+            }),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    j = exact.merge(est, on="event_type")
+    rel = (
+        (j["approx_distinct"] - j["n_users"]).abs()
+        / j["n_users"].clip(lower=1)
+    )
+    ok = rel <= 5 * 0.016
+    assert ok.all(), f"HLL outside 5x RSE: {j[~ok]}"
+    out = exact.sort_values("event_type", ignore_index=True)
+    out["sketch_within_bound"] = True
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS sketch_within_bound
+FROM events GROUP BY event_type
+"""
+
+
 _QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -4505,6 +4552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_pad_docs": schema_pad_docs,
         "rolling_user_event_stats": rolling_user_event_stats,
         "approx_distinct_users_per_type": approx_distinct_users_per_type,
+        "approx_distinct_selfcheck": approx_distinct_selfcheck,
         "simhash_fingerprints_docs": simhash_fingerprints_docs,
         "fingerprint_docs": fingerprint_docs,
         "media_featurize": media_featurize,
@@ -4558,6 +4606,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_cont_lineitem_price": _QUANTILE_CONT_SQL,
         "grouped_cont_quantiles_orders": _GROUPED_CONT_SQL,
         "approx_quantiles_selfcheck": _APPROX_Q_SQL,
+        "approx_distinct_selfcheck": _APPROX_DISTINCT_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,
