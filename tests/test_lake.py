@@ -1259,3 +1259,30 @@ def test_clustered_compaction_prunes_point_lookups(tmp_path):
     touched_parts = min(len(keys), 2)
     assert stats_post["files_read"] <= 2 * touched_parts
     assert stats_post["files_read"] < stats_post["files_total"]
+
+
+def test_clustered_compact_interleaved_with_applies(tmp_path):
+    """Clustered compaction mid-stream: later epochs stack deltas on
+    top of the key-range slices; state stays oracle-exact and lookups
+    resolve winners across slice + fresh-delta files."""
+    lake = CDCLake(tmp_path, _spec(2), auto_compact_files=None)
+    for b in BATCHES[:2]:
+        lake.apply_events(rd.from_arrow(b))
+    lake.compact(cluster_files=4)
+    for b in BATCHES[2:]:
+        lake.apply_events(rd.from_arrow(b))
+    assert_states_equal(_state(lake), ORACLE)
+
+    odf = ORACLE.to_pandas()
+    keys = odf[["repo", "path"]].drop_duplicates().head(4).to_dict("records")
+    got = lake.lookup(keys).to_pandas()
+    want = odf.merge(pd.DataFrame(keys), on=["repo", "path"])
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "content"]]
+        .sort_values(["repo", "path"], ignore_index=True),
+        want[["repo", "path", "commit", "content"]]
+        .sort_values(["repo", "path"], ignore_index=True),
+    )
+    # a second clustered compact over the mixed layout stays exact
+    lake.compact(cluster_files=3)
+    assert_states_equal(_state(lake), ORACLE)
