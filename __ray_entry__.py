@@ -3210,7 +3210,10 @@ def approx_distinct_selfcheck(sf_dir: str):
     )
 
     n = _nrows(sf_dir, "events")
-    ev = _pq(sf_dir, "events", ["event_type", "user_id"], rows_hint=n)
+    # materialized: the sketch and exact passes both consume it — one
+    # parquet scan, not two
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"],
+             rows_hint=n).materialize()
     est = grouped_approx_distinct(ev, "event_type", "user_id",
                                   p=12).to_pandas()
     exact = (

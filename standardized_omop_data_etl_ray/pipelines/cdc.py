@@ -138,9 +138,16 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
                 "events_seen": events_seen if i == 0 else 0,
                 "stats": json.dumps(fstats),
             })
-        # ONE marker per (epoch, partition): the union of the files
+        # ONE marker per (epoch, partition): aggregate across slices so
+        # the durable audit record reflects the whole partition
         info = dict(infos[0])
-        info["files_all"] = [x["file"] for x in infos]
+        info.update(
+            rows=sum(x["rows"] for x in infos),
+            tombstones=sum(x["tombstones"] for x in infos),
+            bytes=sum(x["bytes"] for x in infos),
+            watermark=max(x["watermark"] for x in infos),
+            files_all=[x["file"] for x in infos],
+        )
         mf.write_marker(root, table, epoch, part, info)
         return pa.Table.from_pylist(infos, schema=_STATS_SCHEMA)
 
@@ -214,8 +221,14 @@ def _dead_letter_splitter(root: str, table: str, epoch: int,
             )
             mark(pc.fill_null(bad_op, True).to_numpy(zero_copy_only=False),
                  "invalid op")
+        if constraints:
+            # contracts are written against CANONICAL column names —
+            # hand them a renamed view (the splitter runs pre-rename)
+            canon = batch.rename_columns(
+                [rename.get(c, c) for c in batch.column_names]
+            ) if rename else batch
         for name, check in constraints or ():
-            ok = np.asarray(check(batch), dtype=bool)
+            ok = np.asarray(check(canon), dtype=bool)
             if opc is not None:
                 is_d = pc.fill_null(
                     pc.equal(batch.column(opc), "D"), False
@@ -1288,7 +1301,8 @@ class CDCLake:
         return CDCLake(dest_root, _dc_replace(self.spec),
                        gate=self.gate,
                        auto_compact_files=self.auto_compact_files,
-                       dead_letter=self.dead_letter)
+                       dead_letter=self.dead_letter,
+                       constraints=self.constraints)
 
     def reshard(self, new_num_partitions: int) -> dict:
         """Re-hash the lake to a new partition count — the cluster-resize
@@ -1519,7 +1533,7 @@ class CDCLake:
         record = {
             "epoch": epoch,
             "compaction": True,
-            "partitions_touched": len(stats),
+            "partitions_touched": len(by_part),
             "rows": int(sum(s["rows"] for s in stats)),
         }
         lineage = list(m.get("lineage", [])) + [record]

@@ -1243,10 +1243,11 @@ def test_clustered_compaction_prunes_point_lookups(tmp_path):
     for info in m["partitions"].values():
         assert len(info["files"]) == 6
         assert set(info["file_stats"]) == set(info["files"])
-        # slices carry DISJOINT, ordered key ranges
+        # slices carry DISJOINT, ordered key ranges on the leading key
+        # (boundary rows may share a repo → equality allowed)
         ranges = [info["file_stats"][f]["repo"] for f in info["files"]]
         for a, b in zip(ranges, ranges[1:]):
-            assert a[1] <= b[0] or a[1] <= b[1]
+            assert a[1] <= b[0]
     assert canonical_state(_state(lake)).equals(before)
     assert_states_equal(_state(lake), ORACLE)
 
@@ -1286,3 +1287,38 @@ def test_clustered_compact_interleaved_with_applies(tmp_path):
     # a second clustered compact over the mixed layout stays exact
     lake.compact(cluster_files=3)
     assert_states_equal(_state(lake), ORACLE)
+
+
+def test_constraints_survive_clone_and_rename(tmp_path):
+    """Constraints are written against CANONICAL names (enforced on the
+    renamed view even though the splitter runs pre-rename) and carry
+    through clone() — a branch must keep the source's contracts."""
+    import numpy as np
+
+    def min_content(batch: pa.Table) -> np.ndarray:
+        col = pc.cast(batch.column("content"), pa.string())
+        n = pc.utf8_length(pc.fill_null(col, ""))
+        return pc.greater_equal(n, 3).to_numpy(zero_copy_only=False)
+
+    import pyarrow.compute as pc
+    spec = TableSpec(name="cdc", num_partitions=2,
+                     rename={"body": "content"})
+    lake = CDCLake(tmp_path / "src", spec,
+                   constraints=[("content_min_3", min_content)])
+    rows = pa.table({
+        "op": ["I", "I"], "lsn": pa.array([1, 2], pa.int64()),
+        "repo": ["r", "r"], "path": ["a", "b"],
+        "commit": ["c1", "c2"],
+        "body": ["long enough", "x"],   # source-name payload column
+    })
+    rec = lake.apply_events(rd.from_arrow(rows))
+    assert rec["rows_dead_lettered"] == 1  # 'x' violates, via rename
+
+    branch = lake.clone(str(tmp_path / "branch"))
+    assert branch.constraints and branch.dead_letter
+    rec2 = branch.apply_events(rd.from_arrow(pa.table({
+        "op": ["I"], "lsn": pa.array([9], pa.int64()),
+        "repo": ["r"], "path": ["c"], "commit": ["c9"], "body": ["y"],
+    })))
+    assert rec2["rows_dead_lettered"] == 1
+    assert branch.read_dead_letters(epoch=rec2["epoch"]).count() == 1
