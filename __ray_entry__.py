@@ -3055,6 +3055,134 @@ FROM documents GROUP BY lang
 """
 
 
+def cdc_incremental_join_docs(sf_dir: str):
+    """Incrementally-maintained JOIN view (stages/incremental.py
+    IncJoinSpec): documents ⋈ lang-dimension on ``lang``, both sides
+    live CDC lakes replayed in three version-major epochs and the view
+    folded from each epoch's DELTA-SOURCED change sets — the corpora
+    are never re-joined.  Epoch 1 deletes the lexicographically first
+    lang from the dimension (every matching doc leaves the view) and
+    the %13 doc keys; epoch 2 restores both — retraction, fan-out and
+    the dA⋈dB correction term are all load-bearing.  After the
+    delete-heavy epoch the maintained view is asserted equal to a
+    direct re-join of the live states (self-verifying mid-stream); the
+    oracle checks the closed-form final state in SQL."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        epoch_change_set,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+    from standardized_omop_data_etl_ray.stages.incremental import (
+        IncJoinSpec,
+        apply_join_change_sets,
+        build_join_view,
+        empty_join_view,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def version_major(t: pa.Table) -> pa.Table:
+        lsn = t.column("lsn")
+        v = pc.subtract(lsn, pc.multiply(pc.divide(lsn, 3), 3))
+        d = pc.divide(lsn, 3)
+        return t.set_column(
+            t.schema.get_field_index("lsn"), "lsn",
+            pc.add(pc.multiply(v, n), d),
+        )
+
+    doc_events = events_from_documents(docs, 3).map_batches(
+        version_major, batch_format="pyarrow"
+    )
+    doc_lake = CDCLake(tempfile.mkdtemp(prefix="cdc_join_docs_"),
+                       TableSpec(name="docs_cdc", num_partitions=16))
+
+    # lang dimension: one row per distinct lang, three version waves;
+    # the FIRST lang is deleted at v1 and re-inserted at v2
+    langs = sorted(
+        docs.select_columns(["lang"]).unique("lang")
+    )
+    L = len(langs)
+    dim_rows = []
+    for i, lang in enumerate(langs):
+        for v in range(3):
+            deleted = i == 0 and v == 1
+            op = "I" if v == 0 or (i == 0 and v == 2) else (
+                "D" if deleted else "U")
+            dim_rows.append({
+                "op": op,
+                "lsn": v * L + i,
+                "lang": lang,
+                "lang_code": None if deleted else f"{lang.upper()}_v{v}",
+            })
+    dim_spec = TableSpec(
+        name="lang_dim", key_cols=("lang",), content_col="lang_code",
+        schema=pa.schema([("op", pa.string()), ("lsn", pa.int64()),
+                          ("lang", pa.string()),
+                          ("lang_code", pa.string())]),
+        num_partitions=4,
+    )
+    dim_lake = CDCLake(tempfile.mkdtemp(prefix="cdc_join_dim_"), dim_spec)
+    dim_events = rd.from_arrow(
+        pa.Table.from_pylist(dim_rows, schema=dim_spec.schema)
+    )
+
+    jspec = IncJoinSpec(
+        left_key=["path"], right_key=["lang"], on="lang",
+        left_cols=["lang", "content"], right_cols=["lang_code"],
+    )
+
+    view = None
+    for v in range(3):
+        rec_d = doc_lake.apply_events(
+            doc_events.filter(expr=f"lsn >= {v * n} and lsn < {(v + 1) * n}")
+        )
+        rec_m = dim_lake.apply_events(
+            dim_events.filter(expr=f"lsn >= {v * L} and lsn < {(v + 1) * L}")
+        )
+        cs_d = epoch_change_set(
+            doc_lake, rec_d["epoch"], carry_cols=["lang", "content"]
+        )
+        cs_m = epoch_change_set(
+            dim_lake, rec_m["epoch"], carry_cols=["lang_code"]
+        )
+        state_d = doc_lake.read_state(drop_engine_cols=True)
+        state_m = dim_lake.read_state(drop_engine_cols=True)
+        if view is None:
+            view = empty_join_view(jspec, state_d, state_m)
+        view = apply_join_change_sets(
+            view, jspec, cs_d, cs_m, state_d, state_m, num_buckets=8,
+        ).materialize()
+        if v == 1:
+            # self-check mid-stream, right after the delete-heavy epoch:
+            # the maintained view must equal a direct re-join
+            direct = build_join_view(
+                state_d, state_m, jspec, right_rows=L
+            ).to_pandas().sort_values(
+                ["path", "lang"], ignore_index=True
+            )
+            got = view.to_pandas().sort_values(
+                ["path", "lang"], ignore_index=True
+            )
+            pd.testing.assert_frame_equal(
+                got[direct.columns.tolist()], direct
+            )
+    return view
+
+
+_CDC_INC_JOIN_SQL = """
+-- closed-form final state: every doc live with content text||' v2',
+-- every lang live with code upper(lang)||'_v2'
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       lang, text || ' v2' AS content,
+       upper(lang) || '_v2' AS lang_code
+FROM documents
+"""
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-and-cut at 1024 tokens): each
     doc's (seq_id, seq_offset) from the global token prefix-sum in
@@ -4463,6 +4591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changes_between": cdc_changes_between_docs,
         "cdc_dead_letter_replay": cdc_dead_letter_replay_docs,
         "incremental_lang_stats": incremental_lang_stats_docs,
+        "cdc_incremental_join": cdc_incremental_join_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -4497,11 +4626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
-        "dedup_exact_docs": dedup_exact_docs,
         "incremental_near_dup_groups": incremental_near_dup_groups,
         "dedup_best_quality_docs": dedup_best_quality_docs,
         # -- text analysis ---------------------------------------------
-        "quality_stats_docs": quality_stats_docs,
         "langid_docs": langid_docs,
         # -- relational core + temporal joins --------------------------
         "events_before_errors_banded": lambda sf: events_before_errors(
@@ -4511,6 +4638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "dedup_exact_docs": dedup_exact_docs,
+        "quality_stats_docs": quality_stats_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "lang_distribution": lang_distribution,
         "redact_pii_docs": redact_pii_docs,
@@ -4604,6 +4733,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_between": _CDC_CHANGES_BETWEEN_SQL,
         "cdc_dead_letter_replay": _CDC_DLQ_SQL,
         "incremental_lang_stats": _INC_LANG_STATS_SQL,
+        "cdc_incremental_join": _CDC_INC_JOIN_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
         "quantiles_cont_lineitem_price": _QUANTILE_CONT_SQL,

@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .joins import auto_hash_join, broadcast_join, bucketed_agg
+from .joins import (auto_hash_join, broadcast_join, bucketed_agg,
+                    bucketed_groupby, partitioned_hash_join)
 
 
 @dataclass(frozen=True)
@@ -234,7 +235,12 @@ def _arrow_types(ds: rd.Dataset, strip: str = "") -> dict[str, pa.DataType]:
         try:
             out[name] = pa.from_numpy_dtype(t)
         except (pa.ArrowNotImplementedError, TypeError, ValueError):
-            out[name] = pa.string()
+            nd = getattr(t, "numpy_dtype", None)  # pandas Int64 & friends
+            try:
+                out[name] = pa.from_numpy_dtype(nd) if nd is not None \
+                    else pa.string()
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                out[name] = pa.string()
     return out
 
 
@@ -389,3 +395,333 @@ def view_result(view: rd.Dataset, spec: IncAggSpec) -> rd.Dataset:
         return pa.table(cols)
 
     return view.map_batches(project, batch_format="pyarrow")
+
+# ==========================================================================
+# Incremental materialized JOIN views (differential join maintenance)
+# ==========================================================================
+#
+# V = A ⋈ B (inner equi-join) maintained from the two tables' per-epoch
+# change sets without re-joining the corpora.  Signed-multiset algebra
+# (each change set becomes retractions −old / assertions +new):
+#
+#     A_new = A_old + dA,  B_new = B_old + dB
+#     ΔV = dA⋈B_old + A_old⋈dB + dA⋈dB
+#        = dA⋈B_new + A_new⋈dB − dA⋈dB          (old states never read)
+#
+# Per-epoch cost shape (the point of the operator):
+#   * three joins whose BUILD sides are the change sets; the live states
+#     are semi-filtered to the change sets' join-key values first, so
+#     each probe side is touched-key-sized, not state-sized;
+#   * applying ΔV to V is a map-only semi/anti split of the view by the
+#     touched (left_key, right_key) pair set (broadcast, change-set-
+#     bounded) plus one change-set-sized fold — the view itself is never
+#     reshuffled.  When ΔV outgrows the broadcast bound (a hot dimension
+#     row fanning out to millions of view rows), the application falls
+#     back to ONE full-row fold of view ∪ ΔV — a single view-sized
+#     shuffle, still never a re-join of the base tables.
+#
+# Build and maintenance share the fold, so they cannot diverge; fk
+# (join-key) changes need no special casing — the old pair retracts and
+# the new pair asserts through the same algebra.
+
+
+@dataclass(frozen=True)
+class IncJoinSpec:
+    """Inner equi-join view definition.
+
+    ``on`` must carry the SAME column name on both sides (rename
+    upstream otherwise).  All other column names must be disjoint
+    between the two sides.  ``left_key``/``right_key`` are the row
+    identities of the two source tables (the change sets' unprefixed
+    key columns); the view's row identity is their concatenation.
+    ``left_cols``/``right_cols`` are the payload columns each side
+    contributes to the view (list ``on`` on the side it belongs to).
+    Payload columns must appear in the change sets as ``old_``/``new_``
+    carry columns."""
+
+    left_key: list[str]
+    right_key: list[str]
+    on: str
+    left_cols: list[str] = field(default_factory=list)
+    right_cols: list[str] = field(default_factory=list)
+
+    def _side_cols(self, key: list[str], payload: list[str]) -> list[str]:
+        out: dict[str, None] = dict.fromkeys([*key, *payload])
+        out.setdefault(self.on, None)
+        return list(out)
+
+    def left_side_cols(self) -> list[str]:
+        return self._side_cols(self.left_key, self.left_cols)
+
+    def right_side_cols(self) -> list[str]:
+        return self._side_cols(self.right_key, self.right_cols)
+
+    def pair_cols(self) -> list[str]:
+        return [*self.left_key, *self.right_key]
+
+    def view_cols(self) -> list[str]:
+        out: dict[str, None] = dict.fromkeys(
+            [*self.left_key, *self.left_cols,
+             *self.right_key, *self.right_cols]
+        )
+        return list(out)
+
+    def validate(self) -> None:
+        l = set(self.left_side_cols()) - {self.on}
+        r = set(self.right_side_cols()) - {self.on}
+        both = l & r
+        if both:
+            raise ValueError(
+                f"left/right column names must be disjoint (shared: "
+                f"{sorted(both)}; only the join column `{self.on}` may "
+                "appear on both sides — rename upstream)"
+            )
+
+
+def _signed_delta(cols: list[str]):
+    """Change-set rows → signed side rows (same old−/new+ explosion as
+    the aggregate views' `_change_set_to_signed`, over an explicit
+    column list)."""
+
+    def pick(df: pd.DataFrame, side: str, c: str) -> pd.Series:
+        name = f"{side}_{c}"
+        return df[name] if name in df.columns else df[c]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df["change"]
+        olds = df[ch.isin(("deleted", "updated")).to_numpy()]
+        news = df[ch.isin(("added", "updated")).to_numpy()]
+        frames = []
+        if len(olds):
+            f = pd.DataFrame({c: pick(olds, "old", c) for c in cols})
+            f["__sign"] = -1
+            frames.append(f)
+        if len(news):
+            f = pd.DataFrame({c: pick(news, "new", c) for c in cols})
+            f["__sign"] = 1
+            frames.append(f)
+        if not frames:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols + ["__sign"]}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return fn
+
+
+def _join_view_schema(
+    spec: IncJoinSpec, state_left: rd.Dataset, state_right: rd.Dataset
+) -> pa.Schema:
+    tl = _arrow_types(state_left)
+    tr = _arrow_types(state_right)
+    fields = []
+    for c in spec.view_cols():
+        t = tl.get(c) if c in spec.left_side_cols() else tr.get(c)
+        if t is None:
+            t = tl.get(c) or tr.get(c)
+        if t is None:
+            raise ValueError(f"view column {c!r} missing from both states")
+        fields.append(pa.field(c, t))
+    return pa.schema(fields)
+
+
+def _side_schema(cols: list[str], types: dict[str, pa.DataType]) -> pa.Schema:
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise ValueError(f"state is missing side columns {missing}")
+    return pa.schema([pa.field(c, types[c]) for c in cols])
+
+
+def _pin(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Arrow-pin a (possibly pandas-block) dataset so downstream joins
+    never see object/extension dtypes."""
+    return ds.map_batches(_cast_to(schema), batch_format="pandas")
+
+
+def build_join_view(
+    state_left: rd.Dataset,
+    state_right: rd.Dataset,
+    spec: IncJoinSpec,
+    right_rows: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Initial materialization: one direct inner join, projected to the
+    view layout (``auto_hash_join`` picks broadcast vs partitioned from
+    ``right_rows``)."""
+    spec.validate()
+    schema = _join_view_schema(spec, state_left, state_right)
+    lsch = _side_schema(spec.left_side_cols(), _arrow_types(state_left))
+    rsch = _side_schema(spec.right_side_cols(), _arrow_types(state_right))
+    joined = auto_hash_join(
+        _pin(state_left.select_columns(spec.left_side_cols()), lsch),
+        _pin(state_right.select_columns(spec.right_side_cols()), rsch),
+        [spec.on],
+        how="inner",
+        right_rows=right_rows,
+        num_buckets=num_buckets or 32,
+        left_schema=lsch,
+        right_schema=rsch,
+    )
+    return joined.map_batches(_cast_to(schema), batch_format="pandas")
+
+
+def empty_join_view(
+    spec: IncJoinSpec, state_left: rd.Dataset, state_right: rd.Dataset
+) -> rd.Dataset:
+    spec.validate()
+    return rd.from_arrow(
+        _join_view_schema(spec, state_left, state_right).empty_table()
+    )
+
+
+def apply_join_change_sets(
+    view: rd.Dataset,
+    spec: IncJoinSpec,
+    d_left: rd.Dataset | None,
+    d_right: rd.Dataset | None,
+    state_left: rd.Dataset,
+    state_right: rd.Dataset,
+    num_buckets: int | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """One maintenance step: fold both tables' epoch change sets into
+    the join view.  ``state_left``/``state_right`` are the live states
+    AFTER the epoch (the algebra needs only the new states).  Either
+    delta may be None/empty.
+
+    Driver footprint: the change sets' distinct join-key values and the
+    touched pair set (both change-set-bounded, broadcast for the
+    semi-filters); payload rows never collect.  Above
+    ``broadcast_limit`` the touched-state filter degrades to a
+    partitioned join and the view application to one full fold — see
+    the module notes."""
+    spec.validate()
+    schema = _join_view_schema(spec, state_left, state_right)
+    delta_schema = pa.schema([*schema, pa.field("__sign", pa.int64())])
+    vcols = spec.view_cols()
+    lcols = spec.left_side_cols()
+    rcols = spec.right_side_cols()
+    on = spec.on
+    lsch = _side_schema(lcols, _arrow_types(state_left))
+    rsch = _side_schema(rcols, _arrow_types(state_right))
+    signed_lsch = pa.schema([*lsch, pa.field("__sign", pa.int64())])
+    signed_rsch = pa.schema([*rsch, pa.field("__sign", pa.int64())])
+
+    def signed(cs: rd.Dataset | None, cols: list[str], ssch: pa.Schema):
+        if cs is None:
+            return None, 0
+        ds = cs.map_batches(
+            _signed_delta(cols), batch_format="pandas"
+        ).map_batches(
+            _cast_to(ssch), batch_format="pandas"
+        ).materialize()
+        n = ds.count()
+        return (ds if n else None), n
+
+    sA, nA = signed(d_left, lcols, signed_lsch)
+    sB, nB = signed(d_right, rcols, signed_rsch)
+    if sA is None and sB is None:
+        return view
+
+    def touched_state(state: rd.Dataset, cols: list[str], ssch: pa.Schema,
+                      sd: rd.Dataset, n: int) -> rd.Dataset:
+        """state ⋉ sd on the join key (post-epoch live rows that can
+        pair with the delta)."""
+        proj = _pin(state.select_columns(cols),
+                    pa.schema([ssch.field(c) for c in cols]))
+        if n <= broadcast_limit:
+            keys = sd.select_columns([on]).to_pandas().drop_duplicates()
+            return broadcast_join(proj, keys, on=on, how="semi")
+        # huge epoch: inner-join against the deduped key set instead
+        # (one partitioned exchange; correct, never all-pairs)
+        keys_ds = bucketed_groupby(
+            sd.select_columns([on]), [on],
+            lambda g: g.drop_duplicates(), num_buckets=num_buckets,
+        )
+        return partitioned_hash_join(
+            proj, keys_ds, [on], how="inner",
+            num_buckets=num_buckets or 32,
+            left_schema=pa.schema([ssch.field(c) for c in cols]),
+            right_schema=pa.schema([ssch.field(on)]),
+        ).select_columns(cols)
+
+    def project_term(ds: rd.Dataset, sign_expr) -> rd.Dataset:
+        def fn(df: pd.DataFrame) -> pa.Table:
+            out = df[[c for c in vcols]].copy()
+            out["__sign"] = sign_expr(df)
+            return _cast_to(delta_schema)(out)
+
+        return ds.map_batches(fn, batch_format="pandas")
+
+    terms: list[rd.Dataset] = []
+    if sA is not None:
+        b_touched = touched_state(state_right, rcols, signed_rsch, sA, nA)
+        t1 = auto_hash_join(
+            b_touched, sA, [on], how="inner", right_rows=nA,
+            num_buckets=num_buckets or 32,
+            left_schema=rsch, right_schema=signed_lsch,
+        )
+        terms.append(project_term(t1, lambda df: df["__sign"]))
+    if sB is not None:
+        a_touched = touched_state(state_left, lcols, signed_lsch, sB, nB)
+        t2 = auto_hash_join(
+            a_touched, sB, [on], how="inner", right_rows=nB,
+            num_buckets=num_buckets or 32,
+            left_schema=lsch, right_schema=signed_rsch,
+        )
+        terms.append(project_term(t2, lambda df: df["__sign"]))
+    if sA is not None and sB is not None:
+        t3 = auto_hash_join(
+            sA, sB, [on], how="inner", right_rows=nB,
+            num_buckets=num_buckets or 32,
+            left_schema=signed_lsch, right_schema=signed_rsch,
+        )
+        terms.append(
+            project_term(
+                t3, lambda df: -(df["__sign"] * df["__sign_r"])
+            )
+        )
+
+    delta = terms[0]
+    for t in terms[1:]:
+        delta = delta.union(t)
+    delta = delta.materialize()
+    n_delta = delta.count()
+    if n_delta == 0:
+        return view
+
+    def with_sign(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__sign", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    view_cast = view.map_batches(_cast_to(schema), batch_format="pandas")
+    if n_delta <= broadcast_limit:
+        pairs = (
+            delta.select_columns(spec.pair_cols())
+            .to_pandas().drop_duplicates()
+        )
+        untouched = broadcast_join(
+            view_cast, pairs, on=spec.pair_cols(), how="anti"
+        )
+        affected = broadcast_join(
+            view_cast, pairs, on=spec.pair_cols(), how="semi"
+        ).map_batches(with_sign, batch_format="pyarrow")
+        to_fold = affected.union(delta)
+    else:
+        untouched = None
+        to_fold = view_cast.map_batches(
+            with_sign, batch_format="pyarrow"
+        ).union(delta)
+
+    folded = bucketed_agg(
+        to_fold, vcols, {"__net": ("__sign", "sum")},
+        num_buckets=num_buckets, combine=False,
+    )
+
+    def live(df: pd.DataFrame) -> pa.Table:
+        keep = df[df["__net"].fillna(0) > 0]
+        return _cast_to(schema)(keep)
+
+    out = folded.map_batches(live, batch_format="pandas")
+    return out if untouched is None else untouched.union(out)
