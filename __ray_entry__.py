@@ -3183,6 +3183,59 @@ FROM documents
 """
 
 
+def cdc_patch_replay_docs(sf_dir: str):
+    """Partial-column CDC updates (op='P', stages/merge.
+    patch_reduce_table): replay a patch-heavy event log derived from
+    documents through a ``patch_ops`` lake in three epochs — per doc an
+    insert, then a lang-only patch and a content-only patch (each
+    leaving the other column untouched); %13 docs are deleted at v1 and
+    their v2 patch must stay a NO-OP.  Epoch windows cut by lsn, so a
+    patch regularly lands in a different epoch (delta file) than its
+    base row — the merge-on-read fold across files is load-bearing.
+    The oracle states the closed-form final state in SQL."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        patch_events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    events = patch_events_from_documents(docs)
+    lake = CDCLake(
+        tempfile.mkdtemp(prefix="cdc_patch_"),
+        TableSpec(name="docs_patch", num_partitions=16, patch_ops=True),
+    )
+    total = 3 * n
+    width = -(-total // 3)
+    for e in range(3):
+        lake.apply_events(events.filter(
+            expr=f"lsn >= {e * width} and lsn < {min((e + 1) * width, total)}"
+        ))
+    state = lake.read_state(drop_engine_cols=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "path": t.column("path"),
+            "lang": t.column("lang"),
+            "content": t.column("content"),
+            "last_lsn": t.column("lsn"),
+        })
+
+    return state.map_batches(project, batch_format="pyarrow")
+
+
+_CDC_PATCH_SQL = """
+-- closed form: %13 docs deleted (their later patch is a no-op on a
+-- dead key); everyone else carries both patches
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       upper(lang) AS lang,
+       text || ' patched' AS content,
+       3 * doc_id + 2 AS last_lsn
+FROM documents WHERE doc_id % 13 <> 0
+"""
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-and-cut at 1024 tokens): each
     doc's (seq_id, seq_offset) from the global token prefix-sum in
@@ -4582,7 +4635,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_full_replay_docs": cdc_full_replay_docs,
         "cdc_curated_replay_docs": cdc_curated_replay_docs,
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
-        "cdc_lww_upsert": cdc_lww_upsert,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_time_travel": cdc_time_travel_docs,
@@ -4592,6 +4644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dead_letter_replay": cdc_dead_letter_replay_docs,
         "incremental_lang_stats": incremental_lang_stats_docs,
         "cdc_incremental_join": cdc_incremental_join_docs,
+        "cdc_patch_replay": cdc_patch_replay_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -4638,6 +4691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "cdc_lww_upsert": cdc_lww_upsert,
         "dedup_exact_docs": dedup_exact_docs,
         "quality_stats_docs": quality_stats_docs,
         "repetition_stats_docs": repetition_stats_docs,
@@ -4734,6 +4788,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dead_letter_replay": _CDC_DLQ_SQL,
         "incremental_lang_stats": _INC_LANG_STATS_SQL,
         "cdc_incremental_join": _CDC_INC_JOIN_SQL,
+        "cdc_patch_replay": _CDC_PATCH_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
         "quantiles_cont_lineitem_price": _QUANTILE_CONT_SQL,

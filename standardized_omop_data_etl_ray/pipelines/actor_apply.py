@@ -221,6 +221,12 @@ class ActorLake:
 
     def apply_events(self, events: rd.Dataset,
                      _fail_before_commit: bool = False) -> dict:
+        if getattr(self.spec, "patch_ops", False):
+            raise NotImplementedError(
+                "op='P' partial updates are supported on the CDCLake "
+                "apply path only — the actor key-index path reduces to "
+                "one winner per key and would drop patch rows"
+            )
         m = mf.read_manifest(self.root, self.spec.name)
         epoch = (m["epoch"] + 1) if m else 1
 

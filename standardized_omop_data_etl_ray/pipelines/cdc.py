@@ -43,7 +43,8 @@ import ray.data as rd
 
 from ..functions import hashing
 from ..spec import TableSpec
-from ..stages.merge import drop_tombstones, lww_reduce_table
+from ..stages.merge import (drop_tombstones, lww_reduce_table,
+                            patch_reduce_table)
 from ..stages.standardize import make_sha_appender, make_standardizer
 from ..state import manifest as mf
 
@@ -54,6 +55,7 @@ _STATS_SCHEMA = pa.schema(
         ("file", pa.string()),
         ("rows", pa.int64()),
         ("tombstones", pa.int64()),
+        ("patches", pa.int64()),
         ("gated", pa.int64()),
         ("bytes", pa.int64()),
         ("watermark", pa.int64()),
@@ -86,7 +88,15 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
         hashing.tune_worker_threads()
         part = int(group.column("part")[0].as_py())
         events_seen = group.num_rows
-        delta = lww_reduce_table(group, key_cols, lsn_col)
+        if spec.patch_ops:
+            # subset-safe patch reduce: the epoch's delta keeps, per
+            # key, the max-lsn full row PLUS every patch above it —
+            # folding happens only at terminal reads (merge-on-read /
+            # compaction), where all epochs are present
+            delta = patch_reduce_table(group, key_cols, lsn_col,
+                                       spec.op_col)
+        else:
+            delta = lww_reduce_table(group, key_cols, lsn_col)
         # gate audit (ROADMAP #19): count the WINNING gated tombstones,
         # then drop the marker so the delta schema stays canonical
         n_gated = 0
@@ -130,6 +140,8 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
                 "rows": chunk.num_rows,
                 "tombstones": int(pc.sum(pc.equal(
                     chunk.column(spec.op_col), "D")).as_py() or 0),
+                "patches": int(pc.sum(pc.equal(
+                    chunk.column(spec.op_col), "P")).as_py() or 0),
                 "gated": n_gated if i == 0 else 0,
                 "bytes": fpath.stat().st_size,
                 "watermark": int(pc.max(chunk.column(lsn_col)).as_py())
@@ -144,6 +156,7 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
         info.update(
             rows=sum(x["rows"] for x in infos),
             tombstones=sum(x["tombstones"] for x in infos),
+            patches=sum(x["patches"] for x in infos),
             bytes=sum(x["bytes"] for x in infos),
             watermark=max(x["watermark"] for x in infos),
             files_all=[x["file"] for x in infos],
@@ -213,11 +226,12 @@ def _dead_letter_splitter(root: str, table: str, epoch: int,
         mark(pc.is_null(batch.column(lsn)).to_numpy(zero_copy_only=False),
              "null lsn")
         opc = incoming(batch, spec.op_col)
+        valid_ops = (_VALID_OPS + ("P",)) if spec.patch_ops else _VALID_OPS
         if opc is not None:
             op = batch.column(opc)
             bad_op = pc.or_kleene(
                 pc.is_null(op),
-                pc.invert(pc.is_in(op, value_set=pa.array(_VALID_OPS))),
+                pc.invert(pc.is_in(op, value_set=pa.array(valid_ops))),
             )
             mark(pc.fill_null(bad_op, True).to_numpy(zero_copy_only=False),
                  "invalid op")
@@ -230,10 +244,15 @@ def _dead_letter_splitter(root: str, table: str, epoch: int,
         for name, check in constraints or ():
             ok = np.asarray(check(canon), dtype=bool)
             if opc is not None:
+                # tombstones carry no payload to check; patches carry a
+                # PARTIAL payload (untouched columns are null), so a
+                # full-row contract cannot be evaluated on them either
+                exempt_ops = ["D", "P"] if spec.patch_ops else ["D"]
                 is_d = pc.fill_null(
-                    pc.equal(batch.column(opc), "D"), False
+                    pc.is_in(batch.column(opc),
+                             value_set=pa.array(exempt_ops)), False
                 ).to_numpy(zero_copy_only=False)
-                ok = ok | is_d  # tombstones carry no payload to check
+                ok = ok | is_d
             mark(~ok, f"constraint:{name}")
         bad = reasons != ""
         if not bad.any():
@@ -278,7 +297,17 @@ def _partition_resolver(schema: pa.Schema, spec: TableSpec,
         wms = batch.column("wm").to_pylist() if honor_wm else None
         for i, files in enumerate(batch.column("files").to_pylist()):
             merged = pds.dataset(files, schema=schema).to_table()
-            resolved = lww_reduce_table(merged, spec.key_cols, spec.lsn_col)
+            if spec.patch_ops:
+                # terminal fold; at compaction (honor_wm) base-less
+                # patches above the stored watermark survive as rows —
+                # the patch analog of the delete-marker GC rule
+                resolved = patch_reduce_table(
+                    merged, spec.key_cols, spec.lsn_col, spec.op_col,
+                    fold=True, wm=wms[i] if honor_wm else None,
+                )
+            else:
+                resolved = lww_reduce_table(merged, spec.key_cols,
+                                            spec.lsn_col)
             if honor_wm:
                 is_tomb = pc.equal(resolved.column(spec.op_col), "D")
                 droppable = pc.and_(
@@ -387,21 +416,52 @@ def epoch_change_set(
         for nfs, ofs in zip(batch.column("new").to_pylist(),
                             batch.column("old").to_pylist()):
             new = pds.dataset(nfs, schema=schema).to_table().select(keep_cols)
-            new = lww_reduce_table(new, key_cols, lsn_col)
-            if ofs:
-                old = pds.dataset(ofs, schema=schema).to_table().select(
-                    keep_cols
+            if spec.patch_ops:
+                # a patch row is not the key's resolved value — fold the
+                # TOUCHED PARTITION (old + new files, the same reads the
+                # non-patch path already does) with the terminal kernel
+                # so the 'new' side is the true post-epoch value; keys
+                # whose only epoch rows are base-less patches fold away
+                # (no-ops, no change-set row)
+                khn = np.unique(
+                    new.column("key_hash").to_numpy(zero_copy_only=False)
                 )
+                old_raw = (
+                    pds.dataset(ofs, schema=schema).to_table()
+                    .select(keep_cols) if ofs else new.schema.empty_table()
+                )
+                post = patch_reduce_table(
+                    pa.concat_tables([old_raw, new]), key_cols, lsn_col,
+                    op_col, fold=True,
+                )
+                kp = post.column("key_hash").to_numpy(zero_copy_only=False)
+                new = post.filter(pa.array(np.isin(kp, khn)))
                 old = drop_tombstones(
-                    lww_reduce_table(old, key_cols, lsn_col), op_col
+                    patch_reduce_table(old_raw, key_cols, lsn_col,
+                                       op_col, fold=True),
+                    op_col,
                 )
-                # cheap prefilter: only keys touched this epoch (hash
-                # collisions are supersets — the key join below is exact)
-                khn = new.column("key_hash").to_numpy(zero_copy_only=False)
                 kho = old.column("key_hash").to_numpy(zero_copy_only=False)
                 old = old.filter(pa.array(np.isin(kho, khn)))
             else:
-                old = new.schema.empty_table()
+                new = lww_reduce_table(new, key_cols, lsn_col)
+                if ofs:
+                    old = pds.dataset(ofs, schema=schema).to_table().select(
+                        keep_cols
+                    )
+                    old = drop_tombstones(
+                        lww_reduce_table(old, key_cols, lsn_col), op_col
+                    )
+                    # cheap prefilter: only keys touched this epoch (hash
+                    # collisions are supersets — the key join below is
+                    # exact)
+                    khn = new.column("key_hash").to_numpy(
+                        zero_copy_only=False)
+                    kho = old.column("key_hash").to_numpy(
+                        zero_copy_only=False)
+                    old = old.filter(pa.array(np.isin(kho, khn)))
+                else:
+                    old = new.schema.empty_table()
             j = new.drop_columns(["key_hash"]).join(
                 old.drop_columns(["key_hash", op_col]),
                 keys=key_cols, join_type="left outer",
@@ -478,6 +538,12 @@ class CDCLake:
         # a batch fn run on every incoming event batch in phase 1, on
         # BOTH the batch and stream apply paths — failing I/U events
         # arrive in the lake as tombstones (retraction semantics)
+        if gate is not None and self.spec.patch_ops:
+            raise ValueError(
+                "curation gates score FULL payloads on arrival; a patch "
+                "row carries a partial payload, so gate + patch_ops "
+                "cannot compose — curate downstream of the lake instead"
+            )
         self.gate = gate
         # size-tiered maintenance wired into the commit path: after a
         # commit, any partition holding more than this many delta files
@@ -844,6 +910,12 @@ class CDCLake:
             events = events.map_batches(self.gate, batch_format="pyarrow")
         P = spec.num_partitions
         writer = _delta_writer(self.root, spec.name, epoch, spec)
+        if shuffle_mode == "winners" and spec.patch_ops:
+            raise ValueError(
+                "shuffle_mode='winners' keeps only each key's max-lsn "
+                "row and would drop patch rows — use the default "
+                "'full' path with patch_ops"
+            )
         if shuffle_mode == "winners":
             # winner-only path: (1) NARROW pass over (keys, lsn) only —
             # content never read, no sha — to find each key's winning
@@ -878,11 +950,18 @@ class CDCLake:
                 _watermark_filter(wm, spec.lsn_col), batch_format="pyarrow"
             )
             # per-block combiner: the shuffle moves per-key partials
-            ev = std.map_batches(
-                lambda b: lww_reduce_table(b, spec.key_cols,
-                                           spec.lsn_col),
-                batch_format="pyarrow",
-            )
+            if spec.patch_ops:
+                ev = std.map_batches(
+                    lambda b: patch_reduce_table(
+                        b, spec.key_cols, spec.lsn_col, spec.op_col),
+                    batch_format="pyarrow",
+                )
+            else:
+                ev = std.map_batches(
+                    lambda b: lww_reduce_table(b, spec.key_cols,
+                                               spec.lsn_col),
+                    batch_format="pyarrow",
+                )
         if salt_factor > 1:
             from ..stages.merge import add_salt, _group_final
 
@@ -1158,7 +1237,13 @@ class CDCLake:
             ).to_table()
             t = t.join(keys_tbl, keys=key_cols, join_type="left semi")
             if t.num_rows:
-                t = lww_reduce_table(t, key_cols, self.spec.lsn_col)
+                if self.spec.patch_ops:
+                    t = patch_reduce_table(
+                        t, key_cols, self.spec.lsn_col, self.spec.op_col,
+                        fold=True,
+                    )
+                else:
+                    t = lww_reduce_table(t, key_cols, self.spec.lsn_col)
                 tabs.append(drop_tombstones(t, self.spec.op_col))
         if stats_out is not None:
             stats_out.update(files_total=total, files_read=read)
@@ -1508,9 +1593,11 @@ class CDCLake:
                 ),
                 "rows": sum(s["rows"] for s in rows_),
                 "sha_rollup": rows_[0]["sha_rollup"],
-                # a retained above-watermark tombstone means the file is
-                # NOT a clean base: merge-on-read must keep resolving it
-                "base": sum(s["tombstones"] for s in rows_) == 0,
+                # a retained above-watermark tombstone OR base-less
+                # patch row means the file is NOT a clean base:
+                # merge-on-read must keep resolving it
+                "base": sum(s["tombstones"] + s["patches"]
+                            for s in rows_) == 0,
                 # the gate-audit counter is lineage-cumulative: carry it
                 # through the rewrite (the gated tombstones themselves
                 # are resolved away by compaction)

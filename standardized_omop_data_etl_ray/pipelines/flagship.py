@@ -108,3 +108,58 @@ def run_flagship(
     if return_lake:
         return lake
     return lake.read_state(drop_engine_cols=True)
+
+
+def patch_events_from_documents(docs: rd.Dataset) -> rd.Dataset:
+    """documents → CDC events exercising op='P' partial updates
+    (closed form, SQL-reproducible for the oracle):
+
+      lsn 3d+0: I  (text, lang)
+      doc_id %13 == 0:  3d+1: D, then 3d+2: P content — a patch on a
+          dead key, which must stay a NO-OP (the doc is absent from the
+          final state)
+      else:             3d+1: P lang := upper(lang)   (content untouched)
+                        3d+2: P content := text || ' patched'
+    """
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doc_id = batch.column("doc_id")
+        d = doc_id.to_numpy()
+        del13 = d % 13 == 0
+        path = pc.binary_join_element_wise(
+            pa.scalar("doc_"), pc.cast(doc_id, pa.string()),
+            pa.scalar(".txt"), "",
+        )
+        upper_lang = pc.utf8_upper(batch.column("lang"))
+        patched = pc.binary_join_element_wise(
+            batch.column("text"), pa.scalar(" patched"), ""
+        )
+        nulls = pa.nulls(len(d), pa.string())
+        outs = []
+        for v in range(3):
+            if v == 0:
+                op = pa.array(np.full(len(d), "I"), pa.string())
+                lang, content = batch.column("lang"), batch.column("text")
+            elif v == 1:
+                op = pa.array(np.where(del13, "D", "P"), pa.string())
+                lang = pc.if_else(pa.array(del13), nulls, upper_lang)
+                content = nulls
+            else:
+                op = pa.array(np.full(len(d), "P"), pa.string())
+                lang = nulls
+                content = patched
+            lsn = pc.add(pc.multiply(pc.cast(doc_id, pa.int64()), 3), v)
+            outs.append(pa.table({
+                "op": op,
+                "lsn": lsn,
+                "repo": batch.column("source"),
+                "path": path,
+                "commit": pc.cast(lsn, pa.string()),
+                "lang": lang,
+                "content": content,
+            }))
+        return pa.concat_tables(outs)
+
+    return docs.map_batches(fanout, batch_format="pyarrow")

@@ -66,6 +66,10 @@ class TableSpec:
     # schema-evolution rename map applied at standardize time: src -> dst
     rename: dict[str, str] = field(default_factory=dict)
     num_partitions: int = 32
+    # opt-in partial-column updates (op='P'): non-null payload columns
+    # overwrite, null = untouched; see stages/merge.patch_reduce_table.
+    # Off by default — the plain-LWW hot path is untouched when False.
+    patch_ops: bool = False
 
     def apply_rename(self, incoming: pa.Schema) -> pa.Schema:
         """Apply the schema-evolution rename map (OMOP-style field

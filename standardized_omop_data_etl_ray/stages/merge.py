@@ -66,6 +66,161 @@ def drop_tombstones(t: pa.Table, op_col: str = "op") -> pa.Table:
     return t.filter(pc.not_equal(t.column(op_col), "D"))
 
 
+def patch_reduce_table(
+    t: pa.Table,
+    key_cols=("repo", "path"),
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    fold: bool = False,
+    wm: int | None = None,
+) -> pa.Table:
+    """Patch-aware LWW reduce: ``op='P'`` rows are PARTIAL updates —
+    non-null payload columns overwrite the key's current value, null
+    means untouched (setting a column TO null via patch is not
+    expressible; send a full 'U' row for that).  A patch on a dead or
+    absent key is a no-op; a later full row (I/U/D) supersedes every
+    earlier patch.
+
+    ``fold=False`` (subset-safe, used by the per-block combiner and the
+    epoch's delta write): per key keep the max-lsn FULL row plus every
+    patch above it (all patches when no full row) — patch rows survive
+    AS ROWS because lsn boundaries must be preserved across blocks and
+    epochs (pre-folding two patches could mask a full row whose lsn
+    falls between theirs and lives in another block/epoch).  Running it
+    on any subset, then again on the union of results, gives the same
+    answer as one pass over everything.
+
+    ``fold=True`` (terminal: merge-on-read, compaction, point lookup —
+    every row for the key is present): patches collapse onto their base
+    column-wise (latest non-null per column, lsn order), the resolved
+    row carries the base op, max contributor lsn and the last
+    contributor's commit; tombstone bases ignore later patches and
+    survive as tombstones for the caller's usual handling; base-less
+    patches drop (no-op) — unless ``wm`` is given (compaction) and the
+    patch's lsn exceeds it, in which case the patch row is RETAINED
+    as-is: post-reshard watermarks sit at min() over merged partitions,
+    so a full row with an lsn in (wm, patch_lsn) could still be
+    delivered and the patch must apply to it (the same rule that keeps
+    above-watermark tombstones).
+
+    ``content_sha`` stays consistent through the fold for free: a
+    content-setting patch carries the sha of its own content, a
+    non-setting patch carries null, so the last-non-null rule resolves
+    value and sha in lockstep.
+    """
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t
+    keys = ", ".join(key_cols)
+    tiebreak = ", commit" if "commit" in t.column_names else ""
+    con = hashing._con()
+    if not fold:
+        out = con.execute(
+            f"""
+            WITH b AS (
+                SELECT *, MAX(CASE WHEN {op_col} <> 'P' THEN {lsn_col} END)
+                            OVER (PARTITION BY {keys}) AS __base
+                FROM t
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY {keys}, ({op_col} = 'P'),
+                        CASE WHEN {op_col} = 'P' THEN {lsn_col} ELSE 0 END
+                    ORDER BY {lsn_col} DESC{tiebreak and tiebreak + ' DESC'}
+                ) AS __rn
+                FROM b
+                WHERE ({op_col} <> 'P' AND {lsn_col} = __base)
+                   OR ({op_col} = 'P'
+                       AND (__base IS NULL OR {lsn_col} > __base))
+            )
+            SELECT * EXCLUDE (__base, __rn) FROM r WHERE __rn = 1
+            """
+        ).fetch_arrow_table()
+        return out.cast(t.schema)
+
+    payload = [
+        c for c in t.column_names
+        if c not in (*key_cols, lsn_col, op_col, "commit")
+    ]
+    folded_cols = ",\n".join(
+        f"last_value({c} IGNORE NULLS) OVER w AS {c}" for c in payload
+    )
+    commit_sel = (
+        "last_value(commit) OVER w AS commit,\n" if tiebreak else ""
+    )
+    out = con.execute(
+        f"""
+        WITH b AS (
+            SELECT *,
+                MAX(CASE WHEN {op_col} <> 'P' THEN {lsn_col} END)
+                    OVER (PARTITION BY {keys}) AS __base,
+                MAX(CASE WHEN {op_col} <> 'P' THEN {lsn_col} END)
+                    OVER (PARTITION BY {keys})
+                    IS NOT DISTINCT FROM {lsn_col} AND {op_col} <> 'P'
+                    AS __is_base
+            FROM t
+        ), bo AS (
+            SELECT *, MAX(CASE WHEN __is_base THEN {op_col} END)
+                        OVER (PARTITION BY {keys}) AS __base_op
+            FROM b
+        ), rel AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {keys}, ({op_col} = 'P'),
+                    CASE WHEN {op_col} = 'P' THEN {lsn_col} ELSE 0 END
+                ORDER BY {lsn_col} DESC{tiebreak and tiebreak + ' DESC'}
+            ) AS __rn
+            FROM bo
+            WHERE (__is_base)
+               OR ({op_col} = 'P' AND __base IS NOT NULL
+                   AND {lsn_col} > __base AND __base_op <> 'D')
+        ), folded AS (
+            SELECT {keys},
+                last_value({op_col}) OVER
+                    (PARTITION BY {keys} ORDER BY ({op_col} <> 'P') ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS {op_col},
+                MAX({lsn_col}) OVER w AS {lsn_col},
+                {commit_sel}{folded_cols},
+                COUNT(CASE WHEN {op_col} = 'P' THEN 1 END) OVER w
+                    AS __n_patch,
+                ROW_NUMBER() OVER (PARTITION BY {keys}
+                                   ORDER BY {lsn_col} DESC) AS __rnf
+            FROM (SELECT * FROM rel WHERE __rn = 1)
+            WINDOW w AS (PARTITION BY {keys}
+                         ORDER BY {lsn_col} ASC{tiebreak}
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        )
+        SELECT * EXCLUDE (__rnf) FROM folded WHERE __rnf = 1
+        """
+    ).fetch_arrow_table()
+    # content_sha needs no recompute: a content-setting patch carries
+    # the sha OF ITS OWN CONTENT (computed at standardize), a
+    # non-setting patch carries null — the same last-non-null fold that
+    # resolves content resolves its sha in lockstep.
+    out = out.drop_columns(["__n_patch"])
+    out = out.select(t.column_names).cast(t.schema)
+    if wm is not None:
+        orphans = con.execute(
+            f"""
+            WITH b AS (
+                SELECT *, MAX(CASE WHEN {op_col} <> 'P' THEN {lsn_col} END)
+                            OVER (PARTITION BY {keys}) AS __base
+                FROM t
+            )
+            SELECT * EXCLUDE (__base) FROM b
+            WHERE {op_col} = 'P' AND __base IS NULL AND {lsn_col} > {int(wm)}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY {keys}, {lsn_col}
+                ORDER BY {lsn_col} DESC{tiebreak and tiebreak + ' DESC'}
+            ) = 1
+            """
+        ).fetch_arrow_table()
+        if orphans.num_rows:
+            out = pa.concat_tables([out, orphans.cast(t.schema)])
+    return out
+
+
 def _partial(spec: TableSpec):
     key_cols, lsn = spec.key_cols, spec.lsn_col
 
@@ -77,9 +232,13 @@ def _partial(spec: TableSpec):
 
 def _group_final(spec: TableSpec, keep_tombstones: bool):
     key_cols, lsn, op = spec.key_cols, spec.lsn_col, spec.op_col
+    patch = getattr(spec, "patch_ops", False)
 
     def fn(group: pa.Table) -> pa.Table:
-        out = lww_reduce_table(group, key_cols, lsn)
+        if patch:  # subset-safe reduce keeps patch rows (salted stage)
+            out = patch_reduce_table(group, key_cols, lsn, op)
+        else:
+            out = lww_reduce_table(group, key_cols, lsn)
         if not keep_tombstones:
             out = drop_tombstones(out, op)
         return out
