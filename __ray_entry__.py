@@ -3149,12 +3149,16 @@ def cdc_incremental_join_docs(sf_dir: str):
         cs_m = epoch_change_set(
             dim_lake, rec_m["epoch"], carry_cols=["lang_code"]
         )
-        state_d = doc_lake.read_state(drop_engine_cols=True)
-        state_m = dim_lake.read_state(drop_engine_cols=True)
+        # materialize: read_state is lazy merge-on-read, and the view
+        # apply (term semi-filter) plus the epoch-1 self-check would
+        # each re-execute the resolve otherwise
+        state_d = doc_lake.read_state(drop_engine_cols=True).materialize()
+        state_m = dim_lake.read_state(drop_engine_cols=True).materialize()
         if view is None:
             view = empty_join_view(jspec, state_d, state_m)
         view = apply_join_change_sets(
             view, jspec, cs_d, cs_m, state_d, state_m, num_buckets=8,
+            state_left_rows=n, state_right_rows=L,
         ).materialize()
         if v == 1:
             # self-check mid-stream, right after the delete-heavy epoch:

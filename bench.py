@@ -268,6 +268,8 @@ QUERY_SUBSET = [
     "quantiles_cont_lineitem_price", "cdc_point_lookup",
     "cdc_reshard_replay", "cdc_changes_between",
     "cdc_dead_letter_replay", "approx_quantiles_selfcheck",
+    # round-4c operators
+    "cdc_incremental_join", "cdc_patch_replay",
 ]
 
 

@@ -583,11 +583,16 @@ def apply_join_change_sets(
     state_right: rd.Dataset,
     num_buckets: int | None = None,
     broadcast_limit: int = 2_000_000,
+    state_left_rows: int | None = None,
+    state_right_rows: int | None = None,
 ) -> rd.Dataset:
     """One maintenance step: fold both tables' epoch change sets into
-    the join view.  ``state_left``/``state_right`` are the live states
+    the view.  ``state_left``/``state_right`` are the live states
     AFTER the epoch (the algebra needs only the new states).  Either
-    delta may be None/empty.
+    delta may be None/empty.  ``state_*_rows`` are optional row-count
+    upper bounds (parquet footer / epoch record): a state known to be
+    small skips its touched-key semi-filter — filtering a 5-row
+    dimension before a join is pure stage overhead.
 
     Driver footprint: the change sets' distinct join-key values and the
     touched pair set (both change-set-bounded, broadcast for the
@@ -624,11 +629,14 @@ def apply_join_change_sets(
         return view
 
     def touched_state(state: rd.Dataset, cols: list[str], ssch: pa.Schema,
-                      sd: rd.Dataset, n: int) -> rd.Dataset:
+                      sd: rd.Dataset, n: int,
+                      state_rows: int | None) -> rd.Dataset:
         """state ⋉ sd on the join key (post-epoch live rows that can
         pair with the delta)."""
         proj = _pin(state.select_columns(cols),
                     pa.schema([ssch.field(c) for c in cols]))
+        if state_rows is not None and state_rows <= broadcast_limit:
+            return proj  # small state: the term join bounds cost itself
         if n <= broadcast_limit:
             keys = sd.select_columns([on]).to_pandas().drop_duplicates()
             return broadcast_join(proj, keys, on=on, how="semi")
@@ -655,7 +663,8 @@ def apply_join_change_sets(
 
     terms: list[rd.Dataset] = []
     if sA is not None:
-        b_touched = touched_state(state_right, rcols, signed_rsch, sA, nA)
+        b_touched = touched_state(state_right, rcols, signed_rsch, sA, nA,
+                                  state_right_rows)
         t1 = auto_hash_join(
             b_touched, sA, [on], how="inner", right_rows=nA,
             num_buckets=num_buckets or 32,
@@ -663,7 +672,8 @@ def apply_join_change_sets(
         )
         terms.append(project_term(t1, lambda df: df["__sign"]))
     if sB is not None:
-        a_touched = touched_state(state_left, lcols, signed_lsch, sB, nB)
+        a_touched = touched_state(state_left, lcols, signed_lsch, sB, nB,
+                                  state_left_rows)
         t2 = auto_hash_join(
             a_touched, sB, [on], how="inner", right_rows=nB,
             num_buckets=num_buckets or 32,
