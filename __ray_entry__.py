@@ -3240,6 +3240,101 @@ FROM documents WHERE doc_id % 13 <> 0
 """
 
 
+def cdc_left_join_docs(sf_dir: str):
+    """Incrementally-maintained LEFT-OUTER join view
+    (stages/incremental.apply_left_join_change_sets): the documents CDC
+    lake ⟕ a static lang dimension that deliberately OMITS the
+    lexicographically first lang — those docs ride the view as
+    null-extensions, maintained via the differential match-count state
+    (build_on_counts).  Three version-major epochs: the v1 wave deletes
+    %13 docs (their inner AND extension rows must retract), v2
+    re-inserts.  Mid-stream the maintained view is asserted equal to a
+    direct left re-join; the oracle states the closed-form final state
+    in SQL."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        epoch_change_set,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+    from standardized_omop_data_etl_ray.stages.incremental import (
+        IncJoinSpec,
+        apply_left_join_change_sets,
+        build_left_join_view,
+        build_on_counts,
+        empty_join_view,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def version_major(t: pa.Table) -> pa.Table:
+        lsn = t.column("lsn")
+        v = pc.subtract(lsn, pc.multiply(pc.divide(lsn, 3), 3))
+        d = pc.divide(lsn, 3)
+        return t.set_column(
+            t.schema.get_field_index("lsn"), "lsn",
+            pc.add(pc.multiply(v, n), d),
+        )
+
+    events = events_from_documents(docs, 3).map_batches(
+        version_major, batch_format="pyarrow"
+    )
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_ljoin_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+
+    langs = sorted(docs.select_columns(["lang"]).unique("lang"))
+    dim_tbl = pa.table({
+        "lang": pa.array(langs[1:], pa.string()),
+        "lang_code": pa.array([f"{l.upper()}_dim" for l in langs[1:]],
+                              pa.string()),
+    })
+    dim = rd.from_arrow(dim_tbl)
+
+    jspec = IncJoinSpec(
+        left_key=["path"], right_key=[], on="lang",
+        left_cols=["lang", "content"], right_cols=["lang_code"],
+    )
+    cnt = build_on_counts(dim, jspec).materialize()
+    view = None
+    for v in range(3):
+        rec = lake.apply_events(
+            events.filter(expr=f"lsn >= {v * n} and lsn < {(v + 1) * n}")
+        )
+        cs = epoch_change_set(lake, rec["epoch"],
+                              carry_cols=["lang", "content"])
+        state = lake.read_state(drop_engine_cols=True).materialize()
+        if view is None:
+            view = empty_join_view(jspec, state, dim)
+        view, cnt = apply_left_join_change_sets(
+            view, jspec, cs, None, state, dim, cnt, num_buckets=8,
+            state_left_rows=n, state_right_rows=len(langs),
+        )
+        view = view.materialize()
+        if v == 1:
+            direct = build_left_join_view(
+                state, dim, jspec, right_rows=len(langs)
+            ).to_pandas().sort_values(["path"], ignore_index=True)
+            got = view.to_pandas().sort_values(["path"], ignore_index=True)
+            pd.testing.assert_frame_equal(
+                got[direct.columns.tolist()], direct
+            )
+    return view
+
+
+_CDC_LEFT_JOIN_SQL = """
+-- closed form: all docs live with content text||' v2'; the first lang
+-- (alphabetically) is absent from the dimension → null lang_code
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       lang, text || ' v2' AS content,
+       CASE WHEN lang <> (SELECT min(lang) FROM documents)
+            THEN upper(lang) || '_dim' END AS lang_code
+FROM documents
+"""
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-and-cut at 1024 tokens): each
     doc's (seq_id, seq_offset) from the global token prefix-sum in
@@ -4649,6 +4744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_lang_stats": incremental_lang_stats_docs,
         "cdc_incremental_join": cdc_incremental_join_docs,
         "cdc_patch_replay": cdc_patch_replay_docs,
+        "cdc_left_join": cdc_left_join_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -4683,7 +4779,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
         # -- dedup family ----------------------------------------------
-        "incremental_near_dup_groups": incremental_near_dup_groups,
         "dedup_best_quality_docs": dedup_best_quality_docs,
         # -- text analysis ---------------------------------------------
         "langid_docs": langid_docs,
@@ -4695,6 +4790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "incremental_near_dup_groups": incremental_near_dup_groups,
         "cdc_lww_upsert": cdc_lww_upsert,
         "dedup_exact_docs": dedup_exact_docs,
         "quality_stats_docs": quality_stats_docs,
@@ -4793,6 +4889,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_lang_stats": _INC_LANG_STATS_SQL,
         "cdc_incremental_join": _CDC_INC_JOIN_SQL,
         "cdc_patch_replay": _CDC_PATCH_SQL,
+        "cdc_left_join": _CDC_LEFT_JOIN_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
         "quantiles_cont_lineitem_price": _QUANTILE_CONT_SQL,

@@ -600,6 +600,31 @@ def apply_join_change_sets(
     ``broadcast_limit`` the touched-state filter degrades to a
     partitioned join and the view application to one full fold — see
     the module notes."""
+    ctx = _inner_delta(
+        spec, d_left, d_right, state_left, state_right, num_buckets,
+        broadcast_limit, state_left_rows, state_right_rows,
+    )
+    if ctx["delta"] is None:
+        return view
+    return _apply_signed_delta(view, ctx["delta"], ctx["schema"],
+                               spec.pair_cols(), num_buckets,
+                               broadcast_limit)
+
+
+def _inner_delta(
+    spec: IncJoinSpec,
+    d_left: rd.Dataset | None,
+    d_right: rd.Dataset | None,
+    state_left: rd.Dataset,
+    state_right: rd.Dataset,
+    num_buckets: int | None,
+    broadcast_limit: int,
+    state_left_rows: int | None,
+    state_right_rows: int | None,
+) -> dict:
+    """Signed inner-join view delta ΔV = sA⋈B_new + A_new⋈sB − sA⋈sB
+    (unmaterialized) plus the signed side datasets/schemas — shared by
+    the inner and left-outer appliers."""
     spec.validate()
     schema = _join_view_schema(spec, state_left, state_right)
     delta_schema = pa.schema([*schema, pa.field("__sign", pa.int64())])
@@ -625,8 +650,14 @@ def apply_join_change_sets(
 
     sA, nA = signed(d_left, lcols, signed_lsch)
     sB, nB = signed(d_right, rcols, signed_rsch)
+    ctx = {
+        "schema": schema, "delta_schema": delta_schema,
+        "sA": sA, "nA": nA, "sB": sB, "nB": nB,
+        "lsch": lsch, "rsch": rsch,
+        "signed_lsch": signed_lsch, "signed_rsch": signed_rsch,
+    }
     if sA is None and sB is None:
-        return view
+        return {**ctx, "delta": None}
 
     def touched_state(state: rd.Dataset, cols: list[str], ssch: pa.Schema,
                       sd: rd.Dataset, n: int,
@@ -695,10 +726,27 @@ def apply_join_change_sets(
     delta = terms[0]
     for t in terms[1:]:
         delta = delta.union(t)
+    return {**ctx, "delta": delta}
+
+
+def _apply_signed_delta(
+    view: rd.Dataset,
+    delta: rd.Dataset | None,
+    schema: pa.Schema,
+    pair_cols: list[str],
+    num_buckets: int | None,
+    broadcast_limit: int,
+) -> rd.Dataset:
+    """Apply a signed view delta: semi/anti split by the touched pair
+    set (broadcast, change-set-bounded) + one change-set-sized fold;
+    one full-row fold of view ∪ Δ above the broadcast bound."""
+    if delta is None:
+        return view
     delta = delta.materialize()
     n_delta = delta.count()
     if n_delta == 0:
         return view
+    vcols = schema.names
 
     def with_sign(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -708,14 +756,14 @@ def apply_join_change_sets(
     view_cast = view.map_batches(_cast_to(schema), batch_format="pandas")
     if n_delta <= broadcast_limit:
         pairs = (
-            delta.select_columns(spec.pair_cols())
+            delta.select_columns(pair_cols)
             .to_pandas().drop_duplicates()
         )
         untouched = broadcast_join(
-            view_cast, pairs, on=spec.pair_cols(), how="anti"
+            view_cast, pairs, on=pair_cols, how="anti"
         )
         affected = broadcast_join(
-            view_cast, pairs, on=spec.pair_cols(), how="semi"
+            view_cast, pairs, on=pair_cols, how="semi"
         ).map_batches(with_sign, batch_format="pyarrow")
         to_fold = affected.union(delta)
     else:
@@ -735,3 +783,208 @@ def apply_join_change_sets(
 
     out = folded.map_batches(live, batch_format="pandas")
     return out if untouched is None else untouched.union(out)
+
+
+# --------------------------------------------------------------------------
+# Left-outer join views: inner rows + null-extensions, maintained with a
+# differential per-join-key match count for the right side
+# --------------------------------------------------------------------------
+#
+# V_left = A ⟕ B = (A ⋈ B)  ∪  null_extend({a live : cnt(a.on) = 0 or
+# a.on is null}), where cnt(v) = |{b ∈ B : b.on = v}|.  The inner part
+# maintains by the signed algebra above; the extension part maintains
+# from (1) cnt crossings 0↔+ (rescan state_left on JUST the crossed join
+# keys, change-set-bounded) and (2) the left delta's own rows (membership
+# evaluated against the epoch's old/new counts, driver-held for exactly
+# the touched join keys).  Everything driver-held is bounded by the
+# change sets' distinct join-key count.
+
+
+def build_on_counts(
+    state_right: rd.Dataset, spec: IncJoinSpec,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """(on, __cnt) over the live right state — the match-count side
+    state for left-view maintenance.  Group-cardinality-sized."""
+    rtypes = _arrow_types(state_right)
+    csch = pa.schema([pa.field(spec.on, rtypes[spec.on]),
+                      pa.field("__cnt", pa.int64())])
+    rows = _pin(
+        state_right.select_columns([spec.on]),
+        pa.schema([csch.field(spec.on)]),
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(spec.on))),
+        batch_format="pyarrow",
+    )
+    out = bucketed_agg(rows, [spec.on], {"__cnt": (spec.on, "count")},
+                       num_buckets=num_buckets)
+    return out.map_batches(_cast_to(csch), batch_format="pandas")
+
+
+def _null_extend(df: pd.DataFrame, schema: pa.Schema,
+                 lcols: list[str], sign) -> pa.Table:
+    out = pd.DataFrame({c: df[c] for c in lcols if c in schema.names})
+    for f in schema:
+        if f.name not in out.columns and f.name != "__sign":
+            out[f.name] = None
+    out["__sign"] = sign
+    return _cast_to(schema)(out)
+
+
+def build_left_join_view(
+    state_left: rd.Dataset,
+    state_right: rd.Dataset,
+    spec: IncJoinSpec,
+    right_rows: int | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Initial materialization of A ⟕ B, view layout (right columns
+    null for unmatched left rows)."""
+    spec.validate()
+    schema = _join_view_schema(spec, state_left, state_right)
+    lsch = _side_schema(spec.left_side_cols(), _arrow_types(state_left))
+    rsch = _side_schema(spec.right_side_cols(), _arrow_types(state_right))
+    joined = auto_hash_join(
+        _pin(state_left.select_columns(spec.left_side_cols()), lsch),
+        _pin(state_right.select_columns(spec.right_side_cols()), rsch),
+        [spec.on],
+        how="left",
+        right_rows=right_rows,
+        num_buckets=num_buckets or 32,
+    )
+
+    def project(df: pd.DataFrame) -> pa.Table:
+        # the partitioned left join suffixes the right join key; the
+        # view keeps the LEFT copy for unmatched rows
+        return _cast_to(schema)(df)
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def apply_left_join_change_sets(
+    view: rd.Dataset,
+    spec: IncJoinSpec,
+    d_left: rd.Dataset | None,
+    d_right: rd.Dataset | None,
+    state_left: rd.Dataset,
+    state_right: rd.Dataset,
+    cnt_view: rd.Dataset,
+    num_buckets: int | None = None,
+    broadcast_limit: int = 2_000_000,
+    state_left_rows: int | None = None,
+    state_right_rows: int | None = None,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """One left-view maintenance step.  ``cnt_view`` is the match-count
+    state from ``build_on_counts`` (or the previous step's return);
+    returns ``(new_view, new_cnt_view)`` — keep BOTH materialized
+    between epochs."""
+    ctx = _inner_delta(
+        spec, d_left, d_right, state_left, state_right, num_buckets,
+        broadcast_limit, state_left_rows, state_right_rows,
+    )
+    if ctx["sA"] is None and ctx["sB"] is None:
+        return view, cnt_view
+    schema, delta_schema = ctx["schema"], ctx["delta_schema"]
+    on, lcols = spec.on, spec.left_side_cols()
+    sA, sB = ctx["sA"], ctx["sB"]
+
+    # -- touched join keys + old/new counts (driver-held, bounded by the
+    # change sets' distinct join-key count) --------------------------------
+    def _ons(sd) -> pd.Series:
+        if sd is None:
+            return pd.Series(dtype=object)
+        return sd.select_columns([on]).to_pandas()[on].dropna()
+
+    touched = pd.DataFrame({on: pd.concat(
+        [_ons(sA), _ons(sB)], ignore_index=True
+    ).drop_duplicates()})
+    delta_cnt: dict = {}
+    if sB is not None:
+        sdf = sB.select_columns([on, "__sign"]).to_pandas()
+        sdf = sdf[sdf[on].notna()]
+        delta_cnt = sdf.groupby(on)["__sign"].sum().to_dict()
+    old_cnt: dict = {}
+    if len(touched):
+        old_rows = broadcast_join(
+            cnt_view, touched, on=on, how="semi"
+        ).to_pandas()
+        old_cnt = dict(zip(old_rows[on], old_rows["__cnt"]))
+    new_cnt = {
+        v: old_cnt.get(v, 0) + delta_cnt.get(v, 0)
+        for v in set(old_cnt) | set(delta_cnt)
+    }
+
+    # -- extension delta ----------------------------------------------------
+    ext_terms: list[rd.Dataset] = []
+    # (1) crossings 0 ↔ +: rescan state_left on JUST those join keys;
+    # rows in the left delta are excluded (handled exactly in (2))
+    gained = {v for v in new_cnt
+              if old_cnt.get(v, 0) <= 0 and new_cnt[v] > 0}
+    lost = {v for v in new_cnt
+            if old_cnt.get(v, 0) > 0 and new_cnt[v] <= 0}
+    crossed = gained | lost
+    if crossed:
+        scan = broadcast_join(
+            _pin(state_left.select_columns(lcols),
+                 pa.schema([ctx["lsch"].field(c) for c in lcols])),
+            pd.DataFrame({on: list(crossed)}), on=on, how="semi",
+        )
+        if sA is not None:
+            dkeys = sA.select_columns(spec.left_key).to_pandas(
+            ).drop_duplicates()
+            scan = broadcast_join(scan, dkeys, on=spec.left_key,
+                                  how="anti")
+        lost_set = lost
+
+        def ext_scan(df: pd.DataFrame) -> pa.Table:
+            sign = df[on].map(
+                lambda v: 1 if v in lost_set else -1
+            ).astype("int64")
+            return _null_extend(df, delta_schema, lcols, sign)
+
+        ext_terms.append(scan.map_batches(ext_scan, batch_format="pandas"))
+    # (2) the left delta's own rows: a retraction evaluates membership
+    # against the OLD counts, an assertion against the NEW counts
+    if sA is not None:
+        oc, nc = dict(old_cnt), dict(new_cnt)
+
+        def ext_delta(df: pd.DataFrame) -> pa.Table:
+            neg = df["__sign"].to_numpy() < 0
+            cnts = np.where(
+                neg,
+                df[on].map(lambda v: oc.get(v, 0)).to_numpy(dtype="int64"),
+                df[on].map(lambda v: nc.get(v, 0)).to_numpy(dtype="int64"),
+            )
+            member = df[on].isna().to_numpy() | (cnts <= 0)
+            keep = df[member]
+            return _null_extend(keep, delta_schema, lcols,
+                                keep["__sign"])
+
+        ext_terms.append(sA.map_batches(ext_delta, batch_format="pandas"))
+
+    delta = ctx["delta"]
+    for t in ext_terms:
+        delta = t if delta is None else delta.union(t)
+    new_view = _apply_signed_delta(view, delta, schema, spec.pair_cols(),
+                                   num_buckets, broadcast_limit)
+
+    # -- fold the count delta into the count view --------------------------
+    new_cnt_view = cnt_view
+    if delta_cnt:
+        csch = pa.schema([ctx["rsch"].field(on),
+                          pa.field("__cnt", pa.int64())])
+        dc = rd.from_arrow(pa.table({
+            on: pa.array(list(delta_cnt.keys()), csch.field(on).type),
+            "__cnt": pa.array([int(v) for v in delta_cnt.values()],
+                              pa.int64()),
+        }))
+        folded = bucketed_agg(
+            cnt_view.union(dc), [on], {"__cnt": ("__cnt", "sum")},
+            num_buckets=num_buckets, combine=False,
+        )
+
+        def live(df: pd.DataFrame) -> pa.Table:
+            return _cast_to(csch)(df[df["__cnt"].fillna(0) > 0])
+
+        new_cnt_view = folded.map_batches(live, batch_format="pandas")
+    return new_view, new_cnt_view

@@ -259,7 +259,16 @@ def bucketed_agg(
     def _emit(out: pd.DataFrame, names: list[str]) -> pa.Table:
         cols = {}
         for kc in key_cols:
-            cols[kc] = pa.Array.from_pandas(out[kc])
+            arr = pa.Array.from_pandas(out[kc])
+            # pin KEY dtypes like agg outputs: a bucket whose values for
+            # some key column are ALL null (e.g. the null-extended right
+            # columns of a left-join view fold) would otherwise emit
+            # float64/null where other buckets emit the real type, and
+            # block unification fails downstream
+            kt = src_t.get(kc)
+            if kt is not None and arr.type != kt:
+                arr = arr.cast(kt)
+            cols[kc] = arr
         for o in names:
             if o in sum_outs:
                 mask = (out["__nn_" + o] == 0).to_numpy(dtype=bool)

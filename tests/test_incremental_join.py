@@ -222,3 +222,159 @@ def test_disjoint_name_validation():
             left_key=["doc_id"], right_key=["lang"], on="lang",
             left_cols=["lang", "code"], right_cols=["code"],
         ).validate()
+
+
+# ==========================================================================
+# Left-outer join views
+# ==========================================================================
+
+from standardized_omop_data_etl_ray.stages.incremental import (
+    apply_left_join_change_sets,
+    build_left_join_view,
+    build_on_counts,
+)
+
+
+def _expected_left(docs: pd.DataFrame, dims: pd.DataFrame) -> pd.DataFrame:
+    out = docs.merge(dims, on="lang", how="left")
+    out = out[["doc_id", "lang", "chars", "code", "weight"]]
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _check_left(view, docs, dims):
+    got = view.to_pandas().sort_values("doc_id", ignore_index=True)
+    got["chars"] = got["chars"].astype("Int64")
+    got = got[["doc_id", "lang", "chars", "code", "weight"]]
+    want = _expected_left(docs, dims)
+    want["chars"] = want["chars"].astype("Int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_left_build_matches_pandas():
+    docs = _docs(20)
+    dims = _dims(0, langs=("en", "de"))  # fr/ja/null docs unmatched
+    view = build_left_join_view(
+        rd.from_pandas(docs), rd.from_pandas(dims), SPEC,
+        right_rows=len(dims),
+    ).materialize()
+    _check_left(view, docs, dims)
+
+
+def test_left_maintenance_with_count_crossings():
+    docs0 = _docs(21)
+    dims0 = _dims(0, langs=("en", "de"))
+    sl0, sr0 = rd.from_pandas(docs0), rd.from_pandas(dims0)
+    view = build_left_join_view(sl0, sr0, SPEC,
+                                right_rows=len(dims0)).materialize()
+    cnt = build_on_counts(sr0, SPEC).materialize()
+
+    # epoch 1: 'fr' gains its FIRST dim row (0→+ crossing: every fr doc
+    # flips from null-extended to matched), 'de' loses its only row
+    # (+→0: de docs flip to null-extended), docs churn incl. fk moves
+    # onto/off the crossing langs, plus fk→null moves
+    docs1 = _mutate_docs(docs0, 22)
+    dims1 = _dims(1, langs=("en", "fr", "ko"))
+    view, cnt = apply_left_join_change_sets(
+        view, SPEC,
+        rd.from_pandas(_cs(docs0, docs1, "doc_id", ["lang", "chars"])),
+        rd.from_pandas(_cs(dims0, dims1, "lang", ["code", "weight"])),
+        rd.from_pandas(docs1), rd.from_pandas(dims1), cnt,
+    )
+    view, cnt = view.materialize(), cnt.materialize()
+    _check_left(view, docs1, dims1)
+    # count view mirrors the live dim exactly
+    cd = cnt.to_pandas().sort_values("lang", ignore_index=True)
+    assert dict(zip(cd["lang"], cd["__cnt"])) == {
+        "en": 1, "fr": 1, "ko": 1
+    }
+
+    # epoch 2: left-only churn (dim delta None)
+    docs2 = _mutate_docs(docs1, 23, ins_base=3000)
+    view2, cnt2 = apply_left_join_change_sets(
+        view, SPEC,
+        rd.from_pandas(_cs(docs1, docs2, "doc_id", ["lang", "chars"])),
+        None,
+        rd.from_pandas(docs2), rd.from_pandas(dims1), cnt,
+    )
+    view2 = view2.materialize()
+    _check_left(view2, docs2, dims1)
+    assert cnt2 is cnt  # no right delta → count view unchanged
+
+    # epoch 3: dim-only churn — 'de' returns (its docs re-match),
+    # 'en' disappears (its docs null-extend)
+    dims3 = _dims(3, langs=("de", "fr", "ko"))
+    view3, cnt3 = apply_left_join_change_sets(
+        view2, SPEC, None,
+        rd.from_pandas(_cs(dims1, dims3, "lang", ["code", "weight"])),
+        rd.from_pandas(docs2), rd.from_pandas(dims3), cnt2,
+    )
+    _check_left(view3.materialize(), docs2, dims3)
+
+
+def test_left_duplicate_dim_rows_per_key():
+    """N:M: two right rows per 'en' — counts must track multiplicity,
+    not presence (dropping ONE of two rows is no crossing)."""
+    docs = _docs(24, n=80)
+    dims0 = pd.DataFrame({
+        "lang": ["en", "en", "de"],
+        "code": ["EN_a", "EN_b", "DE_a"],
+        "weight": [1.0, 2.0, 3.0],
+    })
+    # build (right_key is 'lang' in SPEC but duplicated here — use a
+    # spec keyed by code, the true row identity)
+    spec = IncJoinSpec(
+        left_key=["doc_id"], right_key=["code"], on="lang",
+        left_cols=["lang", "chars"], right_cols=["weight"],
+    )
+
+    def exp(docs, dims):
+        out = docs.merge(dims, on="lang", how="left")
+        out = out[["doc_id", "lang", "chars", "code", "weight"]]
+        return out.sort_values(["doc_id", "code"], ignore_index=True)
+
+    sl, sr0 = rd.from_pandas(docs), rd.from_pandas(dims0)
+    view = build_left_join_view(sl, sr0, spec,
+                                right_rows=len(dims0)).materialize()
+    cnt = build_on_counts(sr0, spec).materialize()
+    got = view.to_pandas().sort_values(["doc_id", "code"],
+                                       ignore_index=True)
+    got["chars"] = got["chars"].astype("Int64")
+    want = exp(docs, dims0)
+    want["chars"] = want["chars"].astype("Int64")
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang", "chars", "code", "weight"]],
+        want[["doc_id", "lang", "chars", "code", "weight"]],
+    )
+    # drop ONE of the two 'en' rows: no crossing, inner retraction only
+    dims1 = dims0.iloc[[0, 2]]
+    view, cnt = apply_left_join_change_sets(
+        view, spec, None,
+        rd.from_pandas(_cs(dims0, dims1, "code", ["lang", "weight"])),
+        sl, rd.from_pandas(dims1), cnt,
+    )
+    view, cnt = view.materialize(), cnt.materialize()
+    got = view.to_pandas().sort_values(["doc_id", "code"],
+                                       ignore_index=True)
+    got["chars"] = got["chars"].astype("Int64")
+    want = exp(docs, dims1)
+    want["chars"] = want["chars"].astype("Int64")
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang", "chars", "code", "weight"]],
+        want[["doc_id", "lang", "chars", "code", "weight"]],
+    )
+    # now drop the LAST 'en' row: +→0 crossing, en docs null-extend
+    dims2 = dims1.iloc[[1]]
+    view, cnt = apply_left_join_change_sets(
+        view, spec, None,
+        rd.from_pandas(_cs(dims1, dims2, "code", ["lang", "weight"])),
+        sl, rd.from_pandas(dims2), cnt,
+    )
+    got = view.materialize().to_pandas().sort_values(
+        ["doc_id", "code"], ignore_index=True)
+    got["chars"] = got["chars"].astype("Int64")
+    want = exp(docs, dims2)
+    want["chars"] = want["chars"].astype("Int64")
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang", "chars", "code", "weight"]],
+        want[["doc_id", "lang", "chars", "code", "weight"]],
+    )
