@@ -1,0 +1,301 @@
+"""Durable materialized views over CDC lakes.
+
+The incremental-view machinery (``stages/incremental.py``) maintains a
+view as an in-memory Dataset; this module gives a view a LIFECYCLE:
+its rows (and, for left joins, the match-count side state) persist as
+copy-on-write parquet under a view root with an atomically-committed
+manifest, and ``refresh()`` advances it to the source lakes' current
+epoch by folding the NET change set of the whole gap
+(``CDCLake.changes_between`` — one fold per refresh no matter how many
+epochs behind, because the signed algebra only needs *a* split
+A_new = A_old + dA, not per-epoch splits).
+
+Crash safety: data files are written first, then the manifest pointer
+swaps via the same tmp+rename+fsync discipline as the lake manifests —
+a crash between the two leaves the old view readable and the next
+``refresh()`` simply re-folds the gap (idempotent: the fold is a pure
+function of the committed view + the lakes' committed change sets).
+A fresh process re-opens the view from its manifest; epochs already
+folded are recorded there and never re-applied.
+
+Reference parity: the reference recomputes every report per run
+(pipeline_process_subtables_to_final.py end-stage aggregates); this is
+the durable incremental replacement.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..pipelines.cdc import CDCLake
+from ..stages.incremental import (
+    IncAggSpec,
+    IncJoinSpec,
+    apply_change_set,
+    apply_join_change_sets,
+    apply_left_join_change_sets,
+    build_agg_view,
+    build_join_view,
+    build_left_join_view,
+    build_on_counts,
+)
+from ..state import manifest as mf
+
+
+def _write_rows(root: Path, name: str, gen: int, ds: rd.Dataset) -> list[str]:
+    """Write a Dataset's rows as one generation of COW parquet files."""
+    d = root / f"{name}-g{gen:06d}"
+    d.mkdir(parents=True, exist_ok=True)
+    files = []
+    for i, ref in enumerate(ds.to_arrow_refs()):
+        import ray
+
+        t = ray.get(ref)
+        if not isinstance(t, pa.Table):
+            import pandas as pd
+
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            continue
+        f = d / f"rows-{i:05d}.parquet"
+        tmp = d / (f.name + ".tmp")
+        pq.write_table(t, tmp)
+        tmp.replace(f)
+        files.append(str(f.relative_to(root)))
+    return files
+
+
+def _read_rows(root: Path, files: list[str], schema: pa.Schema) -> rd.Dataset:
+    if not files:
+        return rd.from_arrow(schema.empty_table())
+    return rd.read_parquet([str(root / f) for f in files], schema=schema)
+
+
+class _ViewBase:
+    """Shared manifest/IO plumbing: subclasses define how to build from
+    scratch and how to fold a net change set."""
+
+    kind = "view"
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest(self) -> dict | None:
+        p = self.root / "_VIEW_MANIFEST.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def _commit(self, m: dict) -> None:
+        p = self.root / "_VIEW_MANIFEST.json"
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(m, indent=1))
+        import os
+
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
+        tmp.replace(p)
+
+    def gc(self) -> list[str]:
+        """Drop data files no committed manifest references (orphans
+        from crashed refreshes and superseded generations)."""
+        m = self._manifest()
+        live = set()
+        if m:
+            for fl in m.get("files", {}).values():
+                live.update(fl)
+        gone = []
+        for f in self.root.rglob("*.parquet"):
+            rel = str(f.relative_to(self.root))
+            if rel not in live:
+                f.unlink()
+                gone.append(rel)
+        return gone
+
+
+class MaterializedAggView(_ViewBase):
+    """Durable GROUP-BY view (COUNT/SUM/AVG/MIN/MAX) over one lake.
+
+    ``prep_cs(df)`` / ``prep_state(ds)`` derive the spec's source
+    columns when they are computed (e.g. ``chars`` from ``content``) —
+    plain functions re-supplied at construction, never serialized.
+    """
+
+    kind = "agg"
+
+    def __init__(self, root: str, spec: IncAggSpec, lake: CDCLake,
+                 prep_cs=None, prep_state=None,
+                 num_buckets: int | None = None):
+        super().__init__(root)
+        self.spec = spec
+        self.lake = lake
+        self.prep_cs = prep_cs
+        self.prep_state = prep_state
+        self.num_buckets = num_buckets
+
+    def _carry_cols(self) -> list[str]:
+        # carry what the prep needs: default = the spec's source columns
+        return self.spec.src_cols() + list(self.spec.group_cols)
+
+    def _state(self) -> rd.Dataset:
+        st = self.lake.read_state(drop_engine_cols=True)
+        return self.prep_state(st) if self.prep_state else st
+
+    def refresh(self, carry_cols: list[str] | None = None) -> dict:
+        m = self._manifest()
+        lake_m = mf.read_manifest(self.lake.root, self.lake.spec.name)
+        cur = lake_m["epoch"] if lake_m else 0
+        last = m["epochs"]["source"] if m else None
+        if m and last == cur:
+            return {"from_epoch": last, "to_epoch": cur, "changed": False}
+        if m is None:
+            view = build_agg_view(self._state(), self.spec,
+                                  num_buckets=self.num_buckets)
+            frm = 0
+        else:
+            schema = mf.schema_from_b64(m["schema"])
+            view = _read_rows(self.root, m["files"]["view"], schema)
+            cs = self.lake.changes_between(
+                last, cur, carry_cols=carry_cols or self._carry_cols()
+            )
+            if self.prep_cs:
+                cs = cs.map_batches(self.prep_cs, batch_format="pandas")
+            view = apply_change_set(
+                view, cs, self.spec,
+                state=self._state()
+                if (self.spec.mins or self.spec.maxs) else None,
+                num_buckets=self.num_buckets,
+            )
+            frm = last
+        view = view.materialize()
+        gen = (m["gen"] + 1) if m else 1
+        files = _write_rows(self.root, "view", gen, view)
+        schema_b64 = mf.schema_to_b64(_ds_schema(view))
+        self._commit({
+            "kind": self.kind, "gen": gen,
+            "epochs": {"source": cur},
+            "schema": schema_b64,
+            "files": {"view": files},
+        })
+        return {"from_epoch": frm, "to_epoch": cur, "changed": True}
+
+    def read(self) -> rd.Dataset:
+        """The INTERNAL view layout; project with
+        ``stages.incremental.view_result`` for the user-facing frame."""
+        m = self._manifest()
+        if m is None:
+            raise ValueError("view never refreshed")
+        return _read_rows(self.root, m["files"]["view"],
+                          mf.schema_from_b64(m["schema"]))
+
+
+def _ds_schema(ds: rd.Dataset) -> pa.Schema:
+    from ..stages.incremental import _arrow_types
+
+    return pa.schema(
+        [pa.field(n, t) for n, t in _arrow_types(ds).items()]
+    )
+
+
+class MaterializedJoinView(_ViewBase):
+    """Durable equi-join view over two lakes (``how='inner'|'left'``).
+
+    Left views persist the match-count side state alongside the rows.
+    """
+
+    kind = "join"
+
+    def __init__(self, root: str, spec: IncJoinSpec,
+                 left: CDCLake, right: CDCLake, how: str = "inner",
+                 num_buckets: int | None = None):
+        super().__init__(root)
+        if how not in ("inner", "left"):
+            raise ValueError(f"how={how!r}: inner or left")
+        self.spec = spec
+        self.left = left
+        self.right = right
+        self.how = how
+        self.num_buckets = num_buckets
+
+    def _carries(self, side_cols: list[str], key_cols) -> list[str]:
+        return [c for c in side_cols if c not in key_cols]
+
+    def refresh(self) -> dict:
+        m = self._manifest()
+        lm = mf.read_manifest(self.left.root, self.left.spec.name)
+        rm = mf.read_manifest(self.right.root, self.right.spec.name)
+        cur = {"left": lm["epoch"] if lm else 0,
+               "right": rm["epoch"] if rm else 0}
+        state_l = self.left.read_state(drop_engine_cols=True).materialize()
+        state_r = self.right.read_state(drop_engine_cols=True).materialize()
+        if m and m["epochs"] == cur:
+            return {"epochs": cur, "changed": False}
+        cnt = cnt_prev = None
+        if m is None:
+            build = (build_join_view if self.how == "inner"
+                     else build_left_join_view)
+            view = build(state_l, state_r, self.spec,
+                         num_buckets=self.num_buckets)
+            if self.how == "left":
+                cnt = build_on_counts(state_r, self.spec,
+                                      num_buckets=self.num_buckets)
+        else:
+            schema = mf.schema_from_b64(m["schema"])
+            view = _read_rows(self.root, m["files"]["view"], schema)
+            d_l = (self.left.changes_between(
+                m["epochs"]["left"], cur["left"],
+                carry_cols=self._carries(self.spec.left_side_cols(),
+                                         self.left.spec.key_cols))
+                if cur["left"] > m["epochs"]["left"] else None)
+            d_r = (self.right.changes_between(
+                m["epochs"]["right"], cur["right"],
+                carry_cols=self._carries(self.spec.right_side_cols(),
+                                         self.right.spec.key_cols))
+                if cur["right"] > m["epochs"]["right"] else None)
+            if self.how == "inner":
+                view = apply_join_change_sets(
+                    view, self.spec, d_l, d_r, state_l, state_r,
+                    num_buckets=self.num_buckets,
+                )
+            else:
+                csch = mf.schema_from_b64(m["schema_cnt"])
+                cnt_prev = _read_rows(self.root, m["files"]["cnt"], csch)
+                view, cnt = apply_left_join_change_sets(
+                    view, self.spec, d_l, d_r, state_l, state_r,
+                    cnt_prev, num_buckets=self.num_buckets,
+                )
+        view = view.materialize()
+        gen = (m["gen"] + 1) if m else 1
+        files = {"view": _write_rows(self.root, "view", gen, view)}
+        man = {
+            "kind": self.kind, "how": self.how, "gen": gen,
+            "epochs": cur,
+            "schema": mf.schema_to_b64(_ds_schema(view)),
+            "files": files,
+        }
+        if self.how == "left":
+            if cnt is cnt_prev and m is not None:
+                # left-delta-only refresh: counts unchanged, keep files
+                man["schema_cnt"] = m["schema_cnt"]
+                files["cnt"] = m["files"]["cnt"]
+            else:
+                cnt = cnt.materialize()
+                files["cnt"] = _write_rows(self.root, "cnt", gen, cnt)
+                man["schema_cnt"] = mf.schema_to_b64(_ds_schema(cnt))
+        self._commit(man)
+        return {"epochs": cur, "changed": True}
+
+    def read(self) -> rd.Dataset:
+        m = self._manifest()
+        if m is None:
+            raise ValueError("view never refreshed")
+        return _read_rows(self.root, m["files"]["view"],
+                          mf.schema_from_b64(m["schema"]))
