@@ -1648,6 +1648,62 @@ class CDCLake:
         return mf.gc(self.root, self.spec.name,
                      retain_manifests=retain_manifests)
 
+    def export_changefeed(self, out_root: str,
+                          carry_cols: list[str] | None = None) -> dict:
+        """Changefeed OUTBOX: materialize the NET change set since the
+        last export as parquet under ``out_root/span=A-B/`` and advance
+        a durable cursor — the push-side complement of
+        ``changes_between`` for consumers that cannot read the lake
+        (external warehouses, message buses).
+
+        Exactly-once at the consumer for free: the span directory name
+        is deterministic, a crashed export rewrites the SAME directory
+        (content-identical: the fold is a pure function of committed
+        state), and the cursor only advances after the files land.
+        Consumers process ``span=`` directories in order; re-reading a
+        span is idempotent because the rows carry key + old/new
+        payloads, not increments."""
+        out = Path(out_root)
+        out.mkdir(parents=True, exist_ok=True)
+        cursor = out / "_CURSOR.json"
+        last = (json.loads(cursor.read_text())["epoch"]
+                if cursor.exists() else 0)
+        m = mf.read_manifest(self.root, self.spec.name)
+        cur = m["epoch"] if m else 0
+        if cur <= last:
+            return {"from_epoch": last, "to_epoch": cur, "rows": 0,
+                    "exported": False}
+        diff = self.changes_between(last, cur, carry_cols=carry_cols)
+        d = out / f"span={last:06d}-{cur:06d}"
+        d.mkdir(exist_ok=True)
+        # a crashed attempt may have left MORE block files than this
+        # attempt will write (block splits are not deterministic) —
+        # stale extras would double-count at the consumer
+        for stale in d.glob("changes-*.parquet*"):
+            stale.unlink()
+        n = 0
+        import ray as _ray
+
+        for i, ref in enumerate(diff.to_arrow_refs()):
+            t = _ray.get(ref)
+            if not isinstance(t, pa.Table):
+                import pandas as _pd
+
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_rows == 0:
+                continue
+            tmp = d / f"changes-{i:05d}.parquet.tmp"
+            pq.write_table(t, tmp)
+            tmp.replace(d / f"changes-{i:05d}.parquet")
+            n += t.num_rows
+        tmpc = out / "_CURSOR.json.tmp"
+        tmpc.write_text(json.dumps({"epoch": cur}))
+        with open(tmpc, "rb") as fh:
+            os.fsync(fh.fileno())
+        tmpc.replace(cursor)
+        return {"from_epoch": last, "to_epoch": cur, "rows": n,
+                "exported": True}
+
     def lineage(self) -> list[dict]:
         m = mf.read_manifest(self.root, self.spec.name)
         return m.get("lineage", []) if m else []

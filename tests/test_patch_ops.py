@@ -328,3 +328,52 @@ def test_patch_op_dlq_validity(tmp_path):
     dl = off.read_dead_letters()
     assert dl is not None and dl.count() == 1
     assert _state_dict(off)[("r", "a")]["content"] == "x"
+
+
+def test_stream_apply_with_patches(tmp_path):
+    """apply_stream shares phase 1 with the batch path — patch rows must
+    survive the pipelined windows identically."""
+    rows = _rand_rows(13, n_keys=30, n_events=240)
+    batch = CDCLake(str(tmp_path / "b"), _spec())
+    for ev in (rows[:80], rows[80:160], rows[160:]):
+        batch.apply_events(rd.from_arrow(_events_table(ev)))
+    stream = CDCLake(str(tmp_path / "s"), _spec())
+    stream.apply_stream(
+        [rd.from_arrow(_events_table(w))
+         for w in (rows[:80], rows[80:160], rows[160:])],
+        max_inflight=2,
+    )
+    assert _state_dict(stream) == _oracle_fold(rows)
+    assert _state_dict(stream) == _state_dict(batch)
+
+
+def test_export_changefeed_outbox(tmp_path):
+    rows = _rand_rows(17, n_keys=20, n_events=150)
+    lake = CDCLake(str(tmp_path / "lk"), _spec())
+    out = tmp_path / "feed"
+    lake.apply_events(rd.from_arrow(_events_table(rows[:50])))
+    rec1 = lake.export_changefeed(str(out), carry_cols=["lang", "content"])
+    assert rec1["exported"] and rec1["from_epoch"] == 0
+
+    # two epochs, one export span; cursor advances
+    lake.apply_events(rd.from_arrow(_events_table(rows[50:100])))
+    lake.apply_events(rd.from_arrow(_events_table(rows[100:])))
+    rec2 = lake.export_changefeed(str(out), carry_cols=["lang", "content"])
+    assert rec2["exported"] and rec2["from_epoch"] == rec1["to_epoch"]
+    # idempotent when current
+    assert lake.export_changefeed(str(out))["exported"] is False
+
+    # replaying ALL spans in order onto a dict reproduces the state
+    import pyarrow.dataset as pds
+
+    state: dict = {}
+    for span in sorted(out.glob("span=*")):
+        t = pds.dataset(str(span)).to_table().to_pylist()
+        for r in t:
+            k = (r["repo"], r["path"])
+            if r["change"] == "deleted":
+                state.pop(k, None)
+            else:
+                state[k] = r["new_content"]
+    want = {k: v["content"] for k, v in _oracle_fold(rows).items()}
+    assert state == want
