@@ -3335,6 +3335,56 @@ FROM documents
 """
 
 
+def scd2_history_docs(sf_dir: str):
+    """SCD Type 2 version history over the flagship CDC event log:
+    every I/U event becomes a validity interval [valid_from, valid_to)
+    with ``is_current`` on the open version; a delete closes its
+    predecessor and emits no row (delete-then-reinsert keys show a
+    hole).  One bucketed key exchange + one vectorized per-bucket
+    lead — stages/history.scd2_history."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.stages.history import scd2_history
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    return scd2_history(events_from_documents(docs), ["repo", "path"])
+
+
+_SCD2_SQL = """
+-- the flagship event derivation (flagship.events_from_documents,
+-- versions=3) written out, then the SCD2 window: each event's version
+-- closes at the key's next LSN; deletes close but emit nothing.
+WITH ev AS (
+  SELECT 'I' AS op, doc_id * 3 AS lsn, source AS repo,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         doc_id || ':0' AS "commit", lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END,
+         doc_id * 3 + 1, source,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.txt', doc_id || ':1',
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text || ' v1' END
+  FROM documents
+  UNION ALL
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END,
+         doc_id * 3 + 2, source,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.txt', doc_id || ':2',
+         lang, text || ' v2'
+  FROM documents
+), w AS (
+  SELECT *, lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn)
+            AS valid_to
+  FROM ev
+)
+SELECT op, repo, path, "commit", lang, content,
+       lsn AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+FROM w WHERE op <> 'D'
+"""
+
+
 def pack_sequences_docs(sf_dir: str):
     """Training-sequence packing (concat-and-cut at 1024 tokens): each
     doc's (seq_id, seq_offset) from the global token prefix-sum in
@@ -4735,7 +4785,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_curated_replay_docs": cdc_curated_replay_docs,
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
-        "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
@@ -4745,6 +4794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_join": cdc_incremental_join_docs,
         "cdc_patch_replay": cdc_patch_replay_docs,
         "cdc_left_join": cdc_left_join_docs,
+        "scd2_history_docs": scd2_history_docs,
         # -- similarity / ANN ------------------------------------------
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -4790,6 +4840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         "incremental_near_dup_groups": incremental_near_dup_groups,
         "cdc_lww_upsert": cdc_lww_upsert,
         "dedup_exact_docs": dedup_exact_docs,
@@ -4890,6 +4941,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_join": _CDC_INC_JOIN_SQL,
         "cdc_patch_replay": _CDC_PATCH_SQL,
         "cdc_left_join": _CDC_LEFT_JOIN_SQL,
+        "scd2_history_docs": _SCD2_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,
         "ranked_orders_per_customer": _RANKED_ORDERS_SQL,
         "quantiles_cont_lineitem_price": _QUANTILE_CONT_SQL,
