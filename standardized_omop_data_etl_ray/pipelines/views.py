@@ -205,6 +205,104 @@ def _ds_schema(ds: rd.Dataset) -> pa.Schema:
     )
 
 
+class MaterializedHistoryView(_ViewBase):
+    """Durable SCD Type 2 history of one lake, at COMMIT granularity.
+
+    Each refresh folds the per-epoch DELTA-SOURCED change sets
+    (``pipelines/cdc.epoch_change_set``) for every apply epoch in the
+    gap — per-epoch, NOT net-collapsed: ``changes_between`` would erase
+    the interior versions a history table exists to keep, so a history
+    refresh is the one view kind whose cost is per-epoch by semantics.
+    Granularity caveat: the lake's delta files hold each epoch's LWW
+    WINNER per key, so versions that never won an epoch (superseded
+    within one micro-batch) do not exist anywhere and cannot appear
+    here — this is history of the COMMITTED states, the same contract a
+    lakehouse table's commit log gives.
+
+    Requires the manifest snapshots for the gap epochs to still be
+    retained (``gc(retain_manifests=K)``); an expired gap raises
+    loudly via ``epoch_change_set`` rather than silently skipping
+    versions."""
+
+    kind = "history"
+
+    def __init__(self, root: str, lake: CDCLake,
+                 payload_cols: list[str] | None = None,
+                 num_buckets: int | None = None):
+        super().__init__(root)
+        self.lake = lake
+        if payload_cols is None:
+            engine = {"content_sha", "key_hash", "part"}
+            skip = set(lake.spec.key_cols) | engine | {
+                lake.spec.lsn_col, lake.spec.op_col,
+            }
+            payload_cols = [
+                f.name for f in lake._state_schema()
+                if f.name not in skip
+            ]
+        self.payload_cols = payload_cols
+        self.num_buckets = num_buckets
+
+    def refresh(self) -> dict:
+        from ..stages.history import (
+            apply_history_change_sets,
+            history_view_schema,
+        )
+        from .cdc import epoch_change_set
+
+        m = self._manifest()
+        lake_m = mf.read_manifest(self.lake.root, self.lake.spec.name)
+        cur = lake_m["epoch"] if lake_m else 0
+        last = m["epochs"]["source"] if m else 0
+        if m and last == cur:
+            return {"from_epoch": last, "to_epoch": cur, "changed": False}
+        keys = list(self.lake.spec.key_cols)
+        vschema = history_view_schema(
+            self.lake._state_schema(), keys, self.payload_cols,
+            self.lake.spec.lsn_col,
+        )
+        if m is None:
+            view = rd.from_arrow(vschema.empty_table())
+        else:
+            view = _read_rows(self.root, m["files"]["view"],
+                              mf.schema_from_b64(m["schema"]))
+        apply_epochs = sorted(
+            r["epoch"] for r in (lake_m or {}).get("lineage", [])
+            if not r.get("compaction") and last < r["epoch"] <= cur
+        )
+        if apply_epochs:
+            diffs = [
+                epoch_change_set(
+                    self.lake, e, carry_cols=self.payload_cols
+                ).materialize()
+                for e in apply_epochs
+            ]
+            cs = diffs[0]
+            for d in diffs[1:]:
+                cs = cs.union(d)
+            view = apply_history_change_sets(
+                view, cs, keys, self.payload_cols, vschema,
+                self.lake.spec.lsn_col, self.num_buckets,
+            )
+        view = view.materialize()
+        gen = (m["gen"] + 1) if m else 1
+        files = _write_rows(self.root, "view", gen, view)
+        self._commit({
+            "kind": self.kind, "gen": gen,
+            "epochs": {"source": cur},
+            "schema": mf.schema_to_b64(_ds_schema(view)),
+            "files": {"view": files},
+        })
+        return {"from_epoch": last, "to_epoch": cur, "changed": True}
+
+    def read(self) -> rd.Dataset:
+        m = self._manifest()
+        if m is None:
+            raise ValueError("view never refreshed")
+        return _read_rows(self.root, m["files"]["view"],
+                          mf.schema_from_b64(m["schema"]))
+
+
 class MaterializedJoinView(_ViewBase):
     """Durable equi-join view over two lakes (``how='inner'|'left'``).
 

@@ -1,0 +1,147 @@
+"""Durable SCD2 history view (pipelines/views.MaterializedHistoryView):
+per-epoch folds equal the batch scd2 expansion of the committed winner
+log, multi-epoch gaps keep interior versions (no net-collapsing),
+compactions in the gap are skipped, restarts re-open from the manifest.
+
+Event waves are version-major (one event per key per epoch), so the
+epoch-winner log IS the raw event log and the expected history is
+``scd2_history`` over all events — one code path checked against the
+other plus a DuckDB lead() oracle."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+from standardized_omop_data_etl_ray.pipelines.views import (
+    MaterializedHistoryView,
+)
+from standardized_omop_data_etl_ray.spec import TableSpec
+
+N = 40
+
+
+def _wave(v: int):
+    # version-major LSNs: each epoch's window sits ABOVE the previous
+    # epoch's (the commit watermark treats lower LSNs as redelivery)
+    rows = []
+    for d in range(N):
+        if v == 1 and d % 7 == 0:
+            rows.append(("D", 100 * v + d, f"k{d}", None, None))
+        else:
+            op = "I" if v == 0 or (v == 2 and d % 7 == 0) else "U"
+            rows.append((op, 100 * v + d, f"k{d}", ["en", "de"][d % 2],
+                         f"t{d} v{v}"))
+    return rows
+
+
+def _events(rows) -> rd.Dataset:
+    return rd.from_arrow(pa.table({
+        "op": pa.array([r[0] for r in rows], pa.string()),
+        "lsn": pa.array([r[1] for r in rows], pa.int64()),
+        "repo": pa.array(["r"] * len(rows), pa.string()),
+        "path": pa.array([r[2] for r in rows], pa.string()),
+        "commit": pa.array([f"c{r[1]}" for r in rows], pa.string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "content": pa.array([r[4] for r in rows], pa.string()),
+    }))
+
+
+def _expected(waves) -> pd.DataFrame:
+    df = pd.concat(
+        [pd.DataFrame(w, columns=["op", "lsn", "path", "lang", "content"])
+         for w in waves], ignore_index=True
+    )
+    return duckdb.sql("""
+        WITH w AS (
+          SELECT *, lead(lsn) OVER (PARTITION BY path ORDER BY lsn)
+                 AS valid_to
+          FROM df
+        )
+        SELECT path, lang, content, lsn AS valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM w WHERE op <> 'D' ORDER BY path, valid_from
+    """).df()
+
+
+def _got(view) -> pd.DataFrame:
+    df = view.read().to_pandas()
+    df["valid_to"] = df["valid_to"].astype("float64")
+    return df.sort_values(["path", "valid_from"], ignore_index=True)[
+        ["path", "lang", "content", "valid_from", "valid_to", "is_current"]
+    ]
+
+
+def _check(view, waves):
+    got, want = _got(view), _expected(waves)
+    assert len(got) == len(want)
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c], want[c], check_names=False, check_dtype=False
+        )
+
+
+def test_history_view_per_epoch_and_gap_folds(tmp_path):
+    lake = CDCLake(str(tmp_path / "lk"),
+                   TableSpec(name="t", num_partitions=4))
+    view = MaterializedHistoryView(
+        str(tmp_path / "v"), lake,
+        payload_cols=["lang", "content"], num_buckets=3,
+    )
+    # epoch-by-epoch fold
+    lake.apply_events(_events(_wave(0)))
+    assert view.refresh()["changed"]
+    _check(view, [_wave(0)])
+    lake.apply_events(_events(_wave(1)))
+    assert view.refresh()["changed"]
+    _check(view, [_wave(0), _wave(1)])
+
+    # a 2-epoch GAP in one refresh must keep wave-2's interior versions
+    lake.apply_events(_events(_wave(2)))
+    lake.apply_events(_events(
+        [("U", 1000 + d, f"k{d}", "fr", f"t{d} v3") for d in range(0, N, 5)]
+    ))
+    rec = view.refresh()
+    assert rec["changed"] and rec["from_epoch"] == 2
+    waves = [_wave(0), _wave(1), _wave(2),
+             [("U", 1000 + d, f"k{d}", "fr", f"t{d} v3")
+              for d in range(0, N, 5)]]
+    _check(view, waves)
+
+    # idempotent when current; restart re-opens from the manifest
+    assert view.refresh()["changed"] is False
+    reopened = MaterializedHistoryView(
+        str(tmp_path / "v"), lake, payload_cols=["lang", "content"],
+    )
+    _check(reopened, waves)
+
+    # exactly one open version per live key, none for deleted keys
+    got = _got(view)
+    open_per_key = got[got["is_current"]].groupby("path").size()
+    assert (open_per_key == 1).all()
+
+    # invariant vs the lake: current versions == live state
+    state = (
+        lake.read_state(drop_engine_cols=True).to_pandas()
+        .sort_values("path", ignore_index=True)
+    )
+    cur = got[got["is_current"]].sort_values("path", ignore_index=True)
+    assert list(cur["path"]) == list(state["path"])
+    assert list(cur["content"]) == list(state["content"])
+
+
+def test_history_view_skips_compaction_epochs(tmp_path):
+    lake = CDCLake(str(tmp_path / "lk"),
+                   TableSpec(name="t", num_partitions=2),
+                   auto_compact_files=None)
+    view = MaterializedHistoryView(
+        str(tmp_path / "v"), lake, payload_cols=["lang", "content"],
+    )
+    lake.apply_events(_events(_wave(0)))
+    view.refresh()
+    lake.apply_events(_events(_wave(1)))
+    lake.compact()  # rewrites files, never state — must not add versions
+    lake.apply_events(_events(_wave(2)))
+    view.refresh()
+    _check(view, [_wave(0), _wave(1), _wave(2)])
