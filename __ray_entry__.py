@@ -3352,6 +3352,72 @@ def scd2_history_docs(sf_dir: str):
     return scd2_history(events_from_documents(docs), ["repo", "path"])
 
 
+def cdc_dml_replay_docs(sf_dir: str):
+    """Predicate DML over the lake (CDCLake.delete_where /
+    update_where): flagship replay, then DELETE every doc whose live
+    lang is the lexicographic minimum (GDPR-style erasure by CURRENT
+    payload — inexpressible as an upstream event), then UPDATE the
+    maximum-lang docs to uppercase content.  Both emit synthesized
+    events above every committed watermark and apply as ordinary
+    epochs (exactly-once, time-travelable); the oracle states the
+    closed-form final state."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        run_flagship,
+    )
+
+    lake = run_flagship(
+        sf_dir, tempfile.mkdtemp(prefix="cdc_lake_dml_"), epochs=3,
+        return_lake=True,
+    )
+    import pyarrow.parquet as pq
+
+    mm = pc.min_max(
+        pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["lang"]).column("lang")
+    )
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    lake.delete_where(
+        lambda t: pc.equal(t.column("lang"), lo).to_numpy(
+            zero_copy_only=False)
+    )
+
+    def to_upper(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("content")
+        return t.set_column(
+            i, "content", pc.utf8_upper(t.column("content")))
+
+    lake.update_where(
+        lambda t: pc.equal(t.column("lang"), hi).to_numpy(
+            zero_copy_only=False),
+        to_upper,
+    )
+    return lake.read_state(drop_engine_cols=True)
+
+
+_CDC_DML_SQL = """
+-- closed form: flagship final state (content text||' v2'), minus the
+-- min-lang docs (deleted at lsn 3n), with max-lang docs rewritten by
+-- the update epoch (op='U', lsn 3n+1, upper-cased content)
+WITH final AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+         doc_id * 3 + 2 AS lsn, source AS repo,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         doc_id || ':2' AS "commit", lang, text || ' v2' AS content
+  FROM documents
+  WHERE lang <> (SELECT min(lang) FROM documents)
+)
+SELECT CASE WHEN lang = (SELECT max(lang) FROM documents)
+            THEN 'U' ELSE op END AS op,
+       CASE WHEN lang = (SELECT max(lang) FROM documents)
+            THEN 3 * (SELECT count(*) FROM documents) + 1
+            ELSE lsn END AS lsn,
+       repo, path, "commit", lang,
+       CASE WHEN lang = (SELECT max(lang) FROM documents)
+            THEN upper(content) ELSE content END AS content
+FROM final
+"""
+
+
 def cdc_scd2_view_docs(sf_dir: str):
     """Durable SCD2 history VIEW of the CDC lake
     (pipelines/views.MaterializedHistoryView): the flagship replay with
@@ -4866,7 +4932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_full_replay_docs": cdc_full_replay_docs,
         "cdc_curated_replay_docs": cdc_curated_replay_docs,
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
-        "cdc_lww_with_deletes": cdc_lww_with_deletes,
+        "cdc_dml_replay": cdc_dml_replay_docs,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
@@ -4921,6 +4987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
         "events_before_errors": events_before_errors,
+        "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "langid_docs": langid_docs,
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "incremental_near_dup_groups": incremental_near_dup_groups,
@@ -5023,6 +5090,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_join": _CDC_INC_JOIN_SQL,
         "cdc_patch_replay": _CDC_PATCH_SQL,
         "cdc_left_join": _CDC_LEFT_JOIN_SQL,
+        "cdc_dml_replay": _CDC_DML_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,

@@ -1523,6 +1523,85 @@ class CDCLake:
         self.spec.num_partitions = new_num_partitions
         return record
 
+    def _dml_events(self, predicate, make_rows) -> tuple[rd.Dataset, int]:
+        """Shared DML scaffolding: scan the live state map-only, select
+        rows with ``predicate`` (batch → bool mask), synthesize events
+        via ``make_rows(selected, lsn)`` with an LSN above EVERY
+        committed watermark — so the synthesized events win LWW and a
+        later redelivery of the historical log cannot resurrect or
+        un-update the affected keys."""
+        m = mf.read_manifest(self.root, self.spec.name)
+        base_lsn = int(self._watermarks(m).max()) + 1 if m else 0
+        state = self.read_state(drop_engine_cols=True)
+        ev_schema = self.spec.schema
+
+        def synth(batch: pa.Table) -> pa.Table:
+            mask = np.asarray(predicate(batch), dtype=bool)
+            sel = batch.filter(pa.array(mask))
+            return make_rows(sel, base_lsn).cast(ev_schema)
+
+        return state.map_batches(synth, batch_format="pyarrow"), base_lsn
+
+    def delete_where(self, predicate, *, txn: "LakeTransaction | None" = None) -> dict:
+        """Predicate DML: ``DELETE FROM <table> WHERE predicate`` — the
+        GDPR-erasure path the raw event log cannot express (the keys to
+        erase are defined by their CURRENT payload, not by upstream
+        events).  One map-only state scan emits a tombstone per
+        matching key at an LSN above every committed watermark, applied
+        as one ordinary epoch — exactly-once, time-travelable, visible
+        to change feeds and incremental views like any other commit.
+        ``predicate``: batch (Arrow, payload columns) → bool mask."""
+        key_cols = set(self.spec.key_cols)
+        op_col, lsn_col = self.spec.op_col, self.spec.lsn_col
+
+        def tombstones(sel: pa.Table, lsn: int) -> pa.Table:
+            n = sel.num_rows
+            cols = {}
+            for f in self.spec.schema:
+                if f.name == op_col:
+                    cols[f.name] = pa.array(["D"] * n, pa.string())
+                elif f.name == lsn_col:
+                    cols[f.name] = pa.array(
+                        np.full(n, lsn, dtype=np.int64), f.type)
+                elif f.name in key_cols:
+                    cols[f.name] = sel.column(f.name)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            return pa.table(cols)
+
+        events, _ = self._dml_events(predicate, tombstones)
+        return self.apply_events(events, txn=txn)
+
+    def update_where(self, predicate, set_fn, *,
+                     txn: "LakeTransaction | None" = None) -> dict:
+        """Predicate DML: ``UPDATE <table> SET ... WHERE predicate``.
+        ``set_fn`` receives the selected rows (Arrow table, payload
+        columns) and returns them with payload columns rewritten (key
+        columns must pass through unchanged); each becomes an op='U'
+        event at an LSN above every committed watermark and applies as
+        one ordinary epoch.  Composes with curation gates (an update
+        whose new payload fails the gate is retracted — the DML analog
+        of a failing arriving event) and with patch lakes (full-row
+        updates win the column fold)."""
+        op_col, lsn_col = self.spec.op_col, self.spec.lsn_col
+
+        def updates(sel: pa.Table, lsn: int) -> pa.Table:
+            out = set_fn(sel) if sel.num_rows else sel
+            n = out.num_rows
+            cols = {}
+            for f in self.spec.schema:
+                if f.name == op_col:
+                    cols[f.name] = pa.array(["U"] * n, pa.string())
+                elif f.name == lsn_col:
+                    cols[f.name] = pa.array(
+                        np.full(n, lsn, dtype=np.int64), f.type)
+                else:
+                    cols[f.name] = out.column(f.name)
+            return pa.table(cols)
+
+        events, _ = self._dml_events(predicate, updates)
+        return self.apply_events(events, txn=txn)
+
     def compact(self, max_files: int | None = None,
                 cluster_files: int = 1) -> dict:
         """Rewrite partitions' deltas into base file(s) (new epoch),

@@ -1322,3 +1322,50 @@ def test_constraints_survive_clone_and_rename(tmp_path):
     })))
     assert rec2["rows_dead_lettered"] == 1
     assert branch.read_dead_letters(epoch=rec2["epoch"]).count() == 1
+
+
+def test_delete_where_and_update_where_dml(tmp_path):
+    import pyarrow.compute as pc
+
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    before = _state(lake).to_pandas()
+
+    # DELETE WHERE lang = 'python' — erasure by CURRENT payload
+    rec = lake.delete_where(lambda t: pc.equal(
+        t.column("lang"), "python").to_numpy(zero_copy_only=False))
+    after = _state(lake).to_pandas()
+    want = before[before["lang"] != "python"]
+    assert len(after) == len(want)
+    assert set(after["path"]) == set(want["path"])
+    assert (after["lang"] != "python").all()
+    assert rec["tombstones"] == (before["lang"] == "python").sum()
+
+    # redelivering the FULL historical log must not resurrect them
+    # (tombstone lsn sits above every watermark)
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    again = _state(lake).to_pandas()
+    assert set(again["path"]) == set(want["path"])
+
+    # UPDATE WHERE lang = 'go' SET content = upper(content)
+    def to_upper(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("content")
+        return t.set_column(i, "content", pc.utf8_upper(t.column("content")))
+
+    lake.update_where(
+        lambda t: pc.equal(t.column("lang"), "go").to_numpy(
+            zero_copy_only=False),
+        to_upper,
+    )
+    upd = _state(lake).to_pandas().set_index(["repo", "path"])
+    base = again.set_index(["repo", "path"])
+    for idx, row in base.iterrows():
+        got = upd.loc[idx, "content"]
+        assert got == (row["content"].upper() if row["lang"] == "go"
+                       else row["content"])
+
+    # time travel still shows the pre-DML state
+    tt = _state(lake, at_epoch=rec["epoch"] - 1).to_pandas()
+    assert set(tt["path"]) == set(before["path"])
