@@ -3352,6 +3352,81 @@ def scd2_history_docs(sf_dir: str):
     return scd2_history(events_from_documents(docs), ["repo", "path"])
 
 
+def cdc_merge_into_docs(sf_dir: str):
+    """Lakehouse MERGE INTO (CDCLake.merge_into): flagship replay, then
+    one merge whose source mixes matched keys (every even doc —
+    updated, op labeled 'U' by the keys-only partition probe) and
+    brand-new keys (extra_* — inserted, op 'I').  Source rows route to
+    partitions in ONE exchange and only touched partitions' winner
+    KEYS are read; the oracle states the closed-form merged state."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        run_flagship,
+    )
+
+    lake = run_flagship(
+        sf_dir, tempfile.mkdtemp(prefix="cdc_lake_merge_"), epochs=3,
+        return_lake=True,
+    )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def to_source(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        even = pc.equal(pc.bit_wise_and(d, 1), 0)
+        upd = t.filter(even)
+        extras = t.filter(pc.equal(
+            pc.subtract(t.column("doc_id"),
+                        pc.multiply(pc.divide(t.column("doc_id"), 10), 10)),
+            0))
+        parts = []
+        for sel, path_prefix, content in (
+            (upd, "doc_", None), (extras, "extra_", "extra doc"),
+        ):
+            did = sel.column("doc_id")
+            parts.append(pa.table({
+                "repo": sel.column("source"),
+                "path": pc.binary_join_element_wise(
+                    pa.scalar(path_prefix), pc.cast(did, pa.string()),
+                    pa.scalar(".txt"), ""),
+                "commit": pa.array(["m1"] * sel.num_rows, pa.string()),
+                "lang": sel.column("lang"),
+                "content": (
+                    pc.binary_join_element_wise(
+                        pa.scalar("merged: "), sel.column("text"), "")
+                    if content is None
+                    else pa.array([content] * sel.num_rows, pa.string())
+                ),
+            }))
+        return pa.concat_tables(parts)
+
+    lake.merge_into(docs.map_batches(to_source, batch_format="pyarrow"))
+    return lake.read_state(drop_engine_cols=True)
+
+
+_CDC_MERGE_SQL = """
+-- closed form: flagship final state, even docs overwritten by the
+-- merge (op='U', lsn=3n, the probe saw them live), extras inserted
+-- (op='I', same lsn)
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'U'
+            WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+       CASE WHEN doc_id % 2 = 0 THEN 3 * (SELECT c FROM n)
+            ELSE doc_id * 3 + 2 END AS lsn,
+       source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       CASE WHEN doc_id % 2 = 0 THEN 'm1'
+            ELSE doc_id || ':2' END AS "commit",
+       lang,
+       CASE WHEN doc_id % 2 = 0 THEN 'merged: ' || text
+            ELSE text || ' v2' END AS content
+FROM documents
+UNION ALL
+SELECT 'I', 3 * (SELECT c FROM n), source,
+       'extra_' || CAST(doc_id AS VARCHAR) || '.txt', 'm1', lang,
+       'extra doc'
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def cdc_dml_replay_docs(sf_dir: str):
     """Predicate DML over the lake (CDCLake.delete_where /
     update_where): flagship replay, then DELETE every doc whose live
@@ -4933,6 +5008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_curated_replay_docs": cdc_curated_replay_docs,
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
         "cdc_dml_replay": cdc_dml_replay_docs,
+        "cdc_merge_into": cdc_merge_into_docs,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
@@ -4986,8 +5062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
-        "events_before_errors": events_before_errors,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
+        "events_before_errors": events_before_errors,
         "langid_docs": langid_docs,
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "incremental_near_dup_groups": incremental_near_dup_groups,
@@ -5091,6 +5167,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_patch_replay": _CDC_PATCH_SQL,
         "cdc_left_join": _CDC_LEFT_JOIN_SQL,
         "cdc_dml_replay": _CDC_DML_SQL,
+        "cdc_merge_into": _CDC_MERGE_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,

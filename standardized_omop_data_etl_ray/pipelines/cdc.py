@@ -1602,6 +1602,125 @@ class CDCLake:
         events, _ = self._dml_events(predicate, updates)
         return self.apply_events(events, txn=txn)
 
+    def merge_into(self, source: rd.Dataset, *,
+                   when_matched: str = "update",
+                   when_not_matched: str = "insert",
+                   txn: "LakeTransaction | None" = None) -> dict:
+        """``MERGE INTO <table> USING source ON key`` — the lakehouse
+        upsert verb.  ``source`` rows carry key + payload columns (no
+        op/lsn; both are synthesized, the LSN above every committed
+        watermark) and must be KEY-UNIQUE (the standard MERGE contract
+        — duplicate source keys would tie on the synthesized LSN).
+
+        ``when_matched``: 'update' | 'delete' | 'ignore';
+        ``when_not_matched``: 'insert' | 'ignore'.  'delete' makes
+        this the referential-cascade verb (erase child keys present in
+        a parent's delete set).
+
+        Scale shape: source rows hash-route to their partitions (ONE
+        shuffle, the same exchange the apply path uses); each
+        partition task probes liveness against its OWN winner keys
+        read KEYS-ONLY (column-pruned — payloads never move), so
+        untouched partitions are never opened; the synthesized events
+        then apply as one ordinary epoch (exactly-once,
+        time-travelable, change-feed- and view-visible)."""
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        from ..functions.hashing import key_hash_u64, partition_of
+
+        spec = self.spec
+        m = mf.read_manifest(self.root, spec.name)
+        base_lsn = int(self._watermarks(m).max()) + 1 if m else 0
+        key_cols = list(spec.key_cols)
+        lsn_col, op_col = spec.lsn_col, spec.op_col
+        troot = Path(self.root) / spec.name
+        part_files = {
+            int(p): [str(troot / f) for f in info["files"]]
+            for p, info in (m or {"partitions": {}})["partitions"].items()
+        }
+        state_schema = (mf.schema_from_b64(m["schema"]) if m
+                        else self._state_schema())
+        ev_schema = spec.schema
+        num_parts = spec.num_partitions
+
+        def route(batch: pa.Table) -> pa.Table:
+            kh = key_hash_u64(*[batch.column(c) for c in key_cols])
+            return batch.append_column(
+                "part", partition_of(kh, num_parts))
+
+        def classify(group: pa.Table) -> pa.Table:
+            import pyarrow.dataset as pds
+
+            part = group.column("part")[0].as_py()
+            group = group.drop_columns(["part"])
+            files = part_files.get(part, [])
+            if files:
+                keys = pds.dataset(files, schema=state_schema).to_table(
+                    columns=key_cols + [lsn_col, op_col]
+                )
+                if spec.patch_ops:
+                    # liveness is decided by non-patch rows only (a
+                    # patch never creates or deletes a key)
+                    keys = keys.filter(
+                        pc.not_equal(keys.column(op_col), "P"))
+                live = drop_tombstones(
+                    lww_reduce_table(keys, key_cols, lsn_col), op_col
+                ).select(key_cols)
+                live = live.append_column(
+                    "__live",
+                    pa.array(np.ones(live.num_rows, dtype=bool)))
+                j = group.join(live, keys=key_cols, join_type="left outer")
+            else:
+                j = group.append_column(
+                    "__live",
+                    pa.array(np.zeros(group.num_rows, dtype=bool)))
+            matched = pc.fill_null(j.column("__live"), False).to_numpy(
+                zero_copy_only=False)
+            j = j.drop_columns(["__live"])
+            keep = np.ones(len(matched), dtype=bool)
+            if when_matched == "ignore":
+                keep &= ~matched
+            if when_not_matched == "ignore":
+                keep &= matched
+            j = j.filter(pa.array(keep))
+            mk = matched[keep]
+            op = np.where(
+                mk, "D" if when_matched == "delete" else "U", "I")
+            n = j.num_rows
+            cols = {}
+            for f in ev_schema:
+                if f.name == op_col:
+                    cols[f.name] = pa.array(op, pa.string())
+                elif f.name == lsn_col:
+                    cols[f.name] = pa.array(
+                        np.full(n, base_lsn, dtype=np.int64), f.type)
+                elif f.name in j.column_names:
+                    cols[f.name] = j.column(f.name)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            out = pa.table(cols)
+            if when_matched == "delete":
+                # deletes carry no payload
+                null_mask = pa.array(op == "D")
+                for f in ev_schema:
+                    if f.name in (op_col, lsn_col, *key_cols):
+                        continue
+                    out = out.set_column(
+                        out.schema.get_field_index(f.name), f.name,
+                        pc.if_else(null_mask, pa.nulls(n, f.type),
+                                   out.column(f.name)),
+                    )
+            return out.cast(ev_schema)
+
+        events = (
+            source.map_batches(route, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(classify, batch_format="pyarrow")
+        )
+        return self.apply_events(events, txn=txn)
+
     def compact(self, max_files: int | None = None,
                 cluster_files: int = 1) -> dict:
         """Rewrite partitions' deltas into base file(s) (new epoch),

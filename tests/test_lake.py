@@ -1369,3 +1369,50 @@ def test_delete_where_and_update_where_dml(tmp_path):
     # time travel still shows the pre-DML state
     tt = _state(lake, at_epoch=rec["epoch"] - 1).to_pandas()
     assert set(tt["path"]) == set(before["path"])
+
+
+def test_merge_into_upsert_update_only_and_delete(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    before = _state(lake).to_pandas()
+    live_keys = set(zip(before["repo"], before["path"]))
+    some_live = sorted(live_keys)[:40]
+    new_keys = [("merge_repo", f"new_{i}.py") for i in range(25)]
+
+    def src(keys, content):
+        return rd.from_arrow(pa.table({
+            "repo": pa.array([k[0] for k in keys], pa.string()),
+            "path": pa.array([k[1] for k in keys], pa.string()),
+            "commit": pa.array(["m1"] * len(keys), pa.string()),
+            "lang": pa.array(["go"] * len(keys), pa.string()),
+            "content": pa.array([content] * len(keys), pa.string()),
+        }))
+
+    # upsert: matched keys update, new keys insert — ops labeled exactly
+    lake.merge_into(src(some_live + new_keys, "merged v1"))
+    st = _state(lake).to_pandas()
+    assert len(st) == len(before) + len(new_keys)
+    merged = st.set_index(["repo", "path"])
+    for k in some_live:
+        assert merged.loc[k, "content"] == "merged v1"
+        assert merged.loc[k, "op"] == "U"
+    for k in new_keys:
+        assert merged.loc[k, "content"] == "merged v1"
+        assert merged.loc[k, "op"] == "I"
+
+    # update-only: not-matched rows are dropped, no spurious inserts
+    ghost = [("merge_repo", "ghost.py")]
+    lake.merge_into(src(some_live[:5] + ghost, "merged v2"),
+                    when_not_matched="ignore")
+    st2 = _state(lake).to_pandas().set_index(["repo", "path"])
+    assert ("merge_repo", "ghost.py") not in st2.index
+    for k in some_live[:5]:
+        assert st2.loc[k, "content"] == "merged v2"
+
+    # delete-cascade: matched keys erased, unmatched ignored
+    lake.merge_into(src(new_keys + ghost, "ignored"),
+                    when_matched="delete", when_not_matched="ignore")
+    st3 = _state(lake).to_pandas()
+    keys3 = set(zip(st3["repo"], st3["path"]))
+    assert keys3 == live_keys  # new_keys gone, originals intact
