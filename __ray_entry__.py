@@ -3352,6 +3352,59 @@ def scd2_history_docs(sf_dir: str):
     return scd2_history(events_from_documents(docs), ["repo", "path"])
 
 
+def cdc_secondary_index_docs(sf_dir: str):
+    """Secondary-index view (pipelines/views.MaterializedIndexView):
+    the flagship replay with a lang→key posting index maintained by
+    bucket-level COW — built after epoch 1, then folded across the
+    2-epoch gap from ONE net change set (the delete/reinsert wave
+    retracts and re-adds postings).  A point ``lookup`` is asserted
+    in-query to read exactly one bucket file; the oracle states the
+    closed-form posting set."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        run_flagship,
+    )
+    from standardized_omop_data_etl_ray.pipelines.views import (
+        MaterializedIndexView,
+    )
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_ix_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    idx = MaterializedIndexView(
+        tempfile.mkdtemp(prefix="ix_view_"), lake, "lang",
+        num_buckets=8,
+    )
+    total = n * 3
+    step = (total + 2) // 3
+    for e in range(3):
+        lake.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))
+        if e == 0:
+            idx.refresh()  # initial bucketing; final refresh nets 2 epochs
+    idx.refresh()
+    probe = idx.lookup(idx.read().take(1)[0]["lang"])
+    assert probe["files_read"] == 1, "point lookup must read one bucket"
+    return idx.read()
+
+
+_CDC_INDEX_SQL = """
+-- closed form: every doc live at v2 (reinserts included) → one
+-- posting per doc
+SELECT lang, source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+FROM documents
+"""
+
+
 def cdc_merge_into_docs(sf_dir: str):
     """Lakehouse MERGE INTO (CDCLake.merge_into): flagship replay, then
     one merge whose source mixes matched keys (every even doc —
@@ -5009,6 +5062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
         "cdc_dml_replay": cdc_dml_replay_docs,
         "cdc_merge_into": cdc_merge_into_docs,
+        "cdc_secondary_index": cdc_secondary_index_docs,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
@@ -5029,7 +5083,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": pack_sequences_docs,
         "shuffle_docs_deterministic": shuffle_docs_deterministic,
         "cap_docs_per_source": cap_docs_per_source,
-        "weighted_sample_docs": weighted_sample_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "chunk_docs_64": chunk_docs_64,
         "token_vocab_top100": token_vocab_top100,
@@ -5062,6 +5115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "weighted_sample_docs": weighted_sample_docs,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "events_before_errors": events_before_errors,
         "langid_docs": langid_docs,
@@ -5168,6 +5222,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_left_join": _CDC_LEFT_JOIN_SQL,
         "cdc_dml_replay": _CDC_DML_SQL,
         "cdc_merge_into": _CDC_MERGE_SQL,
+        "cdc_secondary_index": _CDC_INDEX_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,

@@ -303,6 +303,237 @@ class MaterializedHistoryView(_ViewBase):
                           mf.schema_from_b64(m["schema"]))
 
 
+class MaterializedIndexView(_ViewBase):
+    """Durable SECONDARY INDEX on one payload column: the posting set
+    ``(value, *key_cols)`` of the live state, hash-partitioned by VALUE
+    into ``num_buckets`` parquet buckets with bucket-level COW — a
+    refresh rewrites ONLY buckets holding a touched value (the net
+    change set names them; value-unchanged updates touch nothing), and
+    ``lookup(value)`` reads exactly one bucket file.  The value-side
+    analog of the lake's own key ``lookup()`` — ``WHERE col = v``
+    without a state scan.
+
+    Unlike the history view, postings only need the NET old→new value
+    per key, so the whole epoch gap folds from ONE
+    ``changes_between`` call.
+
+    Contract: ``index_col`` must be NON-NULL on live rows (the bucket
+    hash fails loudly on nulls — the same contract as the lake's key
+    columns)."""
+
+    kind = "index"
+
+    def __init__(self, root: str, lake: CDCLake, index_col: str,
+                 num_buckets: int = 16):
+        super().__init__(root)
+        self.lake = lake
+        self.index_col = index_col
+        self.num_buckets = num_buckets
+
+    def _bucket_of(self, values: pa.Array) -> "pa.Array":
+        from ..functions.hashing import key_hash_u64, partition_of
+
+        return partition_of(key_hash_u64(values), self.num_buckets)
+
+    def _schema(self) -> pa.Schema:
+        ls = self.lake._state_schema()
+        return pa.schema(
+            [ls.field(self.index_col)]
+            + [ls.field(k) for k in self.lake.spec.key_cols]
+        )
+
+    def refresh(self) -> dict:
+        import ray
+        import pyarrow.compute as pc
+
+        m = self._manifest()
+        lake_m = mf.read_manifest(self.lake.root, self.lake.spec.name)
+        cur = lake_m["epoch"] if lake_m else 0
+        last = m["epochs"]["source"] if m else 0
+        if m and last == cur:
+            return {"from_epoch": last, "to_epoch": cur, "changed": False,
+                    "buckets_rewritten": 0}
+        col, keys = self.index_col, list(self.lake.spec.key_cols)
+        schema = self._schema()
+        root = str(self.root)
+        gen = (m["gen"] + 1) if m else 1
+        nb = self.num_buckets
+
+        def bucket_of(values: pa.Array) -> pa.Array:
+            # free closure (not the bound method) so Ray tasks don't
+            # pickle the view + lake objects
+            from ..functions.hashing import key_hash_u64, partition_of
+
+            return partition_of(key_hash_u64(values), nb)
+
+        if m is None:
+            # initial build: bucket the (value, key) projection in one
+            # exchange and write each bucket IN ITS TASK — the driver
+            # sees only (bucket, path) rows, never the postings
+            postings = self.lake.read_state(
+                drop_engine_cols=True
+            ).select_columns([col] + keys)
+
+            def split(t: pa.Table) -> pa.Table:
+                return t.append_column("__b", bucket_of(t.column(col)))
+
+            def write_group(g: pa.Table) -> pa.Table:
+                b = g.column("__b")[0].as_py()
+                rel = _write_bucket_file(
+                    root, b, gen, g.drop_columns(["__b"]).cast(schema))
+                return pa.table({"b": pa.array([b], pa.int32()),
+                                 "path": pa.array([rel], pa.string())})
+
+            stats = (
+                postings.map_batches(split, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(write_group, batch_format="pyarrow")
+                .to_pandas()
+            )
+            files = {str(int(r.b)): r.path for r in stats.itertuples()}
+            rewritten = len(files)
+        else:
+            # incremental: ONE net change set names the touched
+            # buckets; untouched bucket files carry forward unread
+            refs = self.lake.changes_between(
+                last, cur, carry_cols=[col]
+            ).to_arrow_refs()
+            tabs = []
+            for t in ray.get(refs):
+                if not isinstance(t, pa.Table):
+                    import pandas as pd
+
+                    t = pa.Table.from_pandas(t, preserve_index=False)
+                if t.num_rows:
+                    tabs.append(t)
+            files = dict(m["files"])
+            if not tabs:
+                self._commit({**m, "gen": gen, "epochs": {"source": cur}})
+                return {"from_epoch": last, "to_epoch": cur,
+                        "changed": True, "buckets_rewritten": 0}
+            cst = pa.concat_tables(tabs, promote_options="permissive")
+            # value-unchanged updates touch no posting — drop them
+            # before bucketing so their buckets never rewrite
+            same = pc.and_(
+                pc.equal(cst.column("change"), "updated"),
+                pc.fill_null(
+                    pc.equal(cst.column("old_" + col),
+                             cst.column("new_" + col)), False),
+            )
+            cst = cst.filter(pc.invert(same))
+            olds = cst.filter(pc.is_in(
+                cst.column("change"),
+                value_set=pa.array(["deleted", "updated"])))
+            news = cst.filter(pc.is_in(
+                cst.column("change"),
+                value_set=pa.array(["added", "updated"])))
+            drops = pa.table(
+                {col: olds.column("old_" + col),
+                 **{k: olds.column(k) for k in keys}}).cast(schema)
+            adds = pa.table(
+                {col: news.column("new_" + col),
+                 **{k: news.column(k) for k in keys}}).cast(schema)
+            db, ab = bucket_of(drops.column(col)), bucket_of(adds.column(col))
+            touched = sorted(set(db.to_pylist()) | set(ab.to_pylist()))
+
+            @ray.remote
+            def rewrite(b: int, prev_rel: str | None,
+                        add_t: pa.Table, drop_t: pa.Table) -> tuple:
+                old = (pq.read_table(str(Path(root) / prev_rel))
+                       if prev_rel else schema.empty_table())
+                newt = _apply_postings(old, add_t, drop_t, col, keys)
+                return b, _write_bucket_file(root, b, gen, newt)
+
+            out = ray.get([
+                rewrite.remote(
+                    b, files.get(str(b)),
+                    adds.filter(pc.equal(ab, b)),
+                    drops.filter(pc.equal(db, b)),
+                ) for b in touched
+            ])
+            for b, rel in out:
+                files[str(b)] = rel
+            rewritten = len(touched)
+
+        self._commit({
+            "kind": self.kind, "gen": gen, "col": col,
+            "num_buckets": nb,
+            "epochs": {"source": cur},
+            "schema": mf.schema_to_b64(schema),
+            "files": files,
+        })
+        return {"from_epoch": last, "to_epoch": cur, "changed": True,
+                "buckets_rewritten": rewritten}
+
+    def gc(self) -> list[str]:
+        m = self._manifest()
+        live = set((m or {}).get("files", {}).values())
+        gone = []
+        for f in self.root.rglob("*.parquet"):
+            rel = str(f.relative_to(self.root))
+            if rel not in live:
+                f.unlink()
+                gone.append(rel)
+        return gone
+
+    def lookup(self, value) -> dict:
+        """All live keys whose ``index_col`` equals ``value`` — reads
+        exactly ONE bucket file.  Returns {rows, files_read}."""
+        import pyarrow.compute as pc
+
+        m = self._manifest()
+        if m is None:
+            raise ValueError("index never refreshed")
+        b = self._bucket_of(pa.array([value]))[0].as_py()
+        rel = m["files"].get(str(b))
+        if rel is None:
+            return {"rows": mf.schema_from_b64(m["schema"]).empty_table(),
+                    "files_read": 0}
+        t = pq.read_table(str(self.root / rel))
+        return {
+            "rows": t.filter(pc.equal(t.column(self.index_col), value)),
+            "files_read": 1,
+        }
+
+    def read(self) -> rd.Dataset:
+        m = self._manifest()
+        if m is None:
+            raise ValueError("index never refreshed")
+        files = [str(self.root / f) for f in m["files"].values()]
+        return rd.read_parquet(files,
+                               schema=mf.schema_from_b64(m["schema"]))
+
+
+def _write_bucket_file(root: str, b: int, gen: int, t: pa.Table) -> str:
+    d = Path(root) / f"bucket-{b:05d}-g{gen:06d}"
+    d.mkdir(parents=True, exist_ok=True)
+    f = d / "postings.parquet"
+    tmp = d / "postings.parquet.tmp"
+    pq.write_table(t, tmp)
+    tmp.replace(f)
+    return str(f.relative_to(root))
+
+
+def _apply_postings(old: pa.Table, adds: pa.Table, drops: pa.Table,
+                    col: str, keys: list[str]) -> pa.Table:
+    """One bucket's COW rewrite: drop retracted postings (exact
+    (value, key) match), then append the additions."""
+    import pyarrow.compute as pc
+
+    out = old
+    if drops is not None and drops.num_rows and out.num_rows:
+        # anti-join on the full posting tuple
+        marked = drops.append_column(
+            "__drop", pa.array([True] * drops.num_rows))
+        j = out.join(marked, keys=[col] + keys, join_type="left outer")
+        out = j.filter(
+            pc.is_null(j.column("__drop"))).drop_columns(["__drop"])
+        out = out.select([col] + keys)
+    if adds is not None and adds.num_rows:
+        out = pa.concat_tables([out.cast(adds.schema), adds])
+    return out
+
+
 class MaterializedJoinView(_ViewBase):
     """Durable equi-join view over two lakes (``how='inner'|'left'``).
 

@@ -1,0 +1,127 @@
+"""Secondary-index view (pipelines/views.MaterializedIndexView):
+bucket-level COW maintenance from net change sets — only buckets
+holding a touched value are rewritten, lookups read one bucket file,
+and the posting set always equals a fresh projection of the live
+state."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+from standardized_omop_data_etl_ray.pipelines.views import (
+    MaterializedIndexView,
+)
+from standardized_omop_data_etl_ray.spec import TableSpec
+
+N = 60
+LANGS = ["en", "de", "fr", "pt", "jp", "ru"]
+
+
+def _wave(v: int, langs=None):
+    rows = []
+    for d in range(N):
+        if v == 1 and d % 7 == 0:
+            rows.append(("D", 100 * v + d, f"k{d}", None, None))
+        else:
+            op = "I" if v == 0 or (v == 2 and d % 7 == 0) else "U"
+            lang = (langs or LANGS)[d % len(langs or LANGS)]
+            rows.append((op, 100 * v + d, f"k{d}", lang, f"t{d} v{v}"))
+    return rows
+
+
+def _events(rows) -> rd.Dataset:
+    return rd.from_arrow(pa.table({
+        "op": pa.array([r[0] for r in rows], pa.string()),
+        "lsn": pa.array([r[1] for r in rows], pa.int64()),
+        "repo": pa.array(["r"] * len(rows), pa.string()),
+        "path": pa.array([r[2] for r in rows], pa.string()),
+        "commit": pa.array([f"c{r[1]}" for r in rows], pa.string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "content": pa.array([r[4] for r in rows], pa.string()),
+    }))
+
+
+def _expected(lake) -> pd.DataFrame:
+    return (
+        lake.read_state(drop_engine_cols=True).to_pandas()
+        [["lang", "repo", "path"]]
+        .sort_values(["lang", "path"], ignore_index=True)
+    )
+
+
+def _got(idx) -> pd.DataFrame:
+    return (
+        idx.read().to_pandas()
+        .sort_values(["lang", "path"], ignore_index=True)
+    )
+
+
+def test_index_view_cow_maintenance_and_lookup(tmp_path):
+    lake = CDCLake(str(tmp_path / "lk"),
+                   TableSpec(name="t", num_partitions=4))
+    idx = MaterializedIndexView(str(tmp_path / "ix"), lake, "lang",
+                                num_buckets=8)
+    lake.apply_events(_events(_wave(0)))
+    rec = idx.refresh()
+    assert rec["changed"]
+    pd.testing.assert_frame_equal(_got(idx), _expected(lake))
+
+    # delete wave + lang reshuffle, folded across a 2-epoch gap
+    lake.apply_events(_events(_wave(1)))
+    lake.apply_events(_events(_wave(2, langs=LANGS[:3])))
+    rec = idx.refresh()
+    assert rec["changed"] and rec["buckets_rewritten"] >= 1
+    pd.testing.assert_frame_equal(_got(idx), _expected(lake))
+
+    # lookup: one bucket file, exact membership
+    state = _expected(lake)
+    for lang in state["lang"].unique():
+        out = idx.lookup(lang)
+        assert out["files_read"] == 1
+        got_paths = sorted(out["rows"].column("path").to_pylist())
+        want = sorted(state[state["lang"] == lang]["path"])
+        assert got_paths == want
+    # a value that was fully retracted (or never existed) → empty
+    gone = set(LANGS) - set(state["lang"].unique())
+    for lang in gone:
+        assert idx.lookup(lang)["rows"].num_rows == 0
+    assert idx.lookup("nosuchlang")["rows"].num_rows == 0
+
+
+def test_index_view_touches_only_affected_buckets(tmp_path):
+    lake = CDCLake(str(tmp_path / "lk"),
+                   TableSpec(name="t", num_partitions=4))
+    idx = MaterializedIndexView(str(tmp_path / "ix"), lake, "lang",
+                                num_buckets=16)
+    lake.apply_events(_events(_wave(0)))
+    idx.refresh()
+    import json
+
+    m0 = json.loads((idx.root / "_VIEW_MANIFEST.json").read_text())
+
+    # ONE key flips lang 'en' → 'de': at most the two value buckets
+    # rewrite; every other bucket file carries forward by path
+    lake.apply_events(_events([("U", 1000, "k0", "de", "t0 vX")]))
+    rec = idx.refresh()
+    assert 1 <= rec["buckets_rewritten"] <= 2
+    m1 = json.loads((idx.root / "_VIEW_MANIFEST.json").read_text())
+    changed = {b for b in m1["files"]
+               if m0["files"].get(b) != m1["files"][b]}
+    assert len(changed) == rec["buckets_rewritten"]
+    pd.testing.assert_frame_equal(_got(idx), _expected(lake))
+
+    # value-unchanged update (content only): NO bucket rewrites
+    lake.apply_events(_events([("U", 1001, "k1", LANGS[1 % len(LANGS)],
+                                "t1 vY")]))
+    rec = idx.refresh()
+    assert rec["buckets_rewritten"] == 0
+    pd.testing.assert_frame_equal(_got(idx), _expected(lake))
+
+    # restart from manifest + gc orphans
+    reopened = MaterializedIndexView(str(tmp_path / "ix"), lake, "lang",
+                                     num_buckets=16)
+    pd.testing.assert_frame_equal(_got(reopened), _expected(lake))
+    gone = reopened.gc()
+    assert gone  # superseded generations
+    pd.testing.assert_frame_equal(_got(reopened), _expected(lake))
