@@ -270,6 +270,9 @@ QUERY_SUBSET = [
     "cdc_dead_letter_replay", "approx_quantiles_selfcheck",
     # round-4c operators
     "cdc_incremental_join", "cdc_patch_replay",
+    # round-4d operators
+    "scd2_history_docs", "cdc_scd2_view", "cdc_dml_replay",
+    "cdc_merge_into", "cdc_secondary_index",
 ]
 
 
