@@ -3352,6 +3352,47 @@ def scd2_history_docs(sf_dir: str):
     return scd2_history(events_from_documents(docs), ["repo", "path"])
 
 
+def cdc_drop_column_docs(sf_dir: str):
+    """Column-drop DDL (CDCLake.drop_column): flagship replay with
+    ``lang`` dropped BETWEEN epochs 2 and 3 — one manifest commit, no
+    rewrite; the column vanishes from every read instantly, epoch-3
+    events still carrying it are stripped at apply (schema evolution
+    must not re-add it), and the oracle states the closed-form final
+    state without the column."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_ddl_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    total = n * 3
+    step = (total + 2) // 3
+    for e in range(3):
+        if e == 2:
+            lake.drop_column("lang")
+        lake.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))
+    return lake.read_state(drop_engine_cols=True)
+
+
+_CDC_DDL_SQL = """
+-- the flagship closed form minus the dropped column
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+       doc_id * 3 + 2 AS lsn,
+       source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       doc_id || ':2' AS "commit",
+       text || ' v2' AS content
+FROM documents
+"""
+
+
 def cdc_secondary_index_docs(sf_dir: str):
     """Secondary-index view (pipelines/views.MaterializedIndexView):
     the flagship replay with a lang→key posting index maintained by
@@ -5063,6 +5104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dml_replay": cdc_dml_replay_docs,
         "cdc_merge_into": cdc_merge_into_docs,
         "cdc_secondary_index": cdc_secondary_index_docs,
+        "cdc_drop_column": cdc_drop_column_docs,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
@@ -5083,7 +5125,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": pack_sequences_docs,
         "shuffle_docs_deterministic": shuffle_docs_deterministic,
         "cap_docs_per_source": cap_docs_per_source,
-        "stratified_sample_docs": stratified_sample_docs,
         "chunk_docs_64": chunk_docs_64,
         "token_vocab_top100": token_vocab_top100,
         "curate_docs": curate_docs,
@@ -5116,6 +5157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
         "weighted_sample_docs": weighted_sample_docs,
+        "stratified_sample_docs": stratified_sample_docs,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "events_before_errors": events_before_errors,
         "langid_docs": langid_docs,
@@ -5223,6 +5265,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dml_replay": _CDC_DML_SQL,
         "cdc_merge_into": _CDC_MERGE_SQL,
         "cdc_secondary_index": _CDC_INDEX_SQL,
+        "cdc_drop_column": _CDC_DDL_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,

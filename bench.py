@@ -272,7 +272,7 @@ QUERY_SUBSET = [
     "cdc_incremental_join", "cdc_patch_replay",
     # round-4d operators
     "scd2_history_docs", "cdc_scd2_view", "cdc_dml_replay",
-    "cdc_merge_into", "cdc_secondary_index",
+    "cdc_merge_into", "cdc_secondary_index", "cdc_drop_column",
 ]
 
 

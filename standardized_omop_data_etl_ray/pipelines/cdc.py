@@ -572,6 +572,9 @@ class CDCLake:
                 [f for f in state_schema if f.name not in engine_cols]
             )
             self.spec.num_partitions = m["num_partitions"]
+            self.dropped_cols = set(m.get("dropped_cols", []))
+        else:
+            self.dropped_cols = set()
 
     # -- write path -------------------------------------------------------
 
@@ -683,6 +686,22 @@ class CDCLake:
                 wm[int(p)] = pinfo["watermark"]
         return wm
 
+    def _strip_dropped(self, events: rd.Dataset) -> rd.Dataset:
+        """A DDL-dropped column must not re-enter via schema evolution:
+        strip it (and its pre-rename source name) from arriving events
+        before any schema probe."""
+        if not getattr(self, "dropped_cols", None):
+            return events
+        from ..stages.joins import _as_arrow_schema
+
+        rev = {v: k for k, v in self.spec.rename.items()}
+        names = set(_as_arrow_schema(events.schema()).names)
+        todrop = sorted({
+            n for c in self.dropped_cols
+            for n in (c, rev.get(c)) if n and n in names
+        })
+        return events.drop_columns(todrop) if todrop else events
+
     def apply_events(
         self,
         events: rd.Dataset,
@@ -706,6 +725,7 @@ class CDCLake:
         # (_as_arrow_schema: pandas-block datasets report numpy dtypes)
         from ..stages.joins import _as_arrow_schema
 
+        events = self._strip_dropped(events)
         inc_schema = self.spec.apply_rename(_as_arrow_schema(events.schema()))
         self.spec.schema = self.spec.evolve(inc_schema)
 
@@ -822,6 +842,7 @@ class CDCLake:
             for i, w in enumerate(windows):
                 from ..stages.joins import _as_arrow_schema
 
+                w = self._strip_dropped(w)
                 self.spec.schema = self.spec.evolve(
                     self.spec.apply_rename(_as_arrow_schema(w.schema()))
                 )
@@ -1014,6 +1035,9 @@ class CDCLake:
             "partitions": partitions,
             "lineage": lineage,
             "compacted": False,
+            "dropped_cols": sorted(
+                set((prev or {}).get("dropped_cols", []))
+                | set(getattr(self, "dropped_cols", set()))),
         }
         if txn is not None:
             txn._stage(self.root, self.spec.name, manifest)
@@ -1450,6 +1474,7 @@ class CDCLake:
                 },
                 "lineage": list(m.get("lineage", [])) + [record],
                 "compacted": False,
+                "dropped_cols": m.get("dropped_cols", []),
             }
             mf.commit_manifest(self.root, self.spec.name, manifest)
             self.spec.num_partitions = new_num_partitions
@@ -1518,6 +1543,7 @@ class CDCLake:
             "partitions": partitions,
             "lineage": list(m.get("lineage", [])) + [record],
             "compacted": False,  # tombstones retained — resolver path
+            "dropped_cols": m.get("dropped_cols", []),
         }
         mf.commit_manifest(self.root, self.spec.name, manifest)
         self.spec.num_partitions = new_num_partitions
@@ -1721,6 +1747,61 @@ class CDCLake:
         )
         return self.apply_events(events, txn=txn)
 
+    def drop_column(self, col: str) -> dict:
+        """DDL: drop a payload column — LOGICAL and instant (one
+        manifest commit, no data rewritten).  Completes the schema-
+        evolution triangle (add and widen arrive with events; drop is
+        a decision, so it is a verb).
+
+        Semantics: every read path resolves against the committed
+        manifest schema, so the column vanishes immediately from
+        ``read_state`` / ``read_deltas`` / ``lookup`` / change sets
+        (pyarrow dataset + Ray read_parquet project a narrower schema
+        away from wider files — no rewrite needed); the next
+        ``compact()`` removes the bytes physically.  TIME TRAVEL keeps
+        the column: snapshots before the DDL carry the old schema, so
+        ``read_state(at_epoch=...)`` resurrects it — drop is an event
+        in the lineage, not a rewrite of history.  Arriving events
+        that still carry the column (or its pre-rename source name)
+        have it stripped at apply time — schema evolution must not
+        re-add a dropped column.  The lineage records the DDL with
+        ``compaction: True`` (state-preserving), so change feeds and
+        incremental views skip the epoch."""
+        spec = self.spec
+        protected = set(spec.key_cols) | {
+            spec.lsn_col, spec.op_col, spec.content_col,
+        }
+        if col in protected:
+            raise ValueError(
+                f"{col!r} is a key/order/op/content column — dropping it "
+                "would break LWW resolution or the content invariant"
+            )
+        m = mf.read_manifest(self.root, spec.name)
+        if col not in spec.schema.names:
+            raise ValueError(f"no such column: {col!r}")
+        spec.schema = pa.schema([f for f in spec.schema if f.name != col])
+        self.dropped_cols = set(getattr(self, "dropped_cols", set())) | {col}
+        if m is None:
+            # nothing committed yet — narrowing the spec is the whole op
+            return {"epoch": 0, "ddl": "drop_column", "col": col,
+                    "compaction": True}
+        old_schema = mf.schema_from_b64(m["schema"])
+        new_schema = pa.schema([f for f in old_schema if f.name != col])
+        epoch = self._alloc_epoch()
+        record = {"epoch": epoch, "compaction": True,
+                  "ddl": "drop_column", "col": col}
+        manifest = {
+            **m,
+            "epoch": epoch,
+            "epoch_hwm": max(self._epoch_hwm, epoch, m.get("epoch_hwm", 0)),
+            "schema": mf.schema_to_b64(new_schema),
+            "lineage": list(m.get("lineage", [])) + [record],
+            "dropped_cols": sorted(
+                set(m.get("dropped_cols", [])) | {col}),
+        }
+        mf.commit_manifest(self.root, spec.name, manifest)
+        return record
+
     def compact(self, max_files: int | None = None,
                 cluster_files: int = 1) -> dict:
         """Rewrite partitions' deltas into base file(s) (new epoch),
@@ -1836,6 +1917,7 @@ class CDCLake:
             "partitions": partitions,
             "lineage": lineage,
             "compacted": all_base,
+            "dropped_cols": m.get("dropped_cols", []),
         }
         mf.commit_manifest(self.root, self.spec.name, manifest)
         return record

@@ -1416,3 +1416,59 @@ def test_merge_into_upsert_update_only_and_delete(tmp_path):
     st3 = _state(lake).to_pandas()
     keys3 = set(zip(st3["repo"], st3["path"]))
     assert keys3 == live_keys  # new_keys gone, originals intact
+
+
+def test_drop_column_ddl(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES[:2]:
+        lake.apply_events(rd.from_arrow(b))
+    pre_epoch = mf.read_manifest(str(tmp_path), "cdc")["epoch"]
+    before = _state(lake).to_pandas()
+    assert "lang" in before.columns
+
+    rec = lake.drop_column("lang")
+    assert rec["ddl"] == "drop_column" and rec["compaction"]
+
+    # instantly gone from every read path, rows untouched
+    after = _state(lake).to_pandas()
+    assert "lang" not in after.columns
+    assert len(after) == len(before)
+    assert "lang" not in lake.read_deltas().schema().names
+
+    # protected columns refuse; double-drop refuses
+    with pytest.raises(ValueError):
+        lake.drop_column("lsn")
+    with pytest.raises(ValueError):
+        lake.drop_column("lang")
+
+    # time travel resurrects the column (drop is lineage, not rewrite)
+    tt = _state(lake, at_epoch=pre_epoch).to_pandas()
+    assert "lang" in tt.columns
+
+    # arriving events still carrying the column have it stripped —
+    # schema evolution must not re-add it (batch AND stream paths)
+    for b in BATCHES[2:]:
+        lake.apply_events(rd.from_arrow(b))
+    st = _state(lake).to_pandas()
+    assert "lang" not in st.columns
+
+    # compaction physically rewrites without the column and the state
+    # still matches the oracle on the surviving columns
+    lake.compact()
+    st2 = _state(lake).to_pandas()
+    assert "lang" not in st2.columns
+    want = ORACLE.to_pandas().drop(columns=["lang"])
+    got = (st2[["repo", "path", "commit", "content", "content_sha"]]
+           .sort_values(["repo", "path"], ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got, want[got.columns.tolist()].sort_values(
+            ["repo", "path"], ignore_index=True))
+
+    # a reopened lake restores the narrowed spec + dropped set
+    lake2 = CDCLake(tmp_path, _spec())
+    assert "lang" not in lake2.spec.schema.names
+    assert lake2.dropped_cols == {"lang"}
+
+    # stream path strips too
+    lake2.apply_stream([rd.from_arrow(BATCHES[2])], max_inflight=2)
+    assert "lang" not in _state(lake2).to_pandas().columns
