@@ -3352,6 +3352,42 @@ def scd2_history_docs(sf_dir: str):
     return scd2_history(events_from_documents(docs), ["repo", "path"])
 
 
+def cdc_restore_replay_docs(sf_dir: str):
+    """Snapshot ROLLBACK (CDCLake.restore): flagship replay, roll back
+    over the last epoch (one pointer swap, no rewrite — watermarks
+    revert with the snapshot), then re-tail the log from the restore
+    point; exactly-once convergence onto the same closed-form final
+    state is the oracle.  The restored intermediate state is asserted
+    in-query against its time-travel snapshot."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_restore_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    total = n * 3
+    step = (total + 2) // 3
+    marks = []
+    for e in range(3):
+        rec = lake.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))
+        marks.append(rec["epoch"])
+    n_at_2 = lake.read_state(at_epoch=marks[1]).count()
+    lake.restore(marks[1])
+    assert lake.read_state().count() == n_at_2, "restore != snapshot"
+    # re-tail from the restore point — exactly-once convergence
+    lake.apply_events(events.filter(
+        expr=f"lsn >= {2 * step} and lsn < {total}"
+    ))
+    return lake.read_state(drop_engine_cols=True)
+
+
 def cdc_drop_column_docs(sf_dir: str):
     """Column-drop DDL (CDCLake.drop_column): flagship replay with
     ``lang`` dropped BETWEEN epochs 2 and 3 — one manifest commit, no
@@ -5105,6 +5141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_into": cdc_merge_into_docs,
         "cdc_secondary_index": cdc_secondary_index_docs,
         "cdc_drop_column": cdc_drop_column_docs,
+        "cdc_restore_replay": cdc_restore_replay_docs,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
@@ -5125,7 +5162,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": pack_sequences_docs,
         "shuffle_docs_deterministic": shuffle_docs_deterministic,
         "cap_docs_per_source": cap_docs_per_source,
-        "chunk_docs_64": chunk_docs_64,
         "token_vocab_top100": token_vocab_top100,
         "curate_docs": curate_docs,
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
@@ -5158,6 +5194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (demoted multiply-green rows continue below)
         "weighted_sample_docs": weighted_sample_docs,
         "stratified_sample_docs": stratified_sample_docs,
+        "chunk_docs_64": chunk_docs_64,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "events_before_errors": events_before_errors,
         "langid_docs": langid_docs,
@@ -5266,6 +5303,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_into": _CDC_MERGE_SQL,
         "cdc_secondary_index": _CDC_INDEX_SQL,
         "cdc_drop_column": _CDC_DDL_SQL,
+        "cdc_restore_replay": _CDC_FULL_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,

@@ -1747,6 +1747,64 @@ class CDCLake:
         )
         return self.apply_events(events, txn=txn)
 
+    def restore(self, epoch: int) -> dict:
+        """ROLLBACK the table to snapshot ``epoch`` (Delta-style
+        RESTORE): re-commit that snapshot's manifest as a NEW epoch —
+        one pointer swap, no data rewritten.  Later epochs' files
+        become unreferenced (gc reclaims them); watermarks revert with
+        the snapshot, so re-tailing the upstream log from the restore
+        point replays cleanly and converges exactly-once, and the
+        bad epochs stay readable as snapshots until gc for audit.
+
+        Requires the target snapshot's manifest (retained by gc as the
+        audit trail) and its DATA files (reclaimed once superseded —
+        restore inside the gc retention window).  The restore itself
+        is a lineage record, so time travel can also cross BACK over
+        it."""
+        spec = self.spec
+        m = mf.read_manifest(self.root, spec.name)
+        if m is None:
+            raise ValueError("empty lake: nothing to restore")
+        target = mf.read_manifest_at(self.root, spec.name, epoch)
+        if target is None:
+            raise ValueError(
+                f"no manifest snapshot for epoch {epoch} — expired from "
+                f"the retention window (retained: "
+                f"{mf.list_manifest_epochs(self.root, spec.name)})"
+            )
+        # fail loudly NOW if the snapshot's data files are gone, not at
+        # first read after the pointer swap
+        missing = [
+            f for f in mf.live_files(self.root, spec.name, target)
+            if not Path(f).exists()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore target epoch {epoch} references "
+                f"{len(missing)} gc-reclaimed data file(s)"
+            )
+        new_epoch = self._alloc_epoch()
+        record = {"epoch": new_epoch, "compaction": True,
+                  "restore_of": epoch}
+        manifest = {
+            **target,
+            "epoch": new_epoch,
+            "epoch_hwm": max(self._epoch_hwm, new_epoch,
+                             m.get("epoch_hwm", 0)),
+            "lineage": list(target.get("lineage", [])) + [record],
+        }
+        mf.commit_manifest(self.root, spec.name, manifest)
+        # the spec reverts with the snapshot (schema, partitioning,
+        # dropped set) — mirror what __init__ restores from a manifest
+        state_schema = mf.schema_from_b64(manifest["schema"])
+        engine_cols = {"content_sha", "key_hash", "part"}
+        spec.schema = pa.schema(
+            [f for f in state_schema if f.name not in engine_cols]
+        )
+        spec.num_partitions = manifest["num_partitions"]
+        self.dropped_cols = set(manifest.get("dropped_cols", []))
+        return record
+
     def drop_column(self, col: str) -> dict:
         """DDL: drop a payload column — LOGICAL and instant (one
         manifest commit, no data rewritten).  Completes the schema-

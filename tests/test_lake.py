@@ -1472,3 +1472,34 @@ def test_drop_column_ddl(tmp_path):
     # stream path strips too
     lake2.apply_stream([rd.from_arrow(BATCHES[2])], max_inflight=2)
     assert "lang" not in _state(lake2).to_pandas().columns
+
+
+def test_restore_rollback_and_converge(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    e1 = mf.read_manifest(str(tmp_path), "cdc")["epoch"]
+    want1 = canonical_state(_state(lake))
+    for b in BATCHES[1:]:
+        lake.apply_events(rd.from_arrow(b))
+    bad_epoch = mf.read_manifest(str(tmp_path), "cdc")["epoch"]
+
+    rec = lake.restore(e1)
+    assert rec["restore_of"] == e1 and rec["compaction"]
+    # state is exactly the snapshot again (watermarks reverted with it)
+    assert_states_equal(canonical_state(_state(lake)), want1)
+
+    # the rolled-back epochs stay readable as snapshots (audit) ...
+    assert _state(lake, at_epoch=bad_epoch).num_rows > 0
+    # ... and re-tailing the log from the restore point converges
+    # exactly-once onto the oracle
+    for b in BATCHES[1:]:
+        lake.apply_events(rd.from_arrow(b))
+    assert_states_equal(canonical_state(_state(lake)),
+                        canonical_state(ORACLE))
+
+    # a fresh open sees the restored lineage; restoring to a
+    # never-committed epoch refuses
+    lake2 = CDCLake(tmp_path, _spec())
+    assert any(r.get("restore_of") == e1 for r in lake2.lineage())
+    with pytest.raises(ValueError):
+        lake2.restore(99999)
