@@ -145,3 +145,38 @@ def test_history_view_skips_compaction_epochs(tmp_path):
     lake.apply_events(_events(_wave(2)))
     view.refresh()
     _check(view, [_wave(0), _wave(1), _wave(2)])
+
+
+def test_history_view_over_patch_lake(tmp_path):
+    """op='P' partial updates compose with the history view:
+    epoch_change_set folds patches to full resolved rows, so each
+    version row carries the complete post-epoch payload."""
+    lake = CDCLake(
+        str(tmp_path / "lk"),
+        TableSpec(name="t", num_partitions=2, patch_ops=True),
+    )
+    view = MaterializedHistoryView(
+        str(tmp_path / "v"), lake, payload_cols=["lang", "content"],
+    )
+    base = [("I", d, f"k{d}", "en", f"c{d} v0") for d in range(8)]
+    lake.apply_events(_events(base))
+    view.refresh()
+    # epoch 2: lang-only patches on even keys (content must carry),
+    # delete k1
+    rows = [("P", 100 + d, f"k{d}", "de", None) for d in range(0, 8, 2)]
+    rows.append(("D", 199, "k1", None, None))
+    lake.apply_events(_events(rows))
+    view.refresh()
+    got = _got(view)
+    k0 = got[got["path"] == "k0"].reset_index(drop=True)
+    # two versions: v0 (closed at the patch lsn) and the patched one
+    # with content CARRIED through the column fold
+    assert list(k0["valid_from"]) == [0, 100]
+    assert list(k0["lang"]) == ["en", "de"]
+    assert list(k0["content"]) == ["c0 v0", "c0 v0"]
+    assert list(k0["is_current"]) == [False, True]
+    k1 = got[got["path"] == "k1"]
+    assert len(k1) == 1 and not k1["is_current"].iloc[0]
+    assert float(k1["valid_to"].iloc[0]) == 199.0
+    k3 = got[got["path"] == "k3"]
+    assert len(k3) == 1 and k3["is_current"].iloc[0]
