@@ -206,7 +206,12 @@ def _ds_schema(ds: rd.Dataset) -> pa.Schema:
 
 
 class MaterializedHistoryView(_ViewBase):
-    """Durable SCD Type 2 history of one lake, at COMMIT granularity.
+    """Durable SCD Type 2 history of one lake, at COMMIT granularity,
+    stored as KEY-HASH BUCKETS with bucket-level COW: history only
+    grows, so a full-view rewrite per refresh would cost O(history);
+    instead each refresh rewrites only the buckets holding touched
+    keys (change-set-sized + those buckets' rows) and untouched bucket
+    files carry forward by path.
 
     Each refresh folds the per-epoch DELTA-SOURCED change sets
     (``pipelines/cdc.epoch_change_set``) for every apply epoch in the
@@ -244,10 +249,17 @@ class MaterializedHistoryView(_ViewBase):
         self.num_buckets = num_buckets
 
     def refresh(self) -> dict:
-        from ..stages.history import (
-            apply_history_change_sets,
-            history_view_schema,
-        )
+        """Fold the gap's per-epoch change sets into the bucketed
+        history: ONE bucketed exchange of the change-set stream, each
+        touched bucket folded AND rewritten inside its own task
+        (read old bucket → close open versions of its touched keys →
+        append chained new versions → write the new generation);
+        untouched buckets carry forward by path.  Per-refresh cost is
+        change-set-sized plus the touched buckets' rows — never the
+        whole (ever-growing) history."""
+        import pandas as pd
+
+        from ..stages.history import fold_history_frame, history_view_schema
         from .cdc import epoch_change_set
 
         m = self._manifest()
@@ -255,52 +267,108 @@ class MaterializedHistoryView(_ViewBase):
         cur = lake_m["epoch"] if lake_m else 0
         last = m["epochs"]["source"] if m else 0
         if m and last == cur:
-            return {"from_epoch": last, "to_epoch": cur, "changed": False}
+            return {"from_epoch": last, "to_epoch": cur, "changed": False,
+                    "buckets_rewritten": 0}
         keys = list(self.lake.spec.key_cols)
+        payload = list(self.payload_cols)
+        lsn_col = self.lake.spec.lsn_col
         vschema = history_view_schema(
-            self.lake._state_schema(), keys, self.payload_cols,
-            self.lake.spec.lsn_col,
+            self.lake._state_schema(), keys, payload, lsn_col,
         )
-        if m is None:
-            view = rd.from_arrow(vschema.empty_table())
-        else:
-            view = _read_rows(self.root, m["files"]["view"],
-                              mf.schema_from_b64(m["schema"]))
         apply_epochs = sorted(
             r["epoch"] for r in (lake_m or {}).get("lineage", [])
             if not r.get("compaction") and last < r["epoch"] <= cur
         )
+        gen = (m["gen"] + 1) if m else 1
+        files = dict(m["files"]) if m else {}
+        rewritten = 0
         if apply_epochs:
             diffs = [
                 epoch_change_set(
-                    self.lake, e, carry_cols=self.payload_cols
+                    self.lake, e, carry_cols=payload
                 ).materialize()
                 for e in apply_epochs
             ]
             cs = diffs[0]
             for d in diffs[1:]:
                 cs = cs.union(d)
-            view = apply_history_change_sets(
-                view, cs, keys, self.payload_cols, vschema,
-                self.lake.spec.lsn_col, self.num_buckets,
+            # bucket count is pinned at first commit: old buckets must
+            # align with new hashes on every later refresh
+            nb = (m or {}).get("num_buckets") or self.num_buckets or 16
+            root = str(self.root)
+            prev = dict(files)
+
+            def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                h = pd.util.hash_pandas_object(
+                    df[keys], index=False).to_numpy()
+                df = df.copy()
+                df["__b"] = (h % np.uint64(nb)).astype("int32")
+                return df
+
+            def fold_bucket(g: pd.DataFrame) -> pa.Table:
+                b = int(g["__b"].iloc[0])
+                g = g.drop(columns="__b")
+                old_rel = prev.get(str(b))
+                old = (pq.read_table(str(Path(root) / old_rel)).to_pandas()
+                       if old_rel else
+                       vschema.empty_table().to_pandas())
+                folded = fold_history_frame(
+                    old, g, keys, payload, vschema, lsn_col)
+                d = Path(root) / f"bucket-{b:05d}-g{gen:06d}"
+                d.mkdir(parents=True, exist_ok=True)
+                f = d / "rows.parquet"
+                tmp = d / "rows.parquet.tmp"
+                pq.write_table(folded, tmp)
+                tmp.replace(f)
+                return pa.table({
+                    "b": pa.array([b], pa.int32()),
+                    "path": pa.array([str(f.relative_to(root))],
+                                     pa.string()),
+                })
+
+            stats = (
+                cs.map_batches(add_bucket, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(fold_bucket, batch_format="pandas")
+                .to_pandas()
             )
-        view = view.materialize()
-        gen = (m["gen"] + 1) if m else 1
-        files = _write_rows(self.root, "view", gen, view)
+            for r in stats.itertuples():
+                files[str(int(r.b))] = r.path
+            rewritten = len(stats)
+
         self._commit({
             "kind": self.kind, "gen": gen,
+            "num_buckets": (m or {}).get("num_buckets")
+            or self.num_buckets or 16,
             "epochs": {"source": cur},
-            "schema": mf.schema_to_b64(_ds_schema(view)),
-            "files": {"view": files},
+            "schema": mf.schema_to_b64(vschema),
+            "files": files,
         })
-        return {"from_epoch": last, "to_epoch": cur, "changed": True}
+        return {"from_epoch": last, "to_epoch": cur, "changed": True,
+                "buckets_rewritten": rewritten}
+
+    def gc(self) -> list[str]:
+        m = self._manifest()
+        live = set((m or {}).get("files", {}).values())
+        gone = []
+        for f in self.root.rglob("*.parquet"):
+            rel = str(f.relative_to(self.root))
+            if rel not in live:
+                f.unlink()
+                gone.append(rel)
+        return gone
 
     def read(self) -> rd.Dataset:
         m = self._manifest()
         if m is None:
             raise ValueError("view never refreshed")
-        return _read_rows(self.root, m["files"]["view"],
-                          mf.schema_from_b64(m["schema"]))
+        schema = mf.schema_from_b64(m["schema"])
+        files = [str(self.root / f) for f in m["files"].values()]
+        if not files:
+            return rd.from_arrow(schema.empty_table())
+        return rd.read_parquet(files, schema=schema)
 
 
 class MaterializedIndexView(_ViewBase):

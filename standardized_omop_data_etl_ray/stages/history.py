@@ -129,6 +129,46 @@ def history_change_rows(
     return bucketed_groupby(cs, keys, chain, num_buckets)
 
 
+def fold_history_frame(
+    old: pd.DataFrame,
+    cs: pd.DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    schema: pa.Schema,
+    lsn_col: str = "lsn",
+) -> pa.Table:
+    """The per-bucket SCD2 fold kernel (keys already co-located): close
+    each touched key's open version at its FIRST change LSN, then append
+    the chained new version rows.  Pure pandas/Arrow — both the durable
+    view's bucket tasks and ad-hoc callers use it."""
+    keys = list(key_cols)
+    nl = "new_" + lsn_col
+    cs = cs.sort_values(keys + [nl])
+    if len(old):
+        first = cs.groupby(keys, sort=False)[nl].min().rename("__close")
+        m = old.merge(first.reset_index(), on=keys, how="left")
+        hit = (m["__close"].notna() & m["is_current"]).to_numpy()
+        if hit.any():
+            m.loc[hit, "valid_to"] = m.loc[hit, "__close"]
+            m.loc[hit, "is_current"] = False
+        old = m.drop(columns="__close")
+    cs = cs.copy()
+    cs["valid_to"] = cs.groupby(keys, sort=False)[nl].shift(-1)
+    cs = cs[cs["change"] != "deleted"]
+    new = cs[keys].copy()
+    for c in payload_cols:
+        new[c] = cs["new_" + c]
+    new["valid_from"] = cs[nl]
+    new["valid_to"] = cs["valid_to"]
+    new["is_current"] = new["valid_to"].isna()
+    out = pd.concat(
+        [old[[*keys, *payload_cols, "valid_from", "valid_to",
+              "is_current"]], new],
+        ignore_index=True,
+    ) if len(old) else new
+    return _canon_history(out, keys, payload_cols, schema)
+
+
 def apply_history_change_sets(
     view: rd.Dataset,
     cs: rd.Dataset,

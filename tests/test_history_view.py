@@ -180,3 +180,34 @@ def test_history_view_over_patch_lake(tmp_path):
     assert float(k1["valid_to"].iloc[0]) == 199.0
     k3 = got[got["path"] == "k3"]
     assert len(k3) == 1 and k3["is_current"].iloc[0]
+
+
+def test_history_view_bucket_cow(tmp_path):
+    """A refresh rewrites only buckets holding touched keys; every
+    other bucket file carries forward by path (the property that keeps
+    refresh cost change-set-sized as history grows)."""
+    import json
+
+    lake = CDCLake(str(tmp_path / "lk"),
+                   TableSpec(name="t", num_partitions=2))
+    view = MaterializedHistoryView(
+        str(tmp_path / "v"), lake,
+        payload_cols=["lang", "content"], num_buckets=16,
+    )
+    lake.apply_events(_events(_wave(0)))
+    view.refresh()
+    m0 = json.loads((view.root / "_VIEW_MANIFEST.json").read_text())
+
+    lake.apply_events(_events([("U", 1000, "k0", "fr", "t0 vX")]))
+    rec = view.refresh()
+    assert rec["buckets_rewritten"] == 1
+    m1 = json.loads((view.root / "_VIEW_MANIFEST.json").read_text())
+    changed = {b for b in m1["files"]
+               if m0["files"].get(b) != m1["files"][b]}
+    assert len(changed) == 1
+    _check(view, [_wave(0), [("U", 1000, "k0", "fr", "t0 vX")]])
+
+    # gc drops superseded generations, the live view is unaffected
+    gone = view.gc()
+    assert gone
+    _check(view, [_wave(0), [("U", 1000, "k0", "fr", "t0 vX")]])
