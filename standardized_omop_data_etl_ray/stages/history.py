@@ -88,47 +88,6 @@ def _canon_history(df: pd.DataFrame, keys: list[str],
     return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
 
-def history_change_rows(
-    cs: rd.Dataset,
-    key_cols: list[str],
-    payload_cols: list[str],
-    schema: pa.Schema,
-    lsn_col: str = "lsn",
-    num_buckets: int | None = None,
-) -> rd.Dataset:
-    """Chain a (possibly multi-epoch) CONCATENATED change-set stream
-    into new SCD2 version rows.
-
-    ``cs`` rows follow the ``epoch_change_set`` contract: one row per
-    (key, epoch) with ``change`` ∈ {added, updated, deleted},
-    ``new_<lsn>`` the post-epoch winner LSN and ``new_<c>`` payloads.
-    Per key, winner LSNs strictly increase across epochs (LWW
-    monotonicity under the commit watermark), so ordering by
-    ``new_<lsn>`` chains versions exactly: each added/updated change
-    opens a version closed by the key's NEXT change of any kind;
-    deletes only close.  Change sets must NOT be net-collapsed before
-    this (``net_change_sets`` erases the interior versions a history
-    table exists to keep)."""
-    from .joins import bucketed_groupby
-
-    keys = list(key_cols)
-    nl = "new_" + lsn_col
-
-    def chain(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(keys + [nl])
-        g["valid_to"] = g.groupby(keys, sort=False)[nl].shift(-1)
-        g = g[g["change"] != "deleted"]
-        out = g[keys].copy()
-        for c in payload_cols:
-            out[c] = g["new_" + c]
-        out["valid_from"] = g[nl]
-        out["valid_to"] = g["valid_to"]
-        out["is_current"] = g["valid_to"].isna()
-        return _canon_history(out, keys, payload_cols, schema)
-
-    return bucketed_groupby(cs, keys, chain, num_buckets)
-
-
 def fold_history_frame(
     old: pd.DataFrame,
     cs: pd.DataFrame,
@@ -167,62 +126,6 @@ def fold_history_frame(
         ignore_index=True,
     ) if len(old) else new
     return _canon_history(out, keys, payload_cols, schema)
-
-
-def apply_history_change_sets(
-    view: rd.Dataset,
-    cs: rd.Dataset,
-    key_cols: list[str],
-    payload_cols: list[str],
-    schema: pa.Schema,
-    lsn_col: str = "lsn",
-    num_buckets: int | None = None,
-) -> rd.Dataset:
-    """One SCD2 maintenance step: fold concatenated per-epoch change
-    sets into an existing history view.
-
-    Two parts, both change-set-sized in what moves:
-      1. CLOSE — each touched key's open version (``is_current``)
-         closes at the key's FIRST change LSN in the stream.  The
-         (key → first LSN) table is bounded by the change set's key
-         cardinality, so it is driver-collected and broadcast into a
-         map-only pass over the view (the same touched-list contract
-         ``incremental.apply_change_set`` uses); the view itself never
-         shuffles.
-      2. APPEND — ``history_change_rows`` chains the stream into new
-         version rows (one bucketed exchange of the change set only).
-
-    Keys deleted before the stream (no open row) make step 1 a no-op
-    for them; a key whose stream starts with its own 'added' simply
-    has no open row to close."""
-    import numpy as np
-
-    keys = list(key_cols)
-    nl = "new_" + lsn_col
-    cs = cs.materialize()  # read twice: close table + chain
-    close_pd = (
-        cs.select_columns(keys + [nl])
-        .groupby(keys)
-        .min(nl)
-        .to_pandas()
-        .rename(columns={f"min({nl})": "__close"})
-    )
-    new_rows = history_change_rows(
-        cs, keys, payload_cols, schema, lsn_col, num_buckets
-    )
-
-    def close_open(df: pd.DataFrame) -> pa.Table:
-        if len(close_pd) and len(df):
-            m = df.merge(close_pd, on=keys, how="left")
-            hit = (m["__close"].notna() & m["is_current"]).to_numpy()
-            if hit.any():
-                m.loc[hit, "valid_to"] = m.loc[hit, "__close"]
-                m.loc[hit, "is_current"] = False
-            df = m.drop(columns="__close")
-        return _canon_history(df, keys, payload_cols, schema)
-
-    closed = view.map_batches(close_open, batch_format="pandas")
-    return closed.union(new_rows)
 
 
 def history_view_schema(
