@@ -360,6 +360,86 @@ class MaterializedHistoryView(_ViewBase):
                 gone.append(rel)
         return gone
 
+    def prune(self, before_valid_to: int | None = None,
+              keys: "pa.Table | None" = None) -> dict:
+        """History retention / GDPR erasure.  ``delete_where`` on the
+        LAKE erases a key's live row, but this view still holds its
+        old payloads — erasure must reach history too.
+
+        ``keys`` (a table of key columns): remove EVERY version of
+        those keys — only their buckets rewrite.  ``before_valid_to``:
+        remove CLOSED versions with ``valid_to <= cutoff`` (retention
+        window; open versions always survive) — a full bucket sweep,
+        since any bucket may hold old rows.  Both are generation
+        rewrites under the same manifest commit; gc() reclaims the
+        superseded files."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+        import ray
+
+        m = self._manifest()
+        if m is None:
+            raise ValueError("view never refreshed")
+        kc = list(self.lake.spec.key_cols)
+        nb = m.get("num_buckets") or self.num_buckets or 16
+        root = str(self.root)
+        schema = mf.schema_from_b64(m["schema"])
+        gen = m["gen"] + 1
+        files = dict(m["files"])
+        if keys is not None:
+            kdf = (keys.to_pandas() if isinstance(keys, pa.Table)
+                   else pd.DataFrame(keys))[kc]
+            h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+            kdf = kdf.assign(__b=(h % np.uint64(nb)).astype("int32"))
+            targets = {
+                int(b): pa.Table.from_pandas(
+                    g.drop(columns="__b"), preserve_index=False)
+                for b, g in kdf.groupby("__b")
+                if str(int(b)) in files
+            }
+        else:
+            if before_valid_to is None:
+                raise ValueError("pass keys and/or before_valid_to")
+            targets = {int(b): None for b in files}
+
+        @ray.remote
+        def rewrite(b: int, rel: str, erase: pa.Table | None) -> tuple:
+            t = pq.read_table(str(Path(root) / rel))
+            if erase is not None:
+                marked = erase.append_column(
+                    "__x", pa.array(np.ones(erase.num_rows, dtype=bool)))
+                j = t.join(marked, keys=kc, join_type="left outer")
+                t = j.filter(pc.is_null(j.column("__x"))).drop_columns(
+                    ["__x"]).select(t.column_names)
+            if before_valid_to is not None:
+                # fill_null, NOT pc.and_(is_valid, ...): and_ is the
+                # non-Kleene kernel (False AND null = null) and a null
+                # filter mask DROPS the row — open versions (null
+                # valid_to) must survive the retention sweep
+                drop = pc.fill_null(
+                    pc.less_equal(t.column("valid_to"), before_valid_to),
+                    False,
+                )
+                t = t.filter(pc.invert(drop))
+            d = Path(root) / f"bucket-{b:05d}-g{gen:06d}"
+            d.mkdir(parents=True, exist_ok=True)
+            f = d / "rows.parquet"
+            tmp = d / "rows.parquet.tmp"
+            pq.write_table(t.cast(schema), tmp)
+            tmp.replace(f)
+            return b, str(f.relative_to(root)), t.num_rows
+
+        out = ray.get([
+            rewrite.remote(b, files[str(b)], erase)
+            for b, erase in targets.items()
+        ])
+        for b, rel, _ in out:
+            files[str(b)] = rel
+        self._commit({**m, "gen": gen, "files": files})
+        return {"buckets_rewritten": len(out),
+                "rows_remaining": int(sum(n for _, _, n in out))}
+
     def read(self) -> rd.Dataset:
         m = self._manifest()
         if m is None:

@@ -211,3 +211,49 @@ def test_history_view_bucket_cow(tmp_path):
     gone = view.gc()
     assert gone
     _check(view, [_wave(0), [("U", 1000, "k0", "fr", "t0 vX")]])
+
+
+def test_history_prune_erasure_and_retention(tmp_path):
+    """GDPR composition: delete_where erases the LAKE row; prune(keys=)
+    erases the key's whole history; prune(before_valid_to=) is the
+    retention sweep (open versions always survive)."""
+    import pyarrow.compute as pc
+
+    lake = CDCLake(str(tmp_path / "lk"),
+                   TableSpec(name="t", num_partitions=2))
+    view = MaterializedHistoryView(
+        str(tmp_path / "v"), lake,
+        payload_cols=["lang", "content"], num_buckets=8,
+    )
+    lake.apply_events(_events(_wave(0)))
+    lake.apply_events(_events(_wave(1)))
+    view.refresh()
+
+    # erase k3's row in the lake, then its history in the view
+    lake.delete_where(lambda t: pc.equal(
+        t.column("path"), "k3").to_numpy(zero_copy_only=False))
+    view.refresh()
+    assert (view.read().to_pandas()["path"] == "k3").sum() == 2  # closed
+    rec = view.prune(keys=pa.table({"repo": ["r"], "path": ["k3"]}))
+    assert rec["buckets_rewritten"] == 1
+    got = view.read().to_pandas()
+    assert (got["path"] == "k3").sum() == 0
+    # other keys' history untouched
+    assert (got["path"] == "k2").sum() == 2
+
+    # retention: closed v0 versions (valid_to <= 140) go, opens stay
+    n_open = got["is_current"].sum()
+    view.prune(before_valid_to=140)
+    got2 = view.read().to_pandas()
+    assert got2["is_current"].sum() == n_open
+    assert not (
+        got2["valid_to"].notna() & (got2["valid_to"] <= 140)
+    ).any()
+
+    # the view still folds correctly after prunes
+    lake.apply_events(_events(_wave(2)))
+    view.refresh()
+    got3 = view.read().to_pandas()
+    open_per_key = got3[got3["is_current"]].groupby("path").size()
+    assert (open_per_key == 1).all()
+    assert (got3["path"] == "k3").sum() == 1  # reinserted at wave 2
