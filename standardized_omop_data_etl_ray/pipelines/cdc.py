@@ -1296,6 +1296,20 @@ class CDCLake:
         if not m:
             raise ValueError("empty lake")
         hi = m["epoch"] if to_epoch is None else to_epoch
+        # a cursor must name an epoch THIS lineage has seen: after a
+        # restore() the rolled-back epochs vanish from the lineage, and
+        # silently returning an empty span would let a changefeed
+        # consumer or incremental view keep serving rolled-back rows
+        # forever (review finding, round 4d) — fail loudly instead;
+        # consumers whose cursor crossed a restore must rebuild
+        known = {r["epoch"] for r in m.get("lineage", [])} | {0}
+        if from_epoch not in known:
+            raise ValueError(
+                f"cursor epoch {from_epoch} is not in this table's "
+                f"lineage — it was rolled back by restore(); rebuild "
+                f"the consumer from a current snapshot "
+                f"(lineage epochs: {sorted(known)})"
+            )
         apply_epochs = sorted(
             r["epoch"] for r in m.get("lineage", [])
             if not r.get("compaction") and from_epoch < r["epoch"] <= hi
@@ -1549,6 +1563,36 @@ class CDCLake:
         self.spec.num_partitions = new_num_partitions
         return record
 
+    def _max_committed_lsn(self, m: dict | None) -> int:
+        """The highest LSN of any COMMITTED row — the floor synthesized
+        DML/MERGE events must clear to win LWW.  NOT max(watermarks):
+        reshard() resets every new partition's watermark to the MIN of
+        the old ones (redelivery safety), so after a reshard the
+        watermark max can sit BELOW live rows' LSNs and a synthesized
+        event at watermark+1 would silently lose to them (review
+        finding, round 4d).  Zone maps give the row maximum per file;
+        a stat-less file (pre-upgrade lake) falls back to its parquet
+        footer metadata — still metadata-only, no data read."""
+        if not m:
+            return -1
+        hi = int(self._watermarks(m).max())
+        lsn_col = self.spec.lsn_col
+        troot = Path(self.root) / self.spec.name
+        for info in m["partitions"].values():
+            fstats = info.get("file_stats", {})
+            for f in info["files"]:
+                st = fstats.get(f, {}).get(lsn_col)
+                if st is not None:
+                    hi = max(hi, int(st[1]))
+                    continue
+                md = pq.read_metadata(str(troot / f))
+                idx = md.schema.to_arrow_schema().get_field_index(lsn_col)
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx)
+                    if col.statistics and col.statistics.has_min_max:
+                        hi = max(hi, int(col.statistics.max))
+        return hi
+
     def _dml_events(self, predicate, make_rows) -> tuple[rd.Dataset, int]:
         """Shared DML scaffolding: scan the live state map-only, select
         rows with ``predicate`` (batch → bool mask), synthesize events
@@ -1557,7 +1601,7 @@ class CDCLake:
         later redelivery of the historical log cannot resurrect or
         un-update the affected keys."""
         m = mf.read_manifest(self.root, self.spec.name)
-        base_lsn = int(self._watermarks(m).max()) + 1 if m else 0
+        base_lsn = self._max_committed_lsn(m) + 1
         state = self.read_state(drop_engine_cols=True)
         ev_schema = self.spec.schema
 
@@ -1658,7 +1702,7 @@ class CDCLake:
 
         spec = self.spec
         m = mf.read_manifest(self.root, spec.name)
-        base_lsn = int(self._watermarks(m).max()) + 1 if m else 0
+        base_lsn = self._max_committed_lsn(m) + 1
         key_cols = list(spec.key_cols)
         lsn_col, op_col = spec.lsn_col, spec.op_col
         troot = Path(self.root) / spec.name
@@ -1760,7 +1804,11 @@ class CDCLake:
         audit trail) and its DATA files (reclaimed once superseded —
         restore inside the gc retention window).  The restore itself
         is a lineage record, so time travel can also cross BACK over
-        it."""
+        it.  Downstream CURSORS (changefeed consumers, materialized
+        views) whose last-seen epoch was rolled back must rebuild:
+        ``changes_between`` and view refreshes fail loudly on a cursor
+        the post-restore lineage never saw, rather than silently
+        serving rolled-back rows."""
         spec = self.spec
         m = mf.read_manifest(self.root, spec.name)
         if m is None:

@@ -111,7 +111,9 @@ class _ViewBase:
         live = set()
         if m:
             for fl in m.get("files", {}).values():
-                live.update(fl)
+                # agg/join views store LISTS of files per slot; the
+                # bucketed views store one path STRING per bucket
+                live.update([fl] if isinstance(fl, str) else fl)
         gone = []
         for f in self.root.rglob("*.parquet"):
             rel = str(f.relative_to(self.root))
@@ -275,6 +277,16 @@ class MaterializedHistoryView(_ViewBase):
         vschema = history_view_schema(
             self.lake._state_schema(), keys, payload, lsn_col,
         )
+        # same cursor contract as changes_between: a `last` the lineage
+        # never saw means a restore() rolled it back — folding an
+        # empty span would leave this view serving rolled-back versions
+        known = {r["epoch"]
+                 for r in (lake_m or {}).get("lineage", [])} | {0}
+        if last not in known:
+            raise ValueError(
+                f"view cursor epoch {last} was rolled back by "
+                f"restore(); rebuild the history view from scratch"
+            )
         apply_epochs = sorted(
             r["epoch"] for r in (lake_m or {}).get("lineage", [])
             if not r.get("compaction") and last < r["epoch"] <= cur
@@ -349,17 +361,6 @@ class MaterializedHistoryView(_ViewBase):
         return {"from_epoch": last, "to_epoch": cur, "changed": True,
                 "buckets_rewritten": rewritten}
 
-    def gc(self) -> list[str]:
-        m = self._manifest()
-        live = set((m or {}).get("files", {}).values())
-        gone = []
-        for f in self.root.rglob("*.parquet"):
-            rel = str(f.relative_to(self.root))
-            if rel not in live:
-                f.unlink()
-                gone.append(rel)
-        return gone
-
     def prune(self, before_valid_to: int | None = None,
               keys: "pa.Table | None" = None) -> dict:
         """History retention / GDPR erasure.  ``delete_where`` on the
@@ -387,6 +388,13 @@ class MaterializedHistoryView(_ViewBase):
         schema = mf.schema_from_b64(m["schema"])
         gen = m["gen"] + 1
         files = dict(m["files"])
+        if keys is not None and before_valid_to is not None:
+            raise ValueError(
+                "pass exactly ONE of keys / before_valid_to: combining "
+                "them would apply the retention cutoff only to the "
+                "keys' buckets (silent under-delete) — call prune() "
+                "twice instead"
+            )
         if keys is not None:
             kdf = (keys.to_pandas() if isinstance(keys, pa.Table)
                    else pd.DataFrame(keys))[kc]
@@ -478,10 +486,18 @@ class MaterializedIndexView(_ViewBase):
         self.index_col = index_col
         self.num_buckets = num_buckets
 
-    def _bucket_of(self, values: pa.Array) -> "pa.Array":
+    def _nb(self, m: dict | None = None) -> int:
+        """Effective bucket count: PINNED by the committed manifest —
+        old buckets must align with new hashes on reopen regardless of
+        the constructor argument (review finding, round 4d)."""
+        if m is None:
+            m = self._manifest()
+        return (m or {}).get("num_buckets") or self.num_buckets
+
+    def _bucket_of(self, values: pa.Array, nb: int | None = None) -> "pa.Array":
         from ..functions.hashing import key_hash_u64, partition_of
 
-        return partition_of(key_hash_u64(values), self.num_buckets)
+        return partition_of(key_hash_u64(values), nb or self._nb())
 
     def _schema(self) -> pa.Schema:
         ls = self.lake._state_schema()
@@ -505,7 +521,7 @@ class MaterializedIndexView(_ViewBase):
         schema = self._schema()
         root = str(self.root)
         gen = (m["gen"] + 1) if m else 1
-        nb = self.num_buckets
+        nb = self._nb(m)
 
         def bucket_of(values: pa.Array) -> pa.Array:
             # free closure (not the bound method) so Ray tasks don't
@@ -613,17 +629,6 @@ class MaterializedIndexView(_ViewBase):
         return {"from_epoch": last, "to_epoch": cur, "changed": True,
                 "buckets_rewritten": rewritten}
 
-    def gc(self) -> list[str]:
-        m = self._manifest()
-        live = set((m or {}).get("files", {}).values())
-        gone = []
-        for f in self.root.rglob("*.parquet"):
-            rel = str(f.relative_to(self.root))
-            if rel not in live:
-                f.unlink()
-                gone.append(rel)
-        return gone
-
     def lookup(self, value) -> dict:
         """All live keys whose ``index_col`` equals ``value`` — reads
         exactly ONE bucket file.  Returns {rows, files_read}."""
@@ -647,9 +652,11 @@ class MaterializedIndexView(_ViewBase):
         m = self._manifest()
         if m is None:
             raise ValueError("index never refreshed")
+        schema = mf.schema_from_b64(m["schema"])
         files = [str(self.root / f) for f in m["files"].values()]
-        return rd.read_parquet(files,
-                               schema=mf.schema_from_b64(m["schema"]))
+        if not files:
+            return rd.from_arrow(schema.empty_table())
+        return rd.read_parquet(files, schema=schema)
 
 
 def _write_bucket_file(root: str, b: int, gen: int, t: pa.Table) -> str:

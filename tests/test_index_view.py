@@ -125,3 +125,27 @@ def test_index_view_touches_only_affected_buckets(tmp_path):
     gone = reopened.gc()
     assert gone  # superseded generations
     pd.testing.assert_frame_equal(_got(reopened), _expected(lake))
+
+
+def test_index_view_reopen_pins_manifest_bucket_count(tmp_path):
+    """Review finding (round 4d): the bucket count is pinned by the
+    committed manifest — a reopen with a different constructor value
+    must keep hashing under the original count."""
+    lake = CDCLake(str(tmp_path / "lk"),
+                   TableSpec(name="t", num_partitions=4))
+    lake.apply_events(_events(_wave(0)))
+    idx = MaterializedIndexView(str(tmp_path / "ix"), lake, "lang",
+                                num_buckets=8)
+    idx.refresh()
+    state = _expected(lake)
+
+    reopened = MaterializedIndexView(str(tmp_path / "ix"), lake, "lang",
+                                     num_buckets=32)
+    for lang in state["lang"].unique():
+        out = reopened.lookup(lang)
+        assert sorted(out["rows"].column("path").to_pylist()) == sorted(
+            state[state["lang"] == lang]["path"])
+    # and an incremental refresh under the reopened object stays exact
+    lake.apply_events(_events([("U", 1000, "k0", "ru", "t0 vX")]))
+    reopened.refresh()
+    pd.testing.assert_frame_equal(_got(reopened), _expected(lake))

@@ -1332,22 +1332,24 @@ def test_delete_where_and_update_where_dml(tmp_path):
         lake.apply_events(rd.from_arrow(b))
     before = _state(lake).to_pandas()
 
-    # DELETE WHERE lang = 'python' — erasure by CURRENT payload
+    # DELETE WHERE lang = 'py' — erasure by CURRENT payload
+    assert (before["lang"] == "py").sum() > 0  # non-vacuous
     rec = lake.delete_where(lambda t: pc.equal(
-        t.column("lang"), "python").to_numpy(zero_copy_only=False))
+        t.column("lang"), "py").to_numpy(zero_copy_only=False))
     after = _state(lake).to_pandas()
-    want = before[before["lang"] != "python"]
+    want = before[before["lang"] != "py"]
     assert len(after) == len(want)
     assert set(after["path"]) == set(want["path"])
-    assert (after["lang"] != "python").all()
-    assert rec["tombstones"] == (before["lang"] == "python").sum()
+    assert (after["lang"] != "py").all()
+    assert rec["tombstones"] == (before["lang"] == "py").sum()
 
     # redelivering the FULL historical log must not resurrect them
-    # (tombstone lsn sits above every watermark)
+    # (tombstone lsn sits above every committed row)
     for b in BATCHES:
         lake.apply_events(rd.from_arrow(b))
     again = _state(lake).to_pandas()
     assert set(again["path"]) == set(want["path"])
+    assert (again["lang"] != "py").all()
 
     # UPDATE WHERE lang = 'go' SET content = upper(content)
     def to_upper(t: pa.Table) -> pa.Table:
@@ -1503,3 +1505,37 @@ def test_restore_rollback_and_converge(tmp_path):
     assert any(r.get("restore_of") == e1 for r in lake2.lineage())
     with pytest.raises(ValueError):
         lake2.restore(99999)
+
+
+def test_dml_after_reshard_still_wins_lww(tmp_path):
+    """Review finding (round 4d): reshard resets watermarks to the old
+    MIN, so a DML base LSN derived from watermarks alone would lose
+    LWW to live rows — the committed-LSN floor must come from zone
+    maps."""
+    import pyarrow.compute as pc
+
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    lake.reshard(5)  # watermarks become the pre-reshard MIN
+    before = _state(lake).to_pandas()
+    target = (before["lang"] == "py").sum()
+    assert target > 0
+    rec = lake.delete_where(lambda t: pc.equal(
+        t.column("lang"), "py").to_numpy(zero_copy_only=False))
+    after = _state(lake).to_pandas()
+    assert rec["tombstones"] == target
+    assert (after["lang"] != "py").all()
+    assert len(after) == len(before) - target
+
+
+def test_changes_between_refuses_rolled_back_cursor(tmp_path):
+    lake = CDCLake(tmp_path, _spec())
+    for b in BATCHES[:3]:
+        lake.apply_events(rd.from_arrow(b))
+    cursor = mf.read_manifest(str(tmp_path), "cdc")["epoch"]
+    lake.restore(cursor - 2)
+    with pytest.raises(ValueError, match="rolled back"):
+        lake.changes_between(cursor)
+    # a surviving cursor still works
+    lake.changes_between(cursor - 2).count()
