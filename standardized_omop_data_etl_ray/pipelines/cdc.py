@@ -671,6 +671,9 @@ class CDCLake:
         instance re-reads the manifest and re-assigns the same epoch to
         the open window, whose deterministic delta path overwrites the
         orphan."""
+        # fencing hook: every write path allocates an epoch first, so a
+        # leased writer re-validates here (no-op when leases are off)
+        self._renew_writer()
         m = mf.read_manifest(self.root, self.spec.name)
         committed = max(m["epoch"], m.get("epoch_hwm", 0)) if m else 0
         # getattr: the actor path borrows this class via __new__ for
@@ -685,6 +688,71 @@ class CDCLake:
             for p, pinfo in m["partitions"].items():
                 wm[int(p)] = pinfo["watermark"]
         return wm
+
+    # -- writer fencing -----------------------------------------------------
+    def acquire_writer(self, lease_s: float = 300.0) -> str:
+        """Enforce the single-writer contract with a fenced LEASE: the
+        engine is single-writer by design (epoch allocation, manifest
+        pointer swaps), but nothing STOPPED a second process from
+        opening the same root and corrupting the epoch sequence.  This
+        writes ``_WRITER.json`` (token, pid, expiry) with the same
+        tmp+rename discipline as the manifests; a live lease held by
+        another token refuses loudly, an EXPIRED lease is stolen (the
+        crash-recovery path — no manual unlock needed).  Every commit
+        re-validates and renews the lease (fencing: a paused writer
+        whose lease was stolen fails its next commit instead of
+        clobbering the thief's).  Opt-in: lakes that never call this
+        behave exactly as before."""
+        import uuid
+
+        now = time.time()
+        p = Path(self.root) / self.spec.name / "_WRITER.json"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        if p.exists():
+            cur = json.loads(p.read_text())
+            if cur["expires"] > now and cur["token"] != getattr(
+                    self, "_writer_token", None):
+                raise RuntimeError(
+                    f"another writer (pid {cur['pid']}) holds the lease "
+                    f"for {cur['expires'] - now:.0f}s more — the lake is "
+                    "single-writer; wait for expiry or stop that process"
+                )
+        token = getattr(self, "_writer_token", None) or uuid.uuid4().hex
+        self._writer_token = token
+        self._writer_lease_s = float(lease_s)
+        self._renew_writer()
+        return token
+
+    def _renew_writer(self) -> None:
+        if getattr(self, "_writer_token", None) is None:
+            return
+        p = Path(self.root) / self.spec.name / "_WRITER.json"
+        now = time.time()
+        if p.exists():
+            cur = json.loads(p.read_text())
+            if cur["token"] != self._writer_token and cur["expires"] > now:
+                # fencing: our lease expired and someone else took it —
+                # this writer must stop, not overwrite the thief's work
+                raise RuntimeError(
+                    "writer lease lost (expired and re-acquired by pid "
+                    f"{cur['pid']}) — this process must not commit"
+                )
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({
+            "token": self._writer_token, "pid": os.getpid(),
+            "expires": now + self._writer_lease_s,
+        }))
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
+        tmp.replace(p)
+
+    def release_writer(self) -> None:
+        p = Path(self.root) / self.spec.name / "_WRITER.json"
+        if getattr(self, "_writer_token", None) and p.exists():
+            cur = json.loads(p.read_text())
+            if cur["token"] == self._writer_token:
+                p.unlink()
+        self._writer_token = None
 
     def _strip_dropped(self, events: rd.Dataset) -> rd.Dataset:
         """A DDL-dropped column must not re-enter via schema evolution:
@@ -1022,6 +1090,10 @@ class CDCLake:
                 },
             }
         lineage.append(record)
+        # fencing: the COMMIT POINT must re-validate the lease — a
+        # paused writer whose lease was stolen fails here, before the
+        # pointer swap (no-op when leases are off)
+        self._renew_writer()
         manifest = {
             "table": self.spec.name,
             "epoch": epoch,

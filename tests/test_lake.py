@@ -1539,3 +1539,37 @@ def test_changes_between_refuses_rolled_back_cursor(tmp_path):
         lake.changes_between(cursor)
     # a surviving cursor still works
     lake.changes_between(cursor - 2).count()
+
+
+def test_writer_lease_fencing(tmp_path):
+    """Opt-in single-writer lease: a live lease refuses a second
+    writer; expiry allows a steal; a stolen-from writer is FENCED at
+    its next commit instead of clobbering the thief's epochs."""
+    a = CDCLake(tmp_path, _spec())
+    a.acquire_writer(lease_s=60)
+    a.apply_events(rd.from_arrow(BATCHES[0]))  # renews via commit
+
+    b = CDCLake(tmp_path, _spec())
+    with pytest.raises(RuntimeError, match="holds the lease"):
+        b.acquire_writer()
+
+    # release → b may acquire; then a (stale token) is refused
+    a.release_writer()
+    b.acquire_writer(lease_s=60)
+    with pytest.raises(RuntimeError, match="holds the lease"):
+        a.acquire_writer()
+
+    # force-expire b's lease on disk; a steals it; b's next write is
+    # fenced at epoch allocation, BEFORE any commit
+    lock = Path(str(tmp_path)) / "cdc" / "_WRITER.json"
+    cur = json.loads(lock.read_text())
+    cur["expires"] = 0
+    lock.write_text(json.dumps(cur))
+    a._writer_token = None
+    a.acquire_writer(lease_s=60)
+    with pytest.raises(RuntimeError, match="lease lost"):
+        b.apply_events(rd.from_arrow(BATCHES[1]))
+    # the fenced writer wrote nothing; the thief can proceed
+    rec = a.apply_events(rd.from_arrow(BATCHES[1]))
+    assert rec["epoch"] >= 2
+    a.release_writer()
