@@ -1573,3 +1573,23 @@ def test_writer_lease_fencing(tmp_path):
     rec = a.apply_events(rd.from_arrow(BATCHES[1]))
     assert rec["epoch"] >= 2
     a.release_writer()
+
+
+def test_restore_before_drop_column_resurrects_it(tmp_path):
+    """restore() reverts the SCHEMA too: rolling back to a snapshot
+    before a drop_column brings the column back for reads AND for
+    future applies (the dropped set reverts with the manifest)."""
+    lake = CDCLake(tmp_path, _spec())
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    pre = mf.read_manifest(str(tmp_path), "cdc")["epoch"]
+    lake.drop_column("lang")
+    assert "lang" not in _state(lake).to_pandas().columns
+
+    lake.restore(pre)
+    assert lake.dropped_cols == set()
+    assert "lang" in lake.spec.schema.names
+    st = _state(lake).to_pandas()
+    assert "lang" in st.columns and st["lang"].notna().any()
+    # future applies keep the column again
+    lake.apply_events(rd.from_arrow(BATCHES[1]))
+    assert "lang" in _state(lake).to_pandas().columns
