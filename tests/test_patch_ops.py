@@ -377,3 +377,63 @@ def test_export_changefeed_outbox(tmp_path):
                 state[k] = r["new_content"]
     want = {k: v["content"] for k, v in _oracle_fold(rows).items()}
     assert state == want
+
+
+def test_dml_and_merge_on_patch_lake(tmp_path):
+    """merge_into's liveness probe (non-patch rows only) and the DML
+    verbs compose with op='P' lakes: patched-but-live keys are
+    'matched', dead keys are not, and synthesized full-row updates win
+    the column fold."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    spec = TableSpec(name="t", num_partitions=4, patch_ops=True,
+                     schema=pa.schema([
+                         ("op", pa.string()), ("lsn", pa.int64()),
+                         ("repo", pa.string()), ("path", pa.string()),
+                         ("commit", pa.string()), ("lang", pa.string()),
+                         ("content", pa.string()),
+                     ]))
+    lake = CDCLake(str(tmp_path), spec)
+
+    def ev(rows):
+        return rd.from_arrow(pa.table({
+            "op": pa.array([r[0] for r in rows], pa.string()),
+            "lsn": pa.array([r[1] for r in rows], pa.int64()),
+            "repo": pa.array(["r"] * len(rows), pa.string()),
+            "path": pa.array([r[2] for r in rows], pa.string()),
+            "commit": pa.array([f"c{r[1]}" for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.string()),
+        }))
+
+    lake.apply_events(ev([("I", i, f"k{i}", "en", f"c{i}")
+                          for i in range(6)]))
+    # patch k0's lang; delete k5; base-less patch on never-live k9
+    lake.apply_events(ev([("P", 10, "k0", "de", None),
+                          ("D", 11, "k5", None, None),
+                          ("P", 12, "k9", "xx", None)]))
+
+    # merge: update-only — patched k0 and plain k1 are matched, dead
+    # k5 and never-live k9 are not
+    src = rd.from_arrow(pa.table({
+        "repo": pa.array(["r"] * 4, pa.string()),
+        "path": pa.array(["k0", "k1", "k5", "k9"], pa.string()),
+        "commit": pa.array(["m"] * 4, pa.string()),
+        "lang": pa.array(["fr"] * 4, pa.string()),
+        "content": pa.array(["merged"] * 4, pa.string()),
+    }))
+    lake.merge_into(src, when_not_matched="ignore")
+    st = lake.read_state(drop_engine_cols=True).to_pandas().set_index("path")
+    assert st.loc["k0", "lang"] == "fr" and st.loc["k0", "content"] == "merged"
+    assert st.loc["k1", "content"] == "merged"
+    assert "k5" not in st.index and "k9" not in st.index
+
+    # delete_where over the folded state
+    lake.delete_where(lambda t: pc.equal(t.column("lang"), "fr")
+                      .to_numpy(zero_copy_only=False))
+    st2 = lake.read_state(drop_engine_cols=True).to_pandas()
+    assert set(st2["path"]) == {"k2", "k3", "k4"}
