@@ -3705,6 +3705,68 @@ FROM w WHERE op <> 'D'
 """
 
 
+def scd2_asof_docs(sf_dir: str):
+    """State AS OF an interior LSN reconstructed from the SCD2 table
+    (stages/history.scd2_asof): one map-only interval filter over the
+    history — no lake read, no shuffle.  The cut lands mid-way through
+    the interleaved log, so half the keys resolve to their v1/v2
+    version and half to v0 (the %13 delete→reinsert holes are width-1
+    in interleaved LSN order, so keys only vanish if the cut lands
+    exactly on a tombstone).  Oracle: LWW window over the derived
+    events at the same cut."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.stages.history import (
+        scd2_asof,
+        scd2_history,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    hist = scd2_history(events_from_documents(docs), ["repo", "path"])
+    cut = (3 * n) // 2
+    return scd2_asof(hist, cut).map_batches(
+        lambda t: t.select(
+            ["op", "repo", "path", "commit", "lang", "content",
+             "valid_from"]),
+        batch_format="pyarrow",
+    )
+
+
+_SCD2_ASOF_SQL = """
+-- LWW at the cut over the derived event log; deletes whose tombstone
+-- precedes the cut remove the key
+WITH ev AS (
+  SELECT 'I' AS op, doc_id * 3 AS lsn, source AS repo,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         doc_id || ':0' AS "commit", lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END,
+         doc_id * 3 + 1, source,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.txt', doc_id || ':1',
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text || ' v1' END
+  FROM documents
+  UNION ALL
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END,
+         doc_id * 3 + 2, source,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.txt', doc_id || ':2',
+         lang, text || ' v2'
+  FROM documents
+), cut AS (
+  SELECT (3 * count(*)) // 2 AS x FROM documents
+), w AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM ev WHERE lsn <= (SELECT x FROM cut)
+)
+SELECT op, repo, path, "commit", lang, content, lsn AS valid_from
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 _SCD2_SQL = """
 -- the flagship event derivation (flagship.events_from_documents,
 -- versions=3) written out, then the SCD2 window: each event's version
@@ -5142,6 +5204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_secondary_index": cdc_secondary_index_docs,
         "cdc_drop_column": cdc_drop_column_docs,
         "cdc_restore_replay": cdc_restore_replay_docs,
+        "scd2_asof_docs": scd2_asof_docs,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
         "cdc_reshard_replay": cdc_reshard_replay_docs,
@@ -5161,7 +5224,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "shuffle_docs_deterministic": shuffle_docs_deterministic,
-        "cap_docs_per_source": cap_docs_per_source,
         "token_vocab_top100": token_vocab_top100,
         "curate_docs": curate_docs,
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
@@ -5195,6 +5257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": weighted_sample_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "chunk_docs_64": chunk_docs_64,
+        "cap_docs_per_source": cap_docs_per_source,
         "cdc_lww_with_deletes": cdc_lww_with_deletes,
         "events_before_errors": events_before_errors,
         "langid_docs": langid_docs,
@@ -5304,6 +5367,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_secondary_index": _CDC_INDEX_SQL,
         "cdc_drop_column": _CDC_DDL_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
+        "scd2_asof_docs": _SCD2_ASOF_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,
         "lag_lead_user_values": _LAG_LEAD_SQL,

@@ -273,7 +273,7 @@ QUERY_SUBSET = [
     # round-4d operators
     "scd2_history_docs", "cdc_scd2_view", "cdc_dml_replay",
     "cdc_merge_into", "cdc_secondary_index", "cdc_drop_column",
-    "cdc_restore_replay",
+    "cdc_restore_replay", "scd2_asof_docs",
 ]
 
 

@@ -128,6 +128,26 @@ def fold_history_frame(
     return _canon_history(out, keys, payload_cols, schema)
 
 
+def scd2_asof(history: rd.Dataset, at_lsn: int) -> rd.Dataset:
+    """Reconstruct the state AS OF ``at_lsn`` from an SCD2 table: the
+    version whose interval covers the LSN — ``valid_from <= at_lsn <
+    valid_to`` (open versions: null valid_to = +∞).  ONE map-only
+    filter over the history; no shuffle, no lake read — the query
+    shape that justifies keeping history at all.  NB: null-safe via
+    fill_null (pc.and_ is non-Kleene; a null mask would DROP the open
+    versions this exists to keep)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        opened = pc.less_equal(t.column("valid_from"), at_lsn)
+        not_closed = pc.fill_null(
+            pc.greater(t.column("valid_to"), at_lsn), True
+        )
+        return t.filter(pc.and_(opened, not_closed))
+
+    return history.map_batches(fn, batch_format="pyarrow")
+
+
 def history_view_schema(
     lake_schema: pa.Schema, key_cols: list[str], payload_cols: list[str],
     lsn_col: str = "lsn",

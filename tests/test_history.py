@@ -93,3 +93,36 @@ def test_scd2_deleted_key_has_no_current_row():
     assert len(got) == 1
     assert not bool(got["is_current"].iloc[0])
     assert int(got["valid_to"].iloc[0]) == 2
+
+
+def test_scd2_asof_reconstruction():
+    """scd2_asof at every interior cut equals an LWW replay of the
+    prefix — including cuts landing exactly on deletes (key absent)
+    and inside delete→reinsert holes."""
+    df = pd.DataFrame({
+        "repo": ["a"] * 5,
+        "path": ["x"] * 4 + ["y"],
+        "op": ["I", "U", "D", "I", "I"],
+        "lsn": [1, 3, 5, 9, 2],
+        "content": ["v0", "v1", None, "v2", "solo"],
+    })
+    from standardized_omop_data_etl_ray.stages.history import scd2_asof
+
+    hist = scd2_history(rd.from_pandas(df), ["repo", "path"]).materialize()
+    for cut in range(0, 11):
+        got = scd2_asof(hist, cut).to_pandas()
+        if len(got):
+            got = got.sort_values(["path", "valid_from"],
+                                  ignore_index=True)
+        want = duckdb.sql(f"""
+            SELECT path, content FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY lsn DESC) rn
+              FROM df WHERE lsn <= {cut}
+            ) WHERE rn = 1 AND op <> 'D' ORDER BY path
+        """).df()
+        if len(got) == 0:
+            assert len(want) == 0, cut
+            continue
+        assert list(got["path"]) == list(want["path"]), cut
+        assert list(got["content"]) == list(want["content"]), cut
