@@ -2261,3 +2261,117 @@ class LakeTransaction:
             raise
         self.committed = True
         return gid
+
+
+def replicate_changefeed(
+    feed_root: str,
+    dest: "CDCLake",
+    payload_cols: list[str] | None = None,
+) -> dict:
+    """Changefeed CONSUMER: fold exported ``span=`` directories into an
+    independent replica lake — the pull side of ``export_changefeed``
+    and the lake→lake replication verb (Debezium-sink shape: the
+    replica never sees the source log, only the net change feed).
+
+    Each span becomes ONE replica epoch: its change rows are
+    re-synthesized as CDC events (``added``/``updated`` → I with the
+    ``new_*`` payload, ``deleted`` → D) with ``lsn = span end epoch`` —
+    net spans carry at most one row per key, and span end epochs are
+    strictly increasing, so per-key LWW order is exact.  Exactly-once
+    end to end, with no coordination between the two lakes:
+
+      * only spans at or below the EXPORTER's durable cursor are
+        consumed — a crashed export's half-written span directory is
+        invisible until its cursor advances (and is then re-read in
+        its rewritten, content-identical form);
+      * the replica's own durable cursor (``_replica_cursor.json`` in
+        the replica table directory) advances only AFTER the span's
+        epoch commits; a crash before that re-applies the span, whose
+        events die at the replica's watermark filter (lsn <= committed
+        watermark), exactly like a redelivered source window;
+      * span chain gaps (a cursor that does not meet the next span's
+        start — e.g. the feed was gc'd or rebuilt after a restore())
+        fail LOUDLY instead of silently skipping changes.
+
+    ``payload_cols`` defaults to every replica-spec column that is not
+    a key / lsn / op column; the feed must have been exported with
+    ``carry_cols`` covering them (missing payload columns raise).
+    """
+    feed = Path(feed_root)
+    exp_cursor_p = feed / "_CURSOR.json"
+    exp_epoch = (json.loads(exp_cursor_p.read_text())["epoch"]
+                 if exp_cursor_p.exists() else 0)
+    spec = dest.spec
+    if payload_cols is None:
+        reserved = set(spec.key_cols) | {spec.lsn_col, spec.op_col}
+        payload_cols = [f.name for f in spec.schema
+                        if f.name not in reserved]
+    tdir = Path(dest.root) / spec.name
+    tdir.mkdir(parents=True, exist_ok=True)
+    rep_cursor_p = tdir / "_replica_cursor.json"
+    cursor = (json.loads(rep_cursor_p.read_text())["epoch"]
+              if rep_cursor_p.exists() else 0)
+
+    spans = []  # (from_epoch, to_epoch, dir)
+    for d in feed.glob("span=*"):
+        lo_s, _, hi_s = d.name[len("span="):].partition("-")
+        spans.append((int(lo_s), int(hi_s), d))
+    spans.sort()
+
+    lsn_t = spec.schema.field(spec.lsn_col).type
+    applied = 0
+    rows = 0
+    for lo, hi, d in spans:
+        if hi <= cursor:
+            continue  # already folded into the replica
+        if hi > exp_epoch:
+            break  # beyond the exporter's durable cursor: may be half-written
+        if lo != cursor:
+            raise ValueError(
+                f"changefeed gap: replica cursor is at source epoch "
+                f"{cursor} but the next span is {d.name} — the feed "
+                f"was pruned or rebuilt; re-seed the replica from a "
+                f"full snapshot"
+            )
+        files = sorted(str(p) for p in d.glob("changes-*.parquet"))
+        if files:
+            span_lsn = hi  # strictly increasing across spans
+
+            def to_events(batch: pa.Table, *, _lsn=span_lsn) -> pa.Table:
+                missing = [c for c in payload_cols
+                           if "new_" + c not in batch.column_names]
+                if missing:
+                    raise ValueError(
+                        f"feed lacks payload columns {missing} — export "
+                        f"with carry_cols={payload_cols}"
+                    )
+                deleted = pc.equal(batch.column("change"), "deleted")
+                cols: dict[str, pa.ChunkedArray | pa.Array] = {
+                    spec.op_col: pc.if_else(
+                        deleted, pa.scalar("D"), pa.scalar("I")
+                    ),
+                    spec.lsn_col: pa.array(
+                        np.full(batch.num_rows, _lsn, np.int64)
+                    ).cast(lsn_t),
+                }
+                for k in spec.key_cols:
+                    cols[k] = batch.column(k)
+                for c in payload_cols:
+                    cols[c] = batch.column("new_" + c).cast(
+                        spec.schema.field(c).type
+                    )
+                return pa.table(cols)
+
+            events = rd.read_parquet(files).map_batches(
+                to_events, batch_format="pyarrow"
+            )
+            rec = dest.apply_events(events)
+            rows += int(rec.get("rows_upserted", 0) + rec.get("tombstones", 0))
+        cursor = hi
+        applied += 1
+        tmp = rep_cursor_p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"epoch": cursor}))
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
+        tmp.replace(rep_cursor_p)
+    return {"spans_applied": applied, "rows": rows, "cursor": cursor}

@@ -1593,3 +1593,64 @@ def test_restore_before_drop_column_resurrects_it(tmp_path):
     # future applies keep the column again
     lake.apply_events(rd.from_arrow(BATCHES[1]))
     assert "lang" in _state(lake).to_pandas().columns
+
+
+def test_replicate_changefeed_lake_to_lake(tmp_path):
+    """Lake→lake replication through the changefeed outbox
+    (pipelines/cdc.replicate_changefeed): exported spans fold into an
+    independent replica lake (different partition count) that never
+    reads the source log or state; the replica equals the LWW oracle.
+    Drills: a crashed consumer (cursor rewound past a committed span)
+    re-applies the span and dies at the replica watermark; a
+    half-written span beyond the exporter's durable cursor is
+    invisible; a pruned feed (chain gap) fails loudly."""
+    import shutil
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_changefeed,
+    )
+
+    carry = ["commit", "lang", "content"]
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    dst = CDCLake(tmp_path / "dst",
+                  TableSpec(name="replica", num_partitions=3))
+    src.apply_events(rd.from_arrow(BATCHES[0]))
+    src.export_changefeed(str(feed), carry_cols=carry)
+    r1 = replicate_changefeed(str(feed), dst)
+    assert r1["spans_applied"] == 1
+    # second span nets the REMAINING source epochs
+    for b in BATCHES[1:]:
+        src.apply_events(rd.from_arrow(b))
+    src.export_changefeed(str(feed), carry_cols=carry)
+    # a half-written span beyond the exporter cursor must be invisible
+    fake = feed / "span=000099-000199"
+    fake.mkdir()
+    r2 = replicate_changefeed(str(feed), dst)
+    fake.rmdir()
+    assert r2["spans_applied"] == 1 and r2["cursor"] == len(BATCHES)
+    assert_states_equal(_state(dst), ORACLE)
+    # crash drill: rewind the replica cursor (commit landed, cursor
+    # write lost) → the re-applied span is a watermark-killed no-op
+    cur = Path(dst.root) / "replica" / "_replica_cursor.json"
+    cur.write_text(json.dumps({"epoch": r1["cursor"]}))
+    r3 = replicate_changefeed(str(feed), dst)
+    assert r3["spans_applied"] == 1
+    assert_states_equal(_state(dst), ORACLE)
+    # caught up → no-op
+    assert replicate_changefeed(str(feed), dst)["spans_applied"] == 0
+    # a pruned feed (gap before the next span) fails loudly for a
+    # fresh replica instead of silently skipping changes
+    shutil.rmtree(feed / "span=000000-000001")
+    dst2 = CDCLake(tmp_path / "dst2",
+                   TableSpec(name="replica", num_partitions=2))
+    with pytest.raises(ValueError, match="gap"):
+        replicate_changefeed(str(feed), dst2)
+    # a feed exported without the replica's payload columns fails
+    # loudly instead of replicating nulls
+    feed2 = tmp_path / "feed2"
+    src.export_changefeed(str(feed2), carry_cols=["content"])
+    dst3 = CDCLake(tmp_path / "dst3",
+                   TableSpec(name="replica", num_partitions=2))
+    with pytest.raises(Exception, match="lacks payload"):
+        replicate_changefeed(str(feed2), dst3)
