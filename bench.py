@@ -274,6 +274,8 @@ QUERY_SUBSET = [
     "scd2_history_docs", "cdc_scd2_view", "cdc_dml_replay",
     "cdc_merge_into", "cdc_secondary_index", "cdc_drop_column",
     "cdc_restore_replay", "scd2_asof_docs",
+    # round-4e operators
+    "cdc_replicate_docs",
 ]
 
 
