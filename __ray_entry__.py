@@ -3430,6 +3430,66 @@ def cdc_replicate_docs(sf_dir: str):
     )
 
 
+def cdc_replicate_filtered_docs(sf_dir: str):
+    """ROW-FILTERED subscription (replicate_changefeed(predicate=...)):
+    the flagship replay replicated through the changefeed with a
+    ``lang IN ('en','fr')`` row filter — per-row-image classification,
+    so updates leaving the predicate become replica deletes and updates
+    entering it become inserts (scope transitions are drilled in
+    tests/test_lake.py; here the oracle is the filtered closed form)."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        replicate_changefeed,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    src = CDCLake(tempfile.mkdtemp(prefix="cdc_replf_src_"),
+                  TableSpec(name="docs_cdc", num_partitions=16))
+    feed = tempfile.mkdtemp(prefix="cdc_replf_feed_")
+    dst = CDCLake(tempfile.mkdtemp(prefix="cdc_replf_dst_"),
+                  TableSpec(name="docs_replica", num_partitions=8))
+
+    def pred(img: pa.Table):
+        return pc.fill_null(
+            pc.is_in(img.column("lang"),
+                     value_set=pa.array(["en", "fr"])),
+            False,
+        ).to_numpy(zero_copy_only=False)
+
+    payload = ["commit", "lang", "content"]
+    total = n * 3
+    step = (total + 2) // 3
+    for e in range(3):
+        src.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))
+        src.export_changefeed(feed, carry_cols=payload)
+        replicate_changefeed(feed, dst, predicate=pred)
+    state = dst.read_state(drop_engine_cols=True)
+    return state.select_columns(
+        ["repo", "path", "commit", "lang", "content"]
+    )
+
+
+_CDC_REPLICATE_FILTERED_SQL = """
+-- filtered closed-form LWW winners: only rows whose (stable) lang is
+-- in the subscription predicate reach the replica
+SELECT source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':2' AS "commit",
+       lang,
+       text || ' v2' AS content
+FROM documents
+WHERE lang IN ('en', 'fr')
+"""
+
+
 _CDC_REPLICATE_SQL = """
 -- the replica must land on the same closed-form LWW winners as the
 -- source (flagship derivation rule, versions=3): every key's live
@@ -5261,6 +5321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_drop_column": cdc_drop_column_docs,
         "cdc_restore_replay": cdc_restore_replay_docs,
         "cdc_replicate_docs": cdc_replicate_docs,
+        "cdc_replicate_filtered_docs": cdc_replicate_filtered_docs,
         "scd2_asof_docs": scd2_asof_docs,
         "cdc_time_travel": cdc_time_travel_docs,
         "cdc_point_lookup": cdc_point_lookup_docs,
@@ -5307,9 +5368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_before_errors_banded": lambda sf: events_before_errors(
             sf, banded=True
         ),
-        "normalize_dates_orders": normalize_dates_orders,
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         "weighted_sample_docs": weighted_sample_docs,
         "stratified_sample_docs": stratified_sample_docs,
@@ -5425,6 +5486,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_drop_column": _CDC_DDL_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
+        "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,
         "scd2_asof_docs": _SCD2_ASOF_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,

@@ -2267,6 +2267,7 @@ def replicate_changefeed(
     feed_root: str,
     dest: "CDCLake",
     payload_cols: list[str] | None = None,
+    predicate=None,
 ) -> dict:
     """Changefeed CONSUMER: fold exported ``span=`` directories into an
     independent replica lake — the pull side of ``export_changefeed``
@@ -2296,6 +2297,17 @@ def replicate_changefeed(
     ``payload_cols`` defaults to every replica-spec column that is not
     a key / lsn / op column; the feed must have been exported with
     ``carry_cols`` covering them (missing payload columns raise).
+
+    ``predicate`` makes this a ROW-FILTERED subscription (Postgres
+    logical-replication row filters / Debezium SMT shape): a callable
+    over a pa.Table of UNPREFIXED key + payload columns returning a
+    boolean mask.  Classification is per ROW IMAGE, which is what makes
+    scope TRANSITIONS correct — an update whose new image leaves the
+    predicate becomes a replica DELETE (the replica held the old
+    version), an update entering it becomes an insert, rows never in
+    scope ship nothing.  Deletes replicate only when the old image was
+    in scope.  Invariant (tested): replica state == predicate-filtered
+    source state, regardless of span boundaries.
     """
     feed = Path(feed_root)
     exp_cursor_p = feed / "_CURSOR.json"
@@ -2338,17 +2350,42 @@ def replicate_changefeed(
             span_lsn = hi  # strictly increasing across spans
 
             def to_events(batch: pa.Table, *, _lsn=span_lsn) -> pa.Table:
-                missing = [c for c in payload_cols
-                           if "new_" + c not in batch.column_names]
+                need = ["new_" + c for c in payload_cols]
+                if predicate is not None:
+                    need += ["old_" + c for c in payload_cols]
+                missing = [c for c in need if c not in batch.column_names]
                 if missing:
                     raise ValueError(
                         f"feed lacks payload columns {missing} — export "
                         f"with carry_cols={payload_cols}"
                     )
-                deleted = pc.equal(batch.column("change"), "deleted")
+                change = batch.column("change")
+                deleted = pc.equal(change, "deleted")
+                if predicate is None:
+                    is_d = deleted
+                else:
+                    # classify per ROW IMAGE: scope transitions become
+                    # replica deletes/inserts (see docstring)
+                    def image(prefix: str) -> pa.Table:
+                        return pa.table(
+                            {**{k: batch.column(k) for k in spec.key_cols},
+                             **{c: batch.column(prefix + c)
+                                for c in payload_cols}}
+                        )
+
+                    new_ok = np.asarray(predicate(image("new_")), bool)
+                    old_ok = np.asarray(predicate(image("old_")), bool)
+                    del_np = deleted.to_numpy(zero_copy_only=False)
+                    upd_np = pc.equal(change, "updated").to_numpy(
+                        zero_copy_only=False)
+                    emit_i = ~del_np & new_ok
+                    emit_d = (del_np | (upd_np & ~new_ok)) & old_ok
+                    keep = pa.array(emit_i | emit_d)
+                    batch = batch.filter(keep)
+                    is_d = pa.array(emit_d[emit_i | emit_d])
                 cols: dict[str, pa.ChunkedArray | pa.Array] = {
                     spec.op_col: pc.if_else(
-                        deleted, pa.scalar("D"), pa.scalar("I")
+                        is_d, pa.scalar("D"), pa.scalar("I")
                     ),
                     spec.lsn_col: pa.array(
                         np.full(batch.num_rows, _lsn, np.int64)
@@ -2357,9 +2394,16 @@ def replicate_changefeed(
                 for k in spec.key_cols:
                     cols[k] = batch.column(k)
                 for c in payload_cols:
-                    cols[c] = batch.column("new_" + c).cast(
+                    arr = batch.column("new_" + c).cast(
                         spec.schema.field(c).type
                     )
+                    if predicate is not None:
+                        # out-of-scope-update deletes carry a live new
+                        # image — null it like a source tombstone would
+                        arr = pc.if_else(
+                            is_d, pa.scalar(None, arr.type), arr
+                        )
+                    cols[c] = arr
                 return pa.table(cols)
 
             events = rd.read_parquet(files).map_batches(
