@@ -3490,6 +3490,51 @@ WHERE lang IN ('en', 'fr')
 """
 
 
+def cdc_seed_replicate_docs(sf_dir: str):
+    """Outbox retention + snapshot seeding (pipelines/cdc.prune_changefeed
+    + seed_replica): the flagship replay exported span-per-epoch, the
+    pre-final spans PRUNED, a fresh replica seeded from the source's
+    epoch-2 time-travel snapshot at the span boundary, then the
+    surviving span replicated on top — the late-joining-consumer path
+    the gap error prescribes.  Final state must equal the closed-form
+    LWW winners."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        prune_changefeed,
+        replicate_changefeed,
+        seed_replica,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    src = CDCLake(tempfile.mkdtemp(prefix="cdc_seed_src_"),
+                  TableSpec(name="docs_cdc", num_partitions=16))
+    feed = tempfile.mkdtemp(prefix="cdc_seed_feed_")
+    payload = ["commit", "lang", "content"]
+    total = n * 3
+    step = (total + 2) // 3
+    marks = []
+    for e in range(3):
+        marks.append(src.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))["epoch"])
+        src.export_changefeed(feed, carry_cols=payload)
+    prune_changefeed(feed, marks[-2])
+    dst = CDCLake(tempfile.mkdtemp(prefix="cdc_seed_dst_"),
+                  TableSpec(name="docs_replica", num_partitions=8))
+    seed_replica(src, dst, at_epoch=marks[-2])
+    replicate_changefeed(feed, dst)
+    state = dst.read_state(drop_engine_cols=True)
+    return state.select_columns(
+        ["repo", "path", "commit", "lang", "content"]
+    )
+
+
 _CDC_REPLICATE_SQL = """
 -- the replica must land on the same closed-form LWW winners as the
 -- source (flagship derivation rule, versions=3): every key's live
@@ -5370,6 +5415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
+        "cdc_seed_replicate_docs": cdc_seed_replicate_docs,
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         "weighted_sample_docs": weighted_sample_docs,
@@ -5487,6 +5533,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,
+        "cdc_seed_replicate_docs": _CDC_REPLICATE_SQL,
         "scd2_asof_docs": _SCD2_ASOF_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,

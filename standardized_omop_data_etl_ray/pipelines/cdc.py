@@ -2419,3 +2419,122 @@ def replicate_changefeed(
             os.fsync(fh.fileno())
         tmp.replace(rep_cursor_p)
     return {"spans_applied": applied, "rows": rows, "cursor": cursor}
+
+
+def prune_changefeed(feed_root: str, before_epoch: int) -> dict:
+    """Outbox RETENTION sweep: remove every span whose end epoch is at
+    or below ``before_epoch``.  Spans are contiguous, so this always
+    removes a prefix of the chain — consumers already past the cutoff
+    are unaffected; consumers behind it hit ``replicate_changefeed``'s
+    loud gap error and must re-seed (``seed_replica``).  The exporter
+    cursor is untouched: future exports continue from it."""
+    import shutil
+
+    feed = Path(feed_root)
+    exp_cursor_p = feed / "_CURSOR.json"
+    exp_epoch = (json.loads(exp_cursor_p.read_text())["epoch"]
+                 if exp_cursor_p.exists() else 0)
+    if before_epoch > exp_epoch:
+        raise ValueError(
+            f"cannot prune past the exporter cursor ({exp_epoch}) — "
+            f"a span may still be mid-write above it"
+        )
+    removed = []
+    for d in feed.glob("span=*"):
+        _, _, hi_s = d.name[len("span="):].partition("-")
+        if int(hi_s) <= before_epoch:
+            shutil.rmtree(d)
+            removed.append(d.name)
+    return {"spans_removed": len(removed), "before_epoch": before_epoch}
+
+
+def seed_replica(
+    src: "CDCLake",
+    dest: "CDCLake",
+    at_epoch: int | None = None,
+    payload_cols: list[str] | None = None,
+    predicate=None,
+) -> dict:
+    """Full-snapshot SEED for a changefeed consumer that cannot start
+    from epoch 0 (the feed's early spans were pruned, or the lake
+    predates the feed): time-travel the source to ``at_epoch``, apply
+    its live rows as ONE replica epoch (op='I', lsn = at_epoch), and
+    set the replica cursor so ``replicate_changefeed`` resumes from
+    exactly that point.
+
+    ``at_epoch`` must be a SPAN BOUNDARY — an epoch some export's
+    cursor landed on (default: the source's current exporter-visible
+    epoch, i.e. its manifest epoch) — because net spans cannot be
+    split mid-span.  The seed is exactly-once like a span apply: a
+    crash between the apply and the cursor write re-applies into the
+    replica's watermark filter.  Seeding requires an EMPTY replica —
+    a stale replica may hold keys the snapshot no longer has, and a
+    seed carries no tombstones to kill them.
+
+    ``predicate`` seeds a row-filtered subscription: only in-scope
+    rows ship (pass the SAME predicate to ``replicate_changefeed``)."""
+    m = mf.read_manifest(src.root, src.spec.name)
+    if not m:
+        raise ValueError("cannot seed from an empty source lake")
+    epoch = m["epoch"] if at_epoch is None else int(at_epoch)
+    spec = dest.spec
+    tdir = Path(dest.root) / spec.name
+    tdir.mkdir(parents=True, exist_ok=True)
+    rep_cursor_p = tdir / "_replica_cursor.json"
+    pend_p = tdir / "_seed_pending.json"
+    if mf.read_manifest(dest.root, spec.name):
+        # non-empty replica: only a CRASHED seed of this same epoch may
+        # resume (its re-apply dies at the watermark); anything else is
+        # a stale replica the snapshot cannot tombstone
+        pend = (json.loads(pend_p.read_text())
+                if pend_p.exists() else None)
+        if rep_cursor_p.exists() or not pend or pend["epoch"] != epoch:
+            raise ValueError(
+                "seed_replica requires an empty replica — a stale "
+                "replica may hold keys the snapshot cannot tombstone; "
+                "start from a fresh root"
+            )
+    pend_p.write_text(json.dumps({"epoch": epoch}))
+    if payload_cols is None:
+        reserved = set(spec.key_cols) | {spec.lsn_col, spec.op_col}
+        payload_cols = [f.name for f in spec.schema
+                        if f.name not in reserved]
+    lsn_t = spec.schema.field(spec.lsn_col).type
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        if predicate is not None:
+            img = pa.table(
+                {**{k: batch.column(k) for k in spec.key_cols},
+                 **{c: batch.column(c) for c in payload_cols}}
+            )
+            batch = batch.filter(
+                pa.array(np.asarray(predicate(img), bool))
+            )
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {
+            spec.op_col: pa.array(
+                np.full(batch.num_rows, "I"), pa.string()
+            ),
+            spec.lsn_col: pa.array(
+                np.full(batch.num_rows, epoch, np.int64)
+            ).cast(lsn_t),
+        }
+        for k in spec.key_cols:
+            cols[k] = batch.column(k)
+        for c in payload_cols:
+            cols[c] = batch.column(c).cast(spec.schema.field(c).type)
+        return pa.table(cols)
+
+    state = src.read_state(at_epoch=epoch).select_columns(
+        list(spec.key_cols) + payload_cols
+    )
+    rec = dest.apply_events(state.map_batches(
+        to_events, batch_format="pyarrow"
+    ))
+    tmp = rep_cursor_p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"epoch": epoch}))
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
+    tmp.replace(rep_cursor_p)
+    pend_p.unlink(missing_ok=True)
+    return {"seed_epoch": epoch,
+            "rows": int(rec.get("rows_upserted", 0))}

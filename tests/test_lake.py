@@ -1691,3 +1691,56 @@ def test_replicate_changefeed_row_filter(tmp_path):
     want = oracle.filter(pc.equal(oracle.column("lang"), "py"))
     assert want.num_rows > 0, "vacuous: no py rows in the oracle"
     assert_states_equal(_state(dst), want)
+
+
+def test_prune_changefeed_and_seed_replica(tmp_path):
+    """Outbox retention + snapshot seeding: pruned early spans gap out a
+    fresh consumer; seed_replica time-travels the source to the span
+    boundary and hands the cursor to replicate_changefeed, which then
+    converges on the oracle.  Crash drill: a seed that dies before its
+    cursor write resumes via the _seed_pending marker (re-apply is a
+    watermark no-op); a stale replica without the marker refuses."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        prune_changefeed,
+        replicate_changefeed,
+        seed_replica,
+    )
+
+    carry = ["commit", "lang", "content"]
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    # span per epoch; prune everything before the last epoch
+    marks = []
+    for b in BATCHES:
+        marks.append(src.apply_events(rd.from_arrow(b))["epoch"])
+        src.export_changefeed(str(feed), carry_cols=carry)
+    with pytest.raises(ValueError, match="exporter cursor"):
+        prune_changefeed(str(feed), marks[-1] + 5)
+    rec = prune_changefeed(str(feed), marks[-2])
+    assert rec["spans_removed"] == len(BATCHES) - 1
+    # a fresh consumer now gaps out
+    dst = CDCLake(tmp_path / "dst",
+                  TableSpec(name="replica", num_partitions=3))
+    with pytest.raises(ValueError, match="gap"):
+        replicate_changefeed(str(feed), dst)
+    # seed at the span boundary, then resume the feed
+    seed = seed_replica(src, dst, at_epoch=marks[-2])
+    assert seed["seed_epoch"] == marks[-2] and seed["rows"] > 0
+    r = replicate_changefeed(str(feed), dst)
+    assert r["spans_applied"] == 1
+    assert_states_equal(_state(dst), ORACLE)
+    # crash drill: pending marker present, no cursor → seed resumes
+    dst2 = CDCLake(tmp_path / "dst2",
+                   TableSpec(name="replica", num_partitions=2))
+    tdir = Path(dst2.root) / "replica"
+    seed_replica(src, dst2, at_epoch=marks[-2])
+    (tdir / "_replica_cursor.json").unlink()  # lost cursor write
+    tdir.joinpath("_seed_pending.json").write_text(
+        json.dumps({"epoch": marks[-2]})
+    )
+    seed_replica(src, dst2, at_epoch=marks[-2])  # resumes, no dupes
+    replicate_changefeed(str(feed), dst2)
+    assert_states_equal(_state(dst2), ORACLE)
+    # a stale replica (cursor present / no marker) refuses a re-seed
+    with pytest.raises(ValueError, match="empty replica"):
+        seed_replica(src, dst2, at_epoch=marks[-2])
