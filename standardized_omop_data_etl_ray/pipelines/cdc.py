@@ -2538,3 +2538,26 @@ def seed_replica(
     pend_p.unlink(missing_ok=True)
     return {"seed_epoch": epoch,
             "rows": int(rec.get("rows_upserted", 0))}
+
+
+def changefeed_lag(feed_root: str, dest: "CDCLake") -> dict:
+    """Consumer observability: how far the replica trails the feed.
+    ``epochs_behind`` counts source epochs between the replica cursor
+    and the exporter cursor; ``spans_pending`` counts consumable span
+    directories (at or below the exporter cursor) above the replica
+    cursor."""
+    feed = Path(feed_root)
+    exp_cursor_p = feed / "_CURSOR.json"
+    exp_epoch = (json.loads(exp_cursor_p.read_text())["epoch"]
+                 if exp_cursor_p.exists() else 0)
+    rep_cursor_p = Path(dest.root) / dest.spec.name / "_replica_cursor.json"
+    cursor = (json.loads(rep_cursor_p.read_text())["epoch"]
+              if rep_cursor_p.exists() else 0)
+    pending = 0
+    for d in feed.glob("span=*"):
+        lo_s, _, hi_s = d.name[len("span="):].partition("-")
+        if int(lo_s) >= cursor and int(hi_s) <= exp_epoch:
+            pending += 1
+    return {"exporter_epoch": exp_epoch, "replica_cursor": cursor,
+            "epochs_behind": max(0, exp_epoch - cursor),
+            "spans_pending": pending}

@@ -1744,3 +1744,43 @@ def test_prune_changefeed_and_seed_replica(tmp_path):
     # a stale replica (cursor present / no marker) refuses a re-seed
     with pytest.raises(ValueError, match="empty replica"):
         seed_replica(src, dst2, at_epoch=marks[-2])
+
+
+def test_seed_replica_filtered_and_lag(tmp_path):
+    """A row-filtered subscription seeded late: seed_replica(predicate=)
+    ships only in-scope snapshot rows, the filtered feed resume keeps
+    the invariant (replica == filtered source state), and changefeed_lag
+    reports the consumer's position."""
+    import pyarrow.compute as pc
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        changefeed_lag,
+        prune_changefeed,
+        replicate_changefeed,
+        seed_replica,
+    )
+
+    def pred(img):
+        return pc.fill_null(
+            pc.equal(img.column("lang"), "py"), False
+        ).to_numpy(zero_copy_only=False)
+
+    carry = ["commit", "lang", "content"]
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    marks = []
+    for b in BATCHES:
+        marks.append(src.apply_events(rd.from_arrow(b))["epoch"])
+        src.export_changefeed(str(feed), carry_cols=carry)
+    prune_changefeed(str(feed), marks[-2])
+    dst = CDCLake(tmp_path / "dst",
+                  TableSpec(name="replica", num_partitions=3))
+    seed_replica(src, dst, at_epoch=marks[-2], predicate=pred)
+    lag = changefeed_lag(str(feed), dst)
+    assert lag["epochs_behind"] == 1 and lag["spans_pending"] == 1
+    replicate_changefeed(str(feed), dst, predicate=pred)
+    lag = changefeed_lag(str(feed), dst)
+    assert lag["epochs_behind"] == 0 and lag["spans_pending"] == 0
+    want = ORACLE.filter(pc.equal(ORACLE.column("lang"), "py"))
+    assert want.num_rows > 0
+    assert_states_equal(_state(dst), want)
