@@ -2454,6 +2454,7 @@ def seed_replica(
     at_epoch: int | None = None,
     payload_cols: list[str] | None = None,
     predicate=None,
+    feed_root: str | None = None,
 ) -> dict:
     """Full-snapshot SEED for a changefeed consumer that cannot start
     from epoch 0 (the feed's early spans were pruned, or the lake
@@ -2463,9 +2464,13 @@ def seed_replica(
     exactly that point.
 
     ``at_epoch`` must be a SPAN BOUNDARY — an epoch some export's
-    cursor landed on (default: the source's current exporter-visible
-    epoch, i.e. its manifest epoch) — because net spans cannot be
-    split mid-span.  The seed is exactly-once like a span apply: a
+    cursor landed on — because net spans cannot be split mid-span.
+    Pass ``feed_root`` to default it to the EXPORTER's cursor (always
+    a boundary, and the right choice when exports lag the source —
+    seeding at the source's manifest epoch would gap out against the
+    next span); with neither given, the source manifest epoch is used,
+    which is a boundary only when exports are current.
+    The seed is exactly-once like a span apply: a
     crash between the apply and the cursor write re-applies into the
     replica's watermark filter.  Seeding requires an EMPTY replica —
     a stale replica may hold keys the snapshot no longer has, and a
@@ -2476,7 +2481,18 @@ def seed_replica(
     m = mf.read_manifest(src.root, src.spec.name)
     if not m:
         raise ValueError("cannot seed from an empty source lake")
-    epoch = m["epoch"] if at_epoch is None else int(at_epoch)
+    if at_epoch is not None:
+        epoch = int(at_epoch)
+    elif feed_root is not None:
+        cur = Path(feed_root) / "_CURSOR.json"
+        if not cur.exists():
+            raise ValueError(
+                f"feed {feed_root!r} has no exporter cursor — nothing "
+                f"was ever exported; seed at an explicit at_epoch"
+            )
+        epoch = int(json.loads(cur.read_text())["epoch"])
+    else:
+        epoch = m["epoch"]
     spec = dest.spec
     tdir = Path(dest.root) / spec.name
     tdir.mkdir(parents=True, exist_ok=True)

@@ -1784,3 +1784,31 @@ def test_seed_replica_filtered_and_lag(tmp_path):
     want = ORACLE.filter(pc.equal(ORACLE.column("lang"), "py"))
     assert want.num_rows > 0
     assert_states_equal(_state(dst), want)
+
+
+def test_seed_replica_feed_cursor_default(tmp_path):
+    """seed_replica(feed_root=...) defaults the seed epoch to the
+    EXPORTER cursor — the boundary that is always resumable.  Seeding
+    at the source manifest epoch instead would gap out here, because
+    the last epoch is not yet exported."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_changefeed,
+        seed_replica,
+    )
+
+    carry = ["commit", "lang", "content"]
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    for i, b in enumerate(BATCHES):
+        src.apply_events(rd.from_arrow(b))
+        if i < len(BATCHES) - 1:  # exports lag: last epoch unexported
+            src.export_changefeed(str(feed), carry_cols=carry)
+    dst = CDCLake(tmp_path / "dst",
+                  TableSpec(name="replica", num_partitions=3))
+    rec = seed_replica(src, dst, feed_root=str(feed))
+    assert rec["seed_epoch"] == len(BATCHES) - 1
+    # the missing tail arrives with the next export + replicate
+    src.export_changefeed(str(feed), carry_cols=carry)
+    r = replicate_changefeed(str(feed), dst)
+    assert r["spans_applied"] == 1
+    assert_states_equal(_state(dst), ORACLE)
