@@ -1812,3 +1812,60 @@ def test_seed_replica_feed_cursor_default(tmp_path):
     r = replicate_changefeed(str(feed), dst)
     assert r["spans_applied"] == 1
     assert_states_equal(_state(dst), ORACLE)
+
+
+def test_replicate_changefeed_schema_evolution(tmp_path):
+    """Schema evolution across the feed: the subscription schema is
+    pinned at the CONSUMER.  (a) a base-schema replica keeps consuming
+    an evolved feed (extra carried columns are simply not part of its
+    payload); (b) an evolved replica refuses pre-evolution spans
+    LOUDLY (those exports never carried the column — nulls would be
+    silently wrong); (c) the migration path is a re-seed at the
+    exporter cursor, which ships the evolved snapshot."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_changefeed,
+        seed_replica,
+    )
+    from standardized_omop_data_etl_ray.spec import CDC_EVENT_SCHEMA
+
+    ev = make_change_events(
+        n_keys=200, n_events=1200, seed=19, window=200,
+        evolve_after_frac=0.5,
+    )
+    early = ev.filter(
+        pa.compute.less(ev["lsn"], 600)).drop_columns(["size_bytes"])
+    late = ev.filter(pa.compute.greater_equal(ev["lsn"], 600))
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    base = ["commit", "lang", "content"]
+    src.apply_events(rd.from_arrow(early))
+    src.export_changefeed(str(feed), carry_cols=base)
+    src.apply_events(rd.from_arrow(late))  # size_bytes appears
+    src.export_changefeed(str(feed), carry_cols=base + ["size_bytes"])
+    want = oracle_apply(ev)
+    # (a) base-schema subscription consumes both spans
+    dst = CDCLake(tmp_path / "dst",
+                  TableSpec(name="replica", num_partitions=3))
+    replicate_changefeed(str(feed), dst, payload_cols=base)
+    assert_states_equal(_state(dst), want)
+    evolved = pa.schema(
+        list(CDC_EVENT_SCHEMA) + [pa.field("size_bytes", pa.int64())]
+    )
+    # (b) an evolved subscription cannot read pre-evolution spans
+    dst2 = CDCLake(tmp_path / "dst2",
+                   TableSpec(name="replica", num_partitions=3,
+                             schema=evolved))
+    with pytest.raises(Exception, match="lacks payload"):
+        replicate_changefeed(str(feed), dst2)
+    # (c) migration: re-seed at the exporter cursor from the evolved
+    # source snapshot, then resume the feed (already caught up here)
+    dst3 = CDCLake(tmp_path / "dst3",
+                   TableSpec(name="replica", num_partitions=3,
+                             schema=evolved))
+    seed_replica(src, dst3, feed_root=str(feed))
+    assert replicate_changefeed(str(feed), dst3)["spans_applied"] == 0
+    st = _state(dst3)
+    assert "size_bytes" in st.column_names
+    assert st.column("size_bytes").null_count > 0  # pre-evolution winners
+    assert st.column("size_bytes").null_count < st.num_rows
+    assert_states_equal(st, want)
