@@ -3535,6 +3535,66 @@ def cdc_seed_replicate_docs(sf_dir: str):
     )
 
 
+def cdc_verify_replica_docs(sf_dir: str):
+    """Replication drift check (pipelines/cdc.verify_replica — the
+    pt-table-checksum shape): replicate the flagship through the
+    changefeed, then compare ORDER/PARTITIONING-INSENSITIVE content
+    checksums of source and replica (wrapping uint64 sum of per-row
+    sha256-derived hashes; only (sum, count) leaves the workers).  The
+    checksum construction is SQL-reproducible, so the oracle recomputes
+    the same number over the closed-form winners — three-way equality:
+    source == replica == SQL."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        replicate_changefeed,
+        verify_replica,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    src = CDCLake(tempfile.mkdtemp(prefix="cdc_vfy_src_"),
+                  TableSpec(name="docs_cdc", num_partitions=16))
+    feed = tempfile.mkdtemp(prefix="cdc_vfy_feed_")
+    dst = CDCLake(tempfile.mkdtemp(prefix="cdc_vfy_dst_"),
+                  TableSpec(name="docs_replica", num_partitions=8))
+    payload = ["commit", "lang", "content"]
+    total = n * 3
+    step = (total + 2) // 3
+    for e in range(3):
+        src.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))
+    src.export_changefeed(feed, carry_cols=payload)
+    replicate_changefeed(feed, dst)
+    v = verify_replica(src, dst)
+    assert v["equal"], f"replica drift: {v}"
+    return pa.table({
+        "rows_checked": pa.array([v["replica"]["rows"]], pa.int64()),
+        "checksum": pa.array([v["replica"]["checksum"]], pa.string()),
+    })
+
+
+_CDC_VERIFY_REPLICA_SQL = """
+-- the same order-insensitive checksum over the closed-form winners:
+-- wrapping uint64 sum of ('0x' || substr(sha256(repo || chr(0) || path
+-- || chr(0) || commit || chr(0) || lang || chr(0) || content), 1, 16))
+SELECT CAST(count(*) AS BIGINT) AS rows_checked,
+       CAST((SUM(('0x' || substr(sha256(concat_ws(chr(0),
+              source,
+              'doc_' || doc_id || '.txt',
+              doc_id || ':2',
+              COALESCE(lang, chr(1) || 'NULL'),
+              text || ' v2')), 1, 16))::UBIGINT::HUGEINT)
+             % 18446744073709551616::HUGEINT) AS VARCHAR) AS checksum
+FROM documents
+"""
+
+
 _CDC_REPLICATE_SQL = """
 -- the replica must land on the same closed-form LWW winners as the
 -- source (flagship derivation rule, versions=3): every key's live
@@ -5416,6 +5476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below)
         "cdc_seed_replicate_docs": cdc_seed_replicate_docs,
+        "cdc_verify_replica_docs": cdc_verify_replica_docs,
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         "weighted_sample_docs": weighted_sample_docs,
@@ -5534,6 +5595,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,
         "cdc_seed_replicate_docs": _CDC_REPLICATE_SQL,
+        "cdc_verify_replica_docs": _CDC_VERIFY_REPLICA_SQL,
         "scd2_asof_docs": _SCD2_ASOF_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,

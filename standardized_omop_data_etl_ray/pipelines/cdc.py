@@ -2577,3 +2577,82 @@ def changefeed_lag(feed_root: str, dest: "CDCLake") -> dict:
     return {"exporter_epoch": exp_epoch, "replica_cursor": cursor,
             "epochs_behind": max(0, exp_epoch - cursor),
             "spans_pending": pending}
+
+
+def state_checksum(
+    lake: "CDCLake",
+    cols: list[str] | None = None,
+    at_epoch: int | None = None,
+    predicate=None,
+) -> dict:
+    """Order- and partitioning-insensitive CONTENT checksum of the live
+    state (the pt-table-checksum shape): per row,
+    ``u64 = ('0x' || substr(sha256(col1 || \\x00 || col2 ...), 1, 16))``
+    with nulls filled as ``\\x01NULL``; the checksum is the wrapping
+    uint64 SUM of row hashes — commutative, so any parallelism,
+    partition count or block order yields the same value, and it is
+    reproducible in SQL (sha256 + the same fold) for oracle checks.
+    Only (sum, count) per block moves to the driver.
+
+    ``cols`` defaults to key + payload columns (op/lsn excluded — a
+    replica's lsn is synthetic by design).  ``predicate`` restricts the
+    checksum to in-scope rows (same callable shape as the row-filtered
+    subscription predicates)."""
+    spec = lake.spec
+    if cols is None:
+        reserved = {spec.lsn_col, spec.op_col}
+        cols = [f.name for f in spec.schema if f.name not in reserved]
+    cols = list(cols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        if predicate is not None:
+            batch = batch.filter(
+                pa.array(np.asarray(predicate(batch), bool))
+            )
+        if batch.num_rows == 0:
+            return pa.table({"s": pa.array([0], pa.uint64()),
+                             "n": pa.array([0], pa.int64())})
+        arrs = []
+        for c in cols:
+            a = batch.column(c)
+            if not pa.types.is_string(a.type):
+                a = pc.cast(a, pa.string())
+            arrs.append(pc.fill_null(a, "\x01NULL"))
+        h = hashing.key_hash_u64(*arrs).to_numpy(zero_copy_only=False)
+        s = np.add.reduce(h.astype(np.uint64))  # wrapping uint64 sum
+        return pa.table({"s": pa.array([int(s)], pa.uint64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    partials = lake.read_state(at_epoch=at_epoch).select_columns(
+        cols
+    ).map_batches(part, batch_format="pyarrow").take_all()
+    total = sum(r["s"] for r in partials) % (1 << 64)
+    return {"checksum": str(total),
+            "rows": int(sum(r["n"] for r in partials))}
+
+
+def verify_replica(
+    src: "CDCLake",
+    dest: "CDCLake",
+    at_epoch: int | None = None,
+    predicate=None,
+    payload_cols: list[str] | None = None,
+) -> dict:
+    """Replication DRIFT CHECK: compare content checksums of the source
+    (optionally time-traveled to ``at_epoch`` — pass the replica's
+    cursor epoch to compare a lagging replica against the state it
+    should mirror) and the replica, over the REPLICA's key + payload
+    columns (a subscription may be narrower than its source; both
+    lakes must share key/payload column names).  ``predicate`` scopes
+    the source side for row-filtered subscriptions.  No row data
+    leaves the workers — each side folds to one (sum, count) pair."""
+    spec = dest.spec
+    if payload_cols is None:
+        reserved = set(spec.key_cols) | {spec.lsn_col, spec.op_col}
+        payload_cols = [f.name for f in spec.schema
+                        if f.name not in reserved]
+    cols = list(spec.key_cols) + list(payload_cols)
+    a = state_checksum(src, cols=cols, at_epoch=at_epoch,
+                       predicate=predicate)
+    b = state_checksum(dest, cols=cols)
+    return {"equal": a == b, "src": a, "replica": b}

@@ -1869,3 +1869,50 @@ def test_replicate_changefeed_schema_evolution(tmp_path):
     assert st.column("size_bytes").null_count > 0  # pre-evolution winners
     assert st.column("size_bytes").null_count < st.num_rows
     assert_states_equal(st, want)
+
+
+def test_verify_replica_checksum(tmp_path):
+    """Checksum drift detection: a healthy replica verifies equal under
+    different partition counts (the fold is order/partitioning
+    insensitive); a single rogue write on the replica is caught; a
+    row-filtered subscription verifies against the predicate-scoped
+    source."""
+    import pyarrow.compute as pc
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_changefeed,
+        verify_replica,
+    )
+
+    carry = ["commit", "lang", "content"]
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    dst = CDCLake(tmp_path / "dst",
+                  TableSpec(name="replica", num_partitions=3))
+
+    def pred(img):
+        return pc.fill_null(
+            pc.equal(img.column("lang"), "py"), False
+        ).to_numpy(zero_copy_only=False)
+
+    dstf = CDCLake(tmp_path / "dstf",
+                   TableSpec(name="replica", num_partitions=5))
+    for b in BATCHES:
+        src.apply_events(rd.from_arrow(b))
+        src.export_changefeed(str(feed), carry_cols=carry)
+        replicate_changefeed(str(feed), dst)
+        replicate_changefeed(str(feed), dstf, predicate=pred)
+    v = verify_replica(src, dst)
+    assert v["equal"] and v["src"]["rows"] == ORACLE.num_rows
+    vf = verify_replica(src, dstf, predicate=pred)
+    assert vf["equal"] and vf["replica"]["rows"] < v["replica"]["rows"]
+    # drift: one rogue replica write flips the verdict
+    k = ORACLE.slice(0, 1)
+    rogue = pa.table({
+        "op": pa.array(["U"]), "lsn": pa.array([10**9], pa.int64()),
+        "repo": k.column("repo"), "path": k.column("path"),
+        "commit": pa.array(["deadbeef"]), "lang": k.column("lang"),
+        "content": pa.array(["tampered"]),
+    })
+    dst.apply_events(rd.from_arrow(rogue))
+    assert not verify_replica(src, dst)["equal"]
