@@ -2263,6 +2263,81 @@ class LakeTransaction:
         return gid
 
 
+def _span_events(d: Path, spec: TableSpec, payload_cols: list[str],
+                 span_lsn: int, predicate) -> "rd.Dataset | None":
+    """Synthesize one span's replica CDC events (the shared core of
+    ``replicate_changefeed`` and ``replicate_group``): added/updated →
+    I with the new payload, deleted → D, all at ``lsn = span_lsn``;
+    with ``predicate``, per-row-IMAGE classification turns scope
+    transitions into replica deletes/inserts.  Returns None for a span
+    with no change files."""
+    files = sorted(str(p) for p in d.glob("changes-*.parquet"))
+    if not files:
+        return None
+    lsn_t = spec.schema.field(spec.lsn_col).type
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        need = ["new_" + c for c in payload_cols]
+        if predicate is not None:
+            need += ["old_" + c for c in payload_cols]
+        missing = [c for c in need if c not in batch.column_names]
+        if missing:
+            raise ValueError(
+                f"feed lacks payload columns {missing} — export "
+                f"with carry_cols={payload_cols}"
+            )
+        change = batch.column("change")
+        deleted = pc.equal(change, "deleted")
+        if predicate is None:
+            is_d = deleted
+        else:
+            # classify per ROW IMAGE: scope transitions become
+            # replica deletes/inserts (see replicate_changefeed)
+            def image(prefix: str) -> pa.Table:
+                return pa.table(
+                    {**{k: batch.column(k) for k in spec.key_cols},
+                     **{c: batch.column(prefix + c)
+                        for c in payload_cols}}
+                )
+
+            new_ok = np.asarray(predicate(image("new_")), bool)
+            old_ok = np.asarray(predicate(image("old_")), bool)
+            del_np = deleted.to_numpy(zero_copy_only=False)
+            upd_np = pc.equal(change, "updated").to_numpy(
+                zero_copy_only=False)
+            emit_i = ~del_np & new_ok
+            emit_d = (del_np | (upd_np & ~new_ok)) & old_ok
+            keep = pa.array(emit_i | emit_d)
+            batch = batch.filter(keep)
+            is_d = pa.array(emit_d[emit_i | emit_d])
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {
+            spec.op_col: pc.if_else(
+                is_d, pa.scalar("D"), pa.scalar("I")
+            ),
+            spec.lsn_col: pa.array(
+                np.full(batch.num_rows, span_lsn, np.int64)
+            ).cast(lsn_t),
+        }
+        for k in spec.key_cols:
+            cols[k] = batch.column(k)
+        for c in payload_cols:
+            arr = batch.column("new_" + c).cast(
+                spec.schema.field(c).type
+            )
+            if predicate is not None:
+                # out-of-scope-update deletes carry a live new
+                # image — null it like a source tombstone would
+                arr = pc.if_else(
+                    is_d, pa.scalar(None, arr.type), arr
+                )
+            cols[c] = arr
+        return pa.table(cols)
+
+    return rd.read_parquet(files).map_batches(
+        to_events, batch_format="pyarrow"
+    )
+
+
 def replicate_changefeed(
     feed_root: str,
     dest: "CDCLake",
@@ -2330,7 +2405,6 @@ def replicate_changefeed(
         spans.append((int(lo_s), int(hi_s), d))
     spans.sort()
 
-    lsn_t = spec.schema.field(spec.lsn_col).type
     applied = 0
     rows = 0
     for lo, hi, d in spans:
@@ -2345,70 +2419,8 @@ def replicate_changefeed(
                 f"was pruned or rebuilt; re-seed the replica from a "
                 f"full snapshot"
             )
-        files = sorted(str(p) for p in d.glob("changes-*.parquet"))
-        if files:
-            span_lsn = hi  # strictly increasing across spans
-
-            def to_events(batch: pa.Table, *, _lsn=span_lsn) -> pa.Table:
-                need = ["new_" + c for c in payload_cols]
-                if predicate is not None:
-                    need += ["old_" + c for c in payload_cols]
-                missing = [c for c in need if c not in batch.column_names]
-                if missing:
-                    raise ValueError(
-                        f"feed lacks payload columns {missing} — export "
-                        f"with carry_cols={payload_cols}"
-                    )
-                change = batch.column("change")
-                deleted = pc.equal(change, "deleted")
-                if predicate is None:
-                    is_d = deleted
-                else:
-                    # classify per ROW IMAGE: scope transitions become
-                    # replica deletes/inserts (see docstring)
-                    def image(prefix: str) -> pa.Table:
-                        return pa.table(
-                            {**{k: batch.column(k) for k in spec.key_cols},
-                             **{c: batch.column(prefix + c)
-                                for c in payload_cols}}
-                        )
-
-                    new_ok = np.asarray(predicate(image("new_")), bool)
-                    old_ok = np.asarray(predicate(image("old_")), bool)
-                    del_np = deleted.to_numpy(zero_copy_only=False)
-                    upd_np = pc.equal(change, "updated").to_numpy(
-                        zero_copy_only=False)
-                    emit_i = ~del_np & new_ok
-                    emit_d = (del_np | (upd_np & ~new_ok)) & old_ok
-                    keep = pa.array(emit_i | emit_d)
-                    batch = batch.filter(keep)
-                    is_d = pa.array(emit_d[emit_i | emit_d])
-                cols: dict[str, pa.ChunkedArray | pa.Array] = {
-                    spec.op_col: pc.if_else(
-                        is_d, pa.scalar("D"), pa.scalar("I")
-                    ),
-                    spec.lsn_col: pa.array(
-                        np.full(batch.num_rows, _lsn, np.int64)
-                    ).cast(lsn_t),
-                }
-                for k in spec.key_cols:
-                    cols[k] = batch.column(k)
-                for c in payload_cols:
-                    arr = batch.column("new_" + c).cast(
-                        spec.schema.field(c).type
-                    )
-                    if predicate is not None:
-                        # out-of-scope-update deletes carry a live new
-                        # image — null it like a source tombstone would
-                        arr = pc.if_else(
-                            is_d, pa.scalar(None, arr.type), arr
-                        )
-                    cols[c] = arr
-                return pa.table(cols)
-
-            events = rd.read_parquet(files).map_batches(
-                to_events, batch_format="pyarrow"
-            )
+        events = _span_events(d, spec, payload_cols, hi, predicate)
+        if events is not None:
             rec = dest.apply_events(events)
             rows += int(rec.get("rows_upserted", 0) + rec.get("tombstones", 0))
         cursor = hi
