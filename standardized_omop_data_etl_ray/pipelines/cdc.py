@@ -2668,3 +2668,86 @@ def verify_replica(
                        predicate=predicate)
     b = state_checksum(dest, cols=cols)
     return {"equal": a == b, "src": a, "replica": b}
+
+
+def replicate_group(
+    pairs: list,
+    predicate=None,
+) -> dict:
+    """MULTI-TABLE atomic replication: consume several tables' feeds in
+    lockstep, committing each round's replica epochs through ONE
+    ``LakeTransaction`` — downstream readers of the replica set see all
+    tables advance at one instant, never half (the cross-table shape
+    the composed OMOP pipeline needs: person + fact tables).
+
+    ``pairs`` is ``[(feed_root, dest_lake), ...]``; all destination
+    lakes must share one root (the transaction-group contract).  Each
+    round takes AT MOST one consumable span per pair (same
+    exporter-cursor / gap rules as ``replicate_changefeed``) and loops
+    until every feed is drained — tables with more pending spans finish
+    in later rounds.  Cursors advance only after the group commit; a
+    crash before that re-applies every span in the round into the
+    replicas' watermark filters (and an abandoned transaction leaves
+    only invisible orphans), so the group is exactly-once end to end.
+    ``predicate`` row-filters every table's subscription."""
+    roots = {str(p[1].root) for p in pairs}
+    if len(roots) != 1:
+        raise ValueError(
+            f"replicate_group needs all replica lakes under ONE root "
+            f"(the transaction-group contract), got {sorted(roots)}"
+        )
+    rounds = 0
+    spans_applied = 0
+    while True:
+        work = []
+        for feed_root, dest in pairs:
+            feed = Path(feed_root)
+            cur_p = feed / "_CURSOR.json"
+            exp_epoch = (json.loads(cur_p.read_text())["epoch"]
+                         if cur_p.exists() else 0)
+            spec = dest.spec
+            tdir = Path(dest.root) / spec.name
+            tdir.mkdir(parents=True, exist_ok=True)
+            rep_cursor_p = tdir / "_replica_cursor.json"
+            cursor = (json.loads(rep_cursor_p.read_text())["epoch"]
+                      if rep_cursor_p.exists() else 0)
+            spans = []
+            for d in feed.glob("span=*"):
+                lo_s, _, hi_s = d.name[len("span="):].partition("-")
+                spans.append((int(lo_s), int(hi_s), d))
+            for lo, hi, d in sorted(spans):
+                if hi <= cursor:
+                    continue
+                if hi > exp_epoch:
+                    break
+                if lo != cursor:
+                    raise ValueError(
+                        f"changefeed gap in {feed_root!r}: replica "
+                        f"cursor {cursor}, next span {d.name} — re-seed"
+                    )
+                work.append((dest, hi, d, rep_cursor_p))
+                break
+        if not work:
+            break
+        txn = LakeTransaction(next(iter(roots)))
+        staged = False
+        for dest, hi, d, _p in work:
+            reserved = (set(dest.spec.key_cols)
+                        | {dest.spec.lsn_col, dest.spec.op_col})
+            payload = [f.name for f in dest.spec.schema
+                       if f.name not in reserved]
+            events = _span_events(d, dest.spec, payload, hi, predicate)
+            if events is not None:
+                dest.apply_events(events, txn=txn)
+                staged = True
+        if staged:
+            txn.commit()
+        for _dest, hi, _d, rep_cursor_p in work:
+            tmp = rep_cursor_p.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps({"epoch": hi}))
+            with open(tmp, "rb") as fh:
+                os.fsync(fh.fileno())
+            tmp.replace(rep_cursor_p)
+        rounds += 1
+        spans_applied += len(work)
+    return {"rounds": rounds, "spans_applied": spans_applied}

@@ -1916,3 +1916,55 @@ def test_verify_replica_checksum(tmp_path):
     })
     dst.apply_events(rd.from_arrow(rogue))
     assert not verify_replica(src, dst)["equal"]
+
+
+def test_replicate_group_multi_table_atomic(tmp_path):
+    """Multi-table atomic replication: two tables' feeds with UNEQUAL
+    span counts drain in lockstep rounds through LakeTransaction group
+    commits; both replicas land on their oracles; re-running after
+    lost cursors (one or both) is a watermark no-op; replicas under
+    different roots are refused."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_group,
+    )
+
+    carry = ["commit", "lang", "content"]
+    ev_b = make_change_events(n_keys=150, n_events=1500, seed=83,
+                              window=300)
+    src_a = CDCLake(tmp_path / "src_a", _spec())
+    src_b = CDCLake(tmp_path / "src_b",
+                    TableSpec(name="cdc_b", num_partitions=4))
+    feed_a, feed_b = tmp_path / "feed_a", tmp_path / "feed_b"
+    # table A: one span per epoch (4 spans); table B: one span total
+    for b in BATCHES:
+        src_a.apply_events(rd.from_arrow(b))
+        src_a.export_changefeed(str(feed_a), carry_cols=carry)
+    src_b.apply_events(rd.from_arrow(ev_b))
+    src_b.export_changefeed(str(feed_b), carry_cols=carry)
+
+    root = tmp_path / "replicas"
+    dst_a = CDCLake(root, TableSpec(name="rep_a", num_partitions=3))
+    dst_b = CDCLake(root, TableSpec(name="rep_b", num_partitions=5))
+    rec = replicate_group([(str(feed_a), dst_a), (str(feed_b), dst_b)])
+    assert rec["rounds"] == len(BATCHES)  # A drains over all rounds
+    assert rec["spans_applied"] == len(BATCHES) + 1
+    assert_states_equal(_state(dst_a), ORACLE)
+    assert_states_equal(_state(dst_b), oracle_apply(ev_b))
+    # every replica epoch went through a group commit (txn lineage)
+    assert all(r.get("committed") for r in dst_a.lineage())
+    # crash drill: lose ONE cursor, then BOTH → re-runs are no-ops
+    (Path(root) / "rep_a" / "_replica_cursor.json").unlink()
+    rec2 = replicate_group([(str(feed_a), dst_a), (str(feed_b), dst_b)])
+    assert rec2["spans_applied"] == len(BATCHES)  # A re-walks, B done
+    assert_states_equal(_state(dst_a), ORACLE)
+    (Path(root) / "rep_a" / "_replica_cursor.json").unlink()
+    (Path(root) / "rep_b" / "_replica_cursor.json").unlink()
+    rec3 = replicate_group([(str(feed_a), dst_a), (str(feed_b), dst_b)])
+    assert rec3["spans_applied"] == len(BATCHES) + 1
+    assert_states_equal(_state(dst_a), ORACLE)
+    assert_states_equal(_state(dst_b), oracle_apply(ev_b))
+    # replicas under different roots are refused
+    stray = CDCLake(tmp_path / "elsewhere",
+                    TableSpec(name="rep_c", num_partitions=2))
+    with pytest.raises(ValueError, match="ONE root"):
+        replicate_group([(str(feed_a), dst_a), (str(feed_b), stray)])
