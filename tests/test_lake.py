@@ -1968,3 +1968,39 @@ def test_replicate_group_multi_table_atomic(tmp_path):
                     TableSpec(name="rep_c", num_partitions=2))
     with pytest.raises(ValueError, match="ONE root"):
         replicate_group([(str(feed_a), dst_a), (str(feed_b), stray)])
+
+
+def test_agg_view_over_replica(tmp_path):
+    """A replica is a first-class lake: an incremental aggregate view
+    maintained on the REPLICA's own epochs (one per consumed span)
+    tracks the source state across span arrivals — the full stack
+    composes: outbox → replicate → change sets → differential view."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_changefeed,
+    )
+    from standardized_omop_data_etl_ray.pipelines.views import (
+        MaterializedAggView,
+    )
+    from standardized_omop_data_etl_ray.stages.incremental import (
+        IncAggSpec,
+        view_result,
+    )
+
+    carry = ["commit", "lang", "content"]
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    dst = CDCLake(tmp_path / "dst",
+                  TableSpec(name="replica", num_partitions=3))
+    spec = IncAggSpec(group_cols=["lang"], count="n")
+    view = MaterializedAggView(str(tmp_path / "v"), spec, dst)
+    changed = 0
+    for b in BATCHES:
+        src.apply_events(rd.from_arrow(b))
+        src.export_changefeed(str(feed), carry_cols=carry)
+        replicate_changefeed(str(feed), dst)
+        changed += bool(view.refresh()["changed"])
+    assert changed == len(BATCHES)
+    got = view_result(view.read(), spec).to_pandas()
+    got = {r["lang"]: int(r["n"]) for _, r in got.iterrows()}
+    want = ORACLE.to_pandas().groupby("lang").size().to_dict()
+    assert got == {k: int(v) for k, v in want.items()}
