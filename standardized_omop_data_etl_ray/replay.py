@@ -20,7 +20,8 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--segments", required=True, help="binlog segment dir")
+    ap.add_argument("--segments", default=None, help="binlog segment dir "
+                    "(required unless --replicate-from is given)")
     ap.add_argument("--lake", required=True, help="lake root dir")
     ap.add_argument("--table", default="cdc")
     ap.add_argument("--num-partitions", type=int, default=64)
@@ -39,10 +40,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-hash the lake to this partition count before "
                          "tailing (cluster-resize drill; exactly-once "
                          "preserved across the boundary)")
+    ap.add_argument("--export-feed", default=None, metavar="DIR",
+                    help="after the tail drains, export the net change "
+                         "span since the last export to this changefeed "
+                         "outbox (payload columns carried automatically)")
+    ap.add_argument("--replicate-from", default=None, metavar="DIR",
+                    help="consume a changefeed outbox into THIS lake "
+                         "instead of tailing segments (--segments is "
+                         "ignored); exactly-once via the replica cursor")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only for standalone runs; under `ray job submit` "
                          "the cluster is already up")
     args = ap.parse_args(argv)
+    if not args.segments and not args.replicate_from:
+        ap.error("--segments is required unless --replicate-from is given")
 
     import ray
 
@@ -73,6 +84,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.reshard:
         print(json.dumps(lake.reshard(args.reshard)))
 
+    if args.replicate_from:
+        # consumer mode: fold the outbox into this lake, no tailing
+        from .pipelines.cdc import replicate_changefeed
+
+        rec = replicate_changefeed(args.replicate_from, lake)
+        print(json.dumps({"replicated": True, **rec}))
+        if args.compact:
+            print(json.dumps(lake.compact(cluster_files=args.cluster_files)))
+            lake.gc(retain_manifests=args.retain_manifests)
+        return 0
+
     tail = BinlogTail(args.segments)
     total_events, t0 = 0, time.time()
     for window in tail.windows(start_after, args.segments_per_window):
@@ -82,6 +104,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact:
         print(json.dumps(lake.compact(cluster_files=args.cluster_files)))
         lake.gc(retain_manifests=args.retain_manifests)
+    if args.export_feed:
+        reserved = {lake.spec.lsn_col, lake.spec.op_col} | set(
+            lake.spec.key_cols)
+        carry = [f.name for f in lake.spec.schema
+                 if f.name not in reserved]
+        print(json.dumps(
+            lake.export_changefeed(args.export_feed, carry_cols=carry)))
     wall = time.time() - t0
     print(
         json.dumps(

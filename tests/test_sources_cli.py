@@ -117,6 +117,48 @@ def test_cli_replay_and_resume(tmp_path):
     assert recs[-1]["events_applied"] == 0
 
 
+def test_cli_export_and_replicate(tmp_path):
+    """The deployment shape of the replication arc: a primary replay
+    with --export-feed, a replica lake fed by --replicate-from; the
+    replica checksum-verifies against the primary, and a consumer
+    re-run is a no-op."""
+    events = make_change_events(n_keys=100, n_events=1200, seed=31,
+                                window=200)
+    d = _write_segments(tmp_path, events)
+    lake_dir, feed, rep = tmp_path / "lake", tmp_path / "feed", tmp_path / "rep"
+
+    def run(args):
+        out = subprocess.run(
+            [sys.executable, "-m", "standardized_omop_data_etl_ray.replay", *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(l) for l in out.stdout.strip().splitlines()]
+
+    run(["--segments", str(d), "--lake", str(lake_dir),
+         "--num-partitions", "4", "--segments-per-window", "2",
+         "--num-cpus", "2", "--export-feed", str(feed)])
+    recs = run(["--lake", str(rep), "--table", "replica",
+                "--num-partitions", "3", "--num-cpus", "2",
+                "--replicate-from", str(feed)])
+    assert recs[0]["replicated"] and recs[0]["spans_applied"] >= 1
+    recs2 = run(["--lake", str(rep), "--table", "replica",
+                 "--num-partitions", "3", "--num-cpus", "2",
+                 "--replicate-from", str(feed)])
+    assert recs2[0]["spans_applied"] == 0  # consumer resume is a no-op
+    # replica checksum-verifies against the primary (in-process)
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        verify_replica,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    src = CDCLake(str(lake_dir), TableSpec(name="cdc", num_partitions=4))
+    dst = CDCLake(str(rep), TableSpec(name="replica", num_partitions=3))
+    v = verify_replica(src, dst)
+    assert v["equal"] and v["src"]["rows"] > 0
+
+
 def test_binlog_missing_stats_and_missing_lsn(tmp_path):
     """Stats-less segments must be INCLUDED (unknown ≠ already applied:
     skipping silently loses data for writers that disable column stats);
