@@ -3609,6 +3609,134 @@ FROM documents
 """
 
 
+def cdc_replicate_group_docs(sf_dir: str):
+    """MULTI-TABLE atomic replication (pipelines/cdc.replicate_group):
+    two source lakes over the flagship event stream — the full docs
+    table and a NARROW companion keyed the same but carrying only the
+    commit column — export feeds with unequal span counts (3 vs 1);
+    replicate_group drains both in lockstep rounds, each round's
+    replica epochs committed through ONE LakeTransaction, so readers
+    of the replica set never observe half an advance.  The returned
+    row set joins the two replicas' states on (repo, path) — a missing
+    or stale row in EITHER replica breaks the closed-form oracle."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        replicate_group,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+    from standardized_omop_data_etl_ray.stages.joins import auto_hash_join
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    meta_spec = TableSpec(
+        name="docs_meta",
+        content_col="commit",
+        schema=pa.schema(
+            [("op", pa.string()), ("lsn", pa.int64()),
+             ("repo", pa.string()), ("path", pa.string()),
+             ("commit", pa.string())]
+        ),
+        num_partitions=8,
+    )
+    src_a = CDCLake(tempfile.mkdtemp(prefix="cdc_grp_srca_"),
+                    TableSpec(name="docs_cdc", num_partitions=16))
+    src_b = CDCLake(tempfile.mkdtemp(prefix="cdc_grp_srcb_"), meta_spec)
+    feed_a = tempfile.mkdtemp(prefix="cdc_grp_feeda_")
+    feed_b = tempfile.mkdtemp(prefix="cdc_grp_feedb_")
+    total = n * 3
+    step = (total + 2) // 3
+    for e in range(3):
+        window = events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        )
+        src_a.apply_events(window)
+        src_a.export_changefeed(feed_a, carry_cols=["commit", "lang",
+                                                    "content"])
+        src_b.apply_events(window.select_columns(
+            ["op", "lsn", "repo", "path", "commit"]
+        ))
+    src_b.export_changefeed(feed_b, carry_cols=["commit"])
+    root = tempfile.mkdtemp(prefix="cdc_grp_replicas_")
+    dst_a = CDCLake(root, TableSpec(name="rep_docs", num_partitions=4))
+    dst_b = CDCLake(root, TableSpec(
+        name="rep_meta",
+        content_col="commit",
+        schema=meta_spec.schema,
+        num_partitions=6,
+    ))
+    rec = replicate_group([(feed_a, dst_a), (feed_b, dst_b)])
+    assert rec["rounds"] == 3 and rec["spans_applied"] == 4, rec
+    a = dst_a.read_state(drop_engine_cols=True).select_columns(
+        ["repo", "path", "lang", "content"]
+    )
+    b = dst_b.read_state(drop_engine_cols=True).select_columns(
+        ["repo", "path", "commit"]
+    )
+    joined = auto_hash_join(a, b, ["repo", "path"], ["repo", "path"],
+                            right_rows=n)
+    return joined.select_columns(
+        ["repo", "path", "commit", "lang", "content"]
+    )
+
+
+def cdc_replicate_projected_docs(sf_dir: str):
+    """COLUMN-PROJECTED subscription: the replica's TableSpec declares
+    a SUBSET of the source payload (repo, path, lang) — the span fold
+    derives its payload from the DEST spec, so only those columns ship
+    and land (the schema-mapped complement of the row-filtered
+    subscription in cdc_replicate_filtered_docs).  Oracle: the
+    projected closed-form LWW winners."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        CDCLake,
+        replicate_changefeed,
+    )
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    src = CDCLake(tempfile.mkdtemp(prefix="cdc_proj_src_"),
+                  TableSpec(name="docs_cdc", num_partitions=16))
+    feed = tempfile.mkdtemp(prefix="cdc_proj_feed_")
+    dst = CDCLake(tempfile.mkdtemp(prefix="cdc_proj_dst_"), TableSpec(
+        name="docs_lang",
+        content_col="lang",
+        schema=pa.schema(
+            [("op", pa.string()), ("lsn", pa.int64()),
+             ("repo", pa.string()), ("path", pa.string()),
+             ("lang", pa.string())]
+        ),
+        num_partitions=8,
+    ))
+    total = n * 3
+    step = (total + 2) // 3
+    for e in range(3):
+        src.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))
+    src.export_changefeed(feed, carry_cols=["commit", "lang", "content"])
+    replicate_changefeed(feed, dst)
+    state = dst.read_state(drop_engine_cols=True)
+    assert "content" not in state.schema().names, "projection leaked"
+    return state.select_columns(["repo", "path", "lang"])
+
+
+_CDC_REPLICATE_PROJECTED_SQL = """
+-- projected closed-form winners: only the subscribed columns
+SELECT source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       lang
+FROM documents
+"""
+
+
 def cdc_drop_column_docs(sf_dir: str):
     """Column-drop DDL (CDCLake.drop_column): flagship replay with
     ``lang`` dropped BETWEEN epochs 2 and 3 — one manifest commit, no
@@ -5477,6 +5605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (demoted multiply-green rows continue below)
         "cdc_seed_replicate_docs": cdc_seed_replicate_docs,
         "cdc_verify_replica_docs": cdc_verify_replica_docs,
+        "cdc_replicate_group_docs": cdc_replicate_group_docs,
+        "cdc_replicate_projected_docs": cdc_replicate_projected_docs,
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         "weighted_sample_docs": weighted_sample_docs,
@@ -5596,6 +5726,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,
         "cdc_seed_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_verify_replica_docs": _CDC_VERIFY_REPLICA_SQL,
+        "cdc_replicate_group_docs": _CDC_REPLICATE_SQL,
+        "cdc_replicate_projected_docs": _CDC_REPLICATE_PROJECTED_SQL,
         "scd2_asof_docs": _SCD2_ASOF_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,

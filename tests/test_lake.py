@@ -2004,3 +2004,105 @@ def test_agg_view_over_replica(tmp_path):
     got = {r["lang"]: int(r["n"]) for _, r in got.iterrows()}
     want = ORACLE.to_pandas().groupby("lang").size().to_dict()
     assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_replicate_changefeed_cascade(tmp_path):
+    """CASCADING replication (A → B → C): a replica is a first-class
+    lake, so B can export its OWN changefeed (its epochs are the spans
+    it consumed) and feed a second-tier replica C that never sees A's
+    log, state, or feed.  Each tier re-nets the change set, so C's
+    state must still equal the LWW oracle; re-driving the chain after
+    catch-up is a no-op at every tier."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_changefeed,
+    )
+
+    carry = ["commit", "lang", "content"]
+    a = CDCLake(tmp_path / "a", _spec())
+    b = CDCLake(tmp_path / "b",
+                TableSpec(name="tier1", num_partitions=3))
+    c = CDCLake(tmp_path / "c",
+                TableSpec(name="tier2", num_partitions=5))
+    feed_ab = tmp_path / "feed_ab"
+    feed_bc = tmp_path / "feed_bc"
+    for batch in BATCHES:
+        a.apply_events(rd.from_arrow(batch))
+        a.export_changefeed(str(feed_ab), carry_cols=carry)
+        replicate_changefeed(str(feed_ab), b)
+        # tier 2: B exports the net of the spans it just consumed
+        b.export_changefeed(str(feed_bc), carry_cols=carry)
+        replicate_changefeed(str(feed_bc), c)
+    assert_states_equal(_state(b), ORACLE)
+    assert_states_equal(_state(c), ORACLE)
+    # caught-up chain is a no-op end to end
+    a.export_changefeed(str(feed_ab), carry_cols=carry)
+    assert replicate_changefeed(str(feed_ab), b)["spans_applied"] == 0
+    b.export_changefeed(str(feed_bc), carry_cols=carry)
+    assert replicate_changefeed(str(feed_bc), c)["spans_applied"] == 0
+    assert_states_equal(_state(c), ORACLE)
+
+
+def test_replicate_projected_subscription(tmp_path):
+    """COLUMN-PROJECTED subscription: the replica's TableSpec declares a
+    subset of the source payload (here just ``lang``), and the span
+    fold ships/stores only those columns — the schema-mapped complement
+    of the row-filtered subscription.  The replica equals the projected
+    LWW oracle, and verify_replica (which scopes the checksum to the
+    REPLICA's columns) agrees across the width mismatch."""
+    import pyarrow.compute as pc
+
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        replicate_changefeed,
+        verify_replica,
+    )
+
+    carry = ["commit", "lang", "content"]
+    src = CDCLake(tmp_path / "src", _spec())
+    feed = tmp_path / "feed"
+    narrow = TableSpec(
+        name="replica_lang",
+        content_col="lang",
+        schema=pa.schema(
+            [("op", pa.string()), ("lsn", pa.int64()),
+             ("repo", pa.string()), ("path", pa.string()),
+             ("lang", pa.string())]
+        ),
+        num_partitions=3,
+    )
+    dst = CDCLake(tmp_path / "dst", narrow)
+    for batch in BATCHES:
+        src.apply_events(rd.from_arrow(batch))
+    src.export_changefeed(str(feed), carry_cols=carry)
+    replicate_changefeed(str(feed), dst)
+    got = _state(dst)
+    assert set(got.column_names) >= {"repo", "path", "lang"}
+    assert "content" not in got.column_names
+    want = ORACLE.select(["repo", "path", "lang"])
+    got = got.select(["repo", "path", "lang"]).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    want = want.sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    assert got.equals(want), "projected replica != projected oracle"
+    chk = verify_replica(src, dst)
+    assert chk["equal"], chk
+    # drift on the projected column flips the verdict
+    import pyarrow.parquet as pq
+
+    for f in sorted((Path(dst.root) / "replica_lang").rglob("*.parquet")):
+        t = pq.read_table(str(f))
+        live = pc.not_equal(t.column("op"), "D") if "op" in t.column_names \
+            else pa.array([True] * t.num_rows)
+        idx = next((i for i, ok in enumerate(live.to_pylist()) if ok), None)
+        if idx is None:
+            continue
+        lang = t.column("lang").to_pylist()
+        lang[idx] = "zz-rogue"
+        t = t.set_column(t.schema.get_field_index("lang"), "lang",
+                         pa.array(lang, pa.string()))
+        pq.write_table(t, str(f))
+        break
+    else:
+        raise AssertionError("no live row found to corrupt")
+    assert not verify_replica(src, dst)["equal"]
