@@ -46,6 +46,7 @@ from ..spec import TableSpec
 from ..stages.merge import (drop_tombstones, lww_reduce_table,
                             patch_reduce_table)
 from ..stages.standardize import make_sha_appender, make_standardizer
+from ..state import bloom
 from ..state import manifest as mf
 
 _STATS_SCHEMA = pa.schema(
@@ -125,6 +126,21 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
             tmp = pdir / (fname + ".tmp")
             pq.write_table(chunk, tmp)
             tmp.replace(fpath)
+            if chunk.num_rows:
+                # key-hash bloom sidecar (state/bloom.py): lets point
+                # lookups skip this file on a definite miss — the
+                # pruning zone maps can't do for hash-scattered keys.
+                # tmp+rename like the data file; crash between the two
+                # renames just means "no sidecar" (no pruning), and a
+                # task retry rewrites both deterministically.
+                blob = bloom.build(
+                    chunk.column("key_hash").to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+                btmp = pdir / (fname + ".bloom.tmp")
+                btmp.write_bytes(blob)
+                btmp.replace(pdir / (fname + ".bloom"))
             fstats: dict[str, list] = {}
             if chunk.num_rows:
                 # zone map: exact min/max of lsn + keys (full values,
@@ -1268,15 +1284,20 @@ class CDCLake:
         ``key_hash_u64 % P`` the write path uses), that partition's
         delta files are pruned by the manifest zone maps (a file whose
         [min, max] excludes every sought key on any key column cannot
-        hold the key), and only the survivors are read + LWW-resolved.
-        Zone-map pruning is sound regardless of row order — deltas are
-        additionally key-sorted at write, which tightens the ranges.
+        hold the key), zone-map survivors are tested against each
+        file's KEY-HASH BLOOM SIDECAR (state/bloom.py — the pruning
+        that works on hash-scattered, un-clustered deltas, where every
+        file's key range spans the partition), and only files that
+        might hold a sought key are read + LWW-resolved.  Both prunes
+        are sound regardless of row order — deltas are additionally
+        key-sorted at write, which tightens the zone ranges.
 
         Driver-side by design: a point lookup touches a handful of
         files; cost is O(files in touched partitions) metadata + the
         pruned reads, never O(state).  ``stats_out`` receives
-        files_total / files_read evidence.  Files without stats
-        (pre-upgrade lakes) are conservatively read."""
+        files_total / files_read / files_bloom_skipped evidence.
+        Files without stats or sidecars (pre-upgrade lakes) are
+        conservatively read."""
         import pyarrow.dataset as pds
 
         key_cols = list(self.spec.key_cols)
@@ -1286,7 +1307,8 @@ class CDCLake:
         )
         if not m or not m["partitions"] or not keys:
             if stats_out is not None:
-                stats_out.update(files_total=0, files_read=0)
+                stats_out.update(files_total=0, files_read=0,
+                                 files_bloom_skipped=0)
             return empty
         schema = mf.schema_from_b64(m["schema"])
         troot = Path(self.root) / self.spec.name
@@ -1301,30 +1323,43 @@ class CDCLake:
         keys_tbl = pa.table(
             {c: a for c, a in zip(key_cols, arrs)}
         ).group_by(key_cols).aggregate([])  # distinct sought keys
-        total = read = 0
+        kh_np = np.asarray(kh.to_numpy(zero_copy_only=False),
+                           dtype=np.uint64)
+        total = read = bloom_skipped = 0
         tabs = []
         for p, idxs in by_part.items():
             info = m["partitions"].get(str(p))
             if not info or not info["files"]:
                 continue
             fstats = info.get("file_stats", {})
+            sought_kh = kh_np[idxs]
             cand = []
             for f in info["files"]:
                 total += 1
                 st = fstats.get(f)
-                if st is None:
-                    cand.append(f)
-                    continue
-                hit = any(
-                    all(
-                        st.get(c) is None
-                        or (st[c][0] <= keys[i][c] <= st[c][1])
-                        for c in key_cols
+                if st is not None:
+                    hit = any(
+                        all(
+                            st.get(c) is None
+                            or (st[c][0] <= keys[i][c] <= st[c][1])
+                            for c in key_cols
+                        )
+                        for i in idxs
                     )
-                    for i in idxs
-                )
-                if hit:
-                    cand.append(f)
+                    if not hit:
+                        continue
+                # key-hash bloom sidecar: definite miss → skip the file
+                # (the prune that bites on hash-scattered deltas whose
+                # zone ranges span the partition); missing sidecar →
+                # conservative read
+                bp = bloom.sidecar_path(troot / f)
+                if bp.exists():
+                    if not bloom.might_contain(
+                        bp.read_bytes(), sought_kh
+                    ).any():
+                        bloom_skipped += 1
+                        continue
+                cand.append(f)
             read += len(cand)
             if not cand:
                 continue
@@ -1342,7 +1377,8 @@ class CDCLake:
                     t = lww_reduce_table(t, key_cols, self.spec.lsn_col)
                 tabs.append(drop_tombstones(t, self.spec.op_col))
         if stats_out is not None:
-            stats_out.update(files_total=total, files_read=read)
+            stats_out.update(files_total=total, files_read=read,
+                             files_bloom_skipped=bloom_skipped)
         if not tabs:
             return empty
         return pa.concat_tables([t.cast(empty.schema) for t in tabs])
@@ -1470,6 +1506,15 @@ class CDCLake:
                 os.link(src, dst)
             except OSError:
                 _sh.copy2(src, dst)
+            # carry the bloom sidecar (immutable like its data file)
+            # so point lookups on the branch keep their file skipping
+            bsrc = bloom.sidecar_path(src)
+            if bsrc.exists():
+                bdst = bloom.sidecar_path(dst)
+                try:
+                    os.link(bsrc, bdst)
+                except OSError:
+                    _sh.copy2(bsrc, bdst)
         # carry the COW manifest LOG (immutable json, metadata-sized):
         # time travel and epoch change sets on the branch keep working
         # for every epoch whose data files are shared with the fork

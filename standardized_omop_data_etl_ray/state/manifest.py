@@ -183,6 +183,16 @@ def gc(root: str | Path, table: str, retain_manifests: int = 1) -> list[str]:
         if str(p) not in keep:
             p.unlink()
             removed.append(str(p))
+    # bloom sidecars (state/bloom.py) ride with their data file: one
+    # whose `<file>.parquet` partner is not retained (reclaimed above,
+    # or orphaned by a crash between the two phase-1 renames) goes too
+    for b in troot.rglob("*.parquet.bloom"):
+        if "_dead_letter" in b.parts:
+            continue
+        partner = str(b)[: -len(".bloom")]
+        if partner not in keep:
+            b.unlink()
+            removed.append(str(b))
     # drop now-empty epoch dirs
     for d in sorted(troot.rglob("epoch=*"), reverse=True):
         if d.is_dir() and not any(d.iterdir()):

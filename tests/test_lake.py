@@ -2106,3 +2106,86 @@ def test_replicate_projected_subscription(tmp_path):
     else:
         raise AssertionError("no live row found to corrupt")
     assert not verify_replica(src, dst)["equal"]
+
+
+def test_bloom_sidecar_file_skipping(tmp_path):
+    """Key-hash bloom sidecars (state/bloom.py): on an UN-compacted
+    multi-epoch lake, zone maps rarely prune (each hash-scattered delta
+    spans its partition's key range) but the sidecars skip every file
+    whose epoch never touched a sought key; removing the sidecars
+    degrades to conservative reads with the SAME rows; gc reclaims
+    sidecars with their files (and crash orphans); a clone carries
+    them."""
+    import shutil
+
+    lake = CDCLake(tmp_path / "lake", _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    troot = Path(lake.root) / "cdc"
+    n_sidecars = len(list(troot.rglob("*.parquet.bloom")))
+    n_files = len(list(troot.rglob("*.parquet")))
+    assert n_sidecars == n_files > 0
+
+    # keys only EVER touched in the last batch window: earlier epochs'
+    # files hold none of them and must be bloom-skipped
+    ev = EVENTS.to_pandas()
+    last = ev[ev["lsn"] >= 3 * WINDOW][["repo", "path"]]
+    early = ev[ev["lsn"] < 3 * WINDOW][["repo", "path"]]
+    fresh = (
+        last.merge(early.drop_duplicates(), on=["repo", "path"],
+                   how="left", indicator=True)
+        .query("_merge == 'left_only'")[["repo", "path"]]
+        .drop_duplicates()
+    )
+    assert len(fresh) > 0, "vacuous: no keys unique to the last window"
+    keys = fresh.head(5).to_dict("records")
+    stats = {}
+    got = lake.lookup(keys, stats_out=stats)
+    assert stats["files_bloom_skipped"] > 0
+    assert stats["files_read"] < stats["files_total"]
+    odf = ORACLE.to_pandas()
+    want = odf.merge(fresh.head(5), on=["repo", "path"])
+    pd.testing.assert_frame_equal(
+        got.to_pandas()[["repo", "path", "commit", "content"]]
+        .sort_values(["repo", "path"], ignore_index=True),
+        want[["repo", "path", "commit", "content"]]
+        .sort_values(["repo", "path"], ignore_index=True),
+    )
+
+    # clone carries sidecars; the branch prunes identically
+    branch_root = tmp_path / "branch"
+    branch = lake.clone(str(branch_root))
+    bstats = {}
+    bgot = branch.lookup(keys, stats_out=bstats)
+    assert bstats["files_bloom_skipped"] == stats["files_bloom_skipped"]
+    assert canonical_state(bgot).equals(canonical_state(got))
+
+    # sidecars removed → conservative reads, same rows, more files
+    for bfile in troot.rglob("*.parquet.bloom"):
+        bfile.unlink()
+    stats2 = {}
+    got2 = lake.lookup(keys, stats_out=stats2)
+    assert stats2["files_bloom_skipped"] == 0
+    assert stats2["files_read"] > stats["files_read"]
+    assert canonical_state(got2).equals(canonical_state(got))
+
+    # gc: compaction supersedes the old deltas; their sidecars (plus a
+    # planted crash orphan) are reclaimed with them, retained files
+    # keep theirs, and no sidecar is left without its data file
+    branch.compact()
+    orphan = (Path(branch.root) / "cdc" / "part=00000"
+              / "epoch=999999" / "delta.parquet.bloom")
+    orphan.parent.mkdir(parents=True, exist_ok=True)
+    orphan.write_bytes(b"BLM1junk")
+    removed = branch.gc()
+    assert not orphan.exists()
+    btroot = Path(branch.root) / "cdc"
+    for bfile in btroot.rglob("*.parquet.bloom"):
+        assert Path(str(bfile)[: -len(".bloom")]).exists()
+    live = {str(p) for p in btroot.rglob("*.parquet")}
+    assert live, "compacted lake must retain base files"
+    assert all(str(p) not in live for p in removed)
+    # post-gc lookups on the branch stay oracle-exact
+    got3 = branch.lookup(keys)
+    assert canonical_state(got3).equals(canonical_state(got))
+    shutil.rmtree(branch_root)

@@ -95,3 +95,31 @@ def test_heavy_hitters_exact_above_threshold():
     )).repartition(4)
     empty = heavy_hitters(uni, "v", k=16).to_pandas()
     assert len(empty) == 0
+
+
+def test_bloom_kernel_no_false_negatives():
+    """state/bloom.py: every inserted key must test positive (no false
+    negatives — the soundness half); non-members are mostly negative
+    (the usefulness half, ~1% fpr at default sizing); malformed blobs
+    degrade to all-True (read the file, never miss a row)."""
+    from standardized_omop_data_etl_ray.state import bloom
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**63, 5000, dtype=np.uint64)
+    blob = bloom.build(members)
+    assert bloom.might_contain(blob, members).all()
+    others = rng.integers(2**63, 2**64 - 1, 20000, dtype=np.uint64)
+    others = np.setdiff1d(others, members)
+    fpr = bloom.might_contain(blob, others).mean()
+    assert fpr < 0.03, f"fpr {fpr:.4f} too high"
+    # duplicates and a single key
+    blob1 = bloom.build(np.array([42, 42, 42], dtype=np.uint64))
+    assert bloom.might_contain(blob1, np.array([42], np.uint64)).all()
+    # malformed / truncated / foreign blobs → conservative all-True
+    for bad in [b"", b"XXXX", blob[:10], b"BLM1" + b"\x00" * 4]:
+        assert bloom.might_contain(
+            bad, np.array([1, 2], np.uint64)
+        ).all()
+    # empty build is valid and rejects nothing it must hold
+    eb = bloom.build(np.array([], dtype=np.uint64))
+    assert not bloom.might_contain(eb, members).any()
