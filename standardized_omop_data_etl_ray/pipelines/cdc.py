@@ -290,11 +290,21 @@ def _dead_letter_splitter(root: str, table: str, epoch: int,
 
 
 def _partition_resolver(schema: pa.Schema, spec: TableSpec,
-                        honor_wm: bool = False):
+                        honor_wm: bool = False,
+                        read_columns: list[str] | None = None,
+                        predicate=None):
     """Batch fn over a table of per-partition file lists: read the
     partition's delta files, LWW-resolve, drop tombstones.  Shared by
     the merge-on-read path and compaction so their semantics cannot
     drift.
+
+    ``read_columns``: PROJECTION pushed into the parquet read — only
+    these columns leave storage (must include the key/lsn/op columns
+    the resolve itself needs; ``read_state`` computes that closure).
+    ``predicate``: a pyarrow compute Expression evaluated on the
+    RESOLVED winners inside the partition task — sound under LWW
+    (judging superseded versions would pick wrong rows), and the
+    filtered rows never leave the task.
 
     ``honor_wm``: the plan table carries each partition's stored
     watermark, and only tombstones AT OR BELOW it are dropped — the
@@ -312,7 +322,9 @@ def _partition_resolver(schema: pa.Schema, spec: TableSpec,
         outs = []
         wms = batch.column("wm").to_pylist() if honor_wm else None
         for i, files in enumerate(batch.column("files").to_pylist()):
-            merged = pds.dataset(files, schema=schema).to_table()
+            merged = pds.dataset(files, schema=schema).to_table(
+                columns=read_columns
+            )
             if spec.patch_ops:
                 # terminal fold; at compaction (honor_wm) base-less
                 # patches above the stored watermark survive as rows —
@@ -332,10 +344,35 @@ def _partition_resolver(schema: pa.Schema, spec: TableSpec,
                 )
                 outs.append(resolved.filter(pc.invert(droppable)))
             else:
-                outs.append(drop_tombstones(resolved, spec.op_col))
+                live = drop_tombstones(resolved, spec.op_col)
+                if predicate is not None:
+                    live = live.filter(predicate)
+                outs.append(live)
         return pa.concat_tables(outs, promote_options="permissive")
 
     return resolve_partition
+
+
+def _predicate_fields(predicate, schema: pa.Schema) -> list[str]:
+    """Columns a pyarrow compute Expression references, discovered by
+    probing (pyarrow exposes no public field listing on Expression): a
+    field is referenced iff dropping it from an empty table of the
+    schema makes the filter fail to bind.  Driver-side, once per read,
+    O(ncols) empty-table filters — lets ``read_state`` keep predicate
+    columns in the projected read closure without making callers name
+    them twice."""
+    empty = schema.empty_table()
+    try:
+        empty.filter(predicate)
+    except Exception:
+        return []  # unbindable even with every column: real read raises
+    out = []
+    for name in schema.names:
+        try:
+            empty.drop_columns([name]).filter(predicate)
+        except Exception:
+            out.append(name)
+    return out
 
 
 def _file_epoch(rel_path: str) -> int:
@@ -1239,7 +1276,9 @@ class CDCLake:
         return rd.read_parquet(files, schema=schema)
 
     def read_state(self, drop_engine_cols: bool = False,
-                   at_epoch: int | None = None) -> rd.Dataset:
+                   at_epoch: int | None = None,
+                   columns: list[str] | None = None,
+                   predicate=None) -> rd.Dataset:
         """Merge-on-read current state: LWW-resolve live delta files,
         drop tombstones.  NO shuffle — delta files are already
         partition-segregated, so resolution is a map-only pass (one task
@@ -1249,16 +1288,59 @@ class CDCLake:
         ``at_epoch`` time-travels: the state as committed by that epoch
         (COW manifest snapshot — later commits and compactions never
         touch a snapshot's files until gc reclaims them; see
-        ``gc(retain_manifests=K)`` for the retention contract)."""
+        ``gc(retain_manifests=K)`` for the retention contract).
+
+        ``columns`` is PROJECTION PUSHDOWN: the parquet scans read only
+        the key/lsn/op closure the resolve needs plus these columns —
+        a 2-column view of a wide state table never ships the other
+        columns off storage — and the output schema is exactly
+        ``key_cols + columns`` (``drop_engine_cols`` is implied; engine
+        columns appear only if named).  ``predicate`` is a pyarrow
+        compute Expression over the RESOLVED winners (it may reference
+        ANY state column, projected or not — referenced columns are
+        discovered and kept in the read closure, then projected away):
+        on an un-compacted lake it
+        filters inside each partition's resolve task — evaluating it
+        pre-resolve would be unsound under LWW, a superseded version
+        must not answer for the winner — so non-matching rows never
+        leave the task; on a fully-compacted lake (all-base manifest:
+        only winners on disk) it pushes into the parquet scan itself
+        and prunes row groups via parquet statistics."""
         m = self._manifest_for(at_epoch)
-        ds = self.read_deltas(at_epoch)
-        if ds is None:
-            return rd.from_arrow(self._state_schema().empty_table())
+        key_cols = list(self.spec.key_cols)
+        out_cols = need = None
+        if columns is not None:
+            want = [c for c in columns if c not in key_cols]
+            out_cols = key_cols + want
+            need = set(key_cols + [self.spec.lsn_col, self.spec.op_col]
+                       + want)
+        files = (mf.live_files(self.root, self.spec.name, m)
+                 if m and m["partitions"] else [])
+        if not files:
+            empty = self._state_schema().empty_table()
+            if out_cols is not None:
+                empty = empty.select(out_cols)
+            elif drop_engine_cols:
+                empty = empty.drop_columns(
+                    ["content_sha", "key_hash", "part"])
+            return rd.from_arrow(empty)
+        schema = mf.schema_from_b64(m["schema"])
+        if need is not None and predicate is not None:
+            need |= set(_predicate_fields(predicate, schema))
+        read_cols = ([f for f in schema.names if f in need]
+                     if need is not None else None)
         if m.get("compacted"):
-            out = ds
+            kwargs: dict = {"schema": schema}
+            if read_cols is not None:
+                # Ray expects the schema hint to match the projection
+                kwargs["columns"] = read_cols
+                kwargs["schema"] = pa.schema(
+                    [schema.field(n) for n in read_cols])
+            if predicate is not None:
+                kwargs["filter"] = predicate
+            out = rd.read_parquet(files, **kwargs)
         else:
             troot = Path(self.root) / self.spec.name
-            schema = mf.schema_from_b64(m["schema"])
             part_files = [
                 [str(troot / f) for f in pinfo["files"]]
                 for pinfo in m["partitions"].values()
@@ -1267,9 +1349,14 @@ class CDCLake:
             out = rd.from_arrow(
                 pa.table({"files": pa.array(part_files)})
             ).repartition(len(part_files)).map_batches(
-                _partition_resolver(schema, self.spec), batch_format="pyarrow"
+                _partition_resolver(schema, self.spec,
+                                    read_columns=read_cols,
+                                    predicate=predicate),
+                batch_format="pyarrow",
             )
-        if drop_engine_cols:
+        if out_cols is not None:
+            out = out.select_columns(out_cols)
+        elif drop_engine_cols:
             out = out.drop_columns(["content_sha", "key_hash", "part"])
         return out
 

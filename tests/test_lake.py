@@ -2189,3 +2189,63 @@ def test_bloom_sidecar_file_skipping(tmp_path):
     got3 = branch.lookup(keys)
     assert canonical_state(got3).equals(canonical_state(got))
     shutil.rmtree(branch_root)
+
+
+def test_read_state_projection_and_predicate(tmp_path):
+    """read_state(columns=, predicate=): projected/filtered reads equal
+    the post-hoc projection/filter of the full state on BOTH layouts —
+    un-compacted (predicate evaluated on resolved winners inside the
+    partition task) and fully compacted (projection AND predicate
+    pushed into the parquet scan) — and the projected output schema is
+    exactly key_cols + columns."""
+    import pyarrow.compute as pc
+
+    lake = CDCLake(tmp_path / "lake", _spec())
+    for b in BATCHES:
+        lake.apply_events(rd.from_arrow(b))
+    full = (
+        _state(lake).to_pandas()
+        .sort_values(["repo", "path"], ignore_index=True)
+    )
+
+    def collect(**kw):
+        refs = lake.read_state(**kw).to_arrow_refs()
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        df = (pa.concat_tables(tabs).to_pandas() if tabs
+              else pd.DataFrame())
+        return df.sort_values(["repo", "path"], ignore_index=True)
+
+    pred = pc.field("lang") == "py"
+    assert (full["lang"] == "py").any(), "vacuous predicate fixture"
+    for _layout in ("deltas", "compacted"):
+        proj = collect(columns=["lang", "content"])
+        assert list(proj.columns) == ["repo", "path", "lang", "content"]
+        pd.testing.assert_frame_equal(
+            proj, full[["repo", "path", "lang", "content"]])
+
+        filt = collect(predicate=pred)
+        pd.testing.assert_frame_equal(
+            filt[["repo", "path", "commit", "content"]],
+            full[full["lang"] == "py"]
+            .reset_index(drop=True)[["repo", "path", "commit", "content"]],
+        )
+
+        both = collect(columns=["commit"], predicate=pred)
+        assert list(both.columns) == ["repo", "path", "commit"]
+        pd.testing.assert_frame_equal(
+            both,
+            full[full["lang"] == "py"]
+            .reset_index(drop=True)[["repo", "path", "commit"]],
+        )
+
+        # nothing-matches predicate: empty, schema intact
+        none = lake.read_state(columns=["lang"],
+                               predicate=pc.field("lang") == "nope")
+        assert none.count() == 0
+
+        lake.compact()  # second iteration exercises the scan pushdown
+    # empty lake: projected empty table keeps the contract schema
+    empty_lake = CDCLake(tmp_path / "empty", _spec())
+    e = empty_lake.read_state(columns=["lang"])
+    assert e.schema().names == ["repo", "path", "lang"]
+    assert e.count() == 0
