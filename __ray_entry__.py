@@ -3007,12 +3007,17 @@ def incremental_lang_stats_docs(sf_dir: str):
         mins={"min_chars": "chars"}, maxs={"max_chars": "chars"},
     )
 
-    def with_chars(df: pd.DataFrame) -> pd.DataFrame:
+    def with_chars(t: pa.Table) -> pa.Table:
+        # Arrow kernel, null-preserving: pandas .str.len().astype("Int64")
+        # here produced nullable-Int64 blocks Ray can only convert to
+        # Arrow via a logged slow fallback
         for side in ("old", "new"):
-            df[f"{side}_chars"] = (
-                df[f"{side}_content"].str.len().astype("Int64")
+            t = t.append_column(
+                f"{side}_chars",
+                pc.cast(pc.utf8_length(t.column(f"{side}_content")),
+                        pa.int64()),
             )
-        return df
+        return t
 
     view = empty_agg_view(spec, {"lang": pa.string(), "chars": pa.int64()})
     for v in range(3):
@@ -3021,7 +3026,7 @@ def incremental_lang_stats_docs(sf_dir: str):
         )
         cs = epoch_change_set(
             lake, rec["epoch"], carry_cols=["lang", "content"]
-        ).map_batches(with_chars, batch_format="pandas")
+        ).map_batches(with_chars, batch_format="pyarrow")
         # the MIN/MAX rescan reads the live state projected to the
         # view's source columns — derive chars the same way
         state = lake.read_state(drop_engine_cols=True).map_batches(
