@@ -1182,6 +1182,24 @@ class CDCLake:
 
     # -- read path --------------------------------------------------------
 
+    def epoch_at_ts(self, ts: float) -> int:
+        """Timestamp time travel: the epoch of the newest snapshot
+        committed at or before wall-clock ``ts`` (epoch seconds, as
+        stamped by the commit point) — compose with any ``at_epoch``
+        verb: ``lake.read_state(at_epoch=lake.epoch_at_ts(ts))``,
+        ``changes_between(lake.epoch_at_ts(a), lake.epoch_at_ts(b))``,
+        ``clone(dest, at_epoch=...)``.  Raises if no commit is that
+        old (a ts before the table existed must fail loudly, not
+        return an empty state that looks like data loss)."""
+        e = mf.epoch_for_ts(self.root, self.spec.name, ts)
+        if e is None:
+            raise ValueError(
+                f"no snapshot committed at or before ts={ts}; "
+                f"earliest retained epochs: "
+                f"{mf.list_manifest_epochs(self.root, self.spec.name)[:3]}"
+            )
+        return e
+
     def _manifest_for(self, at_epoch: int | None) -> dict | None:
         """Current manifest, or the COW snapshot committed at ``at_epoch``
         (time travel).  Snapshot reads verify their data files still

@@ -29,6 +29,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import time
 from pathlib import Path
 
 import pyarrow as pa
@@ -72,6 +73,30 @@ def list_manifest_epochs(root: str | Path, table: str) -> list[int]:
     )
 
 
+def epoch_for_ts(root: str | Path, table: str, ts: float) -> int | None:
+    """Timestamp time travel (Delta's TIMESTAMP AS OF): the epoch of
+    the newest retained snapshot whose ``committed_at`` is at or before
+    ``ts``, or None if no commit is that old.  ``committed_at`` is
+    monotone in epoch under the single-writer contract, so the log is
+    scanned in epoch order and the scan stops at the first newer
+    commit.  Pre-upgrade manifests without the stamp are treated as
+    arbitrarily old (they always qualify) — conservative: a ts query
+    can only land on or before the first stamped commit, never after
+    it.  Driver-side metadata cost only."""
+    mdir = table_root(root, table) / "_manifests"
+    if not mdir.exists():
+        return None
+    best = None
+    for p in sorted(mdir.glob("manifest-*.json")):
+        with open(p) as f:
+            m = json.load(f)
+        if m.get("committed_at", float("-inf")) <= ts:
+            best = m["epoch"]
+        else:
+            break
+    return best
+
+
 def read_manifest_at(root: str | Path, table: str, epoch: int) -> dict | None:
     """Snapshot isolation via the COW manifest log: the root manifest as
     of ``epoch``'s commit (``_manifests/manifest-{epoch:06d}.json``),
@@ -101,6 +126,11 @@ def commit_manifest(root: str | Path, table: str, manifest: dict) -> None:
     just atomic: the pointer tmp is fsynced before the rename and the
     directory is fsynced after — otherwise power loss after return
     could revert an acknowledged epoch (or leave an empty pointer)."""
+    # stamped UNCONDITIONALLY: every call is a new commit, and manifests
+    # built by spreading an older one (restore, drop_column) must not
+    # inherit its stamp — committed_at stays monotone in epoch, which
+    # epoch_for_ts's early-exit scan relies on
+    manifest["committed_at"] = time.time()
     troot = table_root(root, table)
     mdir = troot / "_manifests"
     mdir.mkdir(parents=True, exist_ok=True)
@@ -214,7 +244,12 @@ def _txn_dir(root: str | Path) -> Path:
 
 
 def stage_manifest(root: str | Path, table: str, manifest: dict) -> str:
-    """Durably write a table's manifest under .staged (invisible)."""
+    """Durably write a table's manifest under .staged (invisible).
+    ``committed_at`` is stamped at staging time — for a group commit
+    the stage-to-commit-point gap is one fsynced rename, so the stamp
+    is the commit instant for time-travel purposes (unconditional, like
+    ``commit_manifest`` — see the monotonicity note there)."""
+    manifest["committed_at"] = time.time()
     mdir = table_root(root, table) / "_manifests"
     mdir.mkdir(parents=True, exist_ok=True)
     name = f"manifest-{manifest['epoch']:06d}.json"

@@ -2249,3 +2249,65 @@ def test_read_state_projection_and_predicate(tmp_path):
     e = empty_lake.read_state(columns=["lang"])
     assert e.schema().names == ["repo", "path", "lang"]
     assert e.count() == 0
+
+
+def test_timestamp_time_travel(tmp_path):
+    """epoch_at_ts: commits are stamped with committed_at at the commit
+    point; a wall-clock ts resolves to the newest snapshot at or before
+    it, composing with every at_epoch verb.  A ts before the table's
+    first commit fails loudly; a ts after the last resolves to the
+    current epoch (including compaction commits)."""
+    import time as _time
+
+    lake = CDCLake(tmp_path, _spec())
+    marks = []  # (ts_after_commit, epoch, canonical state)
+    for b in BATCHES:
+        rec = lake.apply_events(rd.from_arrow(b))
+        _time.sleep(0.02)
+        marks.append((_time.time(), rec["epoch"],
+                      canonical_state(_state(lake))))
+        _time.sleep(0.02)
+
+    for ts, epoch, snap in marks:
+        e = lake.epoch_at_ts(ts)
+        assert e == epoch
+        assert canonical_state(
+            _state(lake, at_epoch=e)
+        ).equals(snap)
+
+    # between two commits → the earlier one; monotone stamps
+    mids = [(marks[i][0] + marks[i + 1][0]) / 2 for i in range(2)]
+    assert lake.epoch_at_ts(mids[0]) == marks[0][1]
+    assert lake.epoch_at_ts(mids[1]) == marks[1][1]
+
+    # before the first commit: loud failure
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        lake.epoch_at_ts(marks[0][0] - 10.0)
+
+    # a later maintenance commit is a time-travel target too
+    rec = lake.compact()
+    _time.sleep(0.02)
+    assert lake.epoch_at_ts(_time.time()) == rec["epoch"]
+    # and the pre-compaction marks still resolve to their epochs
+    assert lake.epoch_at_ts(marks[-1][0]) == marks[-1][1]
+
+
+def test_timestamp_monotone_after_restore(tmp_path):
+    """restore() spreads the TARGET snapshot's manifest — the new
+    commit must get a FRESH committed_at (inheriting the old stamp
+    would break the monotone-in-epoch contract epoch_for_ts scans by),
+    and a now-ts resolves to the restore epoch."""
+    import time as _time
+
+    lake = CDCLake(tmp_path, _spec())
+    recs = [lake.apply_events(rd.from_arrow(b)) for b in BATCHES]
+    _time.sleep(0.02)
+    r = lake.restore(recs[0]["epoch"])
+    _time.sleep(0.02)
+    assert lake.epoch_at_ts(_time.time()) == r["epoch"]
+    stamps = [
+        mf.read_manifest_at(str(tmp_path), "cdc", e)["committed_at"]
+        for e in mf.list_manifest_epochs(str(tmp_path), "cdc")
+    ]
+    assert stamps == sorted(stamps), "committed_at not monotone"
+    assert stamps[-1] > stamps[0]
