@@ -1383,6 +1383,7 @@ class CDCLake:
         keys: list[dict],
         stats_out: dict | None = None,
         at_epoch: int | None = None,
+        _resolve: bool = True,
     ) -> pa.Table:
         """Point lookup: the live state rows for a few keys WITHOUT a
         full scan.  Each key routes to its hash partition (same
@@ -1473,20 +1474,53 @@ class CDCLake:
             ).to_table()
             t = t.join(keys_tbl, keys=key_cols, join_type="left semi")
             if t.num_rows:
-                if self.spec.patch_ops:
+                if not _resolve:  # key_history: keep every version
+                    tabs.append(t)
+                elif self.spec.patch_ops:
                     t = patch_reduce_table(
                         t, key_cols, self.spec.lsn_col, self.spec.op_col,
                         fold=True,
                     )
+                    tabs.append(drop_tombstones(t, self.spec.op_col))
                 else:
                     t = lww_reduce_table(t, key_cols, self.spec.lsn_col)
-                tabs.append(drop_tombstones(t, self.spec.op_col))
+                    tabs.append(drop_tombstones(t, self.spec.op_col))
         if stats_out is not None:
             stats_out.update(files_total=total, files_read=read,
                              files_bloom_skipped=bloom_skipped)
         if not tabs:
             return empty
-        return pa.concat_tables([t.cast(empty.schema) for t in tabs])
+        out = pa.concat_tables([t.cast(empty.schema) for t in tabs])
+        if not _resolve:
+            out = out.sort_by(
+                [(c, "ascending") for c in key_cols]
+                + [(self.spec.lsn_col, "ascending")]
+            )
+        return out
+
+    def key_history(
+        self,
+        keys: list[dict],
+        stats_out: dict | None = None,
+        at_epoch: int | None = None,
+    ) -> pa.Table:
+        """Row-level audit: EVERY retained version of the sought keys —
+        inserts, updates, deletes, partial patches — ordered by key
+        then lsn, served through the same zone-map + bloom-sidecar
+        pruned point-read path as ``lookup`` (cost O(files that might
+        hold a sought key), never O(state)).  The per-key complement
+        of the table-wide SCD2 expansion (``stages/history.py``).
+
+        Granularity/retention caveats (both tested): the write-path
+        combiner keeps ONE winner per key per epoch, so the chain is
+        epoch-granular — the same commit granularity the SCD2 view
+        documents; and compaction collapses superseded versions into
+        the winner, so history depth is whatever delta files the
+        manifest still references — pass ``at_epoch`` (or a ts via
+        ``epoch_at_ts``) to audit against an older retained snapshot
+        for deeper history."""
+        return self.lookup(keys, stats_out=stats_out, at_epoch=at_epoch,
+                           _resolve=False)
 
     def changes_between(
         self,

@@ -2311,3 +2311,60 @@ def test_timestamp_monotone_after_restore(tmp_path):
     ]
     assert stamps == sorted(stamps), "committed_at not monotone"
     assert stamps[-1] > stamps[0]
+
+
+def test_key_history_audit(tmp_path):
+    """key_history: every RETAINED version of a key (epoch-granular —
+    the write-path combiner keeps one winner per key per epoch, the
+    same commit granularity the SCD2 view documents), key+lsn ordered,
+    served through the pruned point-read path.  Oracle: the UNPRUNED
+    full delta scan filtered to the same keys.  After compaction only
+    winners survive, but at_epoch still serves the deep chain from the
+    retained snapshot."""
+    lake = CDCLake(tmp_path, _spec())
+    last_epoch = None
+    for b in BATCHES:
+        last_epoch = lake.apply_events(rd.from_arrow(b))["epoch"]
+
+    ev = EVENTS.to_pandas()
+    multi = (
+        ev.groupby(["repo", "path"]).size().reset_index(name="n")
+        .query("n >= 3").head(3)[["repo", "path"]]
+    )
+    assert len(multi) == 3, "fixture: need multi-version keys"
+    keys = multi.to_dict("records")
+    cols = ["repo", "path", "lsn", "op", "commit", "content"]
+
+    def oracle(at_epoch=None):
+        raw = lake.read_deltas(at_epoch).to_pandas()
+        return (
+            raw.merge(multi, on=["repo", "path"])
+            .sort_values(["repo", "path", "lsn"], ignore_index=True)
+        )[cols]
+
+    stats = {}
+    hist = lake.key_history(keys, stats_out=stats).to_pandas()
+    want = oracle()
+    assert len(want) > 3, "vacuous: no multi-version chains retained"
+    pd.testing.assert_frame_equal(hist[cols].reset_index(drop=True), want)
+    assert stats["files_total"] >= stats["files_read"] > 0
+    assert (hist.groupby(["repo", "path"])["lsn"]
+            .apply(lambda s: s.is_monotonic_increasing).all())
+    # the chain tail agrees with the resolved point lookup
+    live = lake.lookup(keys).to_pandas()
+    tails = (hist[hist["op"] != "D"]
+             .sort_values("lsn").groupby(["repo", "path"]).tail(1))
+    dead = set(map(tuple, hist.sort_values("lsn")
+                   .groupby(["repo", "path"]).tail(1)
+                   .query("op == 'D'")[["repo", "path"]].values))
+    assert set(map(tuple, live[["repo", "path"]].values)) == (
+        set(map(tuple, tails[["repo", "path"]].values)) - dead
+    )
+
+    # compaction collapses superseded versions ...
+    lake.compact()
+    flat = lake.key_history(keys).to_pandas()
+    assert len(flat) <= len(multi)
+    # ... but the retained pre-compaction snapshot serves the deep chain
+    deep = lake.key_history(keys, at_epoch=last_epoch).to_pandas()
+    pd.testing.assert_frame_equal(deep[cols].reset_index(drop=True), want)
