@@ -2812,6 +2812,75 @@ FROM final WHERE rk % greatest(1, (SELECT c FROM n) // 20) = 0
 """
 
 
+def cdc_key_history_docs(sf_dir: str):
+    """Per-key version-chain audit (CDCLake.key_history): replay the
+    flagship log in VERSION-MAJOR epochs (each epoch is one version
+    wave, so each key retains one winner per epoch — three-deep
+    chains), then audit every 97th doc's key through the pruned
+    point-read path.  Deletes appear in the chain (the %13 docs'
+    v=1 tombstone).  Oracle: the closed-form union of the three
+    versions for the sampled docs."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def version_major(t: pa.Table) -> pa.Table:
+        lsn = t.column("lsn")
+        v = pc.subtract(lsn, pc.multiply(pc.divide(lsn, 3), 3))
+        d = pc.divide(lsn, 3)
+        return t.set_column(
+            t.schema.get_field_index("lsn"), "lsn",
+            pc.add(pc.multiply(v, n), d),
+        )
+
+    events = events_from_documents(docs, 3).map_batches(
+        version_major, batch_format="pyarrow"
+    )
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_hist_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    for v in range(3):
+        lake.apply_events(
+            events.filter(expr=f"lsn >= {v * n} and lsn < {(v + 1) * n}")
+        )
+    picks = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    picks = picks[picks["doc_id"] % 97 == 0]
+    keys = [{"repo": r["source"], "path": f"doc_{r['doc_id']}.txt"}
+            for _, r in picks.iterrows()]
+    stats = {}
+    t = lake.key_history(keys, stats_out=stats)
+    assert stats["files_read"] <= stats["files_total"]
+    return t.select(["op", "lsn", "repo", "path", "commit", "lang",
+                     "content"])
+
+
+_CDC_KEY_HISTORY_SQL = """
+-- closed-form three-version chain per sampled doc under the
+-- version-major lsn remap (lsn = v*n + doc_id); the %13 docs' v=1 is
+-- a tombstone with null payload
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+v AS (SELECT 0 AS v UNION ALL SELECT 1 UNION ALL SELECT 2)
+SELECT CASE WHEN v = 0 THEN 'I'
+            WHEN v = 1 THEN CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END
+            ELSE CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END END AS op,
+       v * (SELECT c FROM n) + doc_id AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':' || v AS "commit",
+       CASE WHEN v = 1 AND doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+       CASE WHEN v = 1 AND doc_id % 13 = 0 THEN NULL
+            WHEN v = 0 THEN text
+            ELSE text || ' v' || v END AS content
+FROM documents CROSS JOIN v
+WHERE doc_id % 97 = 0
+"""
+
+
 def cdc_reshard_replay_docs(sf_dir: str):
     """Cluster-resize drill: the flagship replay applied on 16
     partitions, resharded to 25 mid-history (after epoch 2 of 3), the
@@ -5646,6 +5715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_seed_replicate_docs": cdc_seed_replicate_docs,
         "cdc_replicate_projected_docs": cdc_replicate_projected_docs,
         "cdc_projected_read_docs": cdc_projected_read_docs,
+        "cdc_key_history": cdc_key_history_docs,
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         "weighted_sample_docs": weighted_sample_docs,
@@ -5768,6 +5838,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replicate_group_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_projected_docs": _CDC_REPLICATE_PROJECTED_SQL,
         "cdc_projected_read_docs": _CDC_PROJECTED_READ_SQL,
+        "cdc_key_history": _CDC_KEY_HISTORY_SQL,
         "scd2_asof_docs": _SCD2_ASOF_SQL,
         "scd2_history_docs": _SCD2_SQL,
         "cdc_scd2_view": _SCD2_VIEW_SQL,
