@@ -437,3 +437,44 @@ def test_dml_and_merge_on_patch_lake(tmp_path):
                       .to_numpy(zero_copy_only=False))
     st2 = lake.read_state(drop_engine_cols=True).to_pandas()
     assert set(st2["path"]) == {"k2", "k3", "k4"}
+
+
+def test_patch_lake_projected_predicate_read(tmp_path):
+    """read_state(columns=, predicate=) on a PATCH lake: the per-column
+    terminal fold is column-independent, so a projected read (which
+    strips some payload columns from the parquet scan) must fold the
+    remaining columns identically — including keys whose winning value
+    arrived via a patch on a column that is NOT projected."""
+    import pyarrow.compute as pc
+
+    rows = _rand_rows(11, n_keys=40, n_events=300)
+    lake = CDCLake(str(tmp_path / "lk"), _spec())
+    for ev in (rows[:100], rows[100:200], rows[200:]):
+        lake.apply_events(rd.from_arrow(_events_table(ev)))
+    full = lake.read_state(drop_engine_cols=True).to_pandas()
+    full = full.sort_values(["repo", "path"], ignore_index=True)
+
+    for _layout in ("deltas", "compacted"):
+        proj = (
+            lake.read_state(columns=["content"]).to_pandas()
+            .sort_values(["repo", "path"], ignore_index=True)
+        )
+        assert list(proj.columns) == ["repo", "path", "content"]
+        pd.testing.assert_frame_equal(
+            proj, full[["repo", "path", "content"]])
+
+        # predicate on the UN-projected lang column (closure discovery)
+        langs = full["lang"].dropna()
+        assert len(langs), "vacuous fixture"
+        pick = langs.iloc[0]
+        filt = (
+            lake.read_state(columns=["content"],
+                            predicate=pc.field("lang") == pick)
+            .to_pandas().sort_values(["repo", "path"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            filt,
+            full[full["lang"] == pick]
+            .reset_index(drop=True)[["repo", "path", "content"]],
+        )
+        lake.compact()
