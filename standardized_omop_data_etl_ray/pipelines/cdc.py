@@ -183,6 +183,17 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
     return write_group
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A commit lost its race to a newer concurrent epoch (or the
+    partition layout changed underneath it).  The losing epoch's delta
+    files are invisible orphans (gc reclaims them).  Recovery: the
+    lost window's events are now BELOW the advanced watermark (the
+    newer epoch raised it), so a plain re-apply would skip them —
+    ``restore()`` to the snapshot the loser had read (watermarks
+    revert with it, by design) and re-tail the log from that window
+    onward; redelivery of already-applied windows is a no-op."""
+
+
 _VALID_OPS = ("I", "U", "D")
 
 
@@ -719,11 +730,14 @@ class CDCLake:
     def _alloc_epoch(self) -> int:
         """Next unique epoch number: above both the committed manifest
         epoch and every epoch this instance has already handed out
-        (in-flight stream windows, prior compactions).  Single-writer,
-        driver-thread only.  Crash-resume safety is unchanged: a fresh
-        instance re-reads the manifest and re-assigns the same epoch to
-        the open window, whose deterministic delta path overwrites the
-        orphan."""
+        (in-flight stream windows, prior compactions), then CLAIMED
+        cross-process via an O_EXCL marker (``manifest.claim_epoch``) —
+        two writer processes can never share an epoch, so their
+        deterministic delta paths can never collide.  A crashed
+        writer's claim just burns a number: its orphan delta files are
+        invisible (uncommitted) and gc reclaims both.  Within one
+        instance the in-process high-water mark keeps retries of an
+        uncommitted epoch on fresh numbers, exactly as before."""
         # fencing hook: every write path allocates an epoch first, so a
         # leased writer re-validates here (no-op when leases are off)
         self._renew_writer()
@@ -731,7 +745,10 @@ class CDCLake:
         committed = max(m["epoch"], m.get("epoch_hwm", 0)) if m else 0
         # getattr: the actor path borrows this class via __new__ for
         # shared read/compact paths without running __init__
-        nxt = max(committed, getattr(self, "_epoch_hwm", 0)) + 1
+        nxt = mf.claim_epoch(
+            self.root, self.spec.name,
+            max(committed, getattr(self, "_epoch_hwm", 0)) + 1,
+        )
         self._epoch_hwm = nxt
         return nxt
 
@@ -1123,7 +1140,65 @@ class CDCLake:
     def _commit(self, prev: dict | None, epoch: int, stats: list[dict],
                 record: dict, spec: TableSpec | None = None,
                 txn: "LakeTransaction | None" = None):
+        """Phase 2.  The non-transactional path is OPTIMISTIC-
+        CONCURRENCY-safe: the fold runs under the cross-process commit
+        lock against the manifest re-read INSIDE it (never the stale
+        ``prev`` from apply start), so a concurrent writer's committed
+        files are preserved — both epochs' deltas land and LWW resolves
+        them deterministically at read.  If a NEWER claim committed
+        first (our snapshot number would regress, confusing every
+        epoch-ordered consumer — cursors, change sets, time travel),
+        the commit refuses with ``ConcurrentCommitError``: our phase-1
+        files stay invisible orphans (gc reclaims), and recovery is
+        restore-to-the-pre-race-snapshot + re-tail (the lost window's
+        events sit below the advanced watermark, so a plain re-apply
+        would skip them — restore reverts watermarks by design).
+        Transactional (``txn``) commits keep the stale-``prev`` fold and
+        remain under the single-writer-per-table contract (use the
+        writer lease to enforce it)."""
         spec = spec or self.spec
+        if txn is None:
+            with mf.commit_lock(self.root, self.spec.name):
+                cur = mf.read_manifest(self.root, self.spec.name)
+                if cur and cur["epoch"] > epoch:
+                    # pointer regression past PURE maintenance epochs
+                    # (compaction) is the long-standing same-writer
+                    # mid-stream behavior and is state-preserving —
+                    # only a newer DATA / layout / DDL epoch makes the
+                    # regression unsound for epoch-ordered consumers
+                    blockers = [
+                        r["epoch"] for r in cur.get("lineage", [])
+                        if r["epoch"] > epoch and not (
+                            r.get("compaction")
+                            and not r.get("reshard")
+                            and r.get("restore_of") is None
+                            and not r.get("ddl")
+                            and not r.get("clone")
+                        )
+                    ]
+                    if blockers:
+                        raise ConcurrentCommitError(
+                            f"epoch {epoch} lost the commit race to "
+                            f"newer epoch(s) {blockers}: its delta "
+                            "files are invisible orphans (gc "
+                            "reclaims); restore() to the pre-race "
+                            "snapshot and re-tail from the lost "
+                            "window (see ConcurrentCommitError)"
+                        )
+                if cur and cur["num_partitions"] != self.spec.num_partitions:
+                    raise ConcurrentCommitError(
+                        "partition layout changed under this epoch "
+                        f"({self.spec.num_partitions} -> "
+                        f"{cur['num_partitions']}): layout DDL requires "
+                        "quiesced writers; re-open the lake and re-apply"
+                    )
+                self._commit_fold(cur, epoch, stats, record, spec, None)
+            return
+        self._commit_fold(prev, epoch, stats, record, spec, txn)
+
+    def _commit_fold(self, prev: dict | None, epoch: int,
+                     stats: list[dict], record: dict,
+                     spec: TableSpec, txn: "LakeTransaction | None"):
         partitions = dict(prev["partitions"]) if prev else {}
         lineage = list(prev.get("lineage", [])) if prev else []
         for s in stats:
@@ -1147,6 +1222,24 @@ class CDCLake:
         # paused writer whose lease was stolen fails here, before the
         # pointer swap (no-op when leases are off)
         self._renew_writer()
+        dropped_union = (set((prev or {}).get("dropped_cols", []))
+                         | set(getattr(self, "dropped_cols", set())))
+        state_schema = self._state_schema(spec)
+        if prev is not None:
+            # rebase: a concurrent writer may have evolved columns this
+            # epoch never saw — the committed schema is the union, the
+            # same add/widen unification the read path applies; a
+            # column CONCURRENTLY dropped must not be resurrected by
+            # the union (our spec still carries it)
+            state_schema = pa.unify_schemas(
+                [mf.schema_from_b64(prev["schema"]), state_schema],
+                promote_options="permissive",
+            )
+            if dropped_union:
+                state_schema = pa.schema(
+                    [f for f in state_schema
+                     if f.name not in dropped_union]
+                )
         manifest = {
             "table": self.spec.name,
             "epoch": epoch,
@@ -1156,13 +1249,11 @@ class CDCLake:
             "epoch_hwm": max(self._epoch_hwm, epoch,
                              (prev or {}).get("epoch_hwm", 0)),
             "num_partitions": self.spec.num_partitions,
-            "schema": mf.schema_to_b64(self._state_schema(spec)),
+            "schema": mf.schema_to_b64(state_schema),
             "partitions": partitions,
             "lineage": lineage,
             "compacted": False,
-            "dropped_cols": sorted(
-                set((prev or {}).get("dropped_cols", []))
-                | set(getattr(self, "dropped_cols", set()))),
+            "dropped_cols": sorted(dropped_union),
         }
         if txn is not None:
             txn._stage(self.root, self.spec.name, manifest)
@@ -1746,7 +1837,14 @@ class CDCLake:
                 "compacted": False,
                 "dropped_cols": m.get("dropped_cols", []),
             }
-            mf.commit_manifest(self.root, self.spec.name, manifest)
+            with mf.commit_lock(self.root, self.spec.name):
+                curm = mf.read_manifest(self.root, self.spec.name)
+                if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
+                    raise ConcurrentCommitError(
+                        "layout/DDL verbs require quiesced writers: the "
+                        "manifest advanced during the operation; retry"
+                    )
+                mf.commit_manifest(self.root, self.spec.name, manifest)
             self.spec.num_partitions = new_num_partitions
             return record
 
@@ -1815,7 +1913,14 @@ class CDCLake:
             "compacted": False,  # tombstones retained — resolver path
             "dropped_cols": m.get("dropped_cols", []),
         }
-        mf.commit_manifest(self.root, self.spec.name, manifest)
+        with mf.commit_lock(self.root, self.spec.name):
+            curm = mf.read_manifest(self.root, self.spec.name)
+            if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
+                raise ConcurrentCommitError(
+                    "layout/DDL verbs require quiesced writers: the "
+                    "manifest advanced during the operation; retry"
+                )
+            mf.commit_manifest(self.root, self.spec.name, manifest)
         self.spec.num_partitions = new_num_partitions
         return record
 
@@ -2097,7 +2202,14 @@ class CDCLake:
                              m.get("epoch_hwm", 0)),
             "lineage": list(target.get("lineage", [])) + [record],
         }
-        mf.commit_manifest(self.root, spec.name, manifest)
+        with mf.commit_lock(self.root, spec.name):
+            curm = mf.read_manifest(self.root, spec.name)
+            if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
+                raise ConcurrentCommitError(
+                    "layout/DDL verbs require quiesced writers: the "
+                    "manifest advanced during the operation; retry"
+                )
+            mf.commit_manifest(self.root, spec.name, manifest)
         # the spec reverts with the snapshot (schema, partitioning,
         # dropped set) — mirror what __init__ restores from a manifest
         state_schema = mf.schema_from_b64(manifest["schema"])
@@ -2161,7 +2273,14 @@ class CDCLake:
             "dropped_cols": sorted(
                 set(m.get("dropped_cols", [])) | {col}),
         }
-        mf.commit_manifest(self.root, spec.name, manifest)
+        with mf.commit_lock(self.root, spec.name):
+            curm = mf.read_manifest(self.root, spec.name)
+            if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
+                raise ConcurrentCommitError(
+                    "layout/DDL verbs require quiesced writers: the "
+                    "manifest advanced during the operation; retry"
+                )
+            mf.commit_manifest(self.root, spec.name, manifest)
         return record
 
     def compact(self, max_files: int | None = None,
@@ -2220,68 +2339,104 @@ class CDCLake:
             .map_groups(writer, batch_format="pyarrow")
             .take_all()
         )
-        partitions = dict(m["partitions"])
         by_part: dict[str, list[dict]] = {}
         for s in stats:
             by_part.setdefault(str(s["part"]), []).append(s)
-        rewritten = set(by_part)
-        for p, rows_ in by_part.items():
-            partitions[p] = {
-                "files": [s["file"] for s in rows_],
-                "watermark": max(
-                    max(s["watermark"] for s in rows_),
-                    m["partitions"][p]["watermark"],
-                ),
-                "rows": sum(s["rows"] for s in rows_),
-                "sha_rollup": rows_[0]["sha_rollup"],
-                # a retained above-watermark tombstone OR base-less
-                # patch row means the file is NOT a clean base:
-                # merge-on-read must keep resolving it
-                "base": sum(s["tombstones"] + s["patches"]
-                            for s in rows_) == 0,
-                # the gate-audit counter is lineage-cumulative: carry it
-                # through the rewrite (the gated tombstones themselves
-                # are resolved away by compaction)
-                "gated": m["partitions"][p].get("gated", 0),
-                # fresh zone maps for the rewritten base file(s); stale
-                # per-delta stats drop with their files
-                "file_stats": {
-                    s["file"]: json.loads(s["stats"]) for s in rows_
-                },
-            }
-        # a targeted partition whose keys were ALL deleted yields no
-        # output group: drop its files, keep the watermark
-        for p, info in targets.items():
-            if p not in rewritten:
+        # commit under the cross-process lock, folded against the
+        # manifest re-read INSIDE it: delta files appended by a
+        # concurrent writer AFTER this compaction planned are kept
+        # (they were not consumed by the rewrite), and a partition
+        # whose consumed inputs vanished meanwhile (a racing
+        # compaction won) is skipped — its rewrite output becomes an
+        # invisible orphan for gc
+        with mf.commit_lock(self.root, self.spec.name):
+            cur = mf.read_manifest(self.root, self.spec.name)
+            if cur["epoch"] > epoch:
+                # newer DATA commits are safe to fold over (their files
+                # are kept as leftovers; racing compactions are caught
+                # by the consumed-files check) — only layout/DDL/restore
+                # above us makes this rewrite unsound
+                blockers = [
+                    r["epoch"] for r in cur.get("lineage", [])
+                    if r["epoch"] > epoch and (
+                        r.get("reshard")
+                        or r.get("restore_of") is not None
+                        or r.get("ddl")
+                    )
+                ]
+                if blockers:
+                    raise ConcurrentCommitError(
+                        f"compaction epoch {epoch} raced layout/DDL "
+                        f"epoch(s) {blockers}: retry compact()"
+                    )
+            if cur["num_partitions"] != self.spec.num_partitions:
+                raise ConcurrentCommitError(
+                    "partition layout changed under this compaction; "
+                    "re-open the lake and retry"
+                )
+            partitions = dict(cur["partitions"])
+            touched = 0
+            for p, plan_info in targets.items():
+                cur_info = partitions.get(p, {"files": [],
+                                              "watermark": -1, "rows": 0})
+                consumed = set(plan_info["files"])
+                if not consumed <= set(cur_info["files"]):
+                    continue  # lost a racing rewrite of this partition
+                rows_ = by_part.get(p, [])
+                touched += bool(rows_)  # all-deleted folds don't count
+                leftover = [f for f in cur_info["files"]
+                            if f not in consumed]
+                fstats = {f: st for f, st in
+                          cur_info.get("file_stats", {}).items()
+                          if f not in consumed}
+                fstats.update({s["file"]: json.loads(s["stats"])
+                               for s in rows_})
                 partitions[p] = {
-                    "files": [], "watermark": info["watermark"],
-                    "rows": 0, "sha_rollup": None, "base": True,
-                    "gated": info.get("gated", 0),
+                    # rewrite output first, concurrent leftovers after
+                    "files": [s["file"] for s in rows_] + leftover,
+                    "watermark": max(
+                        [cur_info["watermark"]]
+                        + [s["watermark"] for s in rows_]),
+                    "rows": (cur_info["rows"] - plan_info["rows"]
+                             + sum(s["rows"] for s in rows_)),
+                    "sha_rollup": (rows_[0]["sha_rollup"]
+                                   if rows_ else None),
+                    # a retained above-watermark tombstone OR base-less
+                    # patch row means the file is NOT a clean base —
+                    # and neither is a partition with concurrent
+                    # leftover deltas: merge-on-read keeps resolving
+                    "base": not leftover and sum(
+                        s["tombstones"] + s["patches"] for s in rows_
+                    ) == 0,
+                    # the gate-audit counter is lineage-cumulative:
+                    # carry it through the rewrite
+                    "gated": cur_info.get("gated", 0),
+                    "file_stats": fstats,
                 }
-        record = {
-            "epoch": epoch,
-            "compaction": True,
-            "partitions_touched": len(by_part),
-            "rows": int(sum(s["rows"] for s in stats)),
-        }
-        lineage = list(m.get("lineage", [])) + [record]
-        all_base = all(
-            info.get("base") or not info["files"]
-            for info in partitions.values()
-        )
-        manifest = {
-            "table": self.spec.name,
-            "epoch": epoch,
-            "epoch_hwm": max(self._epoch_hwm, epoch,
-                             m.get("epoch_hwm", 0)),
-            "num_partitions": self.spec.num_partitions,
-            "schema": m["schema"],
-            "partitions": partitions,
-            "lineage": lineage,
-            "compacted": all_base,
-            "dropped_cols": m.get("dropped_cols", []),
-        }
-        mf.commit_manifest(self.root, self.spec.name, manifest)
+            record = {
+                "epoch": epoch,
+                "compaction": True,
+                "partitions_touched": touched,
+                "rows": int(sum(s["rows"] for s in stats)),
+            }
+            lineage = list(cur.get("lineage", [])) + [record]
+            all_base = all(
+                info.get("base") or not info["files"]
+                for info in partitions.values()
+            )
+            manifest = {
+                "table": self.spec.name,
+                "epoch": epoch,
+                "epoch_hwm": max(self._epoch_hwm, epoch,
+                                 cur.get("epoch_hwm", 0)),
+                "num_partitions": self.spec.num_partitions,
+                "schema": cur["schema"],
+                "partitions": partitions,
+                "lineage": lineage,
+                "compacted": all_base,
+                "dropped_cols": cur.get("dropped_cols", []),
+            }
+            mf.commit_manifest(self.root, self.spec.name, manifest)
         return record
 
     def gc(self, retain_manifests: int = 1) -> list[str]:

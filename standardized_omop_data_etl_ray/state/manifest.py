@@ -73,6 +73,67 @@ def list_manifest_epochs(root: str | Path, table: str) -> list[int]:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def commit_lock(root: str | Path, table: str,
+                timeout_s: float = 30.0, stale_s: float = 60.0):
+    """Cross-process mutual exclusion for the manifest
+    read-fold-swap critical section (commit rebase, compaction fold).
+    O_EXCL lockfile; a stale lock (crashed holder) is stolen after
+    ``stale_s``.  This is the local-fs analog of the lock provider
+    Delta needs on S3 (conditional puts / DynamoDB) — on an object
+    store, swap this for the store's conditional-write primitive."""
+    lock = table_root(root, table) / "_COMMIT_LOCK"
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - lock.stat().st_mtime > stale_s:
+                    lock.unlink()  # steal; loop re-races the O_EXCL
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"commit lock {lock} held for >{timeout_s}s"
+                )
+            time.sleep(0.01)
+    try:
+        yield
+    finally:
+        try:
+            lock.unlink()
+        except FileNotFoundError:
+            pass
+
+
+def claim_epoch(root: str | Path, table: str, start: int) -> int:
+    """Atomically claim the next free epoch number ≥ ``start`` via
+    O_EXCL marker files under ``_epochs/`` — two writer PROCESSES can
+    never share an epoch (shared epoch = colliding deterministic delta
+    paths = silent corruption).  Claims are tiny; gc reclaims those at
+    or below the committed epoch."""
+    edir = table_root(root, table) / "_epochs"
+    edir.mkdir(parents=True, exist_ok=True)
+    n = start
+    while True:
+        try:
+            fd = os.open(edir / f"{n:06d}.claim",
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return n
+        except FileExistsError:
+            n += 1
+
+
 def epoch_for_ts(root: str | Path, table: str, ts: float) -> int | None:
     """Timestamp time travel (Delta's TIMESTAMP AS OF): the epoch of
     the newest retained snapshot whose ``committed_at`` is at or before
@@ -213,6 +274,18 @@ def gc(root: str | Path, table: str, retain_manifests: int = 1) -> list[str]:
         if str(p) not in keep:
             p.unlink()
             removed.append(str(p))
+    # epoch claim markers (claim_epoch) at or below the committed
+    # epoch can never be re-claimed — drop them; claims ABOVE it may
+    # belong to in-flight writers and must survive
+    if m:
+        committed = max(m["epoch"], m.get("epoch_hwm", 0))
+        for c in (troot / "_epochs").glob("*.claim"):
+            try:
+                if int(c.stem) <= committed:
+                    c.unlink()
+                    removed.append(str(c))
+            except ValueError:
+                pass
     # bloom sidecars (state/bloom.py) ride with their data file: one
     # whose `<file>.parquet` partner is not retained (reclaimed above,
     # or orphaned by a crash between the two phase-1 renames) goes too

@@ -2368,3 +2368,109 @@ def test_key_history_audit(tmp_path):
     # ... but the retained pre-compaction snapshot serves the deep chain
     deep = lake.key_history(keys, at_epoch=last_epoch).to_pandas()
     pd.testing.assert_frame_equal(deep[cols].reset_index(drop=True), want)
+
+
+def test_concurrent_epoch_claims_are_unique(tmp_path):
+    """Two writer INSTANCES on one table can never share an epoch:
+    allocation claims a cross-process O_EXCL marker, so deterministic
+    delta paths cannot collide.  gc reclaims claims at or below the
+    committed epoch, keeps in-flight ones above it."""
+    lake1 = CDCLake(tmp_path, _spec())
+    lake2 = CDCLake(tmp_path, _spec())
+    es = [lake1._alloc_epoch(), lake2._alloc_epoch(),
+          lake1._alloc_epoch(), lake2._alloc_epoch()]
+    assert len(set(es)) == 4
+    lake1.apply_events(rd.from_arrow(BATCHES[0]))
+    committed = mf.read_manifest(str(tmp_path), "cdc")["epoch"]
+    inflight = lake2._alloc_epoch()
+    assert inflight > committed
+    lake1.gc()
+    edir = Path(tmp_path) / "cdc" / "_epochs"
+    left = sorted(int(p.stem) for p in edir.glob("*.claim"))
+    assert all(e > committed for e in left)
+    assert inflight in left
+
+
+def test_concurrent_commit_rebase_preserves_both(tmp_path):
+    """Optimistic concurrency, in-order case: writer A claims an epoch
+    and commits; writer B — whose manifest view is STALE (read before
+    A's commit) but whose claim is newer — commits after and must
+    REBASE: A's files survive in B's manifest, the state is the LWW of
+    both windows, and all commits appear in lineage."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+
+    lake_a = CDCLake(tmp_path, _spec())
+    lake_b = CDCLake(tmp_path, _spec())
+    lake_a.apply_events(rd.from_arrow(BATCHES[0]))  # epoch 1
+
+    m_stale = mf.read_manifest(str(tmp_path), "cdc")
+    e_a = lake_a._alloc_epoch()
+    stats_a = lake_a._phase1(rd.from_arrow(BATCHES[1]), e_a,
+                             lake_a._watermarks(m_stale))
+    e_b = lake_b._alloc_epoch()
+    assert e_b > e_a
+    stats_b = lake_b._phase1(rd.from_arrow(BATCHES[2]), e_b,
+                             lake_b._watermarks(m_stale))
+    # A commits first (cur.epoch < e_a: plain fold) ...
+    lake_a._commit(m_stale, e_a, stats_a, {"epoch": e_a})
+    # ... then B commits with its STALE prev: the rebase must fold
+    # against the CURRENT manifest, keeping A's files
+    lake_b._commit(m_stale, e_b, stats_b, {"epoch": e_b})
+
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    assert m["epoch"] == e_b
+    committed_epochs = {r["epoch"] for r in m["lineage"]}
+    assert {1, e_a, e_b} <= committed_epochs
+    files = [f for info in m["partitions"].values() for f in info["files"]]
+    assert any(f"epoch={e_a:06d}" in f for f in files), "A's files lost"
+    assert any(f"epoch={e_b:06d}" in f for f in files)
+    # the merged state equals the full-log oracle for the 3 windows
+    want = oracle_apply(
+        pa.concat_tables([BATCHES[0], BATCHES[1], BATCHES[2]])
+    )
+    n_batches = len(BATCHES)
+    if n_batches == 3:
+        assert_states_equal(_state(lake_b), ORACLE)
+    else:
+        assert_states_equal(_state(lake_b), want)
+
+
+def test_concurrent_commit_inversion_refused(tmp_path):
+    """Optimistic concurrency, inversion case: an OLDER claim trying to
+    commit after a NEWER claim already landed is refused loudly
+    (snapshot numbers must not regress — cursors, change sets and time
+    travel order by them); its files stay invisible orphans, gc
+    reclaims them, and the DOCUMENTED recovery — restore() to the
+    pre-race snapshot (watermarks revert with it) + re-tail from the
+    lost window — converges to the oracle exactly-once."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import (
+        ConcurrentCommitError,
+    )
+
+    lake_a = CDCLake(tmp_path, _spec())
+    lake_b = CDCLake(tmp_path, _spec())
+    lake_a.apply_events(rd.from_arrow(BATCHES[0]))
+
+    m_stale = mf.read_manifest(str(tmp_path), "cdc")
+    e_a = lake_a._alloc_epoch()          # older claim
+    stats_a = lake_a._phase1(rd.from_arrow(BATCHES[1]), e_a,
+                             lake_a._watermarks(m_stale))
+    lake_b.apply_events(rd.from_arrow(BATCHES[2]))  # newer claim commits
+    with pytest.raises(ConcurrentCommitError, match="lost the commit"):
+        lake_a._commit(m_stale, e_a, stats_a, {"epoch": e_a})
+
+    # the refused epoch's files are invisible and reclaimable
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    files = [f for info in m["partitions"].values() for f in info["files"]]
+    assert not any(f"epoch={e_a:06d}" in f for f in files)
+    removed = lake_a.gc()
+    assert any(f"epoch={e_a:06d}" in r for r in removed)
+    # recovery per the error contract: a PLAIN re-apply would skip the
+    # lost window (its lsns sit below the watermark BATCHES[2] raised)
+    # — restore to the pre-race snapshot, then re-tail in order
+    lake_a.restore(m_stale["epoch"])
+    for b in BATCHES[1:]:
+        lake_a.apply_events(rd.from_arrow(b))
+    for b in BATCHES:
+        lake_a.apply_events(rd.from_arrow(b))  # full redelivery no-op
+    assert_states_equal(_state(lake_a), ORACLE)
