@@ -1702,7 +1702,13 @@ class CDCLake:
             len(info["files"]) > k for info in m["partitions"].values()
         ):
             return None
-        return self.compact(max_files=k)
+        try:
+            return self.compact(max_files=k)
+        except ConcurrentCommitError:
+            # maintenance is best-effort: losing a race to concurrent
+            # layout/DDL must not fail the APPLY that triggered it —
+            # the next commit re-triggers once the dust settles
+            return None
 
     def clone(self, dest_root: str, at_epoch: int | None = None) -> "CDCLake":
         """Zero-copy branch: a new independent lake at ``dest_root``

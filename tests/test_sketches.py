@@ -123,3 +123,25 @@ def test_bloom_kernel_no_false_negatives():
     # empty build is valid and rejects nothing it must hold
     eb = bloom.build(np.array([], dtype=np.uint64))
     assert not bloom.might_contain(eb, members).any()
+
+
+def _claim_worker(args):
+    root, table, n = args
+    from standardized_omop_data_etl_ray.state import manifest as mf
+    return [mf.claim_epoch(root, table, 1) for _ in range(n)]
+
+
+def test_epoch_claims_unique_across_processes(tmp_path):
+    """manifest.claim_epoch: O_EXCL markers make epoch numbers unique
+    across real OS PROCESSES racing on one table — the property the
+    optimistic-concurrency contract (and every deterministic delta
+    path) rests on."""
+    import multiprocessing as mp
+
+    root, table = str(tmp_path), "t"
+    with mp.get_context("spawn").Pool(4) as pool:
+        claims = pool.map(_claim_worker,
+                          [(root, table, 25)] * 4)
+    flat = [e for c in claims for e in c]
+    assert len(flat) == 100
+    assert len(set(flat)) == 100, "duplicate epoch claimed across processes"
