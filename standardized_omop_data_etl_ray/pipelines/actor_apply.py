@@ -228,6 +228,12 @@ class ActorLake:
                 "one winner per key and would drop patch rows"
             )
         m = mf.read_manifest(self.root, self.spec.name)
+        # NB: deliberately NOT claim_epoch() — the actor path's
+        # exactly-once-under-retry contract RELIES on epoch-number
+        # reuse (the appliers roll back a pending epoch transaction
+        # when the same epoch is re-applied after a failed phase 2).
+        # The path is single-writer by contract; use the CDCLake path
+        # (claims + rebase) when concurrent writers are possible.
         epoch = (m["epoch"] + 1) if m else 1
 
         # schema evolution: unify the incoming event schema (add/widen
@@ -284,6 +290,14 @@ class ActorLake:
         return record
 
     def _commit(self, prev, epoch, stats, record):
+        # fold under the cross-process lock against the manifest
+        # re-read inside it (same rebase rule as CDCLake._commit): a
+        # concurrent maintenance commit's files survive
+        with mf.commit_lock(self.root, self.spec.name):
+            prev = mf.read_manifest(self.root, self.spec.name) or prev
+            self._commit_fold(prev, epoch, stats, record)
+
+    def _commit_fold(self, prev, epoch, stats, record):
         partitions = dict(prev["partitions"]) if prev else {}
         lineage = list(prev.get("lineage", [])) if prev else []
         for s in stats:

@@ -2474,3 +2474,35 @@ def test_concurrent_commit_inversion_refused(tmp_path):
     for b in BATCHES:
         lake_a.apply_events(rd.from_arrow(b))  # full redelivery no-op
     assert_states_equal(_state(lake_a), ORACLE)
+
+
+def test_stale_commit_lock_is_stolen(tmp_path):
+    """A crashed writer's abandoned _COMMIT_LOCK must not wedge the
+    table: commits steal locks older than the staleness bound and
+    proceed; a FRESH lock from a live writer blocks until released
+    (bounded wait)."""
+    import os
+    import time as _time
+
+    lake = CDCLake(tmp_path, _spec())
+    lock = Path(tmp_path) / "cdc" / "_COMMIT_LOCK"
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("99999 0.0")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))  # crashed holder, an hour ago
+    rec = lake.apply_events(rd.from_arrow(BATCHES[0]))
+    assert rec["committed"]
+    assert not lock.exists(), "stolen lock must be released after commit"
+
+    # a LIVE lock delays but does not deadlock: hold it briefly from a
+    # thread, start a commit, assert it lands after the release
+    import threading
+
+    lock.write_text(f"{os.getpid()} {_time.time()}")
+    released = threading.Timer(1.0, lock.unlink)
+    released.start()
+    t0 = _time.time()
+    rec2 = lake.apply_events(rd.from_arrow(BATCHES[1]))
+    released.join()
+    assert rec2["committed"]
+    assert _time.time() - t0 >= 0.9, "commit should have waited"
