@@ -228,13 +228,20 @@ class ActorLake:
                 "one winner per key and would drop patch rows"
             )
         m = mf.read_manifest(self.root, self.spec.name)
-        # NB: deliberately NOT claim_epoch() — the actor path's
-        # exactly-once-under-retry contract RELIES on epoch-number
-        # reuse (the appliers roll back a pending epoch transaction
-        # when the same epoch is re-applied after a failed phase 2).
-        # The path is single-writer by contract; use the CDCLake path
-        # (claims + rebase) when concurrent writers are possible.
-        epoch = (m["epoch"] + 1) if m else 1
+        # Epoch numbering must satisfy BOTH contracts (review finding):
+        # the appliers' exactly-once-under-retry rollback keys on
+        # epoch-number REUSE, while cross-process safety (a concurrent
+        # maintenance writer on the same root) demands CLAIMED numbers.
+        # So: an in-process retry of a still-uncommitted epoch reuses
+        # its number (the claim is already ours); a fresh epoch claims
+        # a new one.
+        pending = getattr(self, "_pending_epoch", None)
+        if pending is not None:
+            epoch = pending
+        else:
+            epoch = mf.claim_epoch(self.root, self.spec.name,
+                                   (m["epoch"] + 1) if m else 1)
+        self._pending_epoch = epoch
 
         # schema evolution: unify the incoming event schema (add/widen
         # allowed, narrowing rejected) before standardize pads to target
@@ -286,6 +293,7 @@ class ActorLake:
             record["committed"] = False
             return record
         self._commit(m, epoch, [s for s in stats if "file" in s], record)
+        self._pending_epoch = None  # committed: the next epoch is fresh
         record["committed"] = True
         return record
 

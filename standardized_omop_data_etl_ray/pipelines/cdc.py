@@ -1005,7 +1005,10 @@ class CDCLake:
         stats = fut.result()
         commit_wait = time.time() - t_wait
         t_commit = time.time()
-        prev = mf.read_manifest(self.root, self.spec.name)
+        # no manifest read here: the non-txn _commit re-reads it inside
+        # the commit lock anyway (review finding — manifests carry
+        # per-file zone maps and grow; a redundant parse per epoch is
+        # real cost on the ordered-commit hot path)
         record = {
             "epoch": epoch,
             "partitions_touched": len(stats),
@@ -1020,7 +1023,7 @@ class CDCLake:
             record["rows_dead_lettered"] = self._dlq_rows(epoch)
         # commit with the epoch's OWN spec snapshot: the live spec may
         # already carry columns from still-uncommitted in-flight windows
-        self._commit(prev, epoch, stats, record, spec_snap)
+        self._commit(None, epoch, stats, record, spec_snap)
         # the DRIVER-SIDE constant per epoch (manifest read + swap) —
         # distinct from commit_wait_sec, which is time spent waiting on
         # the epoch's distributed phase 1 and scales with the cluster
@@ -1137,6 +1140,21 @@ class CDCLake:
         )
         return stats_ds.take_all()  # ≤ P tiny rows — phase 1 complete here
 
+    def _commit_quiesced(self, manifest: dict, planned: dict | None):
+        """Layout/DDL commit point, shared by reshard/restore/
+        drop_column (review finding: one helper, not four copies):
+        exclusive by contract — under the lock, refuse if the manifest
+        advanced past the snapshot the verb planned against."""
+        with mf.commit_lock(self.root, self.spec.name):
+            curm = mf.read_manifest(self.root, self.spec.name)
+            if (curm or {}).get("epoch", 0) != (planned or {}).get(
+                    "epoch", 0):
+                raise ConcurrentCommitError(
+                    "layout/DDL verbs require quiesced writers: the "
+                    "manifest advanced during the operation; retry"
+                )
+            mf.commit_manifest(self.root, self.spec.name, manifest)
+
     def _commit(self, prev: dict | None, epoch: int, stats: list[dict],
                 record: dict, spec: TableSpec | None = None,
                 txn: "LakeTransaction | None" = None):
@@ -1230,16 +1248,22 @@ class CDCLake:
             # epoch never saw — the committed schema is the union, the
             # same add/widen unification the read path applies; a
             # column CONCURRENTLY dropped must not be resurrected by
-            # the union (our spec still carries it)
-            state_schema = pa.unify_schemas(
+            # the union (our spec still carries it).  unify_schemas
+            # APPENDS new fields after the engine columns — re-impose
+            # the canonical order (payload first, engine cols last):
+            # lookup()/key_history() cast to _state_schema(), and
+            # pa.Table.cast is field-ORDER-sensitive (review finding).
+            unified = pa.unify_schemas(
                 [mf.schema_from_b64(prev["schema"]), state_schema],
                 promote_options="permissive",
             )
-            if dropped_union:
-                state_schema = pa.schema(
-                    [f for f in state_schema
-                     if f.name not in dropped_union]
-                )
+            engine = ("content_sha", "key_hash", "part")
+            state_schema = pa.schema(
+                [f for f in unified
+                 if f.name not in engine and f.name not in dropped_union]
+                + [unified.field(n) for n in engine
+                   if n in unified.names]
+            )
         manifest = {
             "table": self.spec.name,
             "epoch": epoch,
@@ -1843,14 +1867,7 @@ class CDCLake:
                 "compacted": False,
                 "dropped_cols": m.get("dropped_cols", []),
             }
-            with mf.commit_lock(self.root, self.spec.name):
-                curm = mf.read_manifest(self.root, self.spec.name)
-                if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
-                    raise ConcurrentCommitError(
-                        "layout/DDL verbs require quiesced writers: the "
-                        "manifest advanced during the operation; retry"
-                    )
-                mf.commit_manifest(self.root, self.spec.name, manifest)
+            self._commit_quiesced(manifest, m)
             self.spec.num_partitions = new_num_partitions
             return record
 
@@ -1919,14 +1936,7 @@ class CDCLake:
             "compacted": False,  # tombstones retained — resolver path
             "dropped_cols": m.get("dropped_cols", []),
         }
-        with mf.commit_lock(self.root, self.spec.name):
-            curm = mf.read_manifest(self.root, self.spec.name)
-            if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
-                raise ConcurrentCommitError(
-                    "layout/DDL verbs require quiesced writers: the "
-                    "manifest advanced during the operation; retry"
-                )
-            mf.commit_manifest(self.root, self.spec.name, manifest)
+        self._commit_quiesced(manifest, m)
         self.spec.num_partitions = new_num_partitions
         return record
 
@@ -2208,14 +2218,7 @@ class CDCLake:
                              m.get("epoch_hwm", 0)),
             "lineage": list(target.get("lineage", [])) + [record],
         }
-        with mf.commit_lock(self.root, spec.name):
-            curm = mf.read_manifest(self.root, spec.name)
-            if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
-                raise ConcurrentCommitError(
-                    "layout/DDL verbs require quiesced writers: the "
-                    "manifest advanced during the operation; retry"
-                )
-            mf.commit_manifest(self.root, spec.name, manifest)
+        self._commit_quiesced(manifest, m)
         # the spec reverts with the snapshot (schema, partitioning,
         # dropped set) — mirror what __init__ restores from a manifest
         state_schema = mf.schema_from_b64(manifest["schema"])
@@ -2279,14 +2282,7 @@ class CDCLake:
             "dropped_cols": sorted(
                 set(m.get("dropped_cols", [])) | {col}),
         }
-        with mf.commit_lock(self.root, spec.name):
-            curm = mf.read_manifest(self.root, spec.name)
-            if (curm or {}).get("epoch", 0) != (m or {}).get("epoch", 0):
-                raise ConcurrentCommitError(
-                    "layout/DDL verbs require quiesced writers: the "
-                    "manifest advanced during the operation; retry"
-                )
-            mf.commit_manifest(self.root, spec.name, manifest)
+        self._commit_quiesced(manifest, m)
         return record
 
     def compact(self, max_files: int | None = None,

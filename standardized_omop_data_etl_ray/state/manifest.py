@@ -81,23 +81,37 @@ def commit_lock(root: str | Path, table: str,
                 timeout_s: float = 30.0, stale_s: float = 60.0):
     """Cross-process mutual exclusion for the manifest
     read-fold-swap critical section (commit rebase, compaction fold).
-    O_EXCL lockfile; a stale lock (crashed holder) is stolen after
-    ``stale_s``.  This is the local-fs analog of the lock provider
-    Delta needs on S3 (conditional puts / DynamoDB) — on an object
-    store, swap this for the store's conditional-write primitive."""
+    O_EXCL lockfile carrying an OWNERSHIP TOKEN; a stale lock (crashed
+    holder) is stolen after ``stale_s``.  Steal and release are both
+    token-guarded (review finding): stealing goes through an atomic
+    ``rename`` so exactly ONE of N waiters retires a stale lock (a
+    naive stat-then-unlink lets two waiters both "steal" and both
+    enter), and release unlinks only if the file still carries OUR
+    token (a slow holder whose lock was stolen must not delete the
+    thief's fresh lock).  This is the local-fs analog of the lock
+    provider Delta needs on S3 (conditional puts / DynamoDB) — on an
+    object store, swap for the store's conditional-write primitive."""
     lock = table_root(root, table) / "_COMMIT_LOCK"
     lock.parent.mkdir(parents=True, exist_ok=True)
+    token = f"{os.getpid()}-{time.time_ns()}-{os.urandom(4).hex()}"
     deadline = time.time() + timeout_s
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.write(fd, token.encode())
             os.close(fd)
             break
         except FileExistsError:
             try:
                 if time.time() - lock.stat().st_mtime > stale_s:
-                    lock.unlink()  # steal; loop re-races the O_EXCL
+                    # atomic steal: exactly one waiter wins the rename;
+                    # everyone then re-races the O_EXCL create above
+                    grave = lock.with_name(f"_COMMIT_LOCK.stale-{token}")
+                    try:
+                        os.rename(lock, grave)
+                        grave.unlink()
+                    except OSError:
+                        pass
                     continue
             except FileNotFoundError:
                 continue
@@ -110,8 +124,9 @@ def commit_lock(root: str | Path, table: str,
         yield
     finally:
         try:
-            lock.unlink()
-        except FileNotFoundError:
+            if lock.read_text() == token:
+                lock.unlink()
+        except (FileNotFoundError, OSError):
             pass
 
 
@@ -136,26 +151,25 @@ def claim_epoch(root: str | Path, table: str, start: int) -> int:
 
 def epoch_for_ts(root: str | Path, table: str, ts: float) -> int | None:
     """Timestamp time travel (Delta's TIMESTAMP AS OF): the epoch of
-    the newest retained snapshot whose ``committed_at`` is at or before
-    ``ts``, or None if no commit is that old.  ``committed_at`` is
-    monotone in epoch under the single-writer contract, so the log is
-    scanned in epoch order and the scan stops at the first newer
-    commit.  Pre-upgrade manifests without the stamp are treated as
-    arbitrarily old (they always qualify) — conservative: a ts query
-    can only land on or before the first stamped commit, never after
-    it.  Driver-side metadata cost only."""
+    the LATEST-COMMITTED retained snapshot whose ``committed_at`` is at
+    or before ``ts``, or None if no commit is that old.  The whole log
+    is scanned (metadata-sized, driver-side) — committed_at is NOT
+    assumed monotone in epoch number, because maintenance epochs may
+    legitimately commit after a numerically higher data epoch
+    (mid-stream autocompaction; the concurrent-compaction fold).  Ties
+    break to the higher epoch.  Pre-upgrade manifests without the
+    stamp are treated as arbitrarily old (they always qualify)."""
     mdir = table_root(root, table) / "_manifests"
     if not mdir.exists():
         return None
-    best = None
+    best: tuple[float, int] | None = None
     for p in sorted(mdir.glob("manifest-*.json")):
         with open(p) as f:
             m = json.load(f)
-        if m.get("committed_at", float("-inf")) <= ts:
-            best = m["epoch"]
-        else:
-            break
-    return best
+        at = m.get("committed_at", float("-inf"))
+        if at <= ts and (best is None or (at, m["epoch"]) > best):
+            best = (at, m["epoch"])
+    return best[1] if best else None
 
 
 def read_manifest_at(root: str | Path, table: str, epoch: int) -> dict | None:
@@ -189,8 +203,8 @@ def commit_manifest(root: str | Path, table: str, manifest: dict) -> None:
     could revert an acknowledged epoch (or leave an empty pointer)."""
     # stamped UNCONDITIONALLY: every call is a new commit, and manifests
     # built by spreading an older one (restore, drop_column) must not
-    # inherit its stamp — committed_at stays monotone in epoch, which
-    # epoch_for_ts's early-exit scan relies on
+    # inherit its stamp — committed_at records the true commit instant
+    # (epoch_for_ts orders by it, not by epoch number)
     manifest["committed_at"] = time.time()
     troot = table_root(root, table)
     mdir = troot / "_manifests"
@@ -274,6 +288,20 @@ def gc(root: str | Path, table: str, retain_manifests: int = 1) -> list[str]:
         if str(p) not in keep:
             p.unlink()
             removed.append(str(p))
+    # crashed-writer tmp orphans (.parquet.tmp / .bloom.tmp: a crash
+    # between the tmp write and its rename leaks the tmp forever —
+    # review finding).  Only STALE ones are reclaimed so an in-flight
+    # phase-1 task's live tmp is never yanked from under it.
+    now = time.time()
+    for t in troot.rglob("*.tmp"):
+        if "_dead_letter" in t.parts:
+            continue
+        try:
+            if now - t.stat().st_mtime > 3600:
+                t.unlink()
+                removed.append(str(t))
+        except FileNotFoundError:
+            pass
     # epoch claim markers (claim_epoch) at or below the committed
     # epoch can never be re-claimed — drop them; claims ABOVE it may
     # belong to in-flight writers and must survive

@@ -2506,3 +2506,31 @@ def test_stale_commit_lock_is_stolen(tmp_path):
     released.join()
     assert rec2["committed"]
     assert _time.time() - t0 >= 0.9, "commit should have waited"
+
+
+def test_lookup_after_schema_evolution(tmp_path):
+    """Review-finding regression: an epoch that ADDS a column must
+    commit a manifest schema in canonical order (payload first, engine
+    columns last) — pa.unify_schemas appends new fields after the
+    engine columns, and lookup()/key_history() cast with field-ORDER-
+    sensitive Table.cast, so the un-reordered union crashed every
+    point read on an evolved lake."""
+    lake = CDCLake(tmp_path, _spec())
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    evolved = BATCHES[1].append_column(
+        "stars", pa.array(range(BATCHES[1].num_rows), pa.int64()))
+    lake.apply_events(rd.from_arrow(evolved))
+
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    names = mf.schema_from_b64(m["schema"]).names
+    assert names[-3:] == ["content_sha", "key_hash", "part"]
+    assert "stars" in names[:-3]
+
+    ev = evolved.to_pandas()
+    keys = (ev[["repo", "path"]].drop_duplicates().head(3)
+            .to_dict("records"))
+    got = lake.lookup(keys)        # crashed before the fix
+    assert got.num_rows > 0
+    assert "stars" in got.schema.names
+    hist = lake.key_history(keys)
+    assert hist.num_rows >= got.num_rows
