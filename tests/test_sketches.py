@@ -145,3 +145,38 @@ def test_epoch_claims_unique_across_processes(tmp_path):
     flat = [e for c in claims for e in c]
     assert len(flat) == 100
     assert len(set(flat)) == 100, "duplicate epoch claimed across processes"
+
+
+def test_commit_lock_mutual_exclusion():
+    """manifest.commit_lock: a read-modify-write critical section under
+    8 racing threads loses no update (lock violations would drop
+    increments); locks release promptly (no residual file)."""
+    import tempfile
+    import threading
+    import time as _time
+    from pathlib import Path
+
+    from standardized_omop_data_etl_ray.state import manifest as mf
+
+    root = tempfile.mkdtemp()
+    counter = {"v": 0}
+    errs = []
+
+    def worker():
+        try:
+            for _ in range(15):
+                with mf.commit_lock(root, "t", timeout_s=60, stale_s=30):
+                    v = counter["v"]
+                    _time.sleep(0.001)
+                    counter["v"] = v + 1
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert counter["v"] == 8 * 15
+    assert not (Path(root) / "t" / "_COMMIT_LOCK").exists()
