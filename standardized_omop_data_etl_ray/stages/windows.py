@@ -250,8 +250,16 @@ def watermark_split(
         tsv = pc.cast(t.column(ts_col), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        run = np.maximum.accumulate(tsv)
-        before = np.concatenate(([prefix_max], run[:-1]))
+        # the running max must be SEEDED with the prior-blocks prefix:
+        # accumulate(tsv) alone understates the watermark for every row
+        # until the block internally re-exceeds prefix_max, and since
+        # sort-block boundaries are sampled they vary run to run — the
+        # bug surfaced as a FLAKY late-count (found by a hash-unstable
+        # driver rehearsal, then reproduced 6x)
+        run = np.maximum.accumulate(
+            np.concatenate(([prefix_max], tsv))
+        )
+        before = run[:-1]
         late = tsv < (before - lateness_us)
         return t.append_column("__late", pa.array(late))
 

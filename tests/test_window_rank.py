@@ -94,3 +94,40 @@ def test_group_rank_null_order_values_tie():
     """).df()
     assert got["rank"].tolist() == want["rank"].tolist()
     assert got["dense_rank"].tolist() == want["dense_rank"].tolist()
+
+
+def test_watermark_split_seeds_prefix_across_blocks():
+    """Regression (round 4): the in-block running max must be SEEDED
+    with the prior-blocks prefix max.  Craft a stream with tall spikes
+    followed by long low runs, so ANY sort-block boundary landing in a
+    run exposes an unseeded accumulate (rows in a new block would see
+    a too-low watermark and be marked on-time instead of late).
+    Compare against a serial numpy oracle regardless of how Ray splits
+    the sorted blocks."""
+    from standardized_omop_data_etl_ray.stages.windows import (
+        watermark_split,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    ts = rng.integers(0, 1_000_000, n).astype(np.int64)
+    spikes = np.arange(50, n, 977)          # tall spike every ~1k rows
+    ts[spikes] = 2_000_000_000 + np.arange(len(spikes)) * 1_000_000
+    df = pd.DataFrame({"arrival": np.arange(n), "ts": ts})
+
+    lateness = 60_000_000
+    run = np.maximum.accumulate(
+        np.concatenate(([-(2**62)], ts))
+    )
+    want_late = ts < (run[:-1] - lateness)
+    assert want_late.sum() > 1000  # the crafted stream IS late-heavy
+
+    got = (
+        watermark_split(
+            rd.from_pandas(df).repartition(16), "ts", "arrival",
+            lateness_us=lateness,
+        )
+        .to_pandas()
+        .sort_values("arrival", ignore_index=True)
+    )
+    assert got["__late"].to_numpy().tolist() == want_late.tolist()
