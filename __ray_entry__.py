@@ -3843,6 +3843,46 @@ WHERE lang = 'en'
 """
 
 
+def cdc_clustered_read_docs(sf_dir: str):
+    """OPTIMIZE + manifest-stats file skipping (pipelines/cdc.py
+    ``cluster`` / ``read_state(filters=)``): flagship replay, then
+    ``cluster(["lang"])`` rewrites every partition's resolved state as
+    value-clustered files whose manifest zone maps carry exact lang
+    bounds, and ``read_state(filters=[("lang","=","fr")])`` skips
+    whole files those bounds disprove BEFORE any byte is read — the
+    query asserts >0 files skipped so the pruning is load-bearing.
+    Skipping is gated on clean-base partitions (merge-on-read
+    soundness: a delta's superseded versions must reach the LWW
+    resolve), which cluster() guarantees.  Oracle: the closed-form
+    winners filtered on lang."""
+    from standardized_omop_data_etl_ray.pipelines.flagship import run_flagship
+
+    lake_root = tempfile.mkdtemp(prefix="cdc_lake_cluster_")
+    lake = run_flagship(sf_dir, lake_root, epochs=3, return_lake=True)
+    lake.cluster(["lang"], files_per_partition=4, order="lex")
+    st: dict = {}
+    out = lake.read_state(drop_engine_cols=True,
+                          filters=[("lang", "=", "fr")], stats_out=st)
+    assert st["files_stats_skipped"] > 0, st
+    return out
+
+
+_CDC_CLUSTERED_READ_SQL = """
+-- closed-form winners (every key's LWW winner is its v=2 event, all
+-- keys live), filtered on the winner's lang — the engine side must
+-- produce this through the file-skipping read
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+       doc_id * 3 + 2 AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':2' AS "commit",
+       lang,
+       text || ' v2' AS content
+FROM documents
+WHERE lang = 'fr'
+"""
+
+
 def cdc_drop_column_docs(sf_dir: str):
     """Column-drop DDL (CDCLake.drop_column): flagship replay with
     ``lang`` dropped BETWEEN epochs 2 and 3 — one manifest commit, no
@@ -5710,6 +5750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window ends near here (first 50 checked) ---------
         # (demoted multiply-green rows continue below:
         #  cdc_full_replay_docs green r2+r3, ann_topk_cosine green r1+r2)
+        "cdc_clustered_read_docs": cdc_clustered_read_docs,
         "cdc_full_replay_docs": cdc_full_replay_docs,
         "ann_topk_cosine": ann_topk_cosine,
         "cdc_seed_replicate_docs": cdc_seed_replicate_docs,
@@ -5838,6 +5879,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replicate_group_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_projected_docs": _CDC_REPLICATE_PROJECTED_SQL,
         "cdc_projected_read_docs": _CDC_PROJECTED_READ_SQL,
+        "cdc_clustered_read_docs": _CDC_CLUSTERED_READ_SQL,
         "cdc_key_history": _CDC_KEY_HISTORY_SQL,
         "scd2_asof_docs": _SCD2_ASOF_SQL,
         "scd2_history_docs": _SCD2_SQL,

@@ -69,20 +69,79 @@ _STATS_SCHEMA = pa.schema(
 )
 
 
+def _json_safe(v) -> bool:
+    """True when a zone-map bound survives the manifest's JSON
+    round-trip losslessly (int/float/str/bool).  Dates, timestamps,
+    decimals and binary are NOT recorded — a lossy bound would make
+    pruning unsound, so those columns simply never file-skip."""
+    return isinstance(v, (int, float, str, bool))
+
+
+def _cluster_reorder(delta: pa.Table, cols: list[str], order: str,
+                     key_cols) -> pa.Table:
+    """Physically re-order a (key-sorted) delta by VALUE columns so
+    file slices become value-clustered.  ``order="lex"`` sorts by the
+    columns (key tiebreak keeps file bytes deterministic across task
+    retries); ``"zorder"`` interleaves per-column rank bits (16 bits
+    per column) into a Z-curve key and sorts by that — multi-column
+    clustering where EVERY listed column's per-file min/max tightens,
+    not just the leading one (Delta/Iceberg OPTIMIZE ZORDER semantics,
+    computed locally per partition — ranks come from this partition's
+    own value distribution, which is exactly what its files need).
+    Ranks are taken over the key-sorted input with method="first", so
+    the permutation — and therefore the written bytes — is
+    deterministic."""
+    if order == "lex":
+        return delta.sort_by(
+            [(c, "ascending") for c in cols]
+            + [(c, "ascending") for c in key_cols]
+        )
+    if order != "zorder":
+        raise ValueError(f"unknown cluster_order {order!r}")
+    n = delta.num_rows
+    if n <= 1 or not cols:
+        return delta
+    denom = float(max(1, n - 1))
+    lanes = []
+    for c in cols:
+        r = (
+            delta.column(c).to_pandas()
+            .rank(method="first", na_option="top")
+            .to_numpy()
+        )
+        lanes.append(((r - 1.0) * 65535.0 / denom).astype(np.uint64))
+    z = np.zeros(n, dtype=np.uint64)
+    k = len(lanes)
+    one = np.uint64(1)
+    for bit in range(16):
+        for j, lane in enumerate(lanes):
+            z |= ((lane >> np.uint64(bit)) & one) << np.uint64(
+                bit * k + j
+            )
+    return delta.take(pa.array(np.argsort(z, kind="stable")))
+
+
 def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
-                  cluster_files: int = 1):
+                  cluster_files: int = 1,
+                  cluster_by: list[str] | None = None,
+                  cluster_order: str = "lex"):
     """Per-partition merge + phase-1 write, run inside map_groups tasks.
 
     Output file names are deterministic per (partition, epoch, slice):
     a task retry overwrites the same paths via atomic rename →
     idempotent.
 
-    ``cluster_files > 1`` splits the partition's (key-sorted) output
-    into that many KEY-RANGE files — each with its own zone map, so a
-    point lookup reads one slice instead of the whole partition
-    (clustered/Z-order-lite compaction).  One stats row per file; the
-    partition-level lineage checksum is the rollup over ALL the
-    partition's key-ordered rows regardless of slicing."""
+    ``cluster_files > 1`` splits the partition's output into that many
+    files, each with its own zone map.  Default slicing is KEY-RANGE
+    (key-sorted output → a point lookup reads one slice instead of the
+    whole partition).  ``cluster_by=[value cols]`` re-orders the output
+    by VALUE columns instead (``cluster_order`` "lex" or "zorder") so
+    the slices become value-clustered and those columns' per-file
+    min/max zone maps turn selective — the layout that makes
+    ``read_state(filters=...)`` file-skipping effective.  One stats
+    row per file; the partition-level lineage checksum is the rollup
+    over ALL the partition's KEY-ordered rows regardless of slicing or
+    physical order."""
     key_cols, lsn_col = spec.key_cols, spec.lsn_col
 
     def write_group(group: pa.Table) -> pa.Table:
@@ -114,6 +173,9 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
         # partition-level content checksum (lineage): sha over the
         # key-ordered row shas — slicing-invariant by construction
         roll = hashing.sha_rollup(delta.column("content_sha").to_pylist())
+        if cluster_by:
+            delta = _cluster_reorder(delta, list(cluster_by),
+                                     cluster_order, key_cols)
         n = delta.num_rows
         k = max(1, min(cluster_files, n)) if n else 1
         bounds = [round(i * n / k) for i in range(k + 1)]
@@ -143,12 +205,22 @@ def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
                 btmp.replace(pdir / (fname + ".bloom"))
             fstats: dict[str, list] = {}
             if chunk.num_rows:
-                # zone map: exact min/max of lsn + keys (full values,
-                # never truncated — a shortened max would understate
-                # the bound and make pruning unsound)
-                for c in [lsn_col] + list(key_cols):
+                # zone map: exact min/max of lsn + keys + any cluster
+                # columns (full values, never truncated — a shortened
+                # max would understate the bound and make pruning
+                # unsound).  Cluster-column bounds are recorded only
+                # when they survive the manifest's JSON round-trip
+                # losslessly; others silently get no file-skip.
+                for c in dict.fromkeys(
+                    [lsn_col] + list(key_cols) + list(cluster_by or [])
+                ):
+                    if c not in chunk.column_names:
+                        continue
                     mm = pc.min_max(chunk.column(c)).as_py()
-                    fstats[c] = [mm["min"], mm["max"]]
+                    if c in (lsn_col, *key_cols) or (
+                        _json_safe(mm["min"]) and _json_safe(mm["max"])
+                    ):
+                        fstats[c] = [mm["min"], mm["max"]]
             infos.append({
                 "part": part,
                 "epoch": epoch,
@@ -384,6 +456,64 @@ def _predicate_fields(predicate, schema: pa.Schema) -> list[str]:
         except Exception:
             out.append(name)
     return out
+
+
+def _normalize_dnf(filters) -> list[list[tuple]] | None:
+    """pyarrow-parquet-style ``filters`` → DNF (OR of AND-conjunctions
+    of ``(col, op, value)`` triples).  A flat list of triples is one
+    conjunction; a list of lists is already DNF."""
+    if not filters:
+        return None
+    first = filters[0]
+    if (isinstance(first, (tuple, list)) and len(first) == 3
+            and isinstance(first[0], str)):
+        return [[tuple(t) for t in filters]]
+    return [[tuple(t) for t in conj] for conj in filters]
+
+
+_DISPROVE = {
+    "=": lambda lo, hi, v: v < lo or v > hi,
+    "==": lambda lo, hi, v: v < lo or v > hi,
+    "<": lambda lo, hi, v: lo >= v,
+    "<=": lambda lo, hi, v: lo > v,
+    ">": lambda lo, hi, v: hi <= v,
+    ">=": lambda lo, hi, v: hi < v,
+}
+
+
+def _stats_disprove(fstats: dict | None, dnf: list[list[tuple]]) -> bool:
+    """True iff a file's zone-map bounds DISPROVE the whole DNF filter
+    — every OR-branch has at least one triple no value in
+    ``[min, max]`` can satisfy.  Conservative by construction: missing
+    stats, unknown ops (``!=``, ``not in``, ``is null``…) and
+    type-mismatched comparisons all answer False (read the file).
+    Null rows never satisfy a comparison triple (SQL semantics, and
+    ``min_max`` ignores nulls), so nulls in the column cannot make a
+    skip unsound."""
+    if not fstats:
+        return False
+    for conj in dnf:
+        branch_dead = False
+        for col, op, val in conj:
+            mm = fstats.get(col)
+            if not mm or mm[0] is None:
+                continue
+            lo, hi = mm
+            try:
+                if op == "in":
+                    branch_dead = all(
+                        _DISPROVE["="](lo, hi, v) for v in val
+                    )
+                else:
+                    fn = _DISPROVE.get(op)
+                    branch_dead = bool(fn and fn(lo, hi, val))
+            except TypeError:
+                branch_dead = False
+            if branch_dead:
+                break
+        if not branch_dead:
+            return False
+    return True
 
 
 def _file_epoch(rel_path: str) -> int:
@@ -1411,7 +1541,9 @@ class CDCLake:
     def read_state(self, drop_engine_cols: bool = False,
                    at_epoch: int | None = None,
                    columns: list[str] | None = None,
-                   predicate=None) -> rd.Dataset:
+                   predicate=None,
+                   filters=None,
+                   stats_out: dict | None = None) -> rd.Dataset:
         """Merge-on-read current state: LWW-resolve live delta files,
         drop tombstones.  NO shuffle — delta files are already
         partition-segregated, so resolution is a map-only pass (one task
@@ -1438,19 +1570,63 @@ class CDCLake:
         must not answer for the winner — so non-matching rows never
         leave the task; on a fully-compacted lake (all-base manifest:
         only winners on disk) it pushes into the parquet scan itself
-        and prunes row groups via parquet statistics."""
+        and prunes row groups via parquet statistics.
+
+        ``filters`` is the FILE-SKIPPING form of the same row
+        predicate: pyarrow-parquet-style DNF triples
+        (``[("lang", "=", "fr")]`` or OR-of-AND lists).  It filters
+        rows exactly like ``predicate`` (the two AND together), and
+        ADDITIONALLY skips whole files whose manifest zone maps
+        disprove it — but only files that are CLEAN BASES (partition
+        ``base`` flag: no leftover deltas, no live tombstones, no
+        patches), because a delta file's superseded versions must
+        reach the LWW resolve even when they don't match.  Pair with
+        ``cluster(cols)``: value-clustered bases have tight per-file
+        bounds, so a selective filter reads a fraction of the state.
+        ``stats_out`` (optional dict) receives ``files_total`` /
+        ``files_stats_skipped`` as skip evidence."""
         m = self._manifest_for(at_epoch)
         key_cols = list(self.spec.key_cols)
+        dnf = _normalize_dnf(filters)
+        if dnf is not None:
+            fexpr = pq.filters_to_expression(filters)
+            predicate = (fexpr if predicate is None
+                         else predicate & fexpr)
         out_cols = need = None
         if columns is not None:
             want = [c for c in columns if c not in key_cols]
             out_cols = key_cols + want
             need = set(key_cols + [self.spec.lsn_col, self.spec.op_col]
                        + want)
-        files = (mf.live_files(self.root, self.spec.name, m)
-                 if m and m["partitions"] else [])
+        # per-partition live file lists, with manifest-stats file
+        # skipping on clean-base partitions when a DNF filter is given
+        n_total = n_skipped = 0
+        part_rel: list[list[str]] = []
+        for pinfo in (m["partitions"].values()
+                      if m and m["partitions"] else ()):
+            pfiles = pinfo["files"]
+            if not pfiles:
+                continue
+            n_total += len(pfiles)
+            if dnf is not None and pinfo.get("base"):
+                fs = pinfo.get("file_stats", {})
+                kept = [f for f in pfiles
+                        if not _stats_disprove(fs.get(f), dnf)]
+                n_skipped += len(pfiles) - len(kept)
+            else:
+                kept = list(pfiles)
+            if kept:
+                part_rel.append(kept)
+        if stats_out is not None:
+            stats_out["files_total"] = n_total
+            stats_out["files_stats_skipped"] = n_skipped
+        troot = Path(self.root) / self.spec.name
+        files = [str(troot / f) for fl in part_rel for f in fl]
         if not files:
-            empty = self._state_schema().empty_table()
+            # a fully-PRUNED evolved lake must still answer with the
+            # manifest's (evolved) schema, not the spec's
+            empty = (mf.schema_from_b64(m["schema"]) if m
+                     else self._state_schema()).empty_table()
             if out_cols is not None:
                 empty = empty.select(out_cols)
             elif drop_engine_cols:
@@ -1466,18 +1642,22 @@ class CDCLake:
             kwargs: dict = {"schema": schema}
             if read_cols is not None:
                 # Ray expects the schema hint to match the projection
+                # (an explicit column list also keeps the part=/epoch=
+                # hive names out — no partitioning override needed,
+                # and Ray's inference errors on None + columns)
                 kwargs["columns"] = read_cols
                 kwargs["schema"] = pa.schema(
                     [schema.field(n) for n in read_cols])
+            else:
+                # partitioning=None: the part=/epoch= directory layout
+                # must not hive-inject path columns into the state
+                kwargs["partitioning"] = None
             if predicate is not None:
                 kwargs["filter"] = predicate
             out = rd.read_parquet(files, **kwargs)
         else:
-            troot = Path(self.root) / self.spec.name
             part_files = [
-                [str(troot / f) for f in pinfo["files"]]
-                for pinfo in m["partitions"].values()
-                if pinfo["files"]
+                [str(troot / f) for f in fl] for fl in part_rel
             ]
             out = rd.from_arrow(
                 pa.table({"files": pa.array(part_files)})
@@ -2285,8 +2465,28 @@ class CDCLake:
         self._commit_quiesced(manifest, m)
         return record
 
+    def cluster(self, cols: list[str], files_per_partition: int = 8,
+                order: str = "zorder") -> dict:
+        """OPTIMIZE ZORDER BY / ORDER BY: full clustered compaction of
+        every partition with data — the resolved state is re-written
+        as ``files_per_partition`` files per partition, physically
+        ordered by ``cols`` (``order="zorder"`` interleaves rank bits
+        so every listed column's per-file range tightens; ``"lex"``
+        sorts lexicographically — best when one column dominates
+        filters), and each file's manifest zone map gains exact
+        min/max bounds for ``cols``.  After this,
+        ``read_state(filters=...)`` skips whole files whose bounds
+        disprove the predicate — see ``stats_out`` there for the skip
+        evidence.  COW like compact(): snapshots retained, concurrent
+        appends folded as leftovers, gc reclaims the old files."""
+        return self.compact(max_files=None,
+                            cluster_files=files_per_partition,
+                            cluster_by=cols, cluster_order=order)
+
     def compact(self, max_files: int | None = None,
-                cluster_files: int = 1) -> dict:
+                cluster_files: int = 1,
+                cluster_by: list[str] | None = None,
+                cluster_order: str = "lex") -> dict:
         """Rewrite partitions' deltas into base file(s) (new epoch),
         then swap the manifest.  ``max_files=None`` compacts everything;
         with a threshold only partitions holding more than ``max_files``
@@ -2301,7 +2501,15 @@ class CDCLake:
         own zone map — point lookups then read one slice of a
         partition instead of all of it (the layout that makes
         ``lookup``'s pruning effective: accumulated delta files each
-        span the whole key range, clustered bases don't)."""
+        span the whole key range, clustered bases don't).
+
+        ``cluster_by=[value cols]`` switches the physical order of the
+        rewritten files from key-range to VALUE clustering
+        (``cluster_order`` "lex"/"zorder" — see ``cluster()``), making
+        ``read_state(filters=...)`` file-skipping effective on those
+        columns.  Point lookups keep working either way (the bloom
+        sidecars prune by key hash regardless of physical order; only
+        the key zone maps go wide)."""
         m = mf.read_manifest(self.root, self.spec.name)
         if not m:
             return {"epoch": 0, "partitions_touched": 0}
@@ -2324,7 +2532,9 @@ class CDCLake:
         ]
         part_wms = [info["watermark"] for info in targets.values()]
         writer = _delta_writer(self.root, self.spec.name, epoch, self.spec,
-                               cluster_files=cluster_files)
+                               cluster_files=cluster_files,
+                               cluster_by=cluster_by,
+                               cluster_order=cluster_order)
         stats = (
             rd.from_arrow(pa.table({"files": pa.array(part_files),
                                     "wm": pa.array(part_wms, pa.int64())}))
