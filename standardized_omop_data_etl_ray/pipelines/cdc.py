@@ -1408,6 +1408,9 @@ class CDCLake:
             "lineage": lineage,
             "compacted": False,
             "dropped_cols": sorted(dropped_union),
+            # table property: the clustering layout survives data
+            # commits so maintenance compactions keep re-applying it
+            "cluster_spec": (prev or {}).get("cluster_spec"),
         }
         if txn is not None:
             txn._stage(self.root, self.spec.name, manifest)
@@ -2046,6 +2049,7 @@ class CDCLake:
                 "lineage": list(m.get("lineage", [])) + [record],
                 "compacted": False,
                 "dropped_cols": m.get("dropped_cols", []),
+                "cluster_spec": m.get("cluster_spec"),
             }
             self._commit_quiesced(manifest, m)
             self.spec.num_partitions = new_num_partitions
@@ -2115,6 +2119,9 @@ class CDCLake:
             "lineage": list(m.get("lineage", [])) + [record],
             "compacted": False,  # tombstones retained — resolver path
             "dropped_cols": m.get("dropped_cols", []),
+            # the reshard rewrite itself is key-ordered; the persisted
+            # property makes the next compaction re-cluster
+            "cluster_spec": m.get("cluster_spec"),
         }
         self._commit_quiesced(manifest, m)
         self.spec.num_partitions = new_num_partitions
@@ -2453,6 +2460,13 @@ class CDCLake:
         epoch = self._alloc_epoch()
         record = {"epoch": epoch, "compaction": True,
                   "ddl": "drop_column", "col": col}
+        # dropping a clustering column narrows (or clears) the
+        # persisted clustering property — later compactions must not
+        # try to order by a column that no longer exists
+        cspec = m.get("cluster_spec")
+        if cspec and col in cspec.get("cols", []):
+            left = [c for c in cspec["cols"] if c != col]
+            cspec = {**cspec, "cols": left} if left else None
         manifest = {
             **m,
             "epoch": epoch,
@@ -2461,6 +2475,7 @@ class CDCLake:
             "lineage": list(m.get("lineage", [])) + [record],
             "dropped_cols": sorted(
                 set(m.get("dropped_cols", [])) | {col}),
+            "cluster_spec": cspec,
         }
         self._commit_quiesced(manifest, m)
         return record
@@ -2513,6 +2528,23 @@ class CDCLake:
         m = mf.read_manifest(self.root, self.spec.name)
         if not m:
             return {"epoch": 0, "partitions_touched": 0}
+        if cluster_by is None and m.get("cluster_spec"):
+            # table property set by cluster(): maintenance compactions
+            # (incl. commit-path auto-compaction) keep the layout
+            # instead of silently reverting it to key order
+            cs = m["cluster_spec"]
+            cluster_by = list(cs["cols"])
+            cluster_order = cs["order"]
+            if cluster_files == 1:
+                cluster_files = int(cs["files"])
+        if cluster_by:
+            known = mf.schema_from_b64(m["schema"]).names
+            missing = [c for c in cluster_by if c not in known]
+            if missing:
+                raise ValueError(
+                    f"cluster_by column(s) {missing} not in the table "
+                    f"schema {sorted(known)}"
+                )
         targets = {
             p: info for p, info in m["partitions"].items()
             if info["files"]
@@ -2647,6 +2679,14 @@ class CDCLake:
                 "lineage": lineage,
                 "compacted": all_base,
                 "dropped_cols": cur.get("dropped_cols", []),
+                # persist (or refresh) the clustering table property:
+                # an explicit/adopted cluster_by records itself so the
+                # NEXT maintenance compaction re-applies the layout
+                "cluster_spec": (
+                    {"cols": list(cluster_by), "order": cluster_order,
+                     "files": int(cluster_files)}
+                    if cluster_by else cur.get("cluster_spec")
+                ),
             }
             mf.commit_manifest(self.root, self.spec.name, manifest)
         return record

@@ -172,6 +172,81 @@ def test_compacted_read_has_no_hive_columns(tmp_path):
                      "content"]
 
 
+def test_cluster_spec_survives_maintenance_compaction(tmp_path):
+    """cluster() persists a table property: a later maintenance
+    compaction (no cluster args — the commit-path auto-compaction
+    shape) must RE-APPLY the clustered layout instead of silently
+    reverting the bases to key order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from standardized_omop_data_etl_ray.state import manifest as mf
+
+    lake = _lake(tmp_path)
+    lake.cluster(["lang"], files_per_partition=3, order="lex")
+    full = _df(lake.read_state(drop_engine_cols=True))
+    lang = full["lang"].mode()[0]
+    # dirty every partition with a delta, then maintenance-compact
+    vic = full.head(60)
+    lo = int(full["lsn"].max()) + 1
+    lake.apply_events(rd.from_arrow(pa.table({
+        "op": pa.array(["U"] * len(vic)),
+        "lsn": pa.array(np.arange(lo, lo + len(vic), dtype=np.int64)),
+        "repo": pa.array(vic["repo"].tolist()),
+        "path": pa.array(vic["path"].tolist()),
+        "commit": pa.array([f"m{i}" for i in range(len(vic))]),
+        "lang": pa.array(vic["lang"].tolist()),
+        "content": pa.array(["bumped"] * len(vic)),
+    })))
+    rec = lake.compact(max_files=0)      # plain maintenance call
+    assert rec["partitions_touched"] > 0
+    m = mf.read_manifest(lake.root, "cdc")
+    assert m["cluster_spec"] == {"cols": ["lang"], "order": "lex",
+                                 "files": 3}
+    full2 = _df(lake.read_state(drop_engine_cols=True))
+    st: dict = {}
+    got = _df(lake.read_state(drop_engine_cols=True,
+                              filters=[("lang", "=", lang)],
+                              stats_out=st))
+    assert got.equals(full2[full2["lang"] == lang]
+                      .reset_index(drop=True))
+    assert st["files_stats_skipped"] > 0, st  # layout survived
+
+
+def test_drop_column_narrows_cluster_spec(tmp_path):
+    from standardized_omop_data_etl_ray.state import manifest as mf
+
+    lake = _lake(tmp_path)
+    lake.cluster(["lang", "commit"], files_per_partition=2,
+                 order="zorder")
+    lake.drop_column("commit")
+    m = mf.read_manifest(lake.root, "cdc")
+    assert m["cluster_spec"]["cols"] == ["lang"]
+    # a maintenance compaction after the DDL must not try the dropped
+    # column — and the remaining column keeps pruning
+    lake.compact()
+    full = _df(lake.read_state(drop_engine_cols=True))
+    lang = full["lang"].mode()[0]
+    st: dict = {}
+    got = _df(lake.read_state(drop_engine_cols=True,
+                              filters=[("lang", "=", lang)],
+                              stats_out=st))
+    assert got.equals(full[full["lang"] == lang].reset_index(drop=True))
+    assert st["files_stats_skipped"] > 0
+    # dropping the LAST cluster column clears the property
+    lake.drop_column("lang")
+    m = mf.read_manifest(lake.root, "cdc")
+    assert m["cluster_spec"] is None
+
+
+def test_cluster_unknown_column_fails_loudly(tmp_path):
+    import pytest
+
+    lake = _lake(tmp_path)
+    with pytest.raises(ValueError, match="no_such"):
+        lake.cluster(["no_such"])
+
+
 def test_stats_disprove_kernel():
     dnf = _normalize_dnf([("lang", "=", "fr")])
     assert _stats_disprove({"lang": ["aa", "en"]}, dnf)
