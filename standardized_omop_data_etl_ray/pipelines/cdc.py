@@ -2524,11 +2524,21 @@ class CDCLake:
         ``read_state(filters=...)`` file-skipping effective on those
         columns.  Point lookups keep working either way (the bloom
         sidecars prune by key hash regardless of physical order; only
-        the key zone maps go wide)."""
+        the key zone maps go wide).  ``cluster_by=None`` (the default)
+        ADOPTS the table's persisted ``cluster_spec`` if one was set
+        by ``cluster()`` — maintenance never reverts a clustered
+        layout silently; pass ``cluster_by=[]`` to explicitly CLEAR
+        the property and return to key order."""
         m = mf.read_manifest(self.root, self.spec.name)
         if not m:
             return {"epoch": 0, "partitions_touched": 0}
-        if cluster_by is None and m.get("cluster_spec"):
+        # cluster_by=None → adopt the persisted property; a non-empty
+        # list sets/refreshes it; an EXPLICIT empty list clears it and
+        # reverts the layout to key order
+        clear_spec = cluster_by is not None and not cluster_by
+        if clear_spec:
+            cluster_by = None
+        elif cluster_by is None and m.get("cluster_spec"):
             # table property set by cluster(): maintenance compactions
             # (incl. commit-path auto-compaction) keep the layout
             # instead of silently reverting it to key order
@@ -2681,11 +2691,14 @@ class CDCLake:
                 "dropped_cols": cur.get("dropped_cols", []),
                 # persist (or refresh) the clustering table property:
                 # an explicit/adopted cluster_by records itself so the
-                # NEXT maintenance compaction re-applies the layout
+                # NEXT maintenance compaction re-applies the layout;
+                # compact(cluster_by=[]) clears it
                 "cluster_spec": (
                     {"cols": list(cluster_by), "order": cluster_order,
                      "files": int(cluster_files)}
-                    if cluster_by else cur.get("cluster_spec")
+                    if cluster_by
+                    else (None if clear_spec
+                          else cur.get("cluster_spec"))
                 ),
             }
             mf.commit_manifest(self.root, self.spec.name, manifest)

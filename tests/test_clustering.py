@@ -239,6 +239,29 @@ def test_drop_column_narrows_cluster_spec(tmp_path):
     assert m["cluster_spec"] is None
 
 
+def test_compact_empty_cluster_by_clears_property(tmp_path):
+    """compact(cluster_by=[]) is the explicit un-cluster: the layout
+    reverts to key order AND the persisted property clears, so later
+    maintenance stays key-ordered."""
+    from standardized_omop_data_etl_ray.state import manifest as mf
+
+    lake = _lake(tmp_path)
+    lake.cluster(["lang"], files_per_partition=3, order="lex")
+    assert mf.read_manifest(lake.root, "cdc")["cluster_spec"]
+    full = _df(lake.read_state(drop_engine_cols=True))
+    lake.compact(cluster_by=[])
+    m = mf.read_manifest(lake.root, "cdc")
+    assert m["cluster_spec"] is None
+    assert _df(lake.read_state(drop_engine_cols=True)).equals(full)
+    # filters still row-correct, just without file skips
+    lang = full["lang"].mode()[0]
+    st: dict = {}
+    got = _df(lake.read_state(drop_engine_cols=True,
+                              filters=[("lang", "=", lang)],
+                              stats_out=st))
+    assert got.equals(full[full["lang"] == lang].reset_index(drop=True))
+
+
 def test_cluster_unknown_column_fails_loudly(tmp_path):
     import pytest
 
