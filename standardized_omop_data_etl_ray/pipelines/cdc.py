@@ -102,6 +102,11 @@ def _cluster_reorder(delta: pa.Table, cols: list[str], order: str,
     if n <= 1 or not cols:
         return delta
     denom = float(max(1, n - 1))
+    k = len(cols)
+    # the interleaved key must fit 64 bits: 16 bits/lane up to 4
+    # columns, fewer beyond (a shift ≥64 is undefined in numpy)
+    bits = min(16, 64 // k)
+    top = float((1 << bits) - 1)
     lanes = []
     for c in cols:
         r = (
@@ -109,11 +114,10 @@ def _cluster_reorder(delta: pa.Table, cols: list[str], order: str,
             .rank(method="first", na_option="top")
             .to_numpy()
         )
-        lanes.append(((r - 1.0) * 65535.0 / denom).astype(np.uint64))
+        lanes.append(((r - 1.0) * top / denom).astype(np.uint64))
     z = np.zeros(n, dtype=np.uint64)
-    k = len(lanes)
     one = np.uint64(1)
-    for bit in range(16):
+    for bit in range(bits):
         for j, lane in enumerate(lanes):
             z |= ((lane >> np.uint64(bit)) & one) << np.uint64(
                 bit * k + j

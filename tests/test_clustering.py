@@ -239,6 +239,24 @@ def test_drop_column_narrows_cluster_spec(tmp_path):
     assert m["cluster_spec"] is None
 
 
+def test_zorder_many_columns_stays_in_64_bits(tmp_path):
+    """>4 zorder columns must narrow the per-lane bit budget (a shift
+    ≥64 is undefined in numpy) — 5 columns still cluster, prune on a
+    listed column, and preserve the state exactly."""
+    lake = _lake(tmp_path)
+    lake.cluster(["lang", "lsn", "commit", "repo", "path"],
+                 files_per_partition=3, order="zorder")
+    full = _df(lake.read_state(drop_engine_cols=True))
+    assert len(full) > 0
+    lang = full["lang"].mode()[0]
+    st: dict = {}
+    got = _df(lake.read_state(drop_engine_cols=True,
+                              filters=[("lang", "=", lang)],
+                              stats_out=st))
+    assert got.equals(full[full["lang"] == lang].reset_index(drop=True))
+    assert st["files_total"] == 8 * 3
+
+
 def test_compact_empty_cluster_by_clears_property(tmp_path):
     """compact(cluster_by=[]) is the explicit un-cluster: the layout
     reverts to key order AND the persisted property clears, so later
