@@ -1536,14 +1536,17 @@ class CDCLake:
             if not files:
                 return None
             schema = mf.schema_from_b64(m["schema"])
-            return rd.read_parquet(files, schema=schema).filter(
-                expr=f"{lsn_col} >= {lo} and {lsn_col} <= {hi}"
-            )
+            # partitioning=None: don't hive-inject an epoch column
+            # (the pruned path planned one, the full path didn't —
+            # one verb, one output schema)
+            return rd.read_parquet(
+                files, schema=schema, partitioning=None
+            ).filter(expr=f"{lsn_col} >= {lo} and {lsn_col} <= {hi}")
         files = mf.live_files(self.root, self.spec.name, m)
         if not files:
             return None
         schema = mf.schema_from_b64(m["schema"])
-        return rd.read_parquet(files, schema=schema)
+        return rd.read_parquet(files, schema=schema, partitioning=None)
 
     def read_state(self, drop_engine_cols: bool = False,
                    at_epoch: int | None = None,

@@ -773,6 +773,9 @@ def test_zone_map_lookup_and_lsn_pruned_reads(tmp_path):
     lo, hi = WINDOW, 2 * WINDOW - 1  # exactly batch window 1
     pruned = lake.read_deltas(lsn_range=(lo, hi))
     assert len(pruned.input_files()) < n_files
+    # regression: the pruned plan used to hive-inject an `epoch` path
+    # column the full-scan plan didn't — one verb, one output schema
+    assert pruned.schema().names == lake.read_deltas().schema().names
     lsns = pruned.to_pandas()["lsn"]
     full = lake.read_deltas().to_pandas()
     assert sorted(lsns) == sorted(
