@@ -2446,6 +2446,35 @@ SELECT o_orderkey FROM orders
 """
 
 
+def orders_rollup_priority(sf_dir: str):
+    """GROUP BY ROLLUP in one input scan (grouping_sets_agg): subtotal
+    lattice over (o_orderpriority, o_orderstatus) with a grouping_id
+    bitmask, SQL GROUPING() semantics — per-block per-set partials are
+    what shuffles, never replicated data."""
+    from standardized_omop_data_etl_ray.stages.aggregates import rollup_agg
+
+    o = _pq(sf_dir, "orders",
+            ["o_orderpriority", "o_orderstatus", "o_totalprice",
+             "o_orderkey"],
+            rows_hint=_nrows(sf_dir, "orders"))
+    out = rollup_agg(
+        o, ["o_orderpriority", "o_orderstatus"],
+        {"sum_price": ("o_totalprice", "sum"),
+         "n_orders": ("o_orderkey", "count")},
+    )
+    return out.map_batches(_round_cols({"sum_price": 2}),
+                           batch_format="pyarrow")
+
+
+_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS grouping_id,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       COUNT(o_orderkey) AS n_orders
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def pivot_quantity_by_returnflag(sf_dir: str):
     """Long→wide pivot with aggregation (inverse of M7's unpivot):
     per-part quantity totals split into one column per return flag —
@@ -5758,6 +5787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_vocab_top100": token_vocab_top100,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
         "intersect_all_lineitem_orders": intersect_all_lineitem_orders,
+        "orders_rollup_priority": orders_rollup_priority,
         "cdc_seed_replicate_docs": cdc_seed_replicate_docs,
         "cdc_replicate_projected_docs": cdc_replicate_projected_docs,
         "normalize_dates_orders": normalize_dates_orders,
@@ -5934,6 +5964,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens": _HEAVY_HITTERS_SQL,
         "except_all_lineitem_orders": _EXCEPT_ALL_SQL,
         "intersect_all_lineitem_orders": _INTERSECT_ALL_SQL,
+        "orders_rollup_priority": _ROLLUP_SQL,
         "late_events_hourly": _LATE_EVENTS_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,

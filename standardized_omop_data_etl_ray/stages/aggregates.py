@@ -432,3 +432,108 @@ def grouped_quantiles(
         ds.select_columns(key_cols + [col]), key_cols, per_bucket,
         num_buckets,
     )
+
+
+def grouping_sets_agg(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    sets: list[list[str]],
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``GROUP BY GROUPING SETS`` in ONE scan of the input.
+
+    A map stage replicates each batch once per grouping set with the
+    non-set key columns nulled and a ``grouping_id`` bitmask attached
+    (SQL ``GROUPING(cols...)`` semantics: first listed column = most
+    significant bit, bit set when the column is NOT in the set), then
+    the whole union flows through ``bucketed_agg``'s per-block
+    combiner + bucketed reduce keyed on (group_cols…, grouping_id).
+    Scale shape: the S-fold replication collapses to per-block
+    per-set partials before anything shuffles — the exchange carries
+    ~(distinct keys per block × |sets|) rows, never S copies of the
+    data.  ``grouping_id`` also disambiguates a rolled-up NULL from a
+    genuinely NULL key value, exactly as in SQL.
+
+    ``aggs`` maps output column → (source column, op ∈ {'sum', 'min',
+    'max', 'count'}) as in ``bucketed_agg``.  Output columns:
+    group_cols in order, grouping_id, then agg outputs.
+    """
+    from .joins import bucketed_agg
+
+    n = len(group_cols)
+    for s in sets:
+        unknown = [c for c in s if c not in group_cols]
+        if unknown:
+            raise ValueError(f"grouping set {s}: {unknown} not in "
+                             f"group_cols {group_cols}")
+    gids = [
+        sum((c not in s) << (n - 1 - i)
+            for i, c in enumerate(group_cols))
+        for s in sets
+    ]
+    if len(set(gids)) != len(gids):
+        raise ValueError("duplicate grouping sets")
+    # an agg source that is ALSO a key column must keep its original
+    # values for aggregation while the key copy gets nulled per set —
+    # alias such sources so one physical column never plays both roles
+    src_cols = sorted({c for c, _ in aggs.values()})
+    alias = {c: (f"__src_{c}" if c in group_cols else c)
+             for c in src_cols}
+    aggs = {o: (alias[c], op) for o, (c, op) in aggs.items()}
+    keep = group_cols + [c for c in src_cols if c not in group_cols]
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keep)
+        pieces = []
+        for s, gid in zip(sets, gids):
+            cols = {}
+            for c in group_cols:
+                col = batch.column(c)
+                cols[c] = (col if c in s
+                           else pa.nulls(len(batch), col.type))
+            for c in src_cols:
+                cols[alias[c]] = batch.column(c)
+            cols["grouping_id"] = pa.array(
+                np.full(len(batch), gid, dtype=np.int64))
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+    out = bucketed_agg(rep, group_cols + ["grouping_id"], aggs,
+                       num_buckets=num_buckets)
+    return out
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(cols...)``: every prefix of the column
+    list down to the grand total, via ``grouping_sets_agg``."""
+    sets = [group_cols[:k] for k in range(len(group_cols), -1, -1)]
+    return grouping_sets_agg(ds, group_cols, sets, aggs, num_buckets)
+
+
+def cube_agg(
+    ds: rd.Dataset,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(cols...)``: all 2^n column subsets, via
+    ``grouping_sets_agg`` (n is bounded by sanity, not the engine —
+    the replication factor is 2^n)."""
+    if len(group_cols) > 6:
+        raise ValueError("cube over >6 columns replicates >64x; "
+                         "use explicit grouping sets")
+    from itertools import combinations
+
+    sets = [
+        list(c)
+        for k in range(len(group_cols), -1, -1)
+        for c in combinations(group_cols, k)
+    ]
+    return grouping_sets_agg(ds, group_cols, sets, aggs, num_buckets)
