@@ -2475,6 +2475,39 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def order_price_quartiles(sf_dir: str):
+    """Distribution window functions in one bucketed pass (group_rank
+    percent/ntile extension): PERCENT_RANK + CUME_DIST on the price
+    tie tuple, NTILE(4) on the full deterministic sort — per order
+    within its priority class."""
+    from standardized_omop_data_etl_ray.stages.windows import group_rank
+
+    o = _pq(sf_dir, "orders",
+            ["o_orderkey", "o_orderpriority", "o_totalprice"],
+            rows_hint=_nrows(sf_dir, "orders"))
+    out = group_rank(o, "o_orderpriority",
+                     ["o_totalprice", "o_orderkey"], rank_prefix=1,
+                     percent=True, ntile=4)
+    out = out.drop_columns(["rank", "dense_rank"])
+    return out.map_batches(
+        _round_cols({"percent_rank": 9, "cume_dist": 9}),
+        batch_format="pyarrow",
+    )
+
+
+_QUARTILES_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       row_number() OVER w2 AS row_number,
+       ROUND(percent_rank() OVER w1, 9) AS percent_rank,
+       ROUND(cume_dist() OVER w1, 9) AS cume_dist,
+       ntile(4) OVER w2 AS ntile
+FROM orders
+WINDOW w1 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+       w2 AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def pivot_quantity_by_returnflag(sf_dir: str):
     """Long→wide pivot with aggregation (inverse of M7's unpivot):
     per-part quantity totals split into one column per return flag —
@@ -5788,6 +5821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
         "intersect_all_lineitem_orders": intersect_all_lineitem_orders,
         "orders_rollup_priority": orders_rollup_priority,
+        "order_price_quartiles": order_price_quartiles,
         "cdc_seed_replicate_docs": cdc_seed_replicate_docs,
         "cdc_replicate_projected_docs": cdc_replicate_projected_docs,
         "normalize_dates_orders": normalize_dates_orders,
@@ -5965,6 +5999,7 @@ def oracle_sql() -> dict[str, str]:
         "except_all_lineitem_orders": _EXCEPT_ALL_SQL,
         "intersect_all_lineitem_orders": _INTERSECT_ALL_SQL,
         "orders_rollup_priority": _ROLLUP_SQL,
+        "order_price_quartiles": _QUARTILES_SQL,
         "late_events_hourly": _LATE_EVENTS_SQL,
         "embedding_label_stats": _EMB_STATS_SQL,
         "embedding_self_near_dups": _EMB_NEAR_DUP_SQL,

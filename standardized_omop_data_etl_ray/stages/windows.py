@@ -310,6 +310,8 @@ def group_rank(
     ascending: list[bool] | None = None,
     rank_prefix: int | None = None,
     num_buckets: int | None = None,
+    percent: bool = False,
+    ntile: int | None = None,
 ) -> rd.Dataset:
     """SQL ranking functions per key: appends ``row_number`` (unique
     within key — ``order_cols`` should end in a tiebreaker), ``rank``
@@ -326,7 +328,13 @@ def group_rank(
     from the previous row's — rank is the row_number at each start
     (forward-filled; key changes always start a new tuple so the fill
     never crosses keys), dense_rank the per-key running count of
-    starts."""
+    starts.
+
+    ``percent=True`` adds ``percent_rank`` ((rank−1)/(n−1), 0 for a
+    single-row key — SQL PERCENT_RANK) and ``cume_dist`` (rows ≤
+    current incl. ties, over n), both on the ``rank_prefix`` tie
+    tuple.  ``ntile=k`` adds SQL NTILE(k) over the FULL deterministic
+    sort (the first n mod k tiles get the extra row)."""
     import numpy as np
 
     from .joins import bucketed_groupby
@@ -357,6 +365,32 @@ def group_rank(
         g["row_number"] = rn.astype(np.int64)
         g["rank"] = rank.astype(np.int64)
         g["dense_rank"] = dense.astype(np.int64)
+        if percent or ntile:
+            n = (
+                g.groupby(key_col, sort=False)[key_col]
+                .transform("size").to_numpy(dtype=np.int64)
+            )
+        if percent:
+            g["percent_rank"] = np.where(
+                n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0
+            )
+            # cume_dist: rows ≤ current incl. ties = the max row_number
+            # within each tie run (runs never cross keys: the key is in
+            # the tie tuple)
+            run_id = np.cumsum(new_start)
+            run_max = (
+                pd.Series(rn).groupby(run_id).transform("max").to_numpy()
+            )
+            g["cume_dist"] = run_max / n
+        if ntile:
+            k = int(ntile)
+            q, r = n // k, n % k
+            cut = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+            g["ntile"] = np.where(
+                rn <= cut,
+                (rn - 1) // np.maximum(q + 1, 1) + 1,
+                r + (rn - cut - 1) // np.maximum(q, 1) + 1,
+            ).astype(np.int64)
         return g
 
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)

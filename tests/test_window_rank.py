@@ -131,3 +131,34 @@ def test_watermark_split_seeds_prefix_across_blocks():
         .sort_values("arrival", ignore_index=True)
     )
     assert got["__late"].to_numpy().tolist() == want_late.tolist()
+
+
+def test_percent_rank_cume_dist_ntile_match_duckdb():
+    """percent/cume_dist rank on the prefix tie tuple, ntile on the
+    full deterministic sort — all three from the one group_rank pass."""
+    df = _frame(seed=11, n=331)           # non-divisible group sizes
+    df.loc[7, "k"] = 777                  # single-row group: pr = 0
+    got = (
+        group_rank(
+            rd.from_pandas(df).repartition(6), "k", ["p", "o"],
+            rank_prefix=1, percent=True, ntile=4, num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    want = duckdb.sql("""
+        SELECT k, o, p, v,
+               row_number() OVER w2 AS row_number,
+               rank() OVER w1 AS rank,
+               dense_rank() OVER w1 AS dense_rank,
+               percent_rank() OVER w1 AS percent_rank,
+               cume_dist() OVER w1 AS cume_dist,
+               ntile(4) OVER w2 AS ntile
+        FROM df
+        WINDOW w1 AS (PARTITION BY k ORDER BY p),
+               w2 AS (PARTITION BY k ORDER BY p, o)
+        ORDER BY k, o
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
