@@ -3986,6 +3986,52 @@ FROM documents
 """
 
 
+def cdc_rename_column_docs(sf_dir: str):
+    """Rename DDL (CDCLake.rename_column — pipelines/cdc.py): flagship
+    replay with ``lang`` renamed to ``language`` BETWEEN epochs 2 and 3
+    — a quiesced per-file rewrite (no LWW resolve, no shuffle; zone
+    maps/blooms carried), after which epoch-3 events STILL carrying
+    the old name land on the new column via the spec's schema-evolution
+    rename map.  The live-lake analog of the reference's hard-coded
+    source→CDM field remapping (e.g. demographics--person.py).  The
+    oracle states the closed-form final state with the column
+    aliased."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", rows_hint=n)
+    events = events_from_documents(docs, 3).materialize()
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_ren_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    total = n * 3
+    step = (total + 2) // 3
+    for e in range(3):
+        if e == 2:
+            rec = lake.rename_column("lang", "language")
+            assert rec["files_rewritten"] > 0
+        lake.apply_events(events.filter(
+            expr=f"lsn >= {e * step} and lsn < {min((e + 1) * step, total)}"
+        ))
+    return lake.read_state(drop_engine_cols=True)
+
+
+_CDC_RENAME_SQL = """
+-- the flagship closed form with the renamed column aliased
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'I' ELSE 'U' END AS op,
+       doc_id * 3 + 2 AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':2' AS "commit",
+       lang AS language,
+       text || ' v2' AS content
+FROM documents
+"""
+
+
 def cdc_secondary_index_docs(sf_dir: str):
     """Secondary-index view (pipelines/views.MaterializedIndexView):
     the flagship replay with a lang→key posting index maintained by
@@ -5759,6 +5805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_into": cdc_merge_into_docs,
         "cdc_secondary_index": cdc_secondary_index_docs,
         "cdc_drop_column": cdc_drop_column_docs,
+        "cdc_rename_column": cdc_rename_column_docs,
         "cdc_restore_replay": cdc_restore_replay_docs,
         "cdc_replicate_docs": cdc_replicate_docs,
         "cdc_replicate_filtered_docs": cdc_replicate_filtered_docs,
@@ -5790,7 +5837,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sketches / scale joins ------------------------------------
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
-        "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "heavy_hitter_tokens": heavy_hitter_tokens,
@@ -5816,6 +5862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  token_vocab / grouped_cont / intersect_all demoted as
         #  near-duplicate coverage of tfidf / quantiles_cont / except_all)
         "cdc_full_replay_docs": cdc_full_replay_docs,
+        "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "ann_topk_cosine": ann_topk_cosine,
         "token_vocab_top100": token_vocab_top100,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
@@ -5938,6 +5985,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_into": _CDC_MERGE_SQL,
         "cdc_secondary_index": _CDC_INDEX_SQL,
         "cdc_drop_column": _CDC_DDL_SQL,
+        "cdc_rename_column": _CDC_RENAME_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

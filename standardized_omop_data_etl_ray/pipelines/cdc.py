@@ -49,6 +49,18 @@ from ..stages.standardize import make_sha_appender, make_standardizer
 from ..state import bloom
 from ..state import manifest as mf
 
+def _merge_ddl_renames(user: dict, ddl: dict) -> dict:
+    """Compose the user's ingest-time rename map (``TableSpec.rename``,
+    src→canonical) with the manifest's DDL rename map (old→new from
+    ``rename_column``): a source field that the user map lands on a
+    since-renamed canonical name must chain through to the NEW name
+    (src→dst, dst→new ⇒ src→new).  Identity entries are dropped."""
+    merged = {k: ddl.get(v, v) for k, v in user.items()}
+    for k, v in ddl.items():
+        merged.setdefault(k, v)
+    return {k: v for k, v in merged.items() if k != v}
+
+
 _STATS_SCHEMA = pa.schema(
     [
         ("part", pa.int32()),
@@ -123,6 +135,48 @@ def _cluster_reorder(delta: pa.Table, cols: list[str], order: str,
                 bit * k + j
             )
     return delta.take(pa.array(np.argsort(z, kind="stable")))
+
+
+def _rename_rewriter(root: str, table: str, epoch: int,
+                     old: str, new: str):
+    """Batch fn for ``CDCLake.rename_column``: rewrite each live file
+    with the column renamed — a pure byte-level per-file rewrite (rows,
+    order, tombstones, patches all preserved; NO LWW resolve), writing
+    under the DDL epoch's directory.  Output names are a content hash
+    of the source path, so a task retry overwrites the same paths
+    (idempotent, like the delta writer).  The key-hash bloom sidecar is
+    copied verbatim — keys are not renameable, so its bits still hold."""
+    import hashlib
+
+    troot = Path(root) / table
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for part, rel in zip(batch.column("part").to_pylist(),
+                             batch.column("file").to_pylist()):
+            t = pq.read_table(troot / rel)
+            if old in t.column_names:
+                t = t.rename_columns(
+                    [new if c == old else c for c in t.column_names])
+            pdir = (troot / f"part={int(part):05d}"
+                    / f"epoch={epoch:06d}")
+            pdir.mkdir(parents=True, exist_ok=True)
+            tag = hashlib.sha1(rel.encode()).hexdigest()[:16]
+            fname = f"ren-{tag}.parquet"
+            tmp = pdir / (fname + ".tmp")
+            pq.write_table(t, tmp)
+            tmp.replace(pdir / fname)
+            bp = bloom.sidecar_path(troot / rel)
+            if bp.exists():
+                btmp = pdir / (fname + ".bloom.tmp")
+                btmp.write_bytes(bp.read_bytes())
+                btmp.replace(bloom.sidecar_path(pdir / fname))
+            srcs.append(rel)
+            dsts.append(str((pdir / fname).relative_to(troot)))
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    return rewrite
 
 
 def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
@@ -759,6 +813,10 @@ class CDCLake:
         # just above the committed manifest epoch (review finding,
         # round 4: the collision overwrote an in-flight window's delta)
         self._epoch_hwm = 0
+        # the user's ingest-time rename map, BEFORE any DDL renames are
+        # merged in — restore() recomputes the merge from the reverted
+        # manifest against this base
+        self._user_rename = dict(self.spec.rename)
         m = mf.read_manifest(self.root, self.spec.name)
         if m is not None:
             # restore persisted schema + partitioning (must not drift);
@@ -771,6 +829,8 @@ class CDCLake:
             )
             self.spec.num_partitions = m["num_partitions"]
             self.dropped_cols = set(m.get("dropped_cols", []))
+            self.spec.rename = _merge_ddl_renames(
+                self._user_rename, m.get("renamed_cols", {}))
         else:
             self.dropped_cols = set()
 
@@ -1412,9 +1472,10 @@ class CDCLake:
             "lineage": lineage,
             "compacted": False,
             "dropped_cols": sorted(dropped_union),
-            # table property: the clustering layout survives data
-            # commits so maintenance compactions keep re-applying it
+            # table properties: clustering layout and DDL rename map
+            # survive data commits
             "cluster_spec": (prev or {}).get("cluster_spec"),
+            "renamed_cols": (prev or {}).get("renamed_cols", {}),
         }
         if txn is not None:
             txn._stage(self.root, self.spec.name, manifest)
@@ -1862,6 +1923,25 @@ class CDCLake:
                 f"the consumer from a current snapshot "
                 f"(lineage epochs: {sorted(known)})"
             )
+        if carry_cols:
+            # per-epoch change sets carry each epoch's SNAPSHOT schema,
+            # so a span crossing a rename_column DDL would mix the old
+            # and new names for the same logical column — refuse with
+            # guidance rather than concat-erroring downstream
+            touched = {
+                n for r in m.get("lineage", [])
+                if r.get("ddl") == "rename_column"
+                and from_epoch < r["epoch"] <= hi
+                for n in (r["from"], r["to"])
+            }
+            bad = sorted(touched & set(carry_cols))
+            if bad:
+                raise ValueError(
+                    f"changes_between span crosses a rename_column DDL "
+                    f"touching carry column(s) {bad}: split the span at "
+                    f"the rename epoch, or rebuild the consumer from a "
+                    f"current snapshot"
+                )
         apply_epochs = sorted(
             r["epoch"] for r in m.get("lineage", [])
             if not r.get("compaction") and from_epoch < r["epoch"] <= hi
@@ -2057,6 +2137,7 @@ class CDCLake:
                 "compacted": False,
                 "dropped_cols": m.get("dropped_cols", []),
                 "cluster_spec": m.get("cluster_spec"),
+                "renamed_cols": m.get("renamed_cols", {}),
             }
             self._commit_quiesced(manifest, m)
             self.spec.num_partitions = new_num_partitions
@@ -2129,6 +2210,7 @@ class CDCLake:
             # the reshard rewrite itself is key-ordered; the persisted
             # property makes the next compaction re-cluster
             "cluster_spec": m.get("cluster_spec"),
+            "renamed_cols": m.get("renamed_cols", {}),
         }
         self._commit_quiesced(manifest, m)
         self.spec.num_partitions = new_num_partitions
@@ -2422,6 +2504,9 @@ class CDCLake:
         )
         spec.num_partitions = manifest["num_partitions"]
         self.dropped_cols = set(manifest.get("dropped_cols", []))
+        spec.rename = _merge_ddl_renames(
+            getattr(self, "_user_rename", dict(spec.rename)),
+            manifest.get("renamed_cols", {}))
         return record
 
     def drop_column(self, col: str) -> dict:
@@ -2485,6 +2570,150 @@ class CDCLake:
             "cluster_spec": cspec,
         }
         self._commit_quiesced(manifest, m)
+        return record
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """DDL: rename a payload column — the post-hoc, live-lake
+        complement of ``TableSpec.rename`` (which remaps at ingest;
+        reference analog: the OMOP field remapping the standardize
+        scripts hard-code per table, e.g. demographics--person.py's
+        source→CDM column maps).
+
+        Unlike ``drop_column`` a rename cannot be logical-only here:
+        every read path resolves files against the manifest schema BY
+        NAME (pyarrow dataset semantics), so an un-rewritten file would
+        answer nulls for the new name.  The verb therefore REWRITES
+        every live file with the column renamed — a pure per-file byte
+        rewrite, one Ray task per file batch: no LWW resolve, no
+        shuffle, and tombstones, patches, superseded versions,
+        watermarks, base flags, zone maps and key-hash bloom sidecars
+        all carry over unchanged — then swaps the manifest once,
+        quiesced (refused if a concurrent writer advanced it).
+
+        Semantics:
+          * arriving events still using the OLD name keep landing: the
+            rename joins the spec's schema-evolution map
+            (``spec.rename``, applied by standardize before evolve),
+            persists in the manifest (``renamed_cols``) and is restored
+            on reopen and by ``restore()``; chained renames compose
+            (a→b then b→c: events named a or b both land on c).
+          * TIME TRAVEL keeps the old name: pre-DDL snapshots reference
+            the un-rewritten files (COW), so ``read_state(at_epoch=...)``
+            answers with the old schema until gc reclaims them.
+          * change feeds: ``changes_between`` spans crossing the rename
+            refuse ``carry_cols`` naming either side of it (per-epoch
+            change sets are snapshot-schema'd, so the span would mix
+            names); key/lsn-only cursors cross freely.
+          * key / lsn / op / content columns are structural (hashing,
+            LWW order, the sha invariant) and cannot be renamed.
+        """
+        spec = self.spec
+        if old == new:
+            raise ValueError("rename_column: old and new are the same")
+        engine = {"content_sha", "key_hash", "part"}
+        protected = set(spec.key_cols) | {
+            spec.lsn_col, spec.op_col, spec.content_col,
+        }
+        if old in protected or old in engine:
+            raise ValueError(
+                f"{old!r} is a key/order/op/content/engine column — "
+                "renaming it would break LWW resolution, partitioning "
+                "or the content invariant"
+            )
+        if old not in spec.schema.names:
+            raise ValueError(f"no such column: {old!r}")
+        if not new or new in spec.schema.names or new in engine:
+            raise ValueError(
+                f"target name {new!r} is empty, already a column, or "
+                "reserved for an engine column"
+            )
+
+        def _ren_schema(s: pa.Schema) -> pa.Schema:
+            return pa.schema(
+                [pa.field(new, f.type, f.nullable, f.metadata)
+                 if f.name == old else f for f in s]
+            )
+
+        def _sync_spec():
+            spec.schema = _ren_schema(spec.schema)
+            # a previously-dropped column whose name is being reused is
+            # live again — stop stripping it from arriving events
+            self.dropped_cols = set(
+                getattr(self, "dropped_cols", set())) - {new}
+            spec.rename = _merge_ddl_renames(spec.rename, {old: new})
+
+        m = mf.read_manifest(self.root, spec.name)
+        if m is None:
+            _sync_spec()
+            return {"epoch": 0, "ddl": "rename_column",
+                    "from": old, "to": new, "compaction": True}
+
+        epoch = self._alloc_epoch()
+        troot = Path(self.root) / spec.name
+        all_files = [
+            (int(p), f)
+            for p, info in m["partitions"].items()
+            for f in info["files"]
+        ]
+        remap: dict[str, str] = {}
+        if all_files:
+            rows = pa.table({
+                "part": pa.array([p for p, _ in all_files], pa.int32()),
+                "file": pa.array([f for _, f in all_files], pa.string()),
+            })
+            rewrite = _rename_rewriter(self.root, spec.name, epoch,
+                                       old, new)
+            out = (
+                rd.from_arrow(rows)
+                .repartition(min(len(all_files), 64))
+                .map_batches(rewrite, batch_format="pyarrow")
+                .take_all()
+            )
+            remap = {r["src"]: r["dst"] for r in out}
+
+        def _ren_stats(st: dict | None) -> dict | None:
+            if st is None:
+                return None
+            return {(new if c == old else c): v for c, v in st.items()}
+
+        partitions = {}
+        for p, info in m["partitions"].items():
+            fstats = info.get("file_stats", {})
+            partitions[p] = {
+                **info,
+                "files": [remap[f] for f in info["files"]],
+                "file_stats": {remap[f]: _ren_stats(st)
+                               for f, st in fstats.items()
+                               if f in remap},
+            }
+        record = {"epoch": epoch, "compaction": True,
+                  "ddl": "rename_column", "from": old, "to": new,
+                  "files_rewritten": len(remap)}
+        cspec = m.get("cluster_spec")
+        if cspec and old in cspec.get("cols", []):
+            cspec = {**cspec, "cols": [new if c == old else c
+                                       for c in cspec["cols"]]}
+        ddl_renames = _merge_ddl_renames(
+            m.get("renamed_cols", {}), {old: new})
+        manifest = {
+            **m,
+            "epoch": epoch,
+            "epoch_hwm": max(self._epoch_hwm, epoch,
+                             m.get("epoch_hwm", 0)),
+            "schema": mf.schema_to_b64(
+                _ren_schema(mf.schema_from_b64(m["schema"]))),
+            "partitions": partitions,
+            "lineage": list(m.get("lineage", [])) + [record],
+            "dropped_cols": sorted(
+                set(m.get("dropped_cols", [])) - {new}),
+            "cluster_spec": cspec,
+            "renamed_cols": ddl_renames,
+        }
+        # commit first, sync the in-memory spec only on success — a
+        # refused quiesced commit must leave the instance untouched
+        # (the rewrite outputs become invisible orphans for gc)
+        self._commit_quiesced(manifest, m)
+        _sync_spec()
         return record
 
     def cluster(self, cols: list[str], files_per_partition: int = 8,
@@ -2707,6 +2936,7 @@ class CDCLake:
                     else (None if clear_spec
                           else cur.get("cluster_spec"))
                 ),
+                "renamed_cols": cur.get("renamed_cols", {}),
             }
             mf.commit_manifest(self.root, self.spec.name, manifest)
         return record
