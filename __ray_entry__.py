@@ -4032,6 +4032,83 @@ FROM documents
 """
 
 
+def cdc_widen_column_docs(sf_dir: str):
+    """Type-widening DDL (CDCLake.widen_column): epoch 1 lands an
+    int32 ``n_chars`` payload; the column is widened to int64 BETWEEN
+    epochs; epoch 2's values then exceed the int32 range (n_chars +
+    3·10⁹) — proving the widen is load-bearing, not cosmetic — and the
+    merge-on-read resolve casts epoch-1's narrow files up on scan (one
+    manifest commit, zero rewrite).  Oracle states the closed form
+    with the BIGINT column."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source", "n_chars"],
+               rows_hint=n)
+
+    def to_events(wide: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            # epoch split by doc parity (Ray filter exprs lack %)
+            par = pc.equal(
+                pc.bit_wise_and(b.column("doc_id").cast(pa.int64()),
+                                pa.scalar(1, pa.int64())),
+                pa.scalar(1 if wide else 0, pa.int64()))
+            b = b.filter(par)
+            did = b.column("doc_id").cast(pa.int64())
+            # the tailing contract: epoch-2 lsns must sit ABOVE the
+            # epoch-1 watermark or exactly-once skips them
+            lsn = pc.add(did, pa.scalar(n if wide else 0, pa.int64()))
+            nch = b.column("n_chars")
+            if wide:
+                nch = pc.add(nch.cast(pa.int64()),
+                             pa.scalar(3_000_000_000, pa.int64()))
+            else:
+                nch = nch.cast(pa.int32())
+            return pa.table({
+                "op": pa.array(["I"] * b.num_rows, pa.string()),
+                "lsn": lsn,
+                "repo": b.column("source"),
+                "path": pc.binary_join_element_wise(
+                    pa.scalar("doc_"), pc.cast(did, pa.string()),
+                    pa.scalar(".txt"), ""),
+                "commit": pc.binary_join_element_wise(
+                    pc.cast(did, pa.string()), pa.scalar("0"), ":"),
+                "lang": b.column("lang"),
+                "content": b.column("text"),
+                "n_chars": nch,
+            })
+        return fn
+
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_widen_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    lake.apply_events(docs.map_batches(to_events(False),
+                                       batch_format="pyarrow"))
+    rec = lake.widen_column("n_chars", pa.int64())
+    assert rec["from"] == "int32" and rec["to"] == "int64"
+    lake.apply_events(docs.map_batches(to_events(True),
+                                       batch_format="pyarrow"))
+    return lake.read_state(drop_engine_cols=True)
+
+
+_CDC_WIDEN_SQL = """
+SELECT 'I' AS op,
+       CASE WHEN doc_id % 2 = 1
+            THEN doc_id + (SELECT COUNT(*) FROM documents)
+            ELSE doc_id END AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':0' AS "commit",
+       lang,
+       text AS content,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(n_chars AS BIGINT) + 3000000000
+            ELSE CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents
+"""
+
+
 def cdc_secondary_index_docs(sf_dir: str):
     """Secondary-index view (pipelines/views.MaterializedIndexView):
     the flagship replay with a lang→key posting index maintained by
@@ -5806,6 +5883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_secondary_index": cdc_secondary_index_docs,
         "cdc_drop_column": cdc_drop_column_docs,
         "cdc_rename_column": cdc_rename_column_docs,
+        "cdc_widen_column": cdc_widen_column_docs,
         "cdc_restore_replay": cdc_restore_replay_docs,
         "cdc_replicate_docs": cdc_replicate_docs,
         "cdc_replicate_filtered_docs": cdc_replicate_filtered_docs,
@@ -5837,7 +5915,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sketches / scale joins ------------------------------------
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
-        "grouped_price_quantiles": grouped_price_quantiles,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "except_all_lineitem_orders": except_all_lineitem_orders,
@@ -5863,6 +5940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  near-duplicate coverage of tfidf / quantiles_cont / except_all)
         "cdc_full_replay_docs": cdc_full_replay_docs,
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
+        "grouped_price_quantiles": grouped_price_quantiles,
         "ann_topk_cosine": ann_topk_cosine,
         "token_vocab_top100": token_vocab_top100,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
@@ -5986,6 +6064,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_secondary_index": _CDC_INDEX_SQL,
         "cdc_drop_column": _CDC_DDL_SQL,
         "cdc_rename_column": _CDC_RENAME_SQL,
+        "cdc_widen_column": _CDC_WIDEN_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

@@ -2716,6 +2716,70 @@ class CDCLake:
         _sync_spec()
         return record
 
+    def widen_column(self, col: str, new_type: pa.DataType) -> dict:
+        """DDL: widen a payload column's type (int8→…→int64→float64) —
+        LOGICAL and instant, like ``drop_column``: one manifest commit,
+        no data rewritten.  Every read path resolves files against the
+        manifest schema (``pyarrow.dataset(…, schema=…)`` casts
+        narrower file columns up on scan), so the widened type is
+        visible immediately; the next ``compact()`` materializes it
+        physically.  The proactive complement of arrival-driven
+        widening (``TableSpec.evolve`` widens when a wider batch
+        ARRIVES): declare the type before the wide data exists, so
+        downstream consumers see a stable schema.  Narrowing and
+        incompatible changes are rejected (same ``_is_widening`` rule
+        as evolve).  Zone maps stay valid — min/max bounds compare
+        numerically across the widening.  Time travel keeps the old
+        type (pre-DDL snapshots carry their own schema)."""
+        from ..spec import _is_widening
+
+        spec = self.spec
+        protected = set(spec.key_cols) | {
+            spec.lsn_col, spec.op_col, spec.content_col,
+        }
+        if col in protected:
+            raise ValueError(
+                f"{col!r} is a key/order/op/content column — its type "
+                "is structural (hashing / LWW order / sha invariant)"
+            )
+        if col not in spec.schema.names:
+            raise ValueError(f"no such column: {col!r}")
+        old_type = spec.schema.field(col).type
+        if old_type == new_type:
+            raise ValueError(f"{col!r} is already {new_type}")
+        if not _is_widening(old_type, new_type):
+            raise ValueError(
+                f"not a widening: {col!r} {old_type} -> {new_type}"
+            )
+
+        def _widen(s: pa.Schema) -> pa.Schema:
+            return pa.schema(
+                [pa.field(col, new_type, f.nullable, f.metadata)
+                 if f.name == col else f for f in s]
+            )
+
+        m = mf.read_manifest(self.root, spec.name)
+        if m is None:
+            spec.schema = _widen(spec.schema)
+            return {"epoch": 0, "ddl": "widen_column", "col": col,
+                    "to": str(new_type), "compaction": True}
+        epoch = self._alloc_epoch()
+        record = {"epoch": epoch, "compaction": True,
+                  "ddl": "widen_column", "col": col,
+                  "from": str(old_type), "to": str(new_type)}
+        manifest = {
+            **m,
+            "epoch": epoch,
+            "epoch_hwm": max(self._epoch_hwm, epoch,
+                             m.get("epoch_hwm", 0)),
+            "schema": mf.schema_to_b64(
+                _widen(mf.schema_from_b64(m["schema"]))),
+            "lineage": list(m.get("lineage", [])) + [record],
+        }
+        self._commit_quiesced(manifest, m)
+        spec.schema = _widen(spec.schema)
+        return record
+
     def cluster(self, cols: list[str], files_per_partition: int = 8,
                 order: str = "zorder") -> dict:
         """OPTIMIZE ZORDER BY / ORDER BY: full clustered compaction of
