@@ -2160,6 +2160,74 @@ FROM embeddings GROUP BY label
 
 
 
+def semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup (stages/dedup.semantic_dedup — Abbas et al. 2023):
+    cluster-then-within-cluster cosine dedup over the embeddings table
+    ∪ a planted near-duplicate shard (vec_id + 1,000,000, same
+    vectors): centroid assignment is a broadcast matmul, the pairwise
+    stage a per-cluster groupby; the planted twins land in the same
+    cluster by construction and must be flagged.  Deterministic
+    centroids (k smallest ids) + float64 math make the DuckDB
+    double-kernel oracle exact."""
+    from standardized_omop_data_etl_ray.stages.dedup import semantic_dedup
+
+    n = _nrows(sf_dir, "embeddings")
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"], rows_hint=n)
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.add(t.column("vec_id"), 1_000_000),
+            "embedding": t.column("embedding"),
+        })
+
+    both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
+    out = semantic_dedup(both, "embedding", "vec_id",
+                         n_clusters=16, tau=0.92)
+    res = out.to_pandas()
+    # every planted twin shares its original's cluster and is flagged
+    planted = res[res["vec_id"] >= 1_000_000]
+    assert bool(planted["is_dup"].all()), "planted twins must be dups"
+    return pa.table({
+        "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+        "cluster_id": pa.array(res["cluster_id"].to_numpy(), pa.int64()),
+        "is_dup": pa.array(res["is_dup"].to_numpy(), pa.bool_()),
+    })
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH both_e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, v AS cvec FROM both_e
+    ORDER BY vec_id LIMIT 16
+),
+assign AS (
+    SELECT e.vec_id, e.v,
+           (SELECT c.cid FROM cent c
+            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+                     c.cid ASC
+            LIMIT 1) AS cluster_id
+    FROM both_e e
+),
+dups AS (
+    SELECT a.vec_id,
+           MAX(CASE WHEN list_cosine_similarity(a.v, b.v) > 0.92
+                    THEN 1 ELSE 0 END) AS d
+    FROM assign a
+    JOIN assign b
+      ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+    GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.cluster_id,
+       COALESCE(d.d, 0) = 1 AS is_dup
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""
+
+
 def embedding_self_near_dups(sf_dir: str):
     """Embedding-cosine near-dup detection with a planted duplicate
     universe (embeddings ∪ embeddings with vec_id + 1,000,000): blocked
@@ -2268,6 +2336,15 @@ def late_events_hourly(sf_dir: str):
         .groupby("window_start")
         .aggregate(Sum("n_ontime", alias_name="n_ontime"),
                    Sum("n_late", alias_name="n_late"))
+        # Ray's aggregate hands the timestamp key back at seconds
+        # resolution — re-impose µs so the schema matches the oracle's
+        # make_timestamp exactly
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("window_start"),
+                "window_start",
+                t.column("window_start").cast(pa.timestamp("us"))),
+            batch_format="pyarrow")
     )
 
 
@@ -5903,6 +5980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_view": cdc_scd2_view_docs,
         # -- similarity / ANN ------------------------------------------
         "ivf_topk_cosine": ivf_topk_cosine,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "approx_distinct_selfcheck": approx_distinct_selfcheck,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
@@ -5917,7 +5995,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "heavy_hitter_tokens": heavy_hitter_tokens,
-        "except_all_lineitem_orders": except_all_lineitem_orders,
         "late_events_hourly": late_events_hourly,
         "lag_lead_user_values": lag_lead_user_values,
         "ranked_orders_per_customer": ranked_orders_per_customer,
@@ -5941,6 +6018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_full_replay_docs": cdc_full_replay_docs,
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
+        "except_all_lineitem_orders": except_all_lineitem_orders,
         "ann_topk_cosine": ann_topk_cosine,
         "token_vocab_top100": token_vocab_top100,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
@@ -6065,6 +6143,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_drop_column": _CDC_DDL_SQL,
         "cdc_rename_column": _CDC_RENAME_SQL,
         "cdc_widen_column": _CDC_WIDEN_SQL,
+        "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

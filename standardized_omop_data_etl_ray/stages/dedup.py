@@ -1162,3 +1162,83 @@ def incremental_components(
         schema=label_schema,
     )
     return updated.union(rd.from_arrow(fresh))
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    emb_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    tau: float = 0.92,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop within-cluster semantic duplicates —
+    the curation step between exact/MinHash dedup (surface forms) and
+    nothing: it removes *semantically* redundant training data that
+    lexical dedup can't see.
+
+    Deterministic, SQL-mirrorable variant: centroids are the
+    ``n_clusters`` smallest-id vectors (production would plug
+    ``IVFIndex.fit``'s k-means here — assignment and the keep rule are
+    centroid-agnostic), assignment is argmax cosine with ties broken
+    by lowest centroid id, and the keep rule is order-free: drop v iff
+    SOME u in the same cluster with ``u.id < v.id`` has
+    ``cos(u, v) > tau`` (one pass over the pairwise matrix — no greedy
+    chain, so the output is independent of evaluation order).
+
+    Scale shape (100 TB): the centroid matrix broadcasts once
+    (``ray.put``, k×d floats); assignment is a map-only matmul per
+    batch; the only exchange is the per-cluster groupby whose pairwise
+    stage is bounded by cluster width² — at scale raise ``n_clusters``
+    (SemDeDup uses k ∝ √n) so clusters stay block-sized, and route any
+    degenerate giant cluster through ``embedding_near_dup_pairs``'s
+    LSH banding instead of the dense matrix.  All math in float64 so
+    the DuckDB oracle's double kernels agree bit-for-bit at the
+    threshold.
+    """
+    import ray
+
+    from .joins import _cached_get
+
+    k = int(n_clusters)
+    cent_pd = (
+        ds.sort(id_col).limit(k).to_pandas()
+    )
+    C = np.stack(cent_pd[emb_col].to_numpy()).astype(np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    cids = cent_pd[id_col].to_numpy().astype(np.int64)
+    cref = ray.put((cids, C))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cid_arr, Cm = _cached_get(cref)
+        M = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                           1e-12)
+        S = M @ Cm.T  # (n, k)
+        # argmax with lowest-centroid-id tiebreak: centroids are
+        # already id-ascending, and np.argmax takes the first maximum
+        best = np.argmax(S, axis=1)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "cluster_id": cid_arr[best],
+            emb_col: batch[emb_col],
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, ignore_index=True)
+        N = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        N = N / np.maximum(np.linalg.norm(N, axis=1, keepdims=True),
+                           1e-12)
+        S = N @ N.T
+        over = np.triu(S > tau, k=1)  # over[j, i]: earlier j dups i
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster_id": g["cluster_id"].to_numpy(),
+            "is_dup": over.any(axis=0),
+        })
+
+    return assigned.groupby("cluster_id").map_groups(
+        mark_dups, batch_format="pandas"
+    )

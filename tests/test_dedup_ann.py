@@ -448,3 +448,41 @@ def test_dup_span_stats_window_semantics():
     assert got.loc[2].tolist() == [2, 1]
     assert got.loc[4].tolist() == [2, 2]   # both intra-doc copies dup
     assert got.loc[5].tolist() == [1, 0]
+
+
+def test_semantic_dedup_flags_planted_twin_and_is_partition_invariant():
+    from standardized_omop_data_etl_ray.stages.dedup import semantic_dedup
+
+    tbl, M = _embeddings(n=120, d=16, seed=5)
+    out = semantic_dedup(
+        rd.from_arrow(tbl), "embedding", "vec_id",
+        n_clusters=6, tau=0.95,
+    ).to_pandas().sort_values("vec_id", ignore_index=True)
+    assert len(out) == 120
+    # planted twin (40 ≈ 0): same cluster, the LATER id flagged, the
+    # earlier kept
+    assert out.loc[40, "cluster_id"] == out.loc[0, "cluster_id"]
+    assert bool(out.loc[40, "is_dup"])
+    assert not bool(out.loc[0, "is_dup"])
+
+    # serial numpy oracle: argmax-cosine assignment to the 6
+    # smallest-id centroids, then the order-free earlier-neighbor rule
+    N = M.astype(np.float64)
+    N = N / np.linalg.norm(N, axis=1, keepdims=True)
+    C = N[:6]
+    assign = np.argmax(N @ C.T, axis=1)
+    S = N @ N.T
+    want = [
+        bool(any(S[j, i] > 0.95 and assign[j] == assign[i]
+                 for j in range(i)))
+        for i in range(120)
+    ]
+    assert out["is_dup"].tolist() == want
+    assert out["cluster_id"].tolist() == assign.tolist()
+
+    # partitioning-invariant: a repartitioned input yields the same rows
+    out2 = semantic_dedup(
+        rd.from_arrow(tbl).repartition(7), "embedding", "vec_id",
+        n_clusters=6, tau=0.95,
+    ).to_pandas().sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, out2)
