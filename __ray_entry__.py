@@ -2160,6 +2160,36 @@ FROM embeddings GROUP BY label
 
 
 
+def lineitem_moment_stats(sf_dir: str):
+    """Grouped second-moment statistics (stages/aggregates.moment_stats):
+    VAR_POP/STDDEV_POP of quantity and its COVAR_POP/CORR with discount
+    per returnflag — one-pass mergeable partials (n, Σx, Σx², Σy, Σy²,
+    Σxy) per (group, block) through the exchange; SQL both-non-null
+    pairwise semantics."""
+    from standardized_omop_data_etl_ray.stages.aggregates import moment_stats
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_discount"])
+    return moment_stats(li, ["l_returnflag"], "l_quantity",
+                        "l_discount")
+
+
+_MOMENT_STATS_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       AVG(l_quantity) AS mean_x,
+       VAR_POP(l_quantity) AS var_x,
+       STDDEV_POP(l_quantity) AS std_x,
+       AVG(l_discount) AS mean_y,
+       VAR_POP(l_discount) AS var_y,
+       STDDEV_POP(l_discount) AS std_y,
+       COVAR_POP(l_quantity, l_discount) AS covar_xy,
+       CORR(l_quantity, l_discount) AS corr_xy
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def semantic_dedup_embeddings(sf_dir: str):
     """SemDeDup (stages/dedup.semantic_dedup — Abbas et al. 2023):
     cluster-then-within-cluster cosine dedup over the embeddings table
@@ -5981,6 +6011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity / ANN ------------------------------------------
         "ivf_topk_cosine": ivf_topk_cosine,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "lineitem_moment_stats": lineitem_moment_stats,
         "approx_distinct_selfcheck": approx_distinct_selfcheck,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
@@ -5994,7 +6025,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
-        "heavy_hitter_tokens": heavy_hitter_tokens,
         "late_events_hourly": late_events_hourly,
         "lag_lead_user_values": lag_lead_user_values,
         "ranked_orders_per_customer": ranked_orders_per_customer,
@@ -6019,6 +6049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "except_all_lineitem_orders": except_all_lineitem_orders,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
         "ann_topk_cosine": ann_topk_cosine,
         "token_vocab_top100": token_vocab_top100,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
@@ -6144,6 +6175,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rename_column": _CDC_RENAME_SQL,
         "cdc_widen_column": _CDC_WIDEN_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
+        "lineitem_moment_stats": _MOMENT_STATS_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

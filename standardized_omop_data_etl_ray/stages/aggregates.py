@@ -537,3 +537,100 @@ def cube_agg(
         for c in combinations(group_cols, k)
     ]
     return grouping_sets_agg(ds, group_cols, sets, aggs, num_buckets)
+
+
+def moment_stats(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Grouped second-moment statistics — VAR_POP / STDDEV_POP and,
+    with ``y_col``, COVAR_POP / CORR — as one-pass MERGEABLE partials:
+    each block contributes (n, Σx, Σx², [Σy, Σy², Σxy]) per group (a
+    vectorized ``pyarrow`` group_by), the bucketed reduce sums them,
+    and a finalize map derives the moments.  Population semantics
+    (divide by n), matching SQL VAR_POP/COVAR_POP/CORR.
+
+    Pairwise SQL null semantics: rows where x (or, when ``y_col`` is
+    given, x OR y) is null are excluded from EVERY statistic — the
+    both-non-null filter CORR applies.
+
+    Scale shape: the only exchange ships one partial row per
+    (group, batch); groups of one row get variance 0 and a NULL corr
+    (zero denominator), like SQL.  Σx² in float64 is exact enough when
+    |x| is moderate; for 1e9-scale columns pre-shift x by a constant
+    (variance is shift-invariant) before calling.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import bucketed_agg
+
+    pair = y_col is not None
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(x_col), pa.float64())
+        keep = pc.is_valid(x)
+        cols = {"x": x}
+        if pair:
+            y = pc.cast(t.column(y_col), pa.float64())
+            keep = pc.and_(keep, pc.is_valid(y))
+            cols["y"] = y
+        base = pa.table({**{k: t.column(k) for k in key_cols}, **cols}
+                        ).filter(keep)
+        x = base.column("x")
+        ext = {"x": x, "xx": pc.multiply(x, x)}
+        if pair:
+            y = base.column("y")
+            ext.update(y=y, yy=pc.multiply(y, y), xy=pc.multiply(x, y))
+        tt = pa.table({**{k: base.column(k) for k in key_cols}, **ext})
+        g = tt.group_by(key_cols).aggregate(
+            [("x", "count")] + [(c, "sum") for c in ext]
+        )
+        # name-based projection: pyarrow appends keys AFTER the
+        # aggregate columns, so a positional rename would misalign
+        names = {"x_count": "n", "x_sum": "sx", "xx_sum": "sxx",
+                 "y_sum": "sy", "yy_sum": "syy", "xy_sum": "sxy"}
+        out = {k: g.column(k) for k in key_cols}
+        out.update({new: g.column(old) for old, new in names.items()
+                    if old in g.column_names})
+        return pa.table(out)
+
+    aggs = {"n": ("n", "sum"), "sx": ("sx", "sum"),
+            "sxx": ("sxx", "sum")}
+    if pair:
+        aggs.update(sy=("sy", "sum"), syy=("syy", "sum"),
+                    sxy=("sxy", "sum"))
+    merged = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=262144),
+        key_cols, aggs, num_buckets=num_buckets, combine=False,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.float64())
+        mx = pc.divide(t.column("sx"), n)
+        vx = pc.subtract(pc.divide(t.column("sxx"), n),
+                         pc.multiply(mx, mx))
+        vx = pc.max_element_wise(vx, pa.scalar(0.0))  # FP guard
+        out = {**{k: t.column(k) for k in key_cols},
+               "n": pc.cast(t.column("n"), pa.int64()),
+               "mean_x": mx, "var_x": vx, "std_x": pc.sqrt(vx)}
+        if pair:
+            my = pc.divide(t.column("sy"), n)
+            vy = pc.max_element_wise(
+                pc.subtract(pc.divide(t.column("syy"), n),
+                            pc.multiply(my, my)),
+                pa.scalar(0.0))
+            cov = pc.subtract(pc.divide(t.column("sxy"), n),
+                              pc.multiply(mx, my))
+            denom = pc.sqrt(pc.multiply(vx, vy))
+            corr = pc.if_else(pc.greater(denom, 0.0),
+                              pc.divide(cov, denom),
+                              pa.scalar(None, pa.float64()))
+            out.update(mean_y=my, var_y=vy, std_y=pc.sqrt(vy),
+                       covar_xy=cov, corr_xy=corr)
+        return pa.table(out)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -180,3 +180,48 @@ def test_commit_lock_mutual_exclusion():
     assert not errs
     assert counter["v"] == 8 * 15
     assert not (Path(root) / "t" / "_COMMIT_LOCK").exists()
+
+
+def test_moment_stats_matches_numpy_and_null_semantics():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import moment_stats
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    g = rng.integers(0, 3, n)
+    x = rng.normal(10, 4, n)
+    y = 0.5 * x + rng.normal(0, 2, n)
+    # nulls: x null on 5%, y null on another 5% — pairwise stats must
+    # use only both-non-null rows
+    xm = rng.random(n) < 0.05
+    ym = rng.random(n) < 0.05
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    df.loc[xm, "x"] = None
+    df.loc[ym, "y"] = None
+
+    out = (
+        moment_stats(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(9),
+            ["g"], "x", "y",
+        )
+        .to_pandas().sort_values("g", ignore_index=True)
+    )
+    for gi in range(3):
+        sub = df[(df.g == gi) & df.x.notna() & df.y.notna()]
+        row = out[out.g == gi].iloc[0]
+        assert row["n"] == len(sub)
+        assert np.isclose(row["mean_x"], sub.x.mean())
+        assert np.isclose(row["var_x"], sub.x.var(ddof=0))
+        assert np.isclose(row["std_x"], sub.x.std(ddof=0))
+        assert np.isclose(row["covar_xy"], np.cov(sub.x, sub.y, ddof=0)[0, 1])
+        assert np.isclose(row["corr_xy"], np.corrcoef(sub.x, sub.y)[0, 1])
+
+    # single-row group: var 0, corr NULL (zero denominator)
+    one = pd.DataFrame({"g": [9], "x": [5.0], "y": [7.0]})
+    o = moment_stats(rd.from_arrow(pa.Table.from_pandas(one)),
+                     ["g"], "x", "y").to_pandas()
+    assert o.loc[0, "var_x"] == 0.0 and pd.isna(o.loc[0, "corr_xy"])
