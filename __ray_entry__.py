@@ -2160,6 +2160,51 @@ FROM embeddings GROUP BY label
 
 
 
+def fuzzy_join_doc_prefixes(sf_dir: str):
+    """Edit-distance similarity self-join (stages/fuzzy — ED-Join-style
+    q-gram prefix blocking + banded-DP verify; distributed form of the
+    reference's M12 fuzzy matcher): 16-char document prefixes ∪ a
+    planted shard with the first character deleted (doc_id +
+    1,000,000) — every planted twin is within distance ≤ 2 of its
+    original by construction; the oracle is DuckDB's exact
+    ``levenshtein`` over the same constructed universe."""
+    from standardized_omop_data_etl_ray.stages.fuzzy import (
+        edit_distance_self_join,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+
+    def prefixes(shift: int):
+        def fn(t: pa.Table) -> pa.Table:
+            s = pc.utf8_slice_codeunits(
+                t.column("text"), 1 if shift else 0, 17 if shift else 16)
+            did = t.column("doc_id").cast(pa.int64())
+            if shift:
+                did = pc.add(did, pa.scalar(1_000_000, pa.int64()))
+            return pa.table({"doc_id": did, "s": s})
+        return fn
+
+    both = docs.map_batches(prefixes(0), batch_format="pyarrow").union(
+        docs.map_batches(prefixes(1), batch_format="pyarrow"))
+    return edit_distance_self_join(both, "s", "doc_id", k=2, q=2)
+
+
+_FUZZY_JOIN_SQL = """
+WITH u AS (
+    SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 2, 16) AS s
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s) AS dist
+FROM u a JOIN u b ON a.doc_id < b.doc_id
+WHERE abs(len(a.s) - len(b.s)) <= 2
+  AND levenshtein(a.s, b.s) <= 2
+"""
+
+
 def lineitem_moment_stats(sf_dir: str):
     """Grouped second-moment statistics (stages/aggregates.moment_stats):
     VAR_POP/STDDEV_POP of quantity and its COVAR_POP/CORR with discount
@@ -6012,6 +6057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_cosine": ivf_topk_cosine,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "lineitem_moment_stats": lineitem_moment_stats,
+        "fuzzy_join_doc_prefixes": fuzzy_join_doc_prefixes,
         "approx_distinct_selfcheck": approx_distinct_selfcheck,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
@@ -6026,7 +6072,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "late_events_hourly": late_events_hourly,
-        "lag_lead_user_values": lag_lead_user_values,
         "ranked_orders_per_customer": ranked_orders_per_customer,
         "skew_join_user_purchases": skew_join_user_purchases,
         "bloom_join_highvalue_lineitems": bloom_join_highvalue_lineitems,
@@ -6050,6 +6095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_price_quantiles": grouped_price_quantiles,
         "except_all_lineitem_orders": except_all_lineitem_orders,
         "heavy_hitter_tokens": heavy_hitter_tokens,
+        "lag_lead_user_values": lag_lead_user_values,
         "ann_topk_cosine": ann_topk_cosine,
         "token_vocab_top100": token_vocab_top100,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
@@ -6176,6 +6222,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_widen_column": _CDC_WIDEN_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "lineitem_moment_stats": _MOMENT_STATS_SQL,
+        "fuzzy_join_doc_prefixes": _FUZZY_JOIN_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

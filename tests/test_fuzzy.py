@@ -1,0 +1,64 @@
+"""Edit-distance similarity join: blocking soundness vs brute force."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from standardized_omop_data_etl_ray.stages.fuzzy import (
+    _lev_banded,
+    edit_distance_self_join,
+)
+
+
+def _full_lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_lev_banded_agrees_with_full_dp():
+    rng = np.random.default_rng(7)
+    alpha = "abcd"
+    for _ in range(300):
+        la, lb = rng.integers(0, 10, 2)
+        a = "".join(rng.choice(list(alpha), la))
+        b = "".join(rng.choice(list(alpha), lb))
+        for k in (0, 1, 2, 3):
+            d = _full_lev(a, b)
+            got = _lev_banded(a, b, k)
+            assert got == (d if d <= k else None), (a, b, k)
+
+
+def test_edit_distance_self_join_matches_brute_force():
+    rng = np.random.default_rng(19)
+    base = ["".join(rng.choice(list("abcdef"), 10)) for _ in range(60)]
+    # planted families: deletions, substitutions, transposed-ish
+    strings = list(base)
+    strings += [s[1:] for s in base[:10]]           # dist 1
+    strings += [s[:4] + "z" + s[5:] for s in base[10:20]]  # dist 1
+    strings += [s + "xy" for s in base[20:25]]      # dist 2
+    tbl = pa.table({
+        "sid": pa.array(range(len(strings)), pa.int64()),
+        "s": pa.array(strings, pa.string()),
+    })
+    k = 2
+    got = (
+        edit_distance_self_join(
+            rd.from_arrow(tbl).repartition(5), "s", "sid", k=k)
+        .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    want = sorted(
+        (i, j, _full_lev(strings[i], strings[j]))
+        for i, j in itertools.combinations(range(len(strings)), 2)
+        if _full_lev(strings[i], strings[j]) <= k
+    )
+    assert list(map(tuple, got.to_numpy())) == want
+    assert (got["dist"] <= k).all()
