@@ -40,6 +40,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-hash the lake to this partition count before "
                          "tailing (cluster-resize drill; exactly-once "
                          "preserved across the boundary)")
+    ap.add_argument("--rename-column", nargs=2, default=None,
+                    metavar=("OLD", "NEW"),
+                    help="DDL before tailing: rename a payload column "
+                         "(quiesced per-file rewrite; old-named events "
+                         "keep landing via the spec rename map)")
+    ap.add_argument("--widen-column", nargs=2, default=None,
+                    metavar=("COL", "TYPE"),
+                    help="DDL before tailing: widen a payload column's "
+                         "type (int8..int64/float32/float64; logical — "
+                         "one manifest commit, reads cast up on scan)")
     ap.add_argument("--export-feed", default=None, metavar="DIR",
                     help="after the tail drains, export the net change "
                          "span since the last export to this changefeed "
@@ -83,6 +93,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.reshard:
         print(json.dumps(lake.reshard(args.reshard)))
+
+    if args.rename_column:
+        print(json.dumps(lake.rename_column(*args.rename_column)))
+    if args.widen_column:
+        import pyarrow as pa
+
+        col, tname = args.widen_column
+        print(json.dumps(lake.widen_column(
+            col, pa.type_for_alias(tname))))
 
     if args.replicate_from:
         # consumer mode: fold the outbox into this lake, no tailing

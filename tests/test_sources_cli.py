@@ -335,3 +335,36 @@ def test_debezium_missing_envelope_fields(tmp_path):
     assert flat.num_rows == 2
     assert flat.column("lsn").to_pylist() == [1, None]
     assert flat.column("op").to_pylist() == ["I", "I"]
+
+
+def test_cli_ddl_verbs(tmp_path):
+    """--rename-column / --widen-column on the ray-job surface: DDL
+    applies before tailing, the resumed tail is still a no-op, and the
+    state answers the new name."""
+    events = make_change_events(n_keys=80, n_events=900, seed=23,
+                                window=200, evolve_after_frac=0.0)
+    d = _write_segments(tmp_path, events)
+    lake_dir = tmp_path / "lake"
+
+    def run(*extra):
+        out = subprocess.run(
+            [sys.executable, "-m", "standardized_omop_data_etl_ray.replay",
+             "--segments", str(d), "--lake", str(lake_dir),
+             "--num-partitions", "4", "--segments-per-window", "2",
+             "--num-cpus", "2", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(l) for l in out.stdout.strip().splitlines()]
+
+    run()
+    recs = run("--rename-column", "lang", "language",
+               "--widen-column", "size_bytes", "double")
+    assert recs[0]["ddl"] == "rename_column" and recs[0]["to"] == "language"
+    assert recs[1]["ddl"] == "widen_column" and recs[1]["to"] == "double"
+    assert recs[-1]["events_applied"] == 0  # resume stays a no-op
+
+    lake = CDCLake(lake_dir, TableSpec(name="cdc", num_partitions=4))
+    st = lake.read_state().to_pandas()
+    assert "language" in st.columns and "lang" not in st.columns
+    assert str(st.dtypes["size_bytes"]) == "float64"
