@@ -2160,6 +2160,54 @@ FROM embeddings GROUP BY label
 
 
 
+def events_key_skew(sf_dir: str):
+    """One-row key-skew profile (stages/aggregates.key_skew_stats) of
+    the events table's user distribution — the diagnostic behind the
+    north rule's hot-key handling (salted merges, skew joins): total
+    rows, distinct keys, heaviest key's count/share, Shannon entropy.
+    Per-key counts reduce through the bucketed combiner; the driver
+    sees scalars only."""
+    from standardized_omop_data_etl_ray.stages.aggregates import key_skew_stats
+
+    ev = _pq(sf_dir, "events", ["user_id"])
+    return key_skew_stats(ev, ["user_id"])
+
+
+_KEY_SKEW_SQL = """
+WITH c AS (
+    SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+       COUNT(*) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_count,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top1_share,
+       ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS entropy
+FROM c
+"""
+
+
+def user_event_journeys(sf_dir: str):
+    """Per-user ordered behavioral sequence
+    (stages/corpus.grouped_sequence): each user's event types folded to
+    one comma-delimited journey string in (ts, event_id) order — the
+    training-sequence builder, mirrored by SQL string_agg(... ORDER
+    BY)."""
+    from standardized_omop_data_etl_ray.stages.corpus import grouped_sequence
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+    return grouped_sequence(ev, ["user_id"], ["ts", "event_id"],
+                            "event_type")
+
+
+_JOURNEYS_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
 def fuzzy_join_doc_prefixes(sf_dir: str):
     """Edit-distance similarity self-join (stages/fuzzy — ED-Join-style
     q-gram prefix blocking + banded-DP verify; distributed form of the
@@ -6058,18 +6106,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "lineitem_moment_stats": lineitem_moment_stats,
         "fuzzy_join_doc_prefixes": fuzzy_join_doc_prefixes,
+        "events_key_skew": events_key_skew,
+        "user_event_journeys": user_event_journeys,
         "approx_distinct_selfcheck": approx_distinct_selfcheck,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
-        "shuffle_docs_deterministic": shuffle_docs_deterministic,
         "curate_docs": curate_docs,
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
         "dup_span_stats_docs": dup_span_stats_docs,
         "incremental_window_histogram": incremental_window_histogram_docs,
         # -- sketches / scale joins ------------------------------------
         "quantiles_lineitem_price": quantiles_lineitem_price,
-        "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
         "pivot_quantity_by_returnflag": pivot_quantity_by_returnflag,
         "late_events_hourly": late_events_hourly,
         "ranked_orders_per_customer": ranked_orders_per_customer,
@@ -6096,6 +6144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_all_lineitem_orders": except_all_lineitem_orders,
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "lag_lead_user_values": lag_lead_user_values,
+        "quantiles_cont_lineitem_price": quantiles_cont_lineitem_price,
+        "shuffle_docs_deterministic": shuffle_docs_deterministic,
         "ann_topk_cosine": ann_topk_cosine,
         "token_vocab_top100": token_vocab_top100,
         "grouped_cont_quantiles_orders": grouped_cont_quantiles_orders,
@@ -6223,6 +6273,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "lineitem_moment_stats": _MOMENT_STATS_SQL,
         "fuzzy_join_doc_prefixes": _FUZZY_JOIN_SQL,
+        "events_key_skew": _KEY_SKEW_SQL,
+        "user_event_journeys": _JOURNEYS_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

@@ -634,3 +634,63 @@ def moment_stats(
         return pa.table(out)
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def key_skew_stats(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """One-row skew profile of a key distribution — the diagnostic
+    behind the north rule's hot-key handling (salted two-stage merges,
+    skew joins): total rows, distinct keys, the heaviest key's count
+    and share, and the Shannon entropy of the key distribution
+    (ln n_keys = uniform; → 0 = one key dominates).
+
+    Shape: per-key counts via the bucketed combiner (one partial row
+    per key per block through the exchange), then per-block moment
+    partials (Σc, count, max c, Σ c·ln c) reduce to ONE row — the
+    driver only ever sees scalars."""
+    import pyarrow.compute as pc
+
+    from .joins import bucketed_agg
+
+    ones = ds.select_columns(key_cols).map_batches(
+        lambda t: t.append_column(
+            "__one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    counts = bucketed_agg(ones, key_cols, {"c": ("__one", "sum")},
+                          num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            "n_total": pa.array([float(c.sum())], pa.float64()),
+            "n_keys": pa.array([len(c)], pa.int64()),
+            "max_count": pa.array(
+                [float(c.max()) if len(c) else 0.0], pa.float64()),
+            "clnc": pa.array(
+                [float((c * np.log(c)).sum())], pa.float64()),
+        })
+
+    parts = counts.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tot = pc.sum(t.column("n_total")).as_py() or 0.0
+        keys = pc.sum(t.column("n_keys")).as_py() or 0
+        mx = pc.max(t.column("max_count")).as_py() or 0.0
+        clnc = pc.sum(t.column("clnc")).as_py() or 0.0
+        ent = (np.log(tot) - clnc / tot) if tot > 0 else 0.0
+        return pa.table({
+            "n_total": pa.array([int(tot)], pa.int64()),
+            "n_keys": pa.array([int(keys)], pa.int64()),
+            "max_count": pa.array([int(mx)], pa.int64()),
+            "top1_share": pa.array(
+                [mx / tot if tot else 0.0], pa.float64()),
+            "entropy": pa.array([float(ent)], pa.float64()),
+        })
+
+    return parts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow")

@@ -646,3 +646,34 @@ def weighted_sample(
         return t.filter(pa.array(u < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_sequence(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    sep: str = ",",
+) -> rd.Dataset:
+    """Per-key ORDERED event sequence folded to one delimited string —
+    the behavioral-sequence builder a training-data pipeline uses for
+    user journeys / session token streams (SQL ``string_agg(...
+    ORDER BY ...)``).  ``order_cols`` must be a total order (include a
+    unique tiebreaker) or tied rows may interleave nondeterministically.
+
+    Shape: one groupby shuffle; the per-group fold is a pandas sort +
+    join over that key's rows only.  Groups are user-sized — a single
+    pathological key holding a corpus-scale history should be
+    pre-capped (``cap_per_key``) upstream."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        out = {k: [g[k].iloc[0]] for k in key_cols}
+        out["seq"] = [sep.join(g[value_col].astype(str))]
+        out["n"] = np.array([len(g)], dtype=np.int64)
+        return pd.DataFrame(out)
+
+    keys = key_cols[0] if len(key_cols) == 1 else key_cols
+    return ds.select_columns(
+        list(dict.fromkeys(key_cols + order_cols + [value_col]))
+    ).groupby(keys).map_groups(fold, batch_format="pandas")

@@ -225,3 +225,47 @@ def test_moment_stats_matches_numpy_and_null_semantics():
     o = moment_stats(rd.from_arrow(pa.Table.from_pandas(one)),
                      ["g"], "x", "y").to_pandas()
     assert o.loc[0, "var_x"] == 0.0 and pd.isna(o.loc[0, "corr_xy"])
+
+
+def test_key_skew_stats_closed_form():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import key_skew_stats
+
+    # 100 rows of key 0 (hot), 10 each of keys 1..9
+    keys = [0] * 100 + [k for k in range(1, 10) for _ in range(10)]
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    out = key_skew_stats(ds.repartition(7), ["k"]).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_total"] == 190 and r["n_keys"] == 10
+    assert r["max_count"] == 100
+    assert np.isclose(r["top1_share"], 100 / 190)
+    c = np.array([100] + [10] * 9, dtype=float)
+    p = c / c.sum()
+    assert np.isclose(r["entropy"], -(p * np.log(p)).sum())
+
+
+def test_grouped_sequence_orders_and_ties():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.corpus import grouped_sequence
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "t": [3, 1, 2, 5, 5],     # user 2 ties on t -> eid breaks it
+        "eid": [30, 10, 20, 51, 50],
+        "ev": ["c", "a", "b", "y", "x"],
+    })
+    out = (
+        grouped_sequence(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+            ["u"], ["t", "eid"], "ev")
+        .to_pandas().sort_values("u", ignore_index=True)
+    )
+    assert out.loc[0, "seq"] == "a,b,c" and out.loc[0, "n"] == 3
+    assert out.loc[1, "seq"] == "x,y" and out.loc[1, "n"] == 2
