@@ -276,6 +276,11 @@ QUERY_SUBSET = [
     "cdc_restore_replay", "scd2_asof_docs",
     # round-4e operators
     "cdc_replicate_docs",
+    # round-4i operators
+    "cdc_rename_column", "cdc_widen_column",
+    "semantic_dedup_embeddings", "lineitem_moment_stats",
+    "fuzzy_join_doc_prefixes", "events_key_skew",
+    "user_event_journeys",
 ]
 
 
