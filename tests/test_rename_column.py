@@ -173,3 +173,58 @@ def test_rename_column_chains_and_empty_lake(tmp_path):
     assert rec["epoch"] == 0
     lake2.apply_events(rd.from_arrow(BATCHES[0]))
     assert "language" in _state(lake2).column_names
+
+
+def test_ddl_interleaved_with_applies_randomized(tmp_path):
+    """Randomized op sequences — apply / rename / widen / compact in
+    arbitrary interleavings — must land on the serial LWW oracle with
+    the name/type maps applied, for several seeds and partition
+    counts (the north-star exactness contract under live DDL)."""
+    import numpy as np
+
+    for seed, parts in ((3, 4), (11, 7), (27, 5)):
+        rng = np.random.default_rng(seed)
+        events = make_change_events(
+            n_keys=120, n_events=1600, seed=seed, window=200,
+            evolve_after_frac=0.0)
+        batches = list(micro_batches(events, batch_windows=1,
+                                     window=200))
+        lake = CDCLake(tmp_path / f"l{seed}",
+                       TableSpec(name="cdc", num_partitions=parts))
+        renames = [("lang", "language"), ("language", "lingua")]
+        widens = [("size_bytes", pa.int64()),
+                  ("size_bytes", pa.float64())]
+        for b in batches:
+            if renames and rng.random() < 0.45:
+                lake.rename_column(*renames.pop(0))
+            if (widens and rng.random() < 0.45
+                    and "size_bytes" in lake.spec.schema.names):
+                # the column exists only after the first apply evolved
+                # it in; widen from the CURRENT type, skip no-ops
+                cur = lake.spec.schema.field("size_bytes").type
+                col, ty = widens[0]
+                if ty != cur:
+                    lake.widen_column(col, ty)
+                widens.pop(0)
+            lake.apply_events(rd.from_arrow(b))
+            if rng.random() < 0.3:
+                lake.compact()
+        st = _state(lake)
+        # resolve the final logical name of the original lang column
+        applied = 2 - len(renames)
+        name = ["lang", "language", "lingua"][applied]
+        oracle = oracle_apply(events)
+        got = st.select(
+            ["repo", "path", "commit", name, "content_sha"]
+        ).sort_by([("repo", "ascending"), ("path", "ascending")])
+        assert got.num_rows == oracle.num_rows, (seed,)
+        for col, ocol in (("repo", "repo"), ("path", "path"),
+                          ("commit", "commit"), (name, "lang"),
+                          ("content_sha", "content_sha")):
+            assert got.column(col).equals(oracle.column(ocol)), (
+                seed, col)
+        # size_bytes type reflects every widen that ran
+        want_t = (pa.float64() if not widens
+                  else (pa.int64() if len(widens) == 1 else None))
+        if want_t is not None:
+            assert st.schema.field("size_bytes").type == want_t, (seed,)
