@@ -72,6 +72,56 @@ def _lev_banded(a: str, b: str, k: int) -> int | None:
     return prev[lb] if prev[lb] <= k else None
 
 
+def _lev_banded_batch(sa: list, sb: list, k: int) -> np.ndarray:
+    """Banded Levenshtein for a BATCH of string pairs, vectorized over
+    the pair axis: the i-loop runs max-length times and the j-loop a
+    band width (2k+1), each step a numpy op over every pair at once —
+    ~two orders of magnitude over the per-pair Python DP when
+    candidates number in the hundreds of thousands.  Returns int32
+    distances with k+1 meaning "> k"."""
+    P = len(sa)
+    inf = np.int32(k + 1)
+    if P == 0:
+        return np.empty(0, np.int32)
+    la = np.fromiter((len(s) for s in sa), np.int64, P)
+    lb = np.fromiter((len(s) for s in sb), np.int64, P)
+    out = np.full(P, inf, np.int32)
+    band_ok = np.abs(la - lb) <= k
+    lmax = int(max(la.max(), lb.max(), 1))
+
+    def to_mat(strs, lens, pad):
+        """Vectorized char-code matrix: numpy's fixed-width unicode
+        dtype IS a UCS-4 matrix — one C-side conversion for the whole
+        batch (a per-string encode loop here was the measured
+        bottleneck at millions of candidate pairs), then positions
+        past each string's length get a side-distinct pad so pad
+        never equals pad."""
+        M = np.asarray(strs, dtype=f"U{lmax}").view(np.uint32)
+        M = M.reshape(len(lens), lmax).astype(np.int32)
+        M[np.arange(lmax)[None, :] >= lens[:, None]] = pad
+        return M
+
+    A = to_mat(sa, la, -1)
+    B = to_mat(sb, lb, -2)
+    prev = np.minimum(
+        np.tile(np.arange(lmax + 1, dtype=np.int32), (P, 1)), inf)
+    imax = int(la.max())
+    for i in range(1, imax + 1):
+        active = (i <= la)
+        cur = np.full((P, lmax + 1), inf, np.int32)
+        if i <= k:
+            cur[:, 0] = i
+        for j in range(max(1, i - k), min(lmax, i + k) + 1):
+            sub = prev[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            d = np.minimum(np.minimum(sub, prev[:, j] + 1),
+                           cur[:, j - 1] + 1)
+            cur[:, j] = np.minimum(d, inf)
+        prev = np.where(active[:, None], cur, prev)
+    res = prev[np.arange(P), lb]
+    np.copyto(out, res, where=band_ok)
+    return out
+
+
 def edit_distance_self_join(
     ds: rd.Dataset,
     text_col: str,
@@ -82,11 +132,22 @@ def edit_distance_self_join(
 ) -> rd.Dataset:
     """All distinct pairs (id_a < id_b) whose ``text_col`` values are
     within Levenshtein distance ``k``.  Output: (id_a, id_b, dist)."""
-    from .dedup import join_pair_sides
+    import ray
+
+    from .joins import _cached_get
 
     P = k * q + 1
+    # two consumers read the (id, string) projection — the frequency
+    # pass and the prefix pass; materialize the narrow projection once
+    # instead of re-executing the upstream lineage twice.  Contract: a
+    # fuzzy-join key column is short strings, object-store-resident at
+    # this operator's scale.
+    ds = ds.select_columns([id_col, text_col]).materialize()
 
-    def prefix_grams(t: pa.Table) -> pa.Table:
+    def explode(t: pa.Table) -> pd.DataFrame:
+        """Distinct (id, gram-hash, len) rows, vectorized per slice
+        position — shared by the frequency pre-pass and the prefix
+        selection."""
         s = t.column(text_col).to_pandas().fillna("")
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         padded = _PAD_L * (q - 1) + s + _PAD_R * (q - 1)
@@ -99,57 +160,154 @@ def edit_distance_self_join(
                 break
             parts.append(pd.DataFrame({
                 "id": ids[m.to_numpy()], "gram": g[m].to_numpy(),
-                "slen": ln[m.to_numpy()],
+                "slen": ln[m.to_numpy()], "s": s[m].to_numpy(),
             }))
         if not parts:
-            return pa.table({"gram": pa.array([], pa.uint64()),
-                             "id": pa.array([], pa.int64()),
-                             "slen": pa.array([], pa.int64())})
+            return pd.DataFrame(
+                {"id": [], "gram": [], "slen": [], "s": []})
         df = pd.concat(parts, ignore_index=True).drop_duplicates(
             ["id", "gram"])
-        # deterministic global gram order: pandas 64-bit siphash with
-        # its fixed default key — identical in every worker process
+        # deterministic gram identity: pandas 64-bit siphash with its
+        # fixed default key — identical in every worker process
         df["gh"] = pd.util.hash_array(df["gram"].to_numpy(object))
-        df = df.sort_values(["id", "gh"], ignore_index=True)
-        df = df.groupby("id", sort=False).head(P)
+        return df
+
+    # ---- pass 1: global gram document-frequencies ------------------
+    # the prefix-filter theorem holds under ANY fixed global order;
+    # frequency-ASCENDING is the ED-Join order that keeps stop-grams
+    # (shared by thousands of strings → m²/2 candidates each) out of
+    # every prefix.  The doc-frequency table is vocab-sized (|Σ|^q
+    # bounded) — broadcast once; at corpus scale estimate it from a
+    # sample instead (any consistent order stays CORRECT, frequencies
+    # only tune candidate count).
+    def gram_counts(t: pa.Table) -> pa.Table:
+        df = explode(t)
+        c = df.groupby("gh", sort=False).size()
         return pa.table({
-            "gram": pa.array(df["gh"].to_numpy(), pa.uint64()),
-            "id": pa.array(df["id"].to_numpy(), pa.int64()),
-            "slen": pa.array(df["slen"].to_numpy(), pa.int64()),
+            "gh": pa.array(c.index.to_numpy(np.uint64), pa.uint64()),
+            "c": pa.array(c.to_numpy(np.int64), pa.int64()),
         })
 
-    grams = ds.select_columns([id_col, text_col]).map_batches(
-        prefix_grams, batch_format="pyarrow")
+    from .joins import bucketed_agg
 
-    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("id", ignore_index=True)
-        ids = g["id"].to_numpy()
-        ln = g["slen"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = np.abs(ln[ia] - ln[ib]) <= k
-        return pd.DataFrame({"id_a": ids[ia[keep]],
-                             "id_b": ids[ib[keep]]})
+    # vocab-cardinality reduce: Ray's aggregate pays per-group Python
+    # (~50k distinct 3-grams at 10k strings) — use the vectorized
+    # bucketed reduce instead (measured 2× on the whole join)
+    freq_pd = bucketed_agg(
+        ds.map_batches(gram_counts, batch_format="pyarrow"),
+        ["gh"], {"c": ("c", "sum")}, combine=False,
+    ).to_pandas()
+    gh_np = freq_pd["gh"].to_numpy(np.uint64)
+    order = np.argsort(gh_np)
+    fkeys = gh_np[order]
+    fvals = freq_pd["c"].to_numpy(np.int64)[order]
+    fref = ray.put((fkeys, fvals))
 
-    cand = grams.groupby("gram").map_groups(
-        pairs_in_gram, batch_format="pandas")
+    # ---- pass 2: per-string prefix = the P RAREST grams ------------
+    # fuzzy-join strings are SHORT, so the string itself rides with
+    # its P prefix-gram rows (≤ P × len(s) bytes through the one
+    # shuffle) and verification happens INSIDE the gram bucket — no
+    # candidate-pair dataset, no join-back shuffle.  Measured at
+    # sf0.1's low-diversity corpus (608 distinct 3-grams → 6.9M
+    # distinct blocking candidates for 10.7k true pairs): 48 s (first
+    # version: per-gram Ray groups + join-back + per-pair Python DP)
+    # → 9.6 s warm (in-bucket verify + batched vectorized DP + C-side
+    # string-matrix fill + pre-DP pair dedup).
+    def prefix_grams(t: pa.Table) -> pa.Table:
+        df = explode(t)
+        if not len(df):
+            return pa.table({
+                "gram": pa.array([], pa.uint64()),
+                "bucket": pa.array([], pa.int32()),
+                "id": pa.array([], pa.int64()),
+                "slen": pa.array([], pa.int64()),
+                "s": pa.array([], pa.string()),
+            })
+        keys, vals = _cached_get(fref)
+        pos = np.searchsorted(keys, df["gh"].to_numpy(np.uint64))
+        df["freq"] = vals[pos]
+        # rarest first; gram hash breaks frequency ties
+        df = df.sort_values(["id", "freq", "gh"], ignore_index=True)
+        df = df.groupby("id", sort=False).head(P)
+        gh = df["gh"].to_numpy(np.uint64)
+        return pa.table({
+            "gram": pa.array(gh, pa.uint64()),
+            # coarse buckets: verification groups by THESE (one Ray
+            # group per bucket) and segments by gram inside — Ray's
+            # per-group Python cost is paid ~num_buckets times, not
+            # once per distinct gram (the simhash coarse-self-merge
+            # pattern)
+            "bucket": pa.array((gh % np.uint64(num_buckets))
+                               .astype(np.int32)),
+            "id": pa.array(df["id"].to_numpy(), pa.int64()),
+            "slen": pa.array(df["slen"].to_numpy(), pa.int64()),
+            "s": pa.array(df["s"].to_numpy(object), pa.string()),
+        })
 
-    sided = join_pair_sides(cand, ds.select_columns([id_col, text_col]),
-                            id_col, text_col, num_buckets=num_buckets)
+    grams = ds.map_batches(prefix_grams, batch_format="pyarrow")
 
-    def verify(t: pa.Table) -> pa.Table:
-        a_ids = t.column("id_a").to_pylist()
-        b_ids = t.column("id_b").to_pylist()
-        va = t.column("value_a").to_pylist()
-        vb = t.column("value_b").to_pylist()
+    CHUNK = 262_144  # pairs per batch-DP call: bounds the temporaries
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["gram"].to_numpy(np.uint64)
+        order = np.lexsort((g["id"].to_numpy(), gh))
+        gh = gh[order]
+        ids = g["id"].to_numpy()[order]
+        ln = g["slen"].to_numpy()[order]
+        ss = g["s"].to_numpy(object)[order]
+        starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        sizes = np.diff(np.r_[starts, len(gh)])
+        cia, cib = [], []
+        for s0, m in zip(starts[sizes > 1], sizes[sizes > 1]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            keep = np.abs(ln[s0 + ia] - ln[s0 + ib]) <= k
+            cia.append(s0 + ia[keep])
+            cib.append(s0 + ib[keep])
+        if not cia:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "dist": np.empty(0, np.int64)})
+        ia = np.concatenate(cia)
+        ib = np.concatenate(cib)
+        # same (id_a, id_b) arises once per shared prefix gram in this
+        # bucket — dedup BEFORE the DP pays for itself immediately
+        a64 = ids[ia].astype(np.uint64)
+        b64 = ids[ib].astype(np.uint64)
+        if len(ia) and max(a64.max(), b64.max()) < (1 << 32):
+            _, uidx = np.unique((a64 << np.uint64(32)) | b64,
+                                return_index=True)
+        else:
+            _, uidx = np.unique(np.stack([a64, b64], 1), axis=0,
+                                return_index=True)
+        ia, ib = ia[uidx], ib[uidx]
         oa, ob, od = [], [], []
-        for i in range(len(a_ids)):
-            d = _lev_banded(va[i] or "", vb[i] or "", k)
-            if d is not None:
-                oa.append(a_ids[i])
-                ob.append(b_ids[i])
-                od.append(d)
-        return pa.table({"id_a": pa.array(oa, pa.int64()),
-                         "id_b": pa.array(ob, pa.int64()),
-                         "dist": pa.array(od, pa.int64())})
+        for c0 in range(0, len(ia), CHUNK):
+            ca, cb = ia[c0:c0 + CHUNK], ib[c0:c0 + CHUNK]
+            d = _lev_banded_batch(list(ss[ca]), list(ss[cb]), k)
+            keep = d <= k
+            oa.append(ids[ca[keep]])
+            ob.append(ids[cb[keep]])
+            od.append(d[keep].astype(np.int64))
+        return pd.DataFrame({"id_a": np.concatenate(oa),
+                             "id_b": np.concatenate(ob),
+                             "dist": np.concatenate(od)})
 
-    return sided.map_batches(verify, batch_format="pyarrow")
+    verified = grams.groupby("bucket").map_groups(
+        verify_bucket, batch_format="pandas")
+
+    # the same true pair can verify under several shared prefix grams
+    # (and in several buckets) — a coarse-bucketed distinct collapses
+    # it (per-PAIR groups would pay Ray's group overhead once per
+    # result row; per-bucket drop_duplicates pays it num_buckets times)
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ b.astype(np.uint64)) % np.uint64(num_buckets))
+        return t.append_column("pb", pa.array(pb.astype(np.int32)))
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["pb"])
+
+    return verified.map_batches(add_pb, batch_format="pyarrow").groupby(
+        "pb").map_groups(distinct_pairs, batch_format="pandas")

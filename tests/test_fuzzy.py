@@ -62,3 +62,22 @@ def test_edit_distance_self_join_matches_brute_force():
     )
     assert list(map(tuple, got.to_numpy())) == want
     assert (got["dist"] <= k).all()
+
+
+def test_lev_banded_batch_agrees_with_scalar():
+    from standardized_omop_data_etl_ray.stages.fuzzy import _lev_banded_batch
+
+    rng = np.random.default_rng(3)
+    alpha = "abcde"
+    for k in (1, 2, 3):
+        sa, sb, want = [], [], []
+        for _ in range(400):
+            la, lb = rng.integers(0, 14, 2)
+            a = "".join(rng.choice(list(alpha), la))
+            b = "".join(rng.choice(list(alpha), lb))
+            sa.append(a)
+            sb.append(b)
+            d = _full_lev(a, b)
+            want.append(d if d <= k else k + 1)
+        got = _lev_banded_batch(sa, sb, k)
+        assert got.tolist() == want, k
