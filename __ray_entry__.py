@@ -2160,6 +2160,28 @@ FROM embeddings GROUP BY label
 
 
 
+def unnest_embeddings(sf_dir: str):
+    """SQL UNNEST WITH ORDINALITY (stages/unpivot.unnest_list): the
+    embeddings list<float> column exploded to (vec_id, idx, val) rows
+    — zero-copy Arrow (flattened child array + offset-arithmetic
+    carries), one row per element, restricted to vec_id < 50 to keep
+    the oracle frame small."""
+    from standardized_omop_data_etl_ray.stages.unpivot import unnest_list
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id < 50")
+    return unnest_list(emb, "embedding", ["vec_id"])
+
+
+_UNNEST_SQL = """
+SELECT vec_id,
+       generate_subscripts(embedding, 1) AS idx,
+       unnest(embedding) AS val
+FROM embeddings
+WHERE vec_id < 50
+"""
+
+
 def events_key_skew(sf_dir: str):
     """One-row key-skew profile (stages/aggregates.key_skew_stats) of
     the events table's user distribution — the diagnostic behind the
@@ -6142,6 +6164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  token_vocab / grouped_cont / intersect_all demoted as
         #  near-duplicate coverage of tfidf / quantiles_cont / except_all)
         "cdc_full_replay_docs": cdc_full_replay_docs,
+        "unnest_embeddings": unnest_embeddings,
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "except_all_lineitem_orders": except_all_lineitem_orders,
@@ -6278,6 +6301,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_join_doc_prefixes": _FUZZY_JOIN_SQL,
         "events_key_skew": _KEY_SKEW_SQL,
         "user_event_journeys": _JOURNEYS_SQL,
+        "unnest_embeddings": _UNNEST_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

@@ -17,8 +17,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+import ray.data as rd
 
 
 @dataclass
@@ -149,3 +152,57 @@ def pivot_agg(
         {str(nm): (str(nm), agg) for nm in names},
         num_buckets,
     )
+
+
+def unnest_list(
+    ds: rd.Dataset,
+    list_col: str,
+    carry_cols: list[str],
+    idx_col: str = "idx",
+    value_col: str = "val",
+) -> rd.Dataset:
+    """SQL UNNEST ... WITH ORDINALITY over a ``list<T>`` column: one
+    output row per list element, carrying ``carry_cols`` and the
+    element's 1-based position.  Fully zero-copy Arrow: the flattened
+    values come straight from the list child array, carries replicate
+    via ``pa.ListArray`` offset arithmetic (take on parent indices) —
+    no Python per row, no pandas object boxing of the lists.  Null and
+    empty lists emit no rows (SQL UNNEST semantics)."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        vt = (col.type.value_type if hasattr(col.type, "value_type")
+              else col.type)
+        if t.num_rows == 0:
+            return pa.table(
+                {**{c: t.column(c) for c in carry_cols},
+                 idx_col: pa.array([], pa.int64()),
+                 value_col: pa.array([], vt)})
+        if col.num_chunks != 1:
+            col = col.combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        # normalize large_list and null slots (null list → empty list,
+        # so the offset math emits no rows for it)
+        arr = arr.cast(pa.list_(arr.type.value_type))
+        if arr.null_count:
+            lens = pc.fill_null(pc.list_value_length(arr), 0)
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(
+                    [[0], np.cumsum(lens.to_numpy(
+                        zero_copy_only=False))]).astype(np.int32)),
+                arr.flatten(),
+            )
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        parent = np.repeat(np.arange(len(arr)), lens)
+        ordinal = np.arange(len(parent)) - np.repeat(
+            offsets[:-1], lens) + 1
+        out = {c: t.column(c).take(pa.array(parent))
+               for c in carry_cols}
+        out[idx_col] = pa.array(ordinal, pa.int64())
+        out[value_col] = arr.flatten()
+        return pa.table(out)
+
+    return ds.select_columns(carry_cols + [list_col]).map_batches(
+        explode, batch_format="pyarrow")

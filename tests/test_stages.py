@@ -952,3 +952,26 @@ def test_tdigest_rank_error_bound():
     empty = rd.from_pandas(pd.DataFrame({"x": pd.array([], dtype="float64")}))
     t = tdigest_quantiles(empty, "x", [0.5])
     assert t["value"].to_pylist() == [None]
+
+
+def test_unnest_list_nulls_empties_and_ordinality():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.unpivot import unnest_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[10, 20, 30], None, [], [40]],
+                       pa.list_(pa.int32())),
+    })
+    out = (
+        unnest_list(rd.from_arrow(t).repartition(2), "xs", ["id"])
+        .to_pandas().sort_values(["id", "idx"], ignore_index=True)
+    )
+    # null and empty lists emit no rows (SQL UNNEST)
+    assert out["id"].tolist() == [1, 1, 1, 4]
+    assert out["idx"].tolist() == [1, 2, 3, 1]
+    assert out["val"].tolist() == [10, 20, 30, 40]
+    assert str(out.dtypes["val"]) == "int32"
