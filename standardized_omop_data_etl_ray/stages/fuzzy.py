@@ -16,14 +16,13 @@ frequency-ascending order is the classic efficiency upgrade and plugs
 in here unchanged), so only strings sharing a prefix gram ever meet.
 
 Scale shape: gram explode is vectorized per position (no per-row
-Python); candidate pairs form inside per-gram groups with a length
-filter (|len_a − len_b| ≤ k); duplicates collapse in
-``join_pair_sides``'s distinct pass, which also attaches both endpoint
-strings through hash-bucket joins — the corpus is never broadcast; the
-banded O(k·n) DP runs once per distinct candidate.  A stop-gram (one
-shared by m strings) costs m²/2 candidates — the documented mitigation
-at scale is the frequency order above, which pushes stop-grams out of
-every prefix.
+Python); the short strings RIDE with their prefix-gram rows through
+the one shuffle, so candidate pairs form AND verify inside coarse gram
+buckets — no candidate-pair dataset, no join-back shuffle, corpus
+never broadcast; the banded DP is vectorized across the pair axis and
+runs once per distinct in-bucket candidate.  A stop-gram (one shared
+by m strings) costs m²/2 candidates — the frequency order above pushes
+stop-grams out of every prefix.
 """
 
 from __future__ import annotations
