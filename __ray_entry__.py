@@ -2160,6 +2160,35 @@ FROM embeddings GROUP BY label
 
 
 
+def events_json_props_stats(sf_dir: str):
+    """Semi-structured projection (stages/schema_ops.json_extract_column):
+    pull ``k`` out of the events table's JSON ``props`` column — one
+    vectorized DuckDB kernel per Arrow batch, no Python per row — then
+    aggregate per event_type.  The oracle extracts with
+    json_extract_string in SQL."""
+    from standardized_omop_data_etl_ray.stages.schema_ops import (
+        json_extract_column,
+    )
+
+    ev = _pq(sf_dir, "events", ["event_type", "props"])
+    withk = json_extract_column(ev, "props", "$.k", "k", pa.int64())
+    return (
+        withk.groupby("event_type")
+        .aggregate(Count(alias_name="n"),
+                   Sum("k", alias_name="sum_k"),
+                   Mean("k", alias_name="avg_k"))
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 def unnest_embeddings(sf_dir: str):
     """SQL UNNEST WITH ORDINALITY (stages/unpivot.unnest_list): the
     embeddings list<float> column exploded to (vec_id, idx, val) rows
@@ -6165,6 +6194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  near-duplicate coverage of tfidf / quantiles_cont / except_all)
         "cdc_full_replay_docs": cdc_full_replay_docs,
         "unnest_embeddings": unnest_embeddings,
+        "events_json_props_stats": events_json_props_stats,
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "except_all_lineitem_orders": except_all_lineitem_orders,
@@ -6302,6 +6332,7 @@ def oracle_sql() -> dict[str, str]:
         "events_key_skew": _KEY_SKEW_SQL,
         "user_event_journeys": _JOURNEYS_SQL,
         "unnest_embeddings": _UNNEST_SQL,
+        "events_json_props_stats": _JSON_PROPS_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

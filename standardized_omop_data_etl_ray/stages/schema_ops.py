@@ -248,3 +248,37 @@ def intersect_all(
         return _replicate(t, cols, reps)
 
     return counts.map_batches(emit, batch_format="pyarrow")
+
+
+def json_extract_column(
+    ds: rd.Dataset,
+    json_col: str,
+    path: str,
+    out_col: str,
+    out_type: pa.DataType | None = None,
+) -> rd.Dataset:
+    """Extract one field from a JSON string column — the
+    semi-structured projection every event/log pipeline needs (the
+    reference's provenance pipe-strings are the same idea with a
+    homegrown format).  ``path`` is a JSONPath like ``$.k``.
+
+    Vectorized per batch through the worker's process-local DuckDB
+    connection (the ``functions.hashing`` pattern — one SQL kernel
+    over the Arrow batch, no Python per row); nulls and missing keys
+    yield null.  ``out_type`` casts the extracted string (JSON scalars
+    arrive as text)."""
+    from ..functions.hashing import _HAVE_DUCKDB, _con
+
+    if not _HAVE_DUCKDB:  # pragma: no cover — duckdb is baked in
+        raise RuntimeError("json_extract_column requires duckdb")
+
+    def extract(t: pa.Table) -> pa.Table:
+        sv = pa.table({"j": t.column(json_col)})
+        got = _con().execute(
+            f"SELECT json_extract_string(j, '{path}') AS v FROM sv"
+        ).fetch_arrow_table().column("v")
+        if out_type is not None:
+            got = got.cast(out_type)
+        return t.append_column(out_col, got)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

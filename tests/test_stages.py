@@ -975,3 +975,29 @@ def test_unnest_list_nulls_empties_and_ordinality():
     assert out["idx"].tolist() == [1, 2, 3, 1]
     assert out["val"].tolist() == [10, 20, 30, 40]
     assert str(out.dtypes["val"]) == "int32"
+
+
+def test_json_extract_column_nulls_and_missing_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.schema_ops import (
+        json_extract_column,
+    )
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "j": pa.array(['{"k": 7, "s": "x"}', '{"s": "y"}', None,
+                       '{"k": -3}'], pa.string()),
+    })
+    out = (
+        json_extract_column(rd.from_arrow(t), "j", "$.k", "k",
+                            pa.int64())
+        .to_pandas().sort_values("id", ignore_index=True)
+    )
+    assert out["k"].tolist()[0] == 7 and out["k"].tolist()[3] == -3
+    assert out["k"].isna().tolist() == [False, True, True, False]
+    s = json_extract_column(rd.from_arrow(t), "j", "$.s", "s"
+                            ).to_pandas().sort_values(
+                                "id", ignore_index=True)
+    assert s["s"].tolist()[:2] == ["x", "y"]
