@@ -2160,6 +2160,27 @@ FROM embeddings GROUP BY label
 
 
 
+def mode_event_type_per_user(sf_dir: str):
+    """Per-group MODE (stages/aggregates.grouped_mode): each user's
+    most frequent event type, deterministic tiebreak (count DESC, type
+    ASC) mirrored by the oracle's ROW_NUMBER — (key, value) counts via
+    the bucketed combiner, then a coarse-bucketed vectorized argmax."""
+    from standardized_omop_data_etl_ray.stages.aggregates import grouped_mode
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, ["user_id"], "event_type")
+
+
+_GROUPED_MODE_SQL = """
+SELECT user_id, event_type AS mode, c AS mode_count FROM (
+    SELECT user_id, event_type, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
 def events_json_props_stats(sf_dir: str):
     """Semi-structured projection (stages/schema_ops.json_extract_column):
     pull ``k`` out of the events table's JSON ``props`` column — one
@@ -6195,6 +6216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_full_replay_docs": cdc_full_replay_docs,
         "unnest_embeddings": unnest_embeddings,
         "events_json_props_stats": events_json_props_stats,
+        "mode_event_type_per_user": mode_event_type_per_user,
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "except_all_lineitem_orders": except_all_lineitem_orders,
@@ -6333,6 +6355,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_journeys": _JOURNEYS_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
+        "mode_event_type_per_user": _GROUPED_MODE_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

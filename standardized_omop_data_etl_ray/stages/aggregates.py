@@ -694,3 +694,65 @@ def key_skew_stats(
 
     return parts.repartition(1).map_batches(
         finalize, batch_format="pyarrow")
+
+
+def grouped_mode(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-group MODE with a deterministic tiebreak (count DESC, value
+    ASC) — SQL's ``mode()`` leaves ties unspecified, so the contract
+    here is the reproducible one (mirror with ROW_NUMBER OVER (ORDER
+    BY c DESC, value)).  Output: keys + ``mode`` + ``mode_count``.
+
+    Shape: (key, value) counts via the bucketed combiner (one partial
+    row per distinct pair per batch through the exchange), then a
+    coarse key-hash-bucketed vectorized argmax — segment firsts of a
+    lexsort, no per-group Python."""
+    import pyarrow.compute as pc
+
+    from .joins import bucketed_agg
+
+    ones = ds.select_columns(key_cols + [value_col]).map_batches(
+        lambda t: t.append_column(
+            "__one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    counts = bucketed_agg(ones, key_cols + [value_col],
+                          {"c": ("__one", "sum")},
+                          num_buckets=num_buckets)
+
+    B = num_buckets or 64
+
+    def add_kb(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for kcol in key_cols:
+            h ^= pd.util.hash_array(
+                t.column(kcol).to_pandas().to_numpy(object))
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(B)).astype(np.int32)))
+
+    def argmax_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + ["c", value_col],
+                          ascending=[True] * len(key_cols)
+                          + [False, True], ignore_index=True)
+        # segment firsts: a row starts a new key group when ANY key
+        # column changed vs the previous row
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            changed = np.zeros(len(g) - 1, dtype=bool)
+            for kcol in key_cols:
+                kv = g[kcol].to_numpy()
+                changed |= kv[1:] != kv[:-1]
+            first[1:] = changed
+        out = g[first]
+        return pd.DataFrame({
+            **{k: out[k].to_numpy() for k in key_cols},
+            "mode": out[value_col].to_numpy(),
+            "mode_count": out["c"].to_numpy(np.int64),
+        })
+
+    return counts.map_batches(add_kb, batch_format="pyarrow").groupby(
+        "__kb").map_groups(argmax_in_bucket, batch_format="pandas")

@@ -269,3 +269,28 @@ def test_grouped_sequence_orders_and_ties():
     )
     assert out.loc[0, "seq"] == "a,b,c" and out.loc[0, "n"] == 3
     assert out.loc[1, "seq"] == "x,y" and out.loc[1, "n"] == 2
+
+
+def test_grouped_mode_tiebreak_and_partition_invariance():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import grouped_mode
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2, 2, 3],
+        "v": ["b", "b", "a", "a", "z", "z", "y", "q"],
+    })
+    # g=1: a and b tie at 2 -> value-ASC picks "a"; g=2: z wins; g=3: q
+    out = grouped_mode(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+        ["g"], "v",
+    ).to_pandas().sort_values("g", ignore_index=True)
+    assert out["mode"].tolist() == ["a", "z", "q"]
+    assert out["mode_count"].tolist() == [2, 2, 1]
+    out2 = grouped_mode(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(7),
+        ["g"], "v",
+    ).to_pandas().sort_values("g", ignore_index=True)
+    pd.testing.assert_frame_equal(out, out2)
