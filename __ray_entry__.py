@@ -2160,6 +2160,36 @@ FROM embeddings GROUP BY label
 
 
 
+def first_last_order_per_customer(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame
+    (stages/windows.first_last_value): each order row annotated with
+    its customer's first and last order price in (date, key) order —
+    one bucketed shuffle + vectorized groupby transforms."""
+    from standardized_omop_data_etl_ray.stages.windows import first_last_value
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"])
+    out = first_last_value(orders, "o_custkey",
+                           ["o_orderdate", "o_orderkey"],
+                           ["o_totalprice"])
+    return out.select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice",
+         "o_totalprice_first", "o_totalprice_last"])
+
+
+_FIRST_LAST_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS o_totalprice_first,
+       last_value(o_totalprice) OVER w AS o_totalprice_last
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+"""
+
+
 def mode_event_type_per_user(sf_dir: str):
     """Per-group MODE (stages/aggregates.grouped_mode): each user's
     most frequent event type, deterministic tiebreak (count DESC, type
@@ -6217,6 +6247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": unnest_embeddings,
         "events_json_props_stats": events_json_props_stats,
         "mode_event_type_per_user": mode_event_type_per_user,
+        "first_last_order_per_customer": first_last_order_per_customer,
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "except_all_lineitem_orders": except_all_lineitem_orders,
@@ -6356,6 +6387,7 @@ def oracle_sql() -> dict[str, str]:
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,
+        "first_last_order_per_customer": _FIRST_LAST_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

@@ -394,3 +394,31 @@ def group_rank(
         return g
 
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
+def first_last_value(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key FIRST_VALUE / LAST_VALUE over the full partition frame
+    (SQL ``first_value(c) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``):
+    one bucketed shuffle co-locates each key, then one vectorized
+    ``groupby().transform`` per column — no per-key Python.
+    ``order_cols`` must be a per-key total order (same contract as
+    ``lag_lead``).  Appends ``{col}_first`` / ``{col}_last``; input
+    columns pass through."""
+    from .joins import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + list(order_cols))
+        gb = g.groupby(key_col, sort=False)
+        for c in value_cols:
+            g[f"{c}_first"] = gb[c].transform("first")
+            g[f"{c}_last"] = gb[c].transform("last")
+        return g
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)

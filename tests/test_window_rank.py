@@ -162,3 +162,29 @@ def test_percent_rank_cume_dist_ntile_match_duckdb():
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_first_last_value_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.windows import first_last_value
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "t": rng.permutation(200),
+        "v": rng.normal(size=200),
+    })
+    out = (
+        first_last_value(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+            "k", ["t"], ["v"])
+        .to_pandas().sort_values(["k", "t"], ignore_index=True)
+    )
+    ref = df.sort_values(["k", "t"], ignore_index=True)
+    gb = ref.groupby("k", sort=False)
+    assert np.allclose(out["v_first"], gb["v"].transform("first"))
+    assert np.allclose(out["v_last"], gb["v"].transform("last"))
