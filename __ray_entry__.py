@@ -2160,6 +2160,60 @@ FROM embeddings GROUP BY label
 
 
 
+def profile_lineitem_numerics(sf_dir: str):
+    """ANALYZE-style table profile (stages/aggregates.profile_columns):
+    per-column (n, nulls, min, max, mean) for lineitem's numeric
+    columns from per-block vectorized partials — one pass, the
+    exchange carries len(columns) rows per block."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        profile_columns,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = profile_columns(_pq(sf_dir, "lineitem", cols), cols)
+    # compare SUM, not MEAN: this table's means are exact short-decimal
+    # rationals (sums of 0.01-multiples / n) that sit ON rounding-tie
+    # boundaries — 1e-15 summation noise plus the engines' different
+    # tie rules (half-even vs half-away) flips any rounded digit.
+    # The TRUE sums are exact 0.01-multiples, so quantizing both sides
+    # to 2 decimals is noise-proof AND tie-free (mean_v stays in the
+    # operator for library users).
+    def quantize(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_v")
+        return t.set_column(i, "sum_v", pc.round(t.column("sum_v"), 2))
+
+    return out.select_columns(
+        ["col", "n", "nulls", "min_v", "max_v", "sum_v"]
+    ).map_batches(quantize, batch_format="pyarrow")
+
+
+_PROFILE_SQL = """
+SELECT col, n, nulls, min_v, max_v, sum_v FROM (
+    SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n,
+           COUNT(*) - COUNT(l_quantity) AS nulls,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+           ROUND(SUM(l_quantity), 2) AS sum_v FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(l_extendedprice),
+           COUNT(*) - COUNT(l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           ROUND(SUM(l_extendedprice), 2) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(l_discount),
+           COUNT(*) - COUNT(l_discount),
+           CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE),
+           ROUND(SUM(l_discount), 2) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(l_tax), COUNT(*) - COUNT(l_tax),
+           CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+           ROUND(SUM(l_tax), 2) FROM lineitem
+)
+"""
+
+
 def first_last_order_per_customer(sf_dir: str):
     """FIRST_VALUE / LAST_VALUE over the full partition frame
     (stages/windows.first_last_value): each order row annotated with
@@ -6248,6 +6302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_props_stats": events_json_props_stats,
         "mode_event_type_per_user": mode_event_type_per_user,
         "first_last_order_per_customer": first_last_order_per_customer,
+        "profile_lineitem_numerics": profile_lineitem_numerics,
         "approx_quantiles_selfcheck": approx_quantiles_selfcheck,
         "grouped_price_quantiles": grouped_price_quantiles,
         "except_all_lineitem_orders": except_all_lineitem_orders,
@@ -6388,6 +6443,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,
         "first_last_order_per_customer": _FIRST_LAST_SQL,
+        "profile_lineitem_numerics": _PROFILE_SQL,
         "cdc_restore_replay": _CDC_FULL_SQL,
         "cdc_replicate_docs": _CDC_REPLICATE_SQL,
         "cdc_replicate_filtered_docs": _CDC_REPLICATE_FILTERED_SQL,

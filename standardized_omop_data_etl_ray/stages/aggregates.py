@@ -756,3 +756,61 @@ def grouped_mode(
 
     return counts.map_batches(add_kb, batch_format="pyarrow").groupby(
         "__kb").map_groups(argmax_in_bucket, batch_format="pandas")
+
+
+def profile_columns(
+    ds: rd.Dataset,
+    columns: list[str],
+) -> rd.Dataset:
+    """ANALYZE-style numeric profile: one output row per column —
+    (col, n, nulls, min, max, mean) — from per-block vectorized
+    partials (count/min/max/sum per column per block), reduced in one
+    tiny final fold.  One pass over the data, no shuffle: the exchange
+    carries len(columns) rows per block.  The statistics the optimizer
+    surfaces (zone maps) per FILE, here per TABLE for humans."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in columns:
+            col = pc.cast(t.column(c), pa.float64())
+            v = pc.count(col, mode="only_valid").as_py() or 0
+            mm = pc.min_max(col).as_py()
+            names.append(c)
+            ns.append(v)
+            nulls.append(t.num_rows - v)
+            mins.append(mm["min"])
+            maxs.append(mm["max"])
+            sums.append(pc.sum(col).as_py() or 0.0)
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "nulls": pa.array(nulls, pa.int64()),
+            "vmin": pa.array(mins, pa.float64()),
+            "vmax": pa.array(maxs, pa.float64()),
+            "vsum": pa.array(sums, pa.float64()),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("col", sort=True).agg(
+            n=("n", "sum"), nulls=("nulls", "sum"),
+            vmin=("vmin", "min"), vmax=("vmax", "max"),
+            vsum=("vsum", "sum"),
+        ).reset_index()
+        return pa.table({
+            "col": pa.array(df["col"], pa.string()),
+            "n": pa.array(df["n"], pa.int64()),
+            "nulls": pa.array(df["nulls"], pa.int64()),
+            "min_v": pa.array(df["vmin"], pa.float64()),
+            "max_v": pa.array(df["vmax"], pa.float64()),
+            "sum_v": pa.array(df["vsum"], pa.float64()),
+            "mean_v": pa.array(df["vsum"] / df["n"].where(df["n"] > 0),
+                               pa.float64()),
+        })
+
+    return (
+        ds.select_columns(columns)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
+    )

@@ -294,3 +294,30 @@ def test_grouped_mode_tiebreak_and_partition_invariance():
         ["g"], "v",
     ).to_pandas().sort_values("g", ignore_index=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_profile_columns_with_nulls():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        profile_columns,
+    )
+
+    df = pd.DataFrame({
+        "a": [1.0, 2.0, None, 4.0],
+        "b": [10, 20, 30, 40],
+    })
+    out = (
+        profile_columns(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(3),
+            ["a", "b"])
+        .to_pandas().set_index("col")
+    )
+    assert out.loc["a", "n"] == 3 and out.loc["a", "nulls"] == 1
+    assert out.loc["a", "min_v"] == 1.0 and out.loc["a", "max_v"] == 4.0
+    assert np.isclose(out.loc["a", "mean_v"], 7.0 / 3)
+    assert out.loc["b", "n"] == 4 and out.loc["b", "nulls"] == 0
+    assert np.isclose(out.loc["b", "mean_v"], 25.0)
