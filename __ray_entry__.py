@@ -4596,6 +4596,114 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def cdc_merge_branch_docs(sf_dir: str):
+    """Branch → merge-back lifecycle (CDCLake.clone + merge_branch):
+    the parent applies v0+v1 of the version-major flagship log, forks
+    a zero-copy branch, the BRANCH applies v2 for doc_id%3==0 while
+    the PARENT concurrently rewrites doc_id%7==0, then the branch
+    merges back with ``on_conflict='ours'`` — the %21 keys changed on
+    BOTH sides keep the parent's value, the rest of the branch's net
+    change set lands as one parent epoch.  The conflict count is
+    asserted in-query against its closed form; the oracle states the
+    three-way-merged state per key."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.pipelines.flagship import (
+        events_from_documents,
+    )
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def version_major(t: pa.Table) -> pa.Table:
+        lsn = t.column("lsn")
+        v = pc.subtract(lsn, pc.multiply(pc.divide(lsn, 3), 3))
+        d = pc.divide(lsn, 3)
+        return t.set_column(
+            t.schema.get_field_index("lsn"), "lsn",
+            pc.add(pc.multiply(v, n), d),
+        )
+
+    events = events_from_documents(docs, 3).map_batches(
+        version_major, batch_format="pyarrow"
+    )
+    parent = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_mb_"),
+                     TableSpec(name="docs_cdc", num_partitions=16))
+    for v in range(2):  # v0 inserts, v1 updates/deletes → the fork state
+        parent.apply_events(
+            events.filter(expr=f"lsn >= {v * n} and lsn < {(v + 1) * n}")
+        )
+    branch = parent.clone(tempfile.mkdtemp(prefix="cdc_lake_mb_br_"))
+
+    # branch work: v2 for every third doc (re-inserts the %13 deletes);
+    # under the version-major remap v2 events have lsn = 2n + doc_id
+    def every_third(t: pa.Table) -> pa.Table:
+        d = pc.subtract(t.column("lsn"), 2 * n)
+        rem = pc.subtract(d, pc.multiply(pc.divide(d, 3), 3))
+        return t.filter(pc.equal(rem, 0))
+
+    branch.apply_events(
+        events.filter(expr=f"lsn >= {2 * n}").map_batches(
+            every_third, batch_format="pyarrow"
+        )
+    )
+    # concurrent parent work: rewrite every seventh doc above the log
+    def parent_updates(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        sel = t.filter(pa.array(d % 7 == 0))
+        did = sel.column("doc_id")
+        return pa.table({
+            "op": pa.array(["U"] * sel.num_rows, pa.string()),
+            "lsn": pc.add(pc.cast(did, pa.int64()), 3 * n),
+            "repo": sel.column("source"),
+            "path": pc.binary_join_element_wise(
+                pa.scalar("doc_"), pc.cast(did, pa.string()),
+                pa.scalar(".txt"), ""),
+            "commit": pc.binary_join_element_wise(
+                pc.cast(did, pa.string()), pa.scalar("p"), ":"),
+            "lang": sel.column("lang"),
+            "content": pc.binary_join_element_wise(
+                sel.column("text"), pa.scalar(" p"), ""),
+        })
+
+    parent.apply_events(
+        docs.map_batches(parent_updates, batch_format="pyarrow"))
+
+    rec = parent.merge_branch(branch, on_conflict="ours")
+    # conflicts = keys changed on BOTH sides = doc_id % lcm(3,7) == 0
+    import pyarrow.parquet as _pq
+
+    ids = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    expected_conflicts = int((ids % 21 == 0).sum())
+    assert rec["conflicts"] == expected_conflicts, (
+        rec["conflicts"], expected_conflicts)
+    return parent.read_state(
+        columns=["commit", "lang", "content"], drop_engine_cols=True)
+
+
+_CDC_MERGE_BRANCH_SQL = """
+-- three-way merge closed form ('ours'): %21 keys changed on both
+-- sides keep the parent rewrite; other %3 keys take the branch v2;
+-- other %7 keys take the parent rewrite (incl. U-on-dead %91 keys);
+-- untouched %13 keys stay deleted (the v1 tombstone); the rest keep v1
+SELECT source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       CASE WHEN doc_id % 21 = 0 THEN doc_id || ':p'
+            WHEN doc_id % 3 = 0 THEN doc_id || ':2'
+            WHEN doc_id % 7 = 0 THEN doc_id || ':p'
+            ELSE doc_id || ':1' END AS "commit",
+       lang,
+       CASE WHEN doc_id % 21 = 0 THEN text || ' p'
+            WHEN doc_id % 3 = 0 THEN text || ' v2'
+            WHEN doc_id % 7 = 0 THEN text || ' p'
+            ELSE text || ' v1' END AS content
+FROM documents
+WHERE doc_id % 3 = 0 OR doc_id % 7 = 0 OR doc_id % 13 <> 0
+"""
+
+
 def cdc_dml_replay_docs(sf_dir: str):
     """Predicate DML over the lake (CDCLake.delete_where /
     update_where): flagship replay, then DELETE every doc whose live
@@ -6239,6 +6347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_vocab": cdc_incremental_vocab_docs,
         "cdc_dml_replay": cdc_dml_replay_docs,
         "cdc_merge_into": cdc_merge_into_docs,
+        "cdc_merge_branch": cdc_merge_branch_docs,
         "cdc_secondary_index": cdc_secondary_index_docs,
         "cdc_drop_column": cdc_drop_column_docs,
         "cdc_rename_column": cdc_rename_column_docs,
@@ -6267,7 +6376,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_doc_prefixes": fuzzy_join_doc_prefixes,
         "events_key_skew": events_key_skew,
         "user_event_journeys": user_event_journeys,
-        "approx_distinct_selfcheck": approx_distinct_selfcheck,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6298,6 +6406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #  token_vocab / grouped_cont / intersect_all demoted as
         #  near-duplicate coverage of tfidf / quantiles_cont / except_all)
         "cdc_full_replay_docs": cdc_full_replay_docs,
+        "approx_distinct_selfcheck": approx_distinct_selfcheck,
         "unnest_embeddings": unnest_embeddings,
         "events_json_props_stats": events_json_props_stats,
         "mode_event_type_per_user": mode_event_type_per_user,
@@ -6430,6 +6539,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_left_join": _CDC_LEFT_JOIN_SQL,
         "cdc_dml_replay": _CDC_DML_SQL,
         "cdc_merge_into": _CDC_MERGE_SQL,
+        "cdc_merge_branch": _CDC_MERGE_BRANCH_SQL,
         "cdc_secondary_index": _CDC_INDEX_SQL,
         "cdc_drop_column": _CDC_DDL_SQL,
         "cdc_rename_column": _CDC_RENAME_SQL,

@@ -2074,6 +2074,176 @@ class CDCLake:
                        dead_letter=self.dead_letter,
                        constraints=self.constraints)
 
+    def merge_branch(self, branch: "CDCLake", *,
+                     on_conflict: str = "fail",
+                     txn: "LakeTransaction | None" = None) -> dict:
+        """Merge a diverged ``clone()`` branch back into this (parent)
+        lake — the three-way merge that completes the branch story: a
+        dev-branch backfill lands as ONE parent epoch without replaying
+        the branch's event log.
+
+        The fork point is the clone record in the BRANCH's lineage.
+        The branch's NET change set since the fork (``changes_between``
+        — change-set-sized, composed from delta files, state never
+        re-read) is re-synthesized as ordinary CDC events at one LSN
+        above every committed parent watermark and applied via
+        ``apply_events`` — so the merge is exactly-once at the commit,
+        time-travelable, and visible to changefeeds / incremental views
+        like any other epoch.
+
+        Conflicts = keys changed on BOTH sides since the fork, detected
+        with a partitioned hash join of the two change sets (never a
+        driver-side key set).  ``on_conflict``:
+
+        * ``"fail"``   — refuse, reporting the conflict count + sample;
+        * ``"ours"``   — parent wins: conflicting keys keep the
+          parent's current value (those branch rows are dropped);
+        * ``"theirs"`` — branch wins: its change set applies verbatim
+          (conflict detection is skipped — nothing would use it).
+
+        Caveats (documented contracts, not gaps): re-merging the same
+        branch is NOT idempotent — each call synthesizes fresh LSNs;
+        merge once, or gate on the returned record.  The change set is
+        carried on the PARENT's current payload schema — if the branch
+        added columns, evolve the parent first (``widen_column`` / an
+        evolving apply), else the new columns do not travel.  A parent
+        ``restore()`` that rolled back past the fork epoch fails loudly
+        (the fork is no longer in this lineage).
+
+        Reference analog: combine_subtables.py:89-124 folds a later
+        source into the accumulated table with priority conflict
+        resolution and a redundant-rows audit; here the policy is
+        explicit per call and the audit is the returned conflict count.
+        """
+        if on_conflict not in ("fail", "ours", "theirs"):
+            raise ValueError(f"on_conflict={on_conflict!r}")
+        spec = self.spec
+        bm = mf.read_manifest(branch.root, branch.spec.name)
+        if not bm:
+            raise ValueError("branch lake is empty")
+        my_troot = str(Path(self.root) / spec.name)
+        fork = None
+        for r in bm.get("lineage", []):
+            if r.get("clone") and r.get("cloned_from") == my_troot:
+                fork = r  # the latest clone record names the fork
+        if fork is None:
+            raise ValueError(
+                f"{branch.root} is not a clone of {my_troot} — "
+                f"merge_branch only folds lakes forked via clone()"
+            )
+        fork_epoch = int(fork["epoch"])
+        pm = mf.read_manifest(self.root, spec.name)
+        known = {r["epoch"] for r in (pm or {}).get("lineage", [])} | {0}
+        if fork_epoch not in known:
+            raise ValueError(
+                f"fork epoch {fork_epoch} is not in the parent's lineage "
+                f"— a restore() rolled back past the fork; re-clone and "
+                f"replay the branch instead of merging"
+            )
+        key_cols = list(spec.key_cols)
+        payload_cols = [
+            f.name for f in spec.schema
+            if f.name not in (spec.op_col, spec.lsn_col, *key_cols)
+        ]
+        from ..stages.joins import nonempty_arrow_blocks
+
+        changes = branch.changes_between(
+            fork_epoch, carry_cols=payload_cols
+        ).materialize()
+        base = {
+            "merged_from": str(Path(branch.root) / branch.spec.name),
+            "fork_epoch": fork_epoch,
+            "resolution": on_conflict,
+        }
+        if changes.count() == 0:
+            return {**base, "rows_merged": 0, "conflicts": 0,
+                    "committed": True}
+        # Ray skips map UDFs on empty blocks: an empty block from the
+        # change-set fold would launder to a schema-less pandas block
+        # and null-type the apply path — drop empties up front
+        changes = nonempty_arrow_blocks(changes)
+        conflicts = 0
+        if on_conflict != "theirs":
+            from ..stages.joins import _as_arrow_schema, partitioned_hash_join
+
+            mine = self.changes_between(fork_epoch)
+
+            def mark_keys(t: pa.Table) -> pa.Table:
+                return t.select(key_cols).append_column(
+                    "__both", pa.array(np.ones(t.num_rows, dtype=bool))
+                )
+
+            mine_keys = mine.map_batches(mark_keys, batch_format="pyarrow")
+            ch_schema = _as_arrow_schema(changes.schema())
+            mark_schema = pa.schema(
+                [(c, spec.schema.field(c).type) for c in key_cols]
+                + [("__both", pa.bool_())]
+            )
+            joined = partitioned_hash_join(
+                changes, mine_keys, key_cols, how="left",
+                left_schema=ch_schema, right_schema=mark_schema,
+            ).materialize()
+            conflicts = joined.map_batches(
+                lambda t: t.filter(
+                    pc.fill_null(t.column("__both"), False)),
+                batch_format="pyarrow",
+            ).count()
+            if conflicts and on_conflict == "fail":
+                sample = joined.map_batches(
+                    lambda t: t.filter(
+                        pc.fill_null(t.column("__both"), False)
+                    ).select(key_cols),
+                    batch_format="pyarrow",
+                ).take(5)
+                raise ValueError(
+                    f"merge_branch: {conflicts} key(s) changed on both "
+                    f"sides since fork epoch {fork_epoch} (sample: "
+                    f"{sample}) — resolve with on_conflict='ours' or "
+                    f"'theirs'"
+                )
+            if conflicts:  # 'ours': drop the branch's conflicting rows
+                keep_cols = list(ch_schema.names)
+                changes = nonempty_arrow_blocks(joined.map_batches(
+                    lambda t: t.filter(
+                        pc.is_null(t.column("__both"))
+                    ).select(keep_cols),
+                    batch_format="pyarrow",
+                ).materialize())
+                if changes.count() == 0:
+                    return {**base, "rows_merged": 0,
+                            "conflicts": int(conflicts),
+                            "committed": True}
+
+        base_lsn = self._max_committed_lsn(pm) + 1
+        lsn_t = spec.schema.field(spec.lsn_col).type
+        ev_schema = spec.schema
+
+        def to_events(batch: pa.Table) -> pa.Table:
+            is_d = pc.equal(batch.column("change"), "deleted")
+            n = batch.num_rows
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for f in ev_schema:
+                if f.name == spec.op_col:
+                    cols[f.name] = pc.if_else(
+                        is_d, pa.scalar("D"), pa.scalar("I"))
+                elif f.name == spec.lsn_col:
+                    cols[f.name] = pa.array(
+                        np.full(n, base_lsn, np.int64)).cast(lsn_t)
+                elif f.name in key_cols:
+                    cols[f.name] = batch.column(f.name)
+                else:
+                    arr = batch.column("new_" + f.name).cast(f.type)
+                    # deletes carry no payload, like a source tombstone
+                    cols[f.name] = pc.if_else(
+                        is_d, pa.scalar(None, f.type), arr)
+            return pa.table(cols).cast(ev_schema)
+
+        events = changes.map_batches(to_events, batch_format="pyarrow")
+        rec = self.apply_events(events, txn=txn)
+        rec.update(base)
+        rec["conflicts"] = int(conflicts)
+        return rec
+
     def reshard(self, new_num_partitions: int) -> dict:
         """Re-hash the lake to a new partition count — the cluster-resize
         admin operation (hash partitioning pins parallelism; a lake laid
