@@ -2364,6 +2364,44 @@ FROM events GROUP BY user_id
 """
 
 
+def funnel_signup_purchase(sf_dir: str):
+    """Funnel analysis (stages/windows.funnel_steps): users who signed
+    up, then viewed, then purchased — each step strictly after the
+    earliest completion of the previous.  One bucketed shuffle
+    co-locates users; len(steps) vectorized passes per bucket; only
+    3 partial rows per bucket reach the final exchange.  SQL mirror:
+    a chain of ``JOIN prev ON ts > prev.t`` CTEs."""
+    from standardized_omop_data_etl_ray.stages.windows import funnel_steps
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_steps(ev, "user_id", "ts", "event_type",
+                        ["signup", "view", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+    WHERE e.event_type = 'view' GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+           (SELECT count(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, 'view', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+) ORDER BY step
+"""
+
+
 def fuzzy_join_doc_prefixes(sf_dir: str):
     """Edit-distance similarity self-join (stages/fuzzy — ED-Join-style
     q-gram prefix blocking + banded-DP verify; distributed form of the
@@ -6376,6 +6414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_doc_prefixes": fuzzy_join_doc_prefixes,
         "events_key_skew": events_key_skew,
         "user_event_journeys": user_event_journeys,
+        "funnel_signup_purchase": funnel_signup_purchase,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6549,6 +6588,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_join_doc_prefixes": _FUZZY_JOIN_SQL,
         "events_key_skew": _KEY_SKEW_SQL,
         "user_event_journeys": _JOURNEYS_SQL,
+        "funnel_signup_purchase": _FUNNEL_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

@@ -396,6 +396,67 @@ def group_rank(
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
 
 
+def funnel_steps(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Funnel analysis: how many keys (users) performed ``steps`` as an
+    ordered subsequence — step k counts keys with an event of type
+    ``steps[k]`` STRICTLY after their earliest completion of step k-1
+    (the standard product-analytics funnel; each step binds to its
+    earliest admissible timestamp, so the count is maximal and
+    deterministic).  Returns one row per step: (step, event_type,
+    users).
+
+    Scale shape: ONE bucketed shuffle co-locates each key, every key in
+    a bucket resolves through len(steps) vectorized passes (filter →
+    map previous step's per-key time → strict compare → groupby min),
+    then only len(steps) partial-count rows per bucket cross the final
+    tiny exchange.  No per-key Python, no driver-side row loops.
+    SQL mirror: a chain of ``JOIN prev ON ts > prev.t`` CTEs."""
+    import numpy as np
+
+    from .joins import bucketed_groupby
+
+    steps = list(steps)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # per-key earliest completion time of the prior step
+        users = []
+        for st in steps:
+            rows = g[g[type_col] == st]
+            if prev is not None:
+                p = rows[key_col].map(prev)
+                m = p.notna().to_numpy()
+                rows, p = rows[m], p[m]
+                if len(rows):
+                    rows = rows[rows[ts_col].to_numpy() > p.to_numpy()]
+            prev = rows.groupby(key_col)[ts_col].min()
+            users.append(len(prev))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": steps,
+            "users": np.asarray(users, dtype=np.int64),
+        })
+
+    partials = bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+    out = partials.groupby(["step", "event_type"]).aggregate(
+        Sum("users", alias_name="users"))
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "step": t.column("step").cast(pa.int64()),
+            "event_type": t.column("event_type").cast(pa.string()),
+            "users": t.column("users").cast(pa.int64()),
+        })
+
+    return out.map_batches(pin, batch_format="pyarrow")
+
+
 def first_last_value(
     ds: rd.Dataset,
     key_col: str,

@@ -188,3 +188,68 @@ def test_first_last_value_matches_pandas():
     gb = ref.groupby("k", sort=False)
     assert np.allclose(out["v_first"], gb["v"].transform("first"))
     assert np.allclose(out["v_last"], gb["v"].transform("last"))
+
+
+def test_funnel_steps_planted_and_brute_force():
+    """Planted funnel shapes (complete, wrong-order, missing-middle,
+    equal-timestamp boundary) plus a randomized frame checked against a
+    brute-force per-user greedy subsequence matcher."""
+    import pyarrow as pa
+
+    from standardized_omop_data_etl_ray.stages.windows import funnel_steps
+
+    steps = ["a", "b", "c"]
+    ts0 = pd.Timestamp("2024-01-01")
+
+    def ev(u, t, e):
+        return {"u": u, "ts": ts0 + pd.Timedelta(seconds=t), "e": e}
+
+    planted = pd.DataFrame([
+        # u1: full funnel in order
+        ev(1, 0, "a"), ev(1, 10, "b"), ev(1, 20, "c"),
+        # u2: wrong order (c before a) -> reaches step 1 + 2 only
+        ev(2, 0, "c"), ev(2, 10, "a"), ev(2, 20, "b"),
+        # u3: missing middle -> step 1 only
+        ev(3, 0, "a"), ev(3, 10, "c"),
+        # u4: equal timestamps -> strict '>' rejects step 2
+        ev(4, 0, "a"), ev(4, 0, "b"),
+        # u5: noise only
+        ev(5, 0, "x"),
+    ])
+    got = (
+        funnel_steps(rd.from_pandas(planted).repartition(3),
+                     "u", "ts", "e", steps, num_buckets=4)
+        .to_pandas().sort_values("step", ignore_index=True)
+    )
+    assert got["users"].tolist() == [4, 2, 1]
+    assert got["event_type"].tolist() == steps
+
+    rng = np.random.default_rng(11)
+    n = 600
+    rand = pd.DataFrame({
+        "u": rng.integers(0, 40, n),
+        "ts": ts0 + pd.to_timedelta(rng.integers(0, 500, n), unit="s"),
+        "e": rng.choice(["a", "b", "c", "x"], n),
+    })
+
+    def brute(df):
+        counts = [0] * len(steps)
+        for _, g in df.groupby("u"):
+            prev = None
+            for k, st in enumerate(steps):
+                rows = g[g["e"] == st]
+                if prev is not None:
+                    rows = rows[rows["ts"] > prev]
+                if rows.empty:
+                    break
+                prev = rows["ts"].min()
+                counts[k] += 1
+        return counts
+
+    got2 = (
+        funnel_steps(
+            rd.from_arrow(pa.Table.from_pandas(rand)).repartition(5),
+            "u", "ts", "e", steps, num_buckets=3)
+        .to_pandas().sort_values("step", ignore_index=True)
+    )
+    assert got2["users"].tolist() == brute(rand)
