@@ -2402,6 +2402,62 @@ SELECT * FROM (
 """
 
 
+def nb_lang_classify_docs(sf_dir: str):
+    """Trained-classifier curation gate (stages/classify): fit a
+    multinomial Naive Bayes language model from (lang, token)
+    sufficient statistics — mergeable counts through the bucketed
+    reduce, no iterative solver — then score every document with the
+    broadcast model via a vectorized matrix gather + reduceat fold.
+    Output (doc_id, pred_lang, score); the oracle replays the exact
+    same Laplace-smoothed math in SQL."""
+    from standardized_omop_data_etl_ray.stages.classify import (
+        classify_naive_bayes, train_naive_bayes,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    model = train_naive_bayes(docs, "text", "lang")
+    return classify_naive_bayes(
+        docs, "text", model, ["doc_id"],
+        out_col="pred_lang", score_col="score")
+
+
+_NB_CLASSIFY_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+),
+cnt AS (
+    SELECT d.lang, t.w, count(*) AS n
+    FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(n) AS tot FROM cnt GROUP BY 1),
+voc AS (SELECT count(DISTINCT w) AS v FROM tok),
+pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+alldocs AS (SELECT count(*) AS n FROM documents),
+toksum AS (
+    SELECT t.doc_id, p.lang,
+           sum(ln((coalesce(c.n, 0) + 1) / (tot.tot + voc.v))) AS s
+    FROM tok t
+    CROSS JOIN pri p
+    JOIN tot ON tot.lang = p.lang
+    CROSS JOIN voc
+    LEFT JOIN cnt c ON c.lang = p.lang AND c.w = t.w
+    GROUP BY 1, 2
+),
+scores AS (
+    SELECT d.doc_id, p.lang,
+           ln(p.nd / alldocs.n) + coalesce(ts.s, 0) AS s
+    FROM documents d
+    CROSS JOIN pri p CROSS JOIN alldocs
+    LEFT JOIN toksum ts ON ts.doc_id = d.doc_id AND ts.lang = p.lang
+)
+SELECT doc_id, lang AS pred_lang, s AS score
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) = 1
+ORDER BY doc_id
+"""
+
+
 def fuzzy_join_doc_prefixes(sf_dir: str):
     """Edit-distance similarity self-join (stages/fuzzy — ED-Join-style
     q-gram prefix blocking + banded-DP verify; distributed form of the
@@ -6415,6 +6471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_key_skew": events_key_skew,
         "user_event_journeys": user_event_journeys,
         "funnel_signup_purchase": funnel_signup_purchase,
+        "nb_lang_classify_docs": nb_lang_classify_docs,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6589,6 +6646,7 @@ def oracle_sql() -> dict[str, str]:
         "events_key_skew": _KEY_SKEW_SQL,
         "user_event_journeys": _JOURNEYS_SQL,
         "funnel_signup_purchase": _FUNNEL_SQL,
+        "nb_lang_classify_docs": _NB_CLASSIFY_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,
