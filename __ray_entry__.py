@@ -2458,6 +2458,75 @@ ORDER BY doc_id
 """
 
 
+def constraint_audit_tpch(sf_dir: str):
+    """Data-quality gate (stages/audit): unique / not-null /
+    foreign-key / range / accepted-values constraints over the
+    orders-lineitem-customer star, each reduced to one
+    (constraint, checked, violations) row from vectorized per-block
+    partials — uniqueness through the bucketed key combiner, FKs via a
+    broadcast parent key set.  The range and accepted-values gates are
+    deliberately tighter than the data so violation counts are
+    non-trivial."""
+    from standardized_omop_data_etl_ray.stages.audit import (
+        audit_constraints, check_accepted_range, check_accepted_values,
+        check_foreign_key, check_not_null, check_unique,
+    )
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderpriority"])
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_discount"])
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    return audit_constraints([
+        check_unique(orders, "orders", ["o_orderkey"]),
+        check_unique(li, "lineitem", ["l_orderkey", "l_linenumber"]),
+        check_not_null(li, "lineitem", ["l_orderkey", "l_discount"]),
+        check_foreign_key(orders, "orders", "o_custkey",
+                          cust, "customer", "c_custkey"),
+        check_accepted_range(li, "lineitem", "l_discount", 0.0, 0.05),
+        check_accepted_values(orders, "orders", "o_orderpriority",
+                              ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    ])
+
+
+_CONSTRAINT_AUDIT_SQL = """
+SELECT * FROM (
+    SELECT 'unique:orders.o_orderkey' AS "constraint",
+           count(*) AS checked,
+           count(*) - count(DISTINCT o_orderkey) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique:lineitem.l_orderkey+l_linenumber', count(*),
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null:lineitem.l_orderkey', count(*),
+           count(*) FILTER (l_orderkey IS NULL)
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null:lineitem.l_discount', count(*),
+           count(*) FILTER (l_discount IS NULL)
+    FROM lineitem
+    UNION ALL
+    SELECT 'foreign_key:orders.o_custkey->customer.c_custkey',
+           count(*) FILTER (o_custkey IS NOT NULL),
+           count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))
+    FROM orders
+    UNION ALL
+    SELECT 'range:lineitem.l_discount', count(*),
+           count(*) FILTER (l_discount IS NOT NULL
+                            AND NOT (l_discount BETWEEN 0.0 AND 0.05))
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values:orders.o_orderpriority', count(*),
+           count(*) FILTER (o_orderpriority IS NOT NULL AND
+               o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM'))
+    FROM orders
+) ORDER BY "constraint"
+"""
+
+
 def fuzzy_join_doc_prefixes(sf_dir: str):
     """Edit-distance similarity self-join (stages/fuzzy — ED-Join-style
     q-gram prefix blocking + banded-DP verify; distributed form of the
@@ -6472,6 +6541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_journeys": user_event_journeys,
         "funnel_signup_purchase": funnel_signup_purchase,
         "nb_lang_classify_docs": nb_lang_classify_docs,
+        "constraint_audit_tpch": constraint_audit_tpch,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6647,6 +6717,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_journeys": _JOURNEYS_SQL,
         "funnel_signup_purchase": _FUNNEL_SQL,
         "nb_lang_classify_docs": _NB_CLASSIFY_SQL,
+        "constraint_audit_tpch": _CONSTRAINT_AUDIT_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,
