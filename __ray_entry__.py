@@ -2458,6 +2458,32 @@ ORDER BY doc_id
 """
 
 
+def time_range_user_stats(sf_dir: str):
+    """Per-user TIME-frame rolling stats (stages/windows.
+    time_range_rolling): count and exact cents-sum of each user's
+    events in the trailing hour — SQL ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW`` with full peer-row (tied-timestamp)
+    semantics.  One bucketed shuffle; C-speed time-window fold over
+    per-(user, ts) partials."""
+    from standardized_omop_data_etl_ray.stages.windows import (
+        time_range_rolling,
+    )
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return time_range_rolling(ev, "user_id", "ts", "event_id", "value",
+                              3600)
+
+
+_TIME_RANGE_SQL = """
+SELECT user_id, ts, event_id,
+       count(*) OVER w AS range_cnt,
+       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS range_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def constraint_audit_tpch(sf_dir: str):
     """Data-quality gate (stages/audit): unique / not-null /
     foreign-key / range / accepted-values constraints over the
@@ -6542,6 +6568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_signup_purchase": funnel_signup_purchase,
         "nb_lang_classify_docs": nb_lang_classify_docs,
         "constraint_audit_tpch": constraint_audit_tpch,
+        "time_range_user_stats": time_range_user_stats,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6718,6 +6745,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_signup_purchase": _FUNNEL_SQL,
         "nb_lang_classify_docs": _NB_CLASSIFY_SQL,
         "constraint_audit_tpch": _CONSTRAINT_AUDIT_SQL,
+        "time_range_user_stats": _TIME_RANGE_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

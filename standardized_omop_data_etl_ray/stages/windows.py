@@ -396,6 +396,64 @@ def group_rank(
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
 
 
+def time_range_rolling(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    window_seconds: int,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key TIME-frame rolling aggregates — SQL ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW`` (inclusive both ends,
+    PEER-inclusive: all rows sharing the current timestamp are in the
+    frame regardless of row order, which a positional pandas
+    ``rolling`` would get wrong on ties).  Emits ``range_cnt`` and
+    ``range_sum_cents`` (``floor(value·100)`` int64 — the
+    summation-order-proof exact-compare contract shared with
+    ``rolling_aggregate``).
+
+    Scale shape: one bucketed shuffle co-locates keys; within a bucket
+    rows collapse to per-(key, ts) partials, the time-window fold runs
+    in pandas' C rolling kernel over the collapsed frame, and results
+    map back with one vectorized merge — no per-key Python."""
+    import numpy as np
+
+    from .joins import bucketed_groupby
+
+    win = f"{int(window_seconds)}s"
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col])
+        cents = np.floor(g[value_col].to_numpy() * 100.0).astype(np.int64)
+        u = (
+            pd.DataFrame({
+                key_col: g[key_col].to_numpy(),
+                ts_col: g[ts_col].to_numpy(),
+                "__c": 1,
+                "__s": cents,
+            })
+            .groupby([key_col, ts_col], sort=False, as_index=False)
+            .sum()
+        )
+        r = (
+            u.groupby(key_col, sort=False)
+            .rolling(win, on=ts_col, closed="both")[["__c", "__s"]]
+            .sum()
+            .reset_index(drop=True)
+        )
+        u["range_cnt"] = r["__c"].to_numpy(np.int64)
+        u["range_sum_cents"] = r["__s"].to_numpy(np.int64)
+        out = g[[key_col, ts_col, order_col]].merge(
+            u[[key_col, ts_col, "range_cnt", "range_sum_cents"]],
+            on=[key_col, ts_col], how="left",
+        )
+        return out
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
 def funnel_steps(
     ds: rd.Dataset,
     key_col: str,

@@ -253,3 +253,55 @@ def test_funnel_steps_planted_and_brute_force():
         .to_pandas().sort_values("step", ignore_index=True)
     )
     assert got2["users"].tolist() == brute(rand)
+
+
+def test_time_range_rolling_matches_duckdb_with_ties():
+    """Tied timestamps (peer rows), exact window-boundary hits, and a
+    key whose events all exceed the window gap — against DuckDB's
+    RANGE frame."""
+    import pyarrow as pa
+
+    from standardized_omop_data_etl_ray.stages.windows import (
+        time_range_rolling,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 400
+    ts0 = pd.Timestamp("2024-03-01")
+    secs = rng.integers(0, 7200, n)
+    secs[:40] = (secs[:40] // 600) * 600       # force many exact ties
+    df = pd.DataFrame({
+        "u": rng.integers(0, 12, n),
+        "ts": ts0 + pd.to_timedelta(secs, unit="s"),
+        "eid": np.arange(n),
+        "v": rng.uniform(-5, 5, n).round(3),
+    })
+    # one sparse key: gaps always larger than the window
+    sparse = pd.DataFrame({
+        "u": 99, "ts": ts0 + pd.to_timedelta([0, 4000, 9000], unit="s"),
+        "eid": [1000, 1001, 1002], "v": [1.0, 2.0, 3.0],
+    })
+    df = pd.concat([df, sparse], ignore_index=True)
+
+    got = (
+        time_range_rolling(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(5),
+            "u", "ts", "eid", "v", 1800, num_buckets=4)
+        .to_pandas().sort_values("eid", ignore_index=True)
+    )
+    want = duckdb.sql("""
+        SELECT u, ts, eid,
+               count(*) OVER w AS range_cnt,
+               sum(CAST(floor(v * 100) AS BIGINT)) OVER w
+                   AS range_sum_cents
+        FROM df
+        WINDOW w AS (PARTITION BY u ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY eid
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)
+    # sparse key: every frame is just the row itself
+    sp = got[got["u"] == 99]
+    assert sp["range_cnt"].tolist() == [1, 1, 1]
