@@ -4580,6 +4580,77 @@ FROM documents
 """
 
 
+def cdc_add_column_docs(sf_dir: str):
+    """Declarative column-add DDL (CDCLake.add_column): epoch 1 lands
+    docs with no ``stars`` column; ``add_column('stars', int64,
+    default=5)`` BETWEEN epochs rewrites the live files with the
+    backfill constant; epoch 2 then arrives CARRYING explicit stars
+    values — proving pre-DDL rows answer the default while post-DDL
+    arrivals keep their own values (Delta-style existing-rows
+    backfill).  Oracle states the closed form."""
+    from standardized_omop_data_etl_ray.pipelines.cdc import CDCLake
+    from standardized_omop_data_etl_ray.spec import TableSpec
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents",
+               ["doc_id", "text", "lang", "source"], rows_hint=n)
+
+    def to_events(second: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            par = pc.equal(
+                pc.bit_wise_and(b.column("doc_id").cast(pa.int64()),
+                                pa.scalar(1, pa.int64())),
+                pa.scalar(1 if second else 0, pa.int64()))
+            b = b.filter(par)
+            did = b.column("doc_id").cast(pa.int64())
+            lsn = pc.add(did, pa.scalar(n if second else 0, pa.int64()))
+            cols = {
+                "op": pa.array(["I"] * b.num_rows, pa.string()),
+                "lsn": lsn,
+                "repo": b.column("source"),
+                "path": pc.binary_join_element_wise(
+                    pa.scalar("doc_"), pc.cast(did, pa.string()),
+                    pa.scalar(".txt"), ""),
+                "commit": pc.binary_join_element_wise(
+                    pc.cast(did, pa.string()), pa.scalar("0"), ":"),
+                "lang": b.column("lang"),
+                "content": b.column("text"),
+            }
+            if second:  # post-DDL arrivals carry explicit values
+                cols["stars"] = pc.cast(
+                    pc.bit_wise_and(did, pa.scalar(7, pa.int64())),
+                    pa.int64())
+            return pa.table(cols)
+        return fn
+
+    lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_add_"),
+                   TableSpec(name="docs_cdc", num_partitions=16))
+    lake.apply_events(docs.map_batches(to_events(False),
+                                       batch_format="pyarrow"))
+    rec = lake.add_column("stars", pa.int64(), default=5)
+    assert rec["files_rewritten"] > 0
+    lake.apply_events(docs.map_batches(to_events(True),
+                                       batch_format="pyarrow"))
+    return lake.read_state(drop_engine_cols=True)
+
+
+_CDC_ADD_SQL = """
+SELECT 'I' AS op,
+       CASE WHEN doc_id % 2 = 1
+            THEN doc_id + (SELECT COUNT(*) FROM documents)
+            ELSE doc_id END AS lsn,
+       source AS repo,
+       'doc_' || doc_id || '.txt' AS path,
+       doc_id || ':0' AS "commit",
+       lang,
+       text AS content,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(doc_id % 8 AS BIGINT)
+            ELSE CAST(5 AS BIGINT) END AS stars
+FROM documents
+"""
+
+
 def cdc_widen_column_docs(sf_dir: str):
     """Type-widening DDL (CDCLake.widen_column): epoch 1 lands an
     int32 ``n_chars`` payload; the column is widened to int64 BETWEEN
@@ -6541,6 +6612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_drop_column": cdc_drop_column_docs,
         "cdc_rename_column": cdc_rename_column_docs,
         "cdc_widen_column": cdc_widen_column_docs,
+        "cdc_add_column": cdc_add_column_docs,
         "cdc_restore_replay": cdc_restore_replay_docs,
         "cdc_replicate_docs": cdc_replicate_docs,
         "cdc_replicate_filtered_docs": cdc_replicate_filtered_docs,
@@ -6737,6 +6809,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_drop_column": _CDC_DDL_SQL,
         "cdc_rename_column": _CDC_RENAME_SQL,
         "cdc_widen_column": _CDC_WIDEN_SQL,
+        "cdc_add_column": _CDC_ADD_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "lineitem_moment_stats": _MOMENT_STATS_SQL,
         "fuzzy_join_doc_prefixes": _FUZZY_JOIN_SQL,

@@ -179,6 +179,50 @@ def _rename_rewriter(root: str, table: str, epoch: int,
     return rewrite
 
 
+def _add_col_rewriter(root: str, table: str, epoch: int,
+                      col: str, typ: pa.DataType, default):
+    """Batch fn for ``CDCLake.add_column(default=...)``: rewrite each
+    live file with the new column appended as a constant — same
+    idempotent per-file rewrite shape as ``_rename_rewriter`` (rows,
+    order, tombstones, patches preserved; NO LWW resolve; retry-safe
+    content-hash names; bloom sidecar copied verbatim)."""
+    import hashlib
+
+    troot = Path(root) / table
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for part, rel in zip(batch.column("part").to_pylist(),
+                             batch.column("file").to_pylist()):
+            t = pq.read_table(troot / rel)
+            if col in t.column_names:
+                # stale bytes from a dropped-then-readded name — the
+                # add must not resurrect them
+                t = t.drop_columns([col])
+            fill = pa.nulls(t.num_rows, typ) if default is None \
+                else pa.array([default] * t.num_rows, typ)
+            t = t.append_column(pa.field(col, typ), fill)
+            pdir = (troot / f"part={int(part):05d}"
+                    / f"epoch={epoch:06d}")
+            pdir.mkdir(parents=True, exist_ok=True)
+            tag = hashlib.sha1(rel.encode()).hexdigest()[:16]
+            fname = f"add-{tag}.parquet"
+            tmp = pdir / (fname + ".tmp")
+            pq.write_table(t, tmp)
+            tmp.replace(pdir / fname)
+            bp = bloom.sidecar_path(troot / rel)
+            if bp.exists():
+                btmp = pdir / (fname + ".bloom.tmp")
+                btmp.write_bytes(bp.read_bytes())
+                btmp.replace(bloom.sidecar_path(pdir / fname))
+            srcs.append(rel)
+            dsts.append(str((pdir / fname).relative_to(troot)))
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    return rewrite
+
+
 def _delta_writer(root: str, table: str, epoch: int, spec: TableSpec,
                   cluster_files: int = 1,
                   cluster_by: list[str] | None = None,
@@ -2882,6 +2926,130 @@ class CDCLake:
         # commit first, sync the in-memory spec only on success — a
         # refused quiesced commit must leave the instance untouched
         # (the rewrite outputs become invisible orphans for gc)
+        self._commit_quiesced(manifest, m)
+        _sync_spec()
+        return record
+
+    def add_column(self, col: str, typ: pa.DataType,
+                   default=None) -> dict:
+        """DDL: add a payload column — the declarative complement of
+        arrival-driven column add (``TableSpec.evolve`` widens the
+        schema when a batch carrying the column ARRIVES; this verb
+        declares it first, so consumers see a stable schema before any
+        data does).  Completes the verb family with drop / rename /
+        widen.
+
+        * ``default=None`` (nullable add): LOGICAL and instant — one
+          manifest commit, no data rewritten.  Every read path scans
+          files against the manifest schema (``pyarrow.dataset(...,
+          schema=...)`` fills absent columns with nulls), so the new
+          column is immediately readable everywhere.
+        * ``default=<value>`` (backfill add): existing LIVE rows must
+          answer the default, so every live file is REWRITTEN with the
+          constant appended — the same pure per-file, no-shuffle,
+          retry-idempotent rewrite as ``rename_column`` (tombstones,
+          patches, watermarks, blooms carried over), then one quiesced
+          manifest swap.  Arriving events WITHOUT the column land as
+          NULL (explicit writes win; the default backfills history,
+          it is not a write-time trigger) — Delta-style existing-rows
+          backfill, documented rather than implicit.
+
+        TIME TRAVEL keeps the old schema: pre-DDL snapshots reference
+        the un-rewritten files (COW).  A previously-dropped name is
+        live again (events stop being stripped) — and since drop is
+        logical, its stale bytes may survive in live files, so a
+        re-add always takes the rewrite path, which replaces the old
+        column physically instead of resurrecting it.  Zone maps gain
+        min=max=default for rewritten files."""
+        spec = self.spec
+        engine = {"content_sha", "key_hash", "part"}
+        if not col or col in engine:
+            raise ValueError(
+                f"column name {col!r} is empty or reserved for an "
+                "engine column")
+        if col in spec.schema.names:
+            raise ValueError(f"column {col!r} already exists")
+        if default is not None:
+            # validate eagerly — a bad default must fail BEFORE any
+            # rewrite work is scheduled
+            pa.array([default], typ)
+
+        def _add_schema(s: pa.Schema) -> pa.Schema:
+            return pa.schema(list(s) + [pa.field(col, typ)])
+
+        def _sync_spec():
+            spec.schema = _add_schema(spec.schema)
+            self.dropped_cols = set(
+                getattr(self, "dropped_cols", set())) - {col}
+
+        m = mf.read_manifest(self.root, spec.name)
+        dropped_now = (set(m.get("dropped_cols", [])) if m
+                       else set(getattr(self, "dropped_cols", set())))
+        if m is None:
+            _sync_spec()
+            return {"epoch": 0, "ddl": "add_column", "col": col,
+                    "type": str(typ), "compaction": True}
+
+        epoch = self._alloc_epoch()
+        record = {"epoch": epoch, "compaction": True,
+                  "ddl": "add_column", "col": col, "type": str(typ),
+                  "default": None if default is None else str(default)}
+        partitions = m["partitions"]
+        # a dropped name being re-added may still have stale bytes in
+        # live files (drop is logical) — force the rewrite, which
+        # replaces the old column physically instead of resurrecting it
+        if default is not None or col in dropped_now:
+            all_files = [
+                (int(p), f)
+                for p, info in m["partitions"].items()
+                for f in info["files"]
+            ]
+            remap: dict[str, str] = {}
+            if all_files:
+                rows = pa.table({
+                    "part": pa.array([p for p, _ in all_files],
+                                     pa.int32()),
+                    "file": pa.array([f for _, f in all_files],
+                                     pa.string()),
+                })
+                rewrite = _add_col_rewriter(self.root, spec.name,
+                                            epoch, col, typ, default)
+                out = (
+                    rd.from_arrow(rows)
+                    .repartition(min(len(all_files), 64))
+                    .map_batches(rewrite, batch_format="pyarrow")
+                    .take_all()
+                )
+                remap = {r["src"]: r["dst"] for r in out}
+            partitions = {}
+            for p, info in m["partitions"].items():
+                fstats = info.get("file_stats", {})
+                partitions[p] = {
+                    **info,
+                    "files": [remap[f] for f in info["files"]],
+                    "file_stats": {
+                        remap[f]: (None if st is None
+                                   else ({**st, col: [default, default]}
+                                         if isinstance(
+                                             default,
+                                             (int, float, str, bool))
+                                         else st))
+                        for f, st in fstats.items() if f in remap
+                    },
+                }
+            record["files_rewritten"] = len(remap)
+        manifest = {
+            **m,
+            "epoch": epoch,
+            "epoch_hwm": max(self._epoch_hwm, epoch,
+                             m.get("epoch_hwm", 0)),
+            "schema": mf.schema_to_b64(
+                _add_schema(mf.schema_from_b64(m["schema"]))),
+            "partitions": partitions,
+            "lineage": list(m.get("lineage", [])) + [record],
+            "dropped_cols": sorted(
+                set(m.get("dropped_cols", [])) - {col}),
+        }
         self._commit_quiesced(manifest, m)
         _sync_spec()
         return record

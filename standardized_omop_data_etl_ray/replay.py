@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="DDL before tailing: widen a payload column's "
                          "type (int8..int64/float32/float64; logical — "
                          "one manifest commit, reads cast up on scan)")
+    ap.add_argument("--add-column", nargs="+", default=None,
+                    metavar="COL TYPE [DEFAULT]",
+                    help="DDL before tailing: add a payload column "
+                         "(no DEFAULT: logical, reads fill NULL; with "
+                         "DEFAULT: live files rewritten with the "
+                         "backfill constant)")
     ap.add_argument("--export-feed", default=None, metavar="DIR",
                     help="after the tail drains, export the net change "
                          "span since the last export to this changefeed "
@@ -102,6 +108,20 @@ def main(argv: list[str] | None = None) -> int:
         col, tname = args.widen_column
         print(json.dumps(lake.widen_column(
             col, pa.type_for_alias(tname))))
+    if args.add_column:
+        import pyarrow as pa
+
+        if len(args.add_column) not in (2, 3):
+            ap.error("--add-column takes COL TYPE [DEFAULT]")
+        col, tname = args.add_column[:2]
+        typ = pa.type_for_alias(tname)
+        default = None
+        if len(args.add_column) == 3:
+            raw = args.add_column[2]
+            default = (float(raw) if pa.types.is_floating(typ)
+                       else int(raw) if pa.types.is_integer(typ)
+                       else raw)
+        print(json.dumps(lake.add_column(col, typ, default=default)))
 
     if args.replicate_from:
         # consumer mode: fold the outbox into this lake, no tailing

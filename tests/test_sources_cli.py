@@ -368,3 +368,10 @@ def test_cli_ddl_verbs(tmp_path):
     st = lake.read_state().to_pandas()
     assert "language" in st.columns and "lang" not in st.columns
     assert str(st.dtypes["size_bytes"]) == "float64"
+
+    recs = run("--add-column", "stars", "int64", "3")
+    assert recs[0]["ddl"] == "add_column"
+    assert recs[0]["files_rewritten"] > 0
+    st = CDCLake(lake_dir, TableSpec(name="cdc", num_partitions=4)) \
+        .read_state().to_pandas()
+    assert (st["stars"] == 3).all()
