@@ -2484,6 +2484,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def value_outliers_by_event_type(sf_dir: str):
+    """Per-group z-score anomaly gate (stages/aggregates.
+    grouped_outliers): events whose value sits more than 2.5
+    population-stddevs from their event type's mean, with the z-score
+    — one bucketed shuffle, vectorized transforms.  SQL mirror:
+    windowed avg/stddev_pop + QUALIFY."""
+    from standardized_omop_data_etl_ray.stages.aggregates import grouped_outliers
+
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    return grouped_outliers(ev, "event_type", "value", 2.5,
+                            ["event_id", "event_type", "value"])
+
+
+_OUTLIERS_SQL = """
+SELECT event_id, event_type, value,
+       (value - avg(value) OVER (PARTITION BY event_type))
+           / stddev_pop(value) OVER (PARTITION BY event_type) AS zscore
+FROM events
+QUALIFY abs(zscore) > 2.5
+"""
+
+
 def constraint_audit_tpch(sf_dir: str):
     """Data-quality gate (stages/audit): unique / not-null /
     foreign-key / range / accepted-values constraints over the
@@ -6641,6 +6663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify_docs": nb_lang_classify_docs,
         "constraint_audit_tpch": constraint_audit_tpch,
         "time_range_user_stats": time_range_user_stats,
+        "value_outliers_by_event_type": value_outliers_by_event_type,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6819,6 +6842,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classify_docs": _NB_CLASSIFY_SQL,
         "constraint_audit_tpch": _CONSTRAINT_AUDIT_SQL,
         "time_range_user_stats": _TIME_RANGE_SQL,
+        "value_outliers_by_event_type": _OUTLIERS_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

@@ -814,3 +814,42 @@ def profile_columns(
         .repartition(1)
         .map_batches(combine, batch_format="pyarrow")
     )
+
+
+def grouped_outliers(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    threshold: float,
+    keep_cols: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-group z-score outlier detection: emit rows where
+    ``|value − mean(group)| > threshold · stddev_pop(group)`` along
+    with the z-score — the anomaly gate over metric streams (SQL
+    mirror: windowed avg/stddev_pop + QUALIFY).
+
+    Scale shape: ONE bucketed shuffle co-locates each key; within a
+    bucket both moments come from vectorized ``groupby().transform``
+    and the filter is a numpy mask — no second pass over the data, no
+    per-key Python.  NULL values take no part in the moments and are
+    never outliers (NaN comparisons are False, matching SQL's
+    NULL-fails-QUALIFY).  Constant and single-row groups yield 0/0 →
+    NaN → excluded on both sides."""
+    from .joins import bucketed_groupby
+
+    cols = list(dict.fromkeys(keep_cols + [key_col, value_col]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(key_col, sort=False)[value_col]
+        mean = gb.transform("mean")
+        sd = gb.transform("std", ddof=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (g[value_col] - mean) / sd
+        keep = np.abs(z.to_numpy(dtype=np.float64)) > threshold
+        out = g.loc[keep, cols].copy()
+        out["zscore"] = z.to_numpy(dtype=np.float64)[keep]
+        return out
+
+    return bucketed_groupby(ds.select_columns(cols), [key_col],
+                            per_bucket, num_buckets)

@@ -1001,3 +1001,45 @@ def test_json_extract_column_nulls_and_missing_keys():
                             ).to_pandas().sort_values(
                                 "id", ignore_index=True)
     assert s["s"].tolist()[:2] == ["x", "y"]
+
+
+def test_grouped_outliers_planted():
+    """Planted spike per group, a constant group (0/0 → excluded), a
+    single-row group, NULL values, repartition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import grouped_outliers
+
+    rng = np.random.default_rng(17)
+    base = pd.DataFrame({
+        "id": np.arange(300),
+        "k": np.repeat(["a", "b", "c"], 100),
+        "v": rng.normal(0, 1, 300),
+    })
+    base.loc[0, "v"] = 50.0      # spike in a
+    base.loc[100, "v"] = -40.0   # spike in b
+    base.loc[5, "v"] = np.nan    # null never an outlier
+    extra = pd.DataFrame({
+        "id": [900, 901, 902],
+        "k": ["const", "const", "single"],
+        "v": [3.0, 3.0, 99.0],
+    })
+    df = pd.concat([base, extra], ignore_index=True)
+
+    for parts in (2, 7):
+        got = (
+            grouped_outliers(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                "k", "v", 3.0, ["id", "k", "v"], num_buckets=3)
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        assert 0 in got["id"].tolist() and 100 in got["id"].tolist()
+        assert not set(got["id"]) & {5, 900, 901, 902}
+        # cross-check against a pandas oracle
+        gb = df.groupby("k")["v"]
+        z = (df["v"] - gb.transform("mean")) / gb.transform("std", ddof=0)
+        want = df.loc[np.abs(z) > 3.0, "id"].tolist()
+        assert got["id"].tolist() == sorted(want)
