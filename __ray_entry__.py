@@ -2484,6 +2484,62 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def remove_dup_spans_docs(sf_dir: str):
+    """Duplicate-span REMOVAL (stages/dedup.remove_dup_spans — the
+    rewrite form of Lee et al.'22 exact-substring dedup; companion of
+    the measure-only ``dup_span_stats_docs``): every token covered by
+    a k=8-token window that occurs ≥2 times corpus-wide is dropped and
+    documents are reassembled from the survivors.  Two key-partitioned
+    exchanges (window-hash bucket → doc bucket), no broadcast.  The
+    oracle replays the same coverage semantics over window STRINGS."""
+    from standardized_omop_data_etl_ray.stages.dedup import remove_dup_spans
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_spans(docs, "text", "doc_id", k=8)
+
+
+_REMOVE_DUP_SPANS_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+    FROM documents
+),
+win AS (
+    SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS w
+    FROM tok, LATERAL unnest(generate_series(1, len(toks)-8+1)) AS u(i)
+    WHERE len(toks) >= 8
+),
+g AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+cover AS (
+    SELECT DISTINCT dw.doc_id, c.j
+    FROM (SELECT win.doc_id, win.i FROM win JOIN g USING (w)) dw,
+         LATERAL unnest(generate_series(dw.i, dw.i + 7)) AS c(j)
+),
+tpos AS (
+    SELECT doc_id, u.j, toks[u.j] AS t
+    FROM tok, LATERAL unnest(generate_series(1, len(toks))) AS u(j)
+),
+kept AS (
+    SELECT p.doc_id, p.j, p.t
+    FROM tpos p LEFT JOIN cover c
+      ON p.doc_id = c.doc_id AND p.j = c.j
+    WHERE c.doc_id IS NULL
+),
+agg AS (
+    SELECT doc_id,
+           string_agg(t, ' ' ORDER BY j) AS clean_text,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       len(tok.toks) AS n_tokens,
+       len(tok.toks) - coalesce(agg.n_kept, 0) AS n_removed
+FROM tok LEFT JOIN agg USING (doc_id)
+"""
+
+
 def value_outliers_by_event_type(sf_dir: str):
     """Per-group z-score anomaly gate (stages/aggregates.
     grouped_outliers): events whose value sits more than 2.5
@@ -6664,6 +6720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constraint_audit_tpch": constraint_audit_tpch,
         "time_range_user_stats": time_range_user_stats,
         "value_outliers_by_event_type": value_outliers_by_event_type,
+        "remove_dup_spans_docs": remove_dup_spans_docs,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6843,6 +6900,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_audit_tpch": _CONSTRAINT_AUDIT_SQL,
         "time_range_user_stats": _TIME_RANGE_SQL,
         "value_outliers_by_event_type": _OUTLIERS_SQL,
+        "remove_dup_spans_docs": _REMOVE_DUP_SPANS_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

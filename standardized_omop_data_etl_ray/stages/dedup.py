@@ -1242,3 +1242,149 @@ def semantic_dedup(
     return assigned.groupby("cluster_id").map_groups(
         mark_dups, batch_format="pandas"
     )
+
+
+def remove_dup_spans(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Duplicate-span REMOVAL — the rewrite form of Lee et al.'22
+    exact-substring dedup (``dup_span_stats`` is the measure form):
+    every token covered by at least one k-token window whose string
+    occurs ≥2 times corpus-wide (all occurrences counted, repeats
+    inside one doc included) is dropped, and each document is
+    reassembled from its surviving tokens.
+
+    Output: one row per input doc —
+    ``(id_col, clean_text, n_tokens, n_removed)``; docs with <k tokens
+    (or no tokens) keep every token (``n_removed = 0``).  NB
+    ``clean_text`` is whitespace-NORMALIZED (tokens re-joined with
+    single spaces) for kept-everything docs too — one canonical output
+    form, same as the SQL mirror's string_agg.
+
+    Scale shape — two exchanges, both key-partitioned:
+      1. (win_hash, doc, pos) rows bucket by HASH — inside a bucket,
+         multiplicity is one vectorized pass and only the DUPLICATED
+         windows' (doc, pos) rows leave (dup spans are normally a
+         small fraction of all windows);
+      2. dup spans and doc texts co-partition by DOC bucket (union
+         with a side-marker column — no broadcast: the dup-span side
+         is corpus-sized in the worst case); inside a bucket, span →
+         covered-token expansion is ``np.repeat`` + tile, the keep
+         mask is one anti-merge, and reassembly is one grouped join
+         per doc (string building is inherently per-doc; everything
+         up to it is vectorized).
+    """
+    from .corpus import _ws_tokens
+    from .joins import bucketed_groupby
+
+    kk = int(k)
+    pows = _window_pows(kk)
+
+    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col])
+        ids_out, h_out, p_out = [], [], []
+        for did, t in zip(df[id_col], toks):
+            n = len(t)
+            if n < kk:
+                continue
+            h_out.append(_doc_window_hashes(t, kk, pows))
+            ids_out.append(np.full(n - kk + 1, did, np.int64))
+            p_out.append(np.arange(n - kk + 1, dtype=np.int64))
+        if not ids_out:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "win_hash": pd.Series([], dtype="uint64"),
+                "pos": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            id_col: np.concatenate(ids_out),
+            "win_hash": np.concatenate(h_out),
+            "pos": np.concatenate(p_out),
+        })
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("win_hash")["win_hash"].transform("size") >= 2
+        return g.loc[dup, [id_col, "pos"]]
+
+    spans = bucketed_groupby(
+        ds.map_batches(win_rows, batch_format="pandas"),
+        ["win_hash"], dup_only, num_buckets,
+    )
+
+    # co-partition dup spans with doc texts by doc id: union the two
+    # streams with pos = -1 marking text rows, then one doc bucketing
+    # NB .to_numpy() throughout: upstream blocks can arrive as .loc
+    # slices with non-default indexes, and a dict-of-Series DataFrame
+    # constructor would ALIGN them against positional arrays (silent
+    # NaN rows) instead of stacking them
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            text_col: df[text_col].to_numpy(dtype=object),
+            "pos": np.full(len(df), -1, np.int64),
+        })
+
+    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            text_col: np.full(len(df), None, dtype=object),
+            "pos": df["pos"].to_numpy(dtype=np.int64),
+        })
+
+    both = (
+        ds.map_batches(tag_docs, batch_format="pandas")
+        .union(spans.map_batches(tag_spans, batch_format="pandas"))
+    )
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["pos"] < 0]
+        sp = g[g["pos"] >= 0]
+        toks = _ws_tokens(docs[text_col])
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        dids = docs[id_col].to_numpy()
+        if lens.sum():
+            tok_doc = np.repeat(dids, lens)
+            tok_j = np.concatenate(
+                [np.arange(n, dtype=np.int64) for n in lens])
+            tok_v = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)])
+        else:
+            tok_doc = np.array([], np.int64)
+            tok_j = np.array([], np.int64)
+            tok_v = np.array([], object)
+        tdf = pd.DataFrame({id_col: tok_doc, "j": tok_j, "t": tok_v})
+        if len(sp):
+            cov = pd.DataFrame({
+                id_col: np.repeat(sp[id_col].to_numpy(), kk),
+                "j": (np.repeat(sp["pos"].to_numpy(), kk)
+                      + np.tile(np.arange(kk, dtype=np.int64), len(sp))),
+            }).drop_duplicates()
+            marked = tdf.merge(cov, on=[id_col, "j"], how="left",
+                               indicator=True)
+            keep = marked["_merge"] == "left_only"
+        else:
+            marked = tdf.assign(_merge="left_only")
+            keep = pd.Series(True, index=tdf.index)
+        kept = tdf[keep.to_numpy()]
+        clean = kept.sort_values([id_col, "j"]).groupby(
+            id_col, sort=False)["t"].agg(" ".join)
+        out = pd.DataFrame({id_col: dids, "n_tokens": lens})
+        out["clean_text"] = out[id_col].map(clean).fillna("")
+        removed = (lens
+                   - out[id_col].map(kept.groupby(id_col).size())
+                   .fillna(0).to_numpy(dtype=np.int64))
+        out["n_removed"] = removed
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+            "clean_text": pa.array(out["clean_text"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_removed": pa.array(out["n_removed"].to_numpy(np.int64),
+                                  pa.int64()),
+        })
+
+    return bucketed_groupby(both, [id_col], rebuild, num_buckets)

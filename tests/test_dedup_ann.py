@@ -486,3 +486,51 @@ def test_semantic_dedup_flags_planted_twin_and_is_partition_invariant():
         n_clusters=6, tau=0.95,
     ).to_pandas().sort_values("vec_id", ignore_index=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_remove_dup_spans_planted():
+    """Two docs share an 8-token span (removed from both), one doc
+    repeats a span internally (removed), short and empty docs keep all
+    tokens, unique docs untouched; repartition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.dedup import remove_dup_spans
+
+    shared = "s0 s1 s2 s3 s4 s5 s6 s7"
+    rows = [
+        {"doc_id": 1, "text": f"a1 a2 {shared} a3 a4"},
+        {"doc_id": 2, "text": f"b1 {shared} b2 b3 b4 b5"},
+        # internal repeat: span occurs twice inside ONE doc
+        {"doc_id": 3, "text": "r0 r1 r2 r3 r4 r5 r6 r7 x "
+                              "r0 r1 r2 r3 r4 r5 r6 r7"},
+        {"doc_id": 4, "text": "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"},
+        {"doc_id": 5, "text": "short doc"},
+        {"doc_id": 6, "text": ""},
+    ]
+    df = pd.DataFrame(rows)
+    for parts in (1, 4):
+        got = (
+            remove_dup_spans(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                "text", "doc_id", k=8, num_buckets=3)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        g = got.set_index("doc_id")
+        assert g.loc[1, "clean_text"] == "a1 a2 a3 a4"
+        assert g.loc[1, ["n_tokens", "n_removed"]].tolist() == [12, 8]
+        assert g.loc[2, "clean_text"] == "b1 b2 b3 b4 b5"
+        # doc 3: every window containing only r-tokens is duplicated
+        # (both copies), so all 16 r tokens go; 'x' is covered by the
+        # windows spanning the boundary ONLY if those windows repeat —
+        # they don't, but x sits inside windows that mix r's and x,
+        # none of which are duplicated... yet the r-only windows cover
+        # all r positions.  x survives.
+        assert g.loc[3, "clean_text"] == "x"
+        assert g.loc[3, "n_removed"] == 16
+        assert g.loc[4, "clean_text"] == "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+        assert g.loc[4, "n_removed"] == 0
+        assert g.loc[5, "clean_text"] == "short doc"
+        assert g.loc[6, "clean_text"] == "" and g.loc[6, "n_tokens"] == 0
