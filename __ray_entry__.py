@@ -2484,6 +2484,32 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def ewma_user_values(sf_dir: str):
+    """Per-user exponential smoothing (stages/windows.grouped_ewma,
+    α=0.3) of event values over the (ts, event_id) total order — the
+    O(n) recursive C kernel per bucket; the oracle states the O(n²)
+    closed form as a row_number self-join."""
+    from standardized_omop_data_etl_ray.stages.windows import grouped_ewma
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    return grouped_ewma(ev, "user_id", ["ts", "event_id"], "value", 0.3)
+
+
+_EWMA_SQL = """
+WITH r AS (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT a.user_id, a.ts, a.event_id,
+       sum(CASE WHEN b.rn = 1 THEN pow(0.7, a.rn - 1)
+                ELSE 0.3 * pow(0.7, a.rn - b.rn) END * b.value) AS ewma
+FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn <= a.rn
+GROUP BY a.user_id, a.ts, a.event_id, a.rn
+"""
+
+
 def remove_dup_spans_docs(sf_dir: str):
     """Duplicate-span REMOVAL (stages/dedup.remove_dup_spans — the
     rewrite form of Lee et al.'22 exact-substring dedup; companion of
@@ -6721,6 +6747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_user_stats": time_range_user_stats,
         "value_outliers_by_event_type": value_outliers_by_event_type,
         "remove_dup_spans_docs": remove_dup_spans_docs,
+        "ewma_user_values": ewma_user_values,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6901,6 +6928,7 @@ def oracle_sql() -> dict[str, str]:
         "time_range_user_stats": _TIME_RANGE_SQL,
         "value_outliers_by_event_type": _OUTLIERS_SQL,
         "remove_dup_spans_docs": _REMOVE_DUP_SPANS_SQL,
+        "ewma_user_values": _EWMA_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

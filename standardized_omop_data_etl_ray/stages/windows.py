@@ -396,6 +396,45 @@ def group_rank(
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
 
 
+def grouped_ewma(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key exponentially-weighted moving average over a declared
+    total order: ``y₀ = x₀; yₜ = (1−α)·yₜ₋₁ + α·xₜ`` (pandas
+    ``ewm(adjust=False)`` semantics — the recursive smoother used for
+    metric baselining / trend features).  Emits input key/order
+    columns + ``ewma``.
+
+    Scale shape: one bucketed shuffle co-locates each key; the
+    recursion runs in pandas' C ewm kernel vectorized across all keys
+    of a bucket via groupby.  SQL mirror: the closed form
+    ``yₙ = (1−α)ⁿ⁻¹·x₁ + Σᵢ₌₂ⁿ α(1−α)ⁿ⁻ⁱ·xᵢ`` as a self-join over
+    row_number (O(n²) per key — oracle-only; the engine is O(n))."""
+    import numpy as np
+
+    from .joins import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + list(order_cols))
+        out = g[[key_col] + list(order_cols)].copy()
+        # grouped-ewm cython kernel; g is key-sorted, and groupby
+        # preserves within-group order, so the concatenated result
+        # aligns with g's rows positionally
+        out["ewma"] = (
+            g.groupby(key_col, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False).mean()
+            .to_numpy(dtype=np.float64)
+        )
+        return out
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
 def time_range_rolling(
     ds: rd.Dataset,
     key_col: str,

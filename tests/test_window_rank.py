@@ -305,3 +305,41 @@ def test_time_range_rolling_matches_duckdb_with_ties():
     # sparse key: every frame is just the row itself
     sp = got[got["u"] == 99]
     assert sp["range_cnt"].tolist() == [1, 1, 1]
+
+
+def test_grouped_ewma_matches_reference():
+    """Recursive reference per key (y0=x0; yt=(1-a)y(t-1)+a·xt),
+    single-row keys, repartition invariance."""
+    import pyarrow as pa
+
+    from standardized_omop_data_etl_ray.stages.windows import grouped_ewma
+
+    rng = np.random.default_rng(21)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n),
+        "o": np.arange(n),
+        "v": rng.normal(size=n),
+    })
+    df.loc[7, "k"] = 555  # single-row key
+    a = 0.25
+
+    def ref(df):
+        out = {}
+        for k, g in df.sort_values(["k", "o"]).groupby("k"):
+            y = None
+            for o, x in zip(g["o"], g["v"]):
+                y = x if y is None else (1 - a) * y + a * x
+                out[o] = y
+        return out
+
+    want = ref(df)
+    for parts in (2, 6):
+        got = (
+            grouped_ewma(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                "k", ["o"], "v", a, num_buckets=4)
+            .to_pandas().sort_values("o", ignore_index=True)
+        )
+        assert np.allclose(got["ewma"].to_numpy(),
+                           [want[o] for o in got["o"]], atol=1e-12)
