@@ -2484,6 +2484,30 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def extract_long_words_docs(sf_dir: str):
+    """Exploded regex scan (stages/schema_ops.extract_all_matches):
+    every ≥6-letter word in each document as its own (doc_id, idx,
+    match)
+    row — the entity/PII-scanner shape; DuckDB kernel per Arrow batch,
+    zero-copy list explode, no shuffle."""
+    from standardized_omop_data_etl_ray.stages.schema_ops import (
+        extract_all_matches,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return extract_all_matches(docs, "text", r"\b[a-z]{6,}\b",
+                               ["doc_id"])
+
+
+_EXTRACT_ALL_SQL = r"""
+SELECT doc_id,
+       generate_subscripts(m, 1) AS idx,
+       unnest(m) AS match
+FROM (SELECT doc_id, regexp_extract_all(text, '\b[a-z]{6,}\b') AS m
+      FROM documents)
+"""
+
+
 def ewma_user_values(sf_dir: str):
     """Per-user exponential smoothing (stages/windows.grouped_ewma,
     α=0.3) of event values over the (ts, event_id) total order — the
@@ -6748,6 +6772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers_by_event_type": value_outliers_by_event_type,
         "remove_dup_spans_docs": remove_dup_spans_docs,
         "ewma_user_values": ewma_user_values,
+        "extract_long_words_docs": extract_long_words_docs,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6929,6 +6954,7 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers_by_event_type": _OUTLIERS_SQL,
         "remove_dup_spans_docs": _REMOVE_DUP_SPANS_SQL,
         "ewma_user_values": _EWMA_SQL,
+        "extract_long_words_docs": _EXTRACT_ALL_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

@@ -282,3 +282,40 @@ def json_extract_column(
         return t.append_column(out_col, got)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def extract_all_matches(
+    ds: rd.Dataset,
+    text_col: str,
+    pattern: str,
+    id_cols: list[str],
+) -> rd.Dataset:
+    """Exploded regex scan — every match of ``pattern`` in ``text_col``
+    as its own row with a 1-based ordinal: the entity/PII-scanner
+    shape (the scanning counterpart of ``corpus.redact_pii``, which
+    rewrites in place).  Output: ``id_cols`` + (idx, match).
+
+    Vectorized per batch: the worker's process-local DuckDB connection
+    runs ``regexp_extract_all`` as one SQL kernel over the Arrow batch
+    (the ``functions.hashing`` pattern, zero Python per row), and the
+    resulting ``list<string>`` column explodes through the zero-copy
+    ``unpivot.unnest_list`` carry — no shuffle anywhere; docs with no
+    match emit no rows."""
+    from ..functions.hashing import _HAVE_DUCKDB, _con
+    from .unpivot import unnest_list
+
+    if not _HAVE_DUCKDB:  # pragma: no cover — duckdb is baked in
+        raise RuntimeError("extract_all_matches requires duckdb")
+    pat_sql = pattern.replace("'", "''")
+
+    def scan(t: pa.Table) -> pa.Table:
+        sv = pa.table({"s": t.column(text_col)})
+        got = _con().execute(
+            f"SELECT regexp_extract_all(s, '{pat_sql}') AS m FROM sv"
+        ).fetch_arrow_table().column("m")
+        out = t.select(id_cols)
+        return out.append_column("__matches", got)
+
+    exploded = ds.map_batches(scan, batch_format="pyarrow")
+    return unnest_list(exploded, "__matches", id_cols,
+                       value_col="match")

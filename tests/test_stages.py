@@ -1043,3 +1043,26 @@ def test_grouped_outliers_planted():
         z = (df["v"] - gb.transform("mean")) / gb.transform("std", ddof=0)
         want = df.loc[np.abs(z) > 3.0, "id"].tolist()
         assert got["id"].tolist() == sorted(want)
+
+
+def test_extract_all_matches_ordinality_and_nulls():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.schema_ops import extract_all_matches
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "s": ["a1 b22 c333", "no digits here", None, "9 88"],
+    })
+    got = (
+        extract_all_matches(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(2),
+            "s", "[0-9]+", ["id"])
+        .to_pandas().sort_values(["id", "idx"], ignore_index=True)
+    )
+    assert got[got["id"] == 1]["match"].tolist() == ["1", "22", "333"]
+    assert got[got["id"] == 1]["idx"].tolist() == [1, 2, 3]
+    assert not set(got["id"]) & {2, 3}      # no-match and NULL: no rows
+    assert got[got["id"] == 4]["match"].tolist() == ["9", "88"]
