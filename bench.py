@@ -281,6 +281,11 @@ QUERY_SUBSET = [
     "semantic_dedup_embeddings", "lineitem_moment_stats",
     "fuzzy_join_doc_prefixes", "events_key_skew",
     "user_event_journeys",
+    # round-4j operators
+    "funnel_signup_purchase", "nb_lang_classify_docs",
+    "constraint_audit_tpch", "time_range_user_stats",
+    "value_outliers_by_event_type", "remove_dup_spans_docs",
+    "ewma_user_values", "extract_long_words_docs", "cdc_add_column",
 ]
 
 
