@@ -2508,6 +2508,36 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\b[a-z]{6,}\b') AS m
 """
 
 
+def price_histogram_lineitem(sf_dir: str):
+    """Equi-width histogram (stages/aggregates.equi_width_histogram):
+    l_extendedprice over [0, 80000) in 16 buckets + a disclosed
+    overflow row (prices run to ~105k, so it is non-empty) — pure
+    per-block combiner, ≤17 rows per block to the exchange; identical
+    IEEE floor math on both engines."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        equi_width_histogram,
+    )
+
+    li = _pq(sf_dir, "lineitem", ["l_extendedprice"])
+    return equi_width_histogram(li, "l_extendedprice", 0.0, 80000.0, 16)
+
+
+_HISTOGRAM_SQL = """
+WITH b AS (
+    SELECT CASE
+        WHEN l_extendedprice IS NULL
+             OR l_extendedprice < 0 OR l_extendedprice > 80000 THEN -1
+        WHEN CAST(floor(l_extendedprice / 5000) AS BIGINT) = 16 THEN 15
+        ELSE CAST(floor(l_extendedprice / 5000) AS BIGINT) END AS bin
+    FROM lineitem
+)
+SELECT bin,
+       CASE WHEN bin < 0 THEN NULL ELSE bin * 5000.0 END AS lo_edge,
+       count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
 def ewma_user_values(sf_dir: str):
     """Per-user exponential smoothing (stages/windows.grouped_ewma,
     α=0.3) of event values over the (ts, event_id) total order — the
@@ -6773,6 +6803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_docs": remove_dup_spans_docs,
         "ewma_user_values": ewma_user_values,
         "extract_long_words_docs": extract_long_words_docs,
+        "price_histogram_lineitem": price_histogram_lineitem,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6955,6 +6986,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans_docs": _REMOVE_DUP_SPANS_SQL,
         "ewma_user_values": _EWMA_SQL,
         "extract_long_words_docs": _EXTRACT_ALL_SQL,
+        "price_histogram_lineitem": _HISTOGRAM_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

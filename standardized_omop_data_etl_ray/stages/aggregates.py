@@ -853,3 +853,63 @@ def grouped_outliers(
 
     return bucketed_groupby(ds.select_columns(cols), [key_col],
                             per_bucket, num_buckets)
+
+
+def equi_width_histogram(
+    ds: rd.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> rd.Dataset:
+    """Equi-width histogram over a numeric column: ``bins`` buckets of
+    width (hi−lo)/bins, half-open [edge, next) with the last bin
+    closed at ``hi``; out-of-range and NULL values are counted in the
+    report but no bin (disclosed, not silently dropped).  Output: one
+    row per non-empty bin (bin, lo_edge, n) + a ``bin=-1`` overflow
+    row when any value falls outside [lo, hi] or is NULL.
+
+    Scale shape: pure per-block combiner (np.floor on the scaled
+    column + bincount) → ≤bins+1 tiny rows per block → one
+    vectorized bucketed sum.  The float→bin edge math is the same
+    IEEE double multiply/floor on both engines, so bin assignment is
+    exactly reproducible."""
+    from .joins import bucketed_sum
+
+    w = (float(hi) - float(lo)) / int(bins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = ~np.isnan(v) & (v >= lo) & (v <= hi)
+        b = np.floor((v[ok] - lo) / w).astype(np.int64)
+        b[b == bins] = bins - 1          # hi itself closes the last bin
+        cnt = np.bincount(b, minlength=bins)
+        nz = np.nonzero(cnt)[0]
+        out_bin = nz.astype(np.int64)
+        out_n = cnt[nz].astype(np.int64)
+        n_out = int(len(v) - ok.sum())
+        if n_out:
+            out_bin = np.concatenate([out_bin, [-1]])
+            out_n = np.concatenate([out_n, [n_out]])
+        return pa.table({
+            "bin": pa.array(out_bin, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    summed = bucketed_sum(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["bin"], ["n"], combine=False,
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        e = np.where(b < 0, np.nan, lo + b * w)
+        return pa.table({
+            "bin": t.column("bin"),
+            "lo_edge": pa.array(e, pa.float64()),
+            "n": t.column("n"),
+        })
+
+    return summed.map_batches(edges, batch_format="pyarrow")

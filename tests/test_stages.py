@@ -1066,3 +1066,45 @@ def test_extract_all_matches_ordinality_and_nulls():
     assert got[got["id"] == 1]["idx"].tolist() == [1, 2, 3]
     assert not set(got["id"]) & {2, 3}      # no-match and NULL: no rows
     assert got[got["id"] == 4]["match"].tolist() == ["9", "88"]
+
+
+def test_equi_width_histogram_edges_and_overflow():
+    """Exact edge values (lo, hi, bin boundaries), NULLs and
+    out-of-range → the disclosed -1 row; numpy oracle; repartition
+    invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        equi_width_histogram,
+    )
+
+    rng = np.random.default_rng(29)
+    v = rng.uniform(-5, 115, 400)
+    v = np.concatenate([v, [0.0, 100.0, 50.0, 49.999999, -0.0001]])
+    df = pd.DataFrame({"x": v})
+    df.loc[3, "x"] = np.nan
+
+    want = np.zeros(10, np.int64)
+    out_of_range = 0
+    for x in df["x"]:
+        if np.isnan(x) or x < 0 or x > 100:
+            out_of_range += 1
+        else:
+            want[min(int(x // 10), 9)] += 1
+
+    for parts in (1, 5):
+        got = (
+            equi_width_histogram(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                "x", 0.0, 100.0, 10)
+            .to_pandas().sort_values("bin", ignore_index=True)
+        )
+        g = got.set_index("bin")["n"]
+        assert g.loc[-1] == out_of_range
+        for b in range(10):
+            assert g.get(b, 0) == want[b]
+        assert got[got["bin"] >= 0]["lo_edge"].tolist() == [
+            b * 10.0 for b in got[got["bin"] >= 0]["bin"]]
