@@ -2508,6 +2508,30 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\b[a-z]{6,}\b') AS m
 """
 
 
+def nth_order_value_per_customer(sf_dir: str):
+    """NTH_VALUE window (stages/windows.nth_value): each customer's
+    3rd-cheapest order total alongside every order row, NULL for
+    customers with <3 orders — full-partition frame, index-arithmetic
+    pick, one bucketed shuffle."""
+    from standardized_omop_data_etl_ray.stages.windows import nth_value
+
+    o = _pq(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_totalprice"])
+    return nth_value(o, "o_custkey", ["o_totalprice", "o_orderkey"],
+                     "o_totalprice", 3)
+
+
+_NTH_VALUE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       nth_value(o_totalprice, 3) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS o_totalprice_nth3
+FROM orders
+"""
+
+
 def price_histogram_lineitem(sf_dir: str):
     """Equi-width histogram (stages/aggregates.equi_width_histogram):
     l_extendedprice over [0, 80000) in 16 buckets + a disclosed
@@ -6804,6 +6828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_user_values": ewma_user_values,
         "extract_long_words_docs": extract_long_words_docs,
         "price_histogram_lineitem": price_histogram_lineitem,
+        "nth_order_value_per_customer": nth_order_value_per_customer,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -6987,6 +7012,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_user_values": _EWMA_SQL,
         "extract_long_words_docs": _EXTRACT_ALL_SQL,
         "price_histogram_lineitem": _HISTOGRAM_SQL,
+        "nth_order_value_per_customer": _NTH_VALUE_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

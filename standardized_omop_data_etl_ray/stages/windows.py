@@ -396,6 +396,46 @@ def group_rank(
     return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
 
 
+def nth_value(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n: int,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key NTH_VALUE over the full partition frame (SQL
+    ``nth_value(v, n) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``): appends
+    ``{value_col}_nth{n}`` — NULL for keys with fewer than n rows.
+    Completes the window value family (first/last/lag/lead/rank...).
+
+    One bucketed shuffle; the nth pick is pure index arithmetic
+    (group-start offsets from a vectorized cumcount — no per-key
+    Python)."""
+    import numpy as np
+
+    from .joins import bucketed_groupby
+
+    nn = int(n)
+    out_col = f"{value_col}_nth{nn}"
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + list(order_cols))
+        gb = g.groupby(key_col, sort=False)
+        sizes = gb[value_col].transform("size").to_numpy()
+        cc = gb.cumcount().to_numpy()
+        starts = np.arange(len(g)) - cc
+        pos = np.clip(starts + (nn - 1), 0, max(len(g) - 1, 0))
+        vals = g[value_col].to_numpy()
+        nth = pd.Series(vals[pos] if len(g) else vals,
+                        index=g.index)
+        g[out_col] = nth.where(sizes >= nn)
+        return g
+
+    return bucketed_groupby(ds, [key_col], per_bucket, num_buckets)
+
+
 def grouped_ewma(
     ds: rd.Dataset,
     key_col: str,

@@ -343,3 +343,36 @@ def test_grouped_ewma_matches_reference():
         )
         assert np.allclose(got["ewma"].to_numpy(),
                            [want[o] for o in got["o"]], atol=1e-12)
+
+
+def test_nth_value_matches_duckdb():
+    """n within/at/beyond group size, ties on the order column,
+    repartition invariance — against DuckDB's nth_value."""
+    import pyarrow as pa
+
+    from standardized_omop_data_etl_ray.stages.windows import nth_value
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, 150),
+        "o": np.arange(150),
+        "v": rng.integers(0, 5, 150).astype("float64"),  # heavy ties
+    })
+    df.loc[3, "k"] = 777  # single-row group (n=2 -> NULL)
+    for parts in (1, 6):
+        got = (
+            nth_value(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                "k", ["v", "o"], "v", 2, num_buckets=4)
+            .to_pandas().sort_values(["k", "o"], ignore_index=True)
+        )
+        want = duckdb.sql("""
+            SELECT k, o, v,
+                   nth_value(v, 2) OVER (
+                       PARTITION BY k ORDER BY v, o
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS v_nth2
+            FROM df ORDER BY k, o
+        """).df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
