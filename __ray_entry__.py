@@ -2508,6 +2508,45 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\b[a-z]{6,}\b') AS m
 """
 
 
+def set_similarity_join_docs(sf_dir: str):
+    """EXACT-COMPLETE Jaccard set-similarity self-join
+    (stages/fuzzy.set_similarity_self_join — PPJoin-lite prefix +
+    length filtering, in-bucket verify): all document pairs whose
+    3-token-shingle sets overlap with J ≥ 0.5, with NO false
+    negatives — the completeness guarantee the MinHash-LSH path
+    trades away.  The oracle is the O(n²) list_intersect self-join."""
+    from standardized_omop_data_etl_ray.stages.fuzzy import (
+        set_similarity_self_join,
+    )
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return set_similarity_self_join(docs, "text", "doc_id", tau=0.5,
+                                    shingle_k=3)
+
+
+_SET_SIM_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents WHERE trim(text) <> ''
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+    FROM tok WHERE len(w) >= 3
+),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.ts, b.ts)) AS inter,
+           len(a.ts) AS n_a, len(b.ts) AS n_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, inter, n_a, n_b,
+       inter * 1.0 / (n_a + n_b - inter) AS jaccard
+FROM p WHERE inter * 1.0 / (n_a + n_b - inter) >= 0.5
+"""
+
+
 def nth_order_value_per_customer(sf_dir: str):
     """NTH_VALUE window (stages/windows.nth_value): each customer's
     3rd-cheapest order total alongside every order row, NULL for
@@ -6829,6 +6868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_long_words_docs": extract_long_words_docs,
         "price_histogram_lineitem": price_histogram_lineitem,
         "nth_order_value_per_customer": nth_order_value_per_customer,
+        "set_similarity_join_docs": set_similarity_join_docs,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -7013,6 +7053,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_long_words_docs": _EXTRACT_ALL_SQL,
         "price_histogram_lineitem": _HISTOGRAM_SQL,
         "nth_order_value_per_customer": _NTH_VALUE_SQL,
+        "set_similarity_join_docs": _SET_SIM_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

@@ -310,3 +310,147 @@ def edit_distance_self_join(
 
     return verified.map_batches(add_pb, batch_format="pyarrow").groupby(
         "pb").map_groups(distinct_pairs, batch_format="pandas")
+
+
+def set_similarity_self_join(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    tau: float,
+    shingle_k: int = 3,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """EXACT-COMPLETE set-similarity self-join (PPJoin-lite, Xiao et
+    al. 2008): all document pairs whose k-token-shingle SETS have
+    Jaccard ≥ τ — with NO false negatives, the guarantee the
+    MinHash-LSH path (`dedup.minhash_candidate_pairs`) trades away.
+    Output: (id_a, id_b, inter, n_a, n_b, jaccard), id_a < id_b.
+
+    Blocking: prefix filter — under any fixed total order over
+    shingles, two sets with J ≥ τ must share a shingle inside each
+    side's first ``p = n − ⌈τ·n⌉ + 1`` elements (here hash order —
+    process-stable; frequency-ascending order is the documented
+    production upgrade, same trade as edit_distance_self_join).
+    Candidates also pass the length filter min(n)/max(n) ≥ τ before
+    verification.
+
+    Scale shape: ONE shuffle — prefix-shingle rows ride with each
+    doc's full sorted hash-set payload (in-bucket verify, the ED-join
+    round-4i lesson: candidate pairs never materialize as a dataset
+    and no join-back shuffle exists); per bucket, pair generation and
+    the length filter are vectorized, duplicate candidates collapse
+    before verification, and each pair's intersection is one C-side
+    ``np.intersect1d`` over pre-sorted uint64 arrays (the per-pair
+    Python dispatch is the known cost at millions of candidates —
+    a fully vectorized sort-merge over the pair-exploded frame is the
+    next upgrade if a corpus ever needs it).  A final pair-hash
+    distinct collapses pairs that met in several buckets.
+    Jaccard = i/(na+nb−i) is exact integer division — bit-identical
+    to any SQL engine, so τ-boundary pairs cannot flip."""
+    import math
+
+    from .corpus import _ws_tokens
+    from .dedup import _doc_window_hashes, _window_pows, pair_distinct
+    from .joins import bucketed_groupby
+
+    kk = int(shingle_k)
+    pows = _window_pows(kk)
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col])
+        out_h, out_id, out_n, out_pay = [], [], [], []
+        for did, t in zip(df[id_col], toks):
+            if len(t) < kk:
+                continue
+            # vectorized shingle hashing (equal shingle strings ⟺
+            # equal hashes), shared with dedup.dup_span_stats
+            hs = np.unique(_doc_window_hashes(t, kk, pows))
+            n = len(hs)
+            p = n - math.ceil(tau * n) + 1
+            pay = hs.tobytes()
+            out_h.append(hs[:p])
+            out_id.append(np.full(p, did, np.int64))
+            out_n.append(np.full(p, n, np.int64))
+            out_pay.extend([pay] * p)
+        if not out_h:
+            return pd.DataFrame({
+                "ph": pd.Series([], dtype="uint64"),
+                id_col: pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "payload": pd.Series([], dtype=object),
+            })
+        return pd.DataFrame({
+            "ph": np.concatenate(out_h),
+            id_col: np.concatenate(out_id),
+            "n": np.concatenate(out_n),
+            "payload": pd.Series(out_pay, dtype=object),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "inter": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+        g = g.drop_duplicates([
+            "ph", id_col])  # same prefix shingle twice per doc: never
+        sizes = g.groupby("ph")["ph"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        # vectorized pair gen per shared shingle: sort by (ph, id),
+        # pair every row with every LATER row of its group via
+        # segment offsets
+        g = g.sort_values(["ph", id_col], ignore_index=True)
+        grp = g.groupby("ph", sort=False)
+        cnt = grp[id_col].transform("size").to_numpy()
+        cc = grp.cumcount().to_numpy()
+        starts = np.arange(len(g)) - cc
+        # row i pairs with rows (i+1 .. start+cnt-1)
+        reps = (starts + cnt) - np.arange(len(g)) - 1
+        ia = np.repeat(np.arange(len(g)), reps)
+        offs = np.concatenate([np.arange(1, r + 1) for r in reps if r > 0]) \
+            if reps.sum() else np.array([], np.int64)
+        ib = ia + offs
+        if not len(ia):
+            return empty
+        ids = g[id_col].to_numpy()
+        ns = g["n"].to_numpy()
+        na, nb = ns[ia], ns[ib]
+        lo, hi = np.minimum(na, nb), np.maximum(na, nb)
+        keep = (ids[ia] != ids[ib]) & (lo >= tau * hi)
+        ia, ib = ia[keep], ib[keep]
+        if not len(ia):
+            return empty
+        # orient id_a < id_b, dedup candidates arising from several
+        # shared prefix shingles in this bucket
+        a_ids, b_ids = ids[ia], ids[ib]
+        swap = a_ids > b_ids
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        cand = pd.DataFrame({"ia": ia2, "ib": ib2}).drop_duplicates()
+        pays = g["payload"].to_numpy()
+        rows = []
+        for ra, rb in zip(cand["ia"].to_numpy(), cand["ib"].to_numpy()):
+            sa = np.frombuffer(pays[ra], dtype=np.uint64)
+            sb = np.frombuffer(pays[rb], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            un = len(sa) + len(sb) - inter
+            j = inter / un
+            if j >= tau:
+                rows.append((ids[ra], ids[rb], inter,
+                             len(sa), len(sb), j))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=[
+            "id_a", "id_b", "inter", "n_a", "n_b", "jaccard"])
+        return out.astype({"id_a": "int64", "id_b": "int64",
+                           "inter": "int64", "n_a": "int64",
+                           "n_b": "int64", "jaccard": "float64"})
+
+    pref = ds.map_batches(prefix_rows, batch_format="pandas")
+    verified = bucketed_groupby(pref, ["ph"], per_bucket, num_buckets)
+    return pair_distinct(verified)

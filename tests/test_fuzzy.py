@@ -81,3 +81,56 @@ def test_lev_banded_batch_agrees_with_scalar():
             want.append(d if d <= k else k + 1)
         got = _lev_banded_batch(sa, sb, k)
         assert got.tolist() == want, k
+
+
+def test_set_similarity_self_join_complete_vs_brute_force():
+    """Planted families (identical twin, half-overlap, disjoint) plus
+    a randomized corpus checked pair-for-pair against the O(n²)
+    brute force — completeness (no false negatives) is the claim."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.fuzzy import (
+        set_similarity_self_join,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(80):
+        n = int(rng.integers(8, 25))
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, n))})
+    # planted twin + near-twin (one token appended)
+    rows.append({"doc_id": 900, "text": rows[0]["text"]})
+    rows.append({"doc_id": 901, "text": rows[0]["text"] + " zz"})
+    df = pd.DataFrame(rows)
+    TAU, K = 0.4, 3
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + K]) for i in range(len(w) - K + 1)} \
+            if len(w) >= K else set()
+
+    want = set()
+    sh = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                i = len(sh[a] & sh[b])
+                if i / (len(sh[a]) + len(sh[b]) - i) >= TAU:
+                    want.add((a, b))
+    assert (0, 900) in want and (0, 901) in want  # planted pairs exist
+
+    for parts in (1, 5):
+        got = (
+            set_similarity_self_join(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                "text", "doc_id", tau=TAU, shingle_k=K, num_buckets=4)
+            .to_pandas()
+        )
+        assert set(zip(got["id_a"], got["id_b"])) == want
+        tw = got[(got["id_a"] == 0) & (got["id_b"] == 900)]
+        assert tw["jaccard"].iloc[0] == 1.0
