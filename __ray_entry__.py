@@ -2508,6 +2508,32 @@ FROM (SELECT doc_id, regexp_extract_all(text, '\b[a-z]{6,}\b') AS m
 """
 
 
+def quartile_bucket_orders(sf_dir: str):
+    """Quantile-bucket transform (stages/aggregates.
+    quantile_bucket_transform): every order labeled with its exact
+    o_totalprice quartile (0..3) — one exact-quantile pass, edges
+    broadcast once, vectorized searchsorted per batch; boundary
+    comparisons against actual data values, so no FP edge flips."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        quantile_bucket_transform,
+    )
+
+    o = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return quantile_bucket_transform(o, "o_totalprice",
+                                     [0.25, 0.5, 0.75], ["o_orderkey"])
+
+
+_QUARTILE_BUCKET_SQL = """
+WITH e AS (
+    SELECT unnest(quantile_disc(o_totalprice, [0.25, 0.5, 0.75])) AS q
+    FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       (SELECT count(*) FROM e WHERE e.q < o_totalprice) AS q_bucket
+FROM orders
+"""
+
+
 def set_similarity_join_docs(sf_dir: str):
     """EXACT-COMPLETE Jaccard set-similarity self-join
     (stages/fuzzy.set_similarity_self_join — PPJoin-lite prefix +
@@ -6869,6 +6895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram_lineitem": price_histogram_lineitem,
         "nth_order_value_per_customer": nth_order_value_per_customer,
         "set_similarity_join_docs": set_similarity_join_docs,
+        "quartile_bucket_orders": quartile_bucket_orders,
         # -- corpus curation / packing / sampling ----------------------
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
@@ -7054,6 +7081,7 @@ def oracle_sql() -> dict[str, str]:
         "price_histogram_lineitem": _HISTOGRAM_SQL,
         "nth_order_value_per_customer": _NTH_VALUE_SQL,
         "set_similarity_join_docs": _SET_SIM_SQL,
+        "quartile_bucket_orders": _QUARTILE_BUCKET_SQL,
         "unnest_embeddings": _UNNEST_SQL,
         "events_json_props_stats": _JSON_PROPS_SQL,
         "mode_event_type_per_user": _GROUPED_MODE_SQL,

@@ -913,3 +913,45 @@ def equi_width_histogram(
         })
 
     return summed.map_batches(edges, batch_format="pyarrow")
+
+
+def quantile_bucket_transform(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    keep_cols: list[str],
+    out_col: str = "q_bucket",
+) -> rd.Dataset:
+    """Quantile-bucket feature transform: assign each row the bucket
+    index ``#{edges e : value > e}`` over the EXACT ``quantile_disc``
+    edges of ``col`` (e.g. qs=[0.25, 0.5, 0.75] → quartile labels
+    0..3) — the rank-normalization / feature-binning step of a
+    training pipeline, with boundary semantics exact on both engines
+    (edges are actual data values, the comparison is bit-identical;
+    no FP-derived edges).  NULL values get a NULL bucket.
+
+    Scale shape: one ``exact_quantiles`` pass (global single-column
+    sort, driver reads ≤len(qs) blocks), then the tiny edge vector
+    broadcasts via ``ray.put`` and every batch buckets through one
+    vectorized ``np.searchsorted`` — no second shuffle."""
+    import ray
+
+    from .joins import _cached_get
+
+    eq = exact_quantiles(ds, col, list(qs))
+    edges = np.sort(np.asarray(eq.column("value").to_pylist(),
+                               dtype=np.float64))
+    ref = ray.put(edges)
+    cols = list(dict.fromkeys(keep_cols + [col]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        e = _cached_get(ref)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        b = np.searchsorted(e, v, side="left").astype(np.int64)
+        out = t.select(cols)
+        return out.append_column(
+            out_col, pa.array(b, pa.int64(),
+                              mask=np.isnan(v)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1108,3 +1108,40 @@ def test_equi_width_histogram_edges_and_overflow():
             assert g.get(b, 0) == want[b]
         assert got[got["bin"] >= 0]["lo_edge"].tolist() == [
             b * 10.0 for b in got[got["bin"] >= 0]["bin"]]
+
+
+def test_quantile_bucket_transform_boundaries_and_nulls():
+    """Edge values land BELOW their own quantile edge (strict >),
+    NULLs get NULL buckets, numpy oracle, repartition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        quantile_bucket_transform,
+    )
+
+    rng = np.random.default_rng(37)
+    v = rng.permutation(np.arange(100, dtype="float64"))
+    df = pd.DataFrame({"id": np.arange(100), "v": v})
+    df.loc[7, "v"] = np.nan
+
+    for parts in (1, 4):
+        got = (
+            quantile_bucket_transform(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                "v", [0.25, 0.5, 0.75], ["id"])
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        vals = df.sort_values("id")["v"].to_numpy()
+        nn = vals[~np.isnan(vals)]
+        edges = np.sort([np.sort(nn)[max(0, int(np.ceil(q * len(nn))) - 1)]
+                         for q in (0.25, 0.5, 0.75)])
+        want = np.searchsorted(edges, vals, side="left").astype("float64")
+        want[np.isnan(vals)] = np.nan
+        got_b = got["q_bucket"].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.allclose(got_b, want, equal_nan=True)
+        # a value exactly equal to an edge stays in the lower bucket
+        eq_edge = df[df["v"] == edges[1]]
+        assert got.loc[got["id"].isin(eq_edge["id"]), "q_bucket"].iloc[0] == 1
