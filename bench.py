@@ -286,6 +286,8 @@ QUERY_SUBSET = [
     "constraint_audit_tpch", "time_range_user_stats",
     "value_outliers_by_event_type", "remove_dup_spans_docs",
     "ewma_user_values", "extract_long_words_docs", "cdc_add_column",
+    "price_histogram_lineitem", "nth_order_value_per_customer",
+    "set_similarity_join_docs", "quartile_bucket_orders",
 ]
 
 
