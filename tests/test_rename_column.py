@@ -194,9 +194,12 @@ def test_ddl_interleaved_with_applies_randomized(tmp_path):
         renames = [("lang", "language"), ("language", "lingua")]
         widens = [("size_bytes", pa.int64()),
                   ("size_bytes", pa.float64())]
+        adds = [("stars", pa.int64(), 5)]
         for b in batches:
             if renames and rng.random() < 0.45:
                 lake.rename_column(*renames.pop(0))
+            if adds and rng.random() < 0.35:
+                lake.add_column(*adds.pop(0))
             if (widens and rng.random() < 0.45
                     and "size_bytes" in lake.spec.schema.names):
                 # the column exists only after the first apply evolved
@@ -228,3 +231,9 @@ def test_ddl_interleaved_with_applies_randomized(tmp_path):
                   else (pa.int64() if len(widens) == 1 else None))
         if want_t is not None:
             assert st.schema.field("size_bytes").type == want_t, (seed,)
+        # an add_column mid-stream must not perturb LWW exactness
+        # (asserted above) and leaves only default/NULL stars values
+        if not adds:
+            assert st.schema.field("stars").type == pa.int64(), (seed,)
+            vals = set(st.column("stars").to_pylist())
+            assert vals <= {5, None}, (seed, vals)
