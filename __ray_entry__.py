@@ -878,8 +878,9 @@ WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.eid <> b.eid
 def dedup_exact_docs(sf_dir: str):
     from standardized_omop_data_etl_ray.stages.dedup import exact_dedup
 
-    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
-    return exact_dedup(docs, "text", "doc_id")
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+    return exact_dedup(docs, "text", "doc_id", num_rows=n)
 
 
 _DEDUP_EXACT_SQL = """

@@ -51,6 +51,42 @@ def test_exact_dedup_keeps_min_id():
     assert len(out) == 32  # 33 rows - 1 exact dup
 
 
+def test_exact_dedup_bucket_count_scales_with_input():
+    """VERDICT r4 #5: the coarse-bucket count must be derived from the
+    input size (default_buckets convention), not a hardcoded constant —
+    at corpus scale a constant makes each bucket-group ≈ corpus/64 in
+    one task."""
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
+
+    small = default_buckets(10_000, rows_per_bucket=100_000)
+    mid = default_buckets(50_000_000, rows_per_bucket=100_000)
+    big = default_buckets(1_000_000_000, rows_per_bucket=100_000)
+    assert small < mid < big
+    assert mid == 50_000_000 // 100_000 + 1  # ~linear in the mid range
+    assert big == 4096  # partition-count ceiling, not a memory bound
+
+
+def test_exact_dedup_winner_keys_only_matches_full_exchange():
+    """winner_keys_only ships (sha, id) through the dedupe exchange and
+    joins text back — same winners, same columns, no text in the
+    shuffle."""
+    ds = rd.from_arrow(_docs()).repartition(3)
+    full = (
+        exact_dedup(ds, "text", "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    narrow = (
+        exact_dedup(ds, "text", "doc_id", num_rows=33,
+                    winner_keys_only=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert sorted(full.columns) == sorted(narrow.columns)
+    pd.testing.assert_frame_equal(
+        full[sorted(full.columns)], narrow[sorted(narrow.columns)],
+        check_dtype=False,
+    )
+
+
 def test_minhash_lsh_finds_near_dup_and_jaccard_verifies():
     docs = _docs()
     ds = rd.from_arrow(docs).repartition(2)
