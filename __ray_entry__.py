@@ -2743,24 +2743,34 @@ def constraint_audit_tpch(sf_dir: str):
     deliberately tighter than the data so violation counts are
     non-trivial."""
     from standardized_omop_data_etl_ray.stages.audit import (
-        audit_constraints, check_accepted_range, check_accepted_values,
-        check_foreign_key, check_not_null, check_unique,
+        audit_constraints, check_table, check_unique,
     )
 
+    # One scan per table (VERDICT r4 #5/#7): all map-only checks of a
+    # table are fused into one map_batches (check_table), and the
+    # narrow projection is materialized ONCE so the unique check — the
+    # only one needing its own keyed exchange — reuses the same blocks
+    # instead of re-reading parquet.
     orders = _pq(sf_dir, "orders",
-                 ["o_orderkey", "o_custkey", "o_orderpriority"])
+                 ["o_orderkey", "o_custkey", "o_orderpriority"]
+                 ).materialize()
     li = _pq(sf_dir, "lineitem",
-             ["l_orderkey", "l_linenumber", "l_discount"])
+             ["l_orderkey", "l_linenumber", "l_discount"]).materialize()
     cust = _pq(sf_dir, "customer", ["c_custkey"])
     return audit_constraints([
         check_unique(orders, "orders", ["o_orderkey"]),
         check_unique(li, "lineitem", ["l_orderkey", "l_linenumber"]),
-        check_not_null(li, "lineitem", ["l_orderkey", "l_discount"]),
-        check_foreign_key(orders, "orders", "o_custkey",
-                          cust, "customer", "c_custkey"),
-        check_accepted_range(li, "lineitem", "l_discount", 0.0, 0.05),
-        check_accepted_values(orders, "orders", "o_orderpriority",
-                              ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        check_table(
+            li, "lineitem",
+            not_null=["l_orderkey", "l_discount"],
+            ranges=[("l_discount", 0.0, 0.05)],
+        ),
+        check_table(
+            orders, "orders",
+            accepted=[("o_orderpriority",
+                       ["1-URGENT", "2-HIGH", "3-MEDIUM"])],
+            foreign_keys=[("o_custkey", cust, "customer", "c_custkey")],
+        ),
     ])
 
 
@@ -3956,12 +3966,15 @@ def incremental_lang_stats_docs(sf_dir: str):
             lake, rec["epoch"], carry_cols=["lang", "content"]
         ).map_batches(with_chars, batch_format="pyarrow")
         # the MIN/MAX rescan reads the live state projected to the
-        # view's source columns — derive chars the same way
+        # view's source columns — derive chars with the same Arrow
+        # kernel as the change-set path (VERDICT r4 #7: no pandas
+        # .str.len() on the hot state scan)
         state = lake.read_state(drop_engine_cols=True).map_batches(
-            lambda df: df.assign(
-                chars=df["content"].str.len().astype("int64")
+            lambda t: t.append_column(
+                "chars",
+                pc.cast(pc.utf8_length(t.column("content")), pa.int64()),
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
         view = apply_change_set(view, cs, spec, state=state,
                                 num_buckets=8).materialize()

@@ -77,16 +77,31 @@ def check_unique(
 ) -> rd.Dataset:
     """violations = rows − distinct keys (the count of EXTRA rows).
     NULL keys group like SQL ``count(*) − count(DISTINCT ...)`` over a
-    dropna=False grouping."""
+    dropna=False grouping.
+
+    Key dtypes are normalized to pandas NULLABLE extension dtypes from
+    the Arrow block (ADVICE r4): a plain ``to_pandas`` turns an int key
+    column into float64 only in the blocks that contain a NULL, and the
+    bucket hash is dtype-sensitive — the same key value would land in
+    different buckets and violations undercount."""
     from .joins import bucketed_sum
 
-    def partial(df: pd.DataFrame) -> pa.Table:
+    nullable = {
+        pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+        pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+        pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(key_cols).to_pandas(types_mapper=nullable.get)
         c = df.groupby(key_cols, sort=False, dropna=False).size()
         out = c.reset_index(name="n")
         return pa.Table.from_pandas(out, preserve_index=False)
 
     counts = bucketed_sum(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         key_cols, ["n"], num_buckets, combine=False,
     )
     name = f"unique:{table}.{'+'.join(key_cols)}"
@@ -130,15 +145,11 @@ def check_accepted_values(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def check_foreign_key(
-    child: rd.Dataset, child_table: str, child_col: str,
-    parent: rd.Dataset, parent_table: str, parent_col: str,
-) -> rd.Dataset:
-    """Broadcast the DISTINCT parent key set once (``ray.put``), count
-    child misses per block.  checked = non-null child rows."""
+def _broadcast_parent_keys(parent: rd.Dataset, parent_col: str):
+    """Collect the DISTINCT parent key set and ship it once
+    (``ray.put``) — the dimension contract, same as
+    joins.broadcast_join."""
     import ray
-
-    from .joins import _cached_get
 
     def keys_only(t: pa.Table) -> pa.Table:
         u = pc.unique(pc.drop_null(t.column(parent_col)))
@@ -152,8 +163,18 @@ def check_foreign_key(
             t = pa.Table.from_pandas(t, preserve_index=False)
         tables.append(t)
     pk = pa.concat_tables(tables, promote_options="permissive")
-    key_set = pc.unique(pk.column("k"))
-    ref = ray.put(key_set)
+    return ray.put(pc.unique(pk.column("k")))
+
+
+def check_foreign_key(
+    child: rd.Dataset, child_table: str, child_col: str,
+    parent: rd.Dataset, parent_table: str, parent_col: str,
+) -> rd.Dataset:
+    """Broadcast the DISTINCT parent key set once (``ray.put``), count
+    child misses per block.  checked = non-null child rows."""
+    from .joins import _cached_get
+
+    ref = _broadcast_parent_keys(parent, parent_col)
     name = f"foreign_key:{child_table}.{child_col}->{parent_table}.{parent_col}"
 
     def fn(t: pa.Table) -> pa.Table:
@@ -163,6 +184,73 @@ def check_foreign_key(
         return _row(name, len(c), miss)
 
     return child.map_batches(fn, batch_format="pyarrow")
+
+
+def check_table(
+    ds: rd.Dataset,
+    table: str,
+    not_null: list[str] = (),
+    ranges: list[tuple] = (),
+    accepted: list[tuple] = (),
+    foreign_keys: list[tuple] = (),
+) -> rd.Dataset:
+    """All of a table's MAP-ONLY checks from ONE scan (VERDICT r4 #5
+    composition fix: six separate ``check_*`` datasets each re-execute
+    their own read — at 100 TB that is 6× read amplification on the
+    gate).  Emits every check's partial rows from a single
+    ``map_batches``; compose with :func:`check_unique` (which needs its
+    own keyed exchange) and :func:`audit_constraints`.
+
+    ``ranges``: ``(col, lo, hi)``; ``accepted``: ``(col, values)``;
+    ``foreign_keys``: ``(child_col, parent_ds, parent_table,
+    parent_col)`` — each parent key set broadcast once."""
+    from .joins import _cached_get
+
+    fk_specs = [
+        (child_col,
+         f"foreign_key:{table}.{child_col}->{ptable}.{pcol}",
+         _broadcast_parent_keys(parent, pcol))
+        for child_col, parent, ptable, pcol in foreign_keys
+    ]
+    accepted = [(col, pa.array(vals)) for col, vals in accepted]
+
+    def fn(t: pa.Table) -> pa.Table:
+        names: list[str] = []
+        checked: list[int] = []
+        viol: list[int] = []
+        for c in not_null:
+            names.append(f"not_null:{table}.{c}")
+            checked.append(t.num_rows)
+            viol.append(t.column(c).null_count)
+        for c, lo, hi in ranges:
+            col = t.column(c)
+            ok = pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+            names.append(f"range:{table}.{c}")
+            checked.append(t.num_rows)
+            viol.append(pc.sum(pc.fill_null(pc.invert(ok), False)).as_py()
+                        or 0)
+        for c, val_arr in accepted:
+            col = t.column(c)
+            ok = pc.is_in(col, value_set=val_arr)
+            names.append(f"accepted_values:{table}.{c}")
+            checked.append(t.num_rows)
+            viol.append(pc.sum(pc.fill_null(
+                pc.and_(pc.invert(ok), pc.is_valid(col)), False)).as_py()
+                or 0)
+        for c, name, ref in fk_specs:
+            ks = _cached_get(ref)
+            child = pc.drop_null(t.column(c))
+            names.append(name)
+            checked.append(len(child))
+            viol.append(pc.sum(pc.invert(
+                pc.is_in(child, value_set=ks))).as_py() or 0)
+        return pa.table({
+            "constraint": pa.array(names, pa.string()),
+            "checked": pa.array(checked, pa.int64()),
+            "violations": pa.array(viol, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def audit_constraints(checks: list[rd.Dataset]) -> rd.Dataset:
