@@ -2969,6 +2969,15 @@ class CDCLake:
                 "engine column")
         if col in spec.schema.names:
             raise ValueError(f"column {col!r} already exists")
+        if col in getattr(self, "_user_rename", {}):
+            # the USER's ingest-time rename map would silently reroute
+            # every arriving event named `col` onto its target — the
+            # new column would never receive data.  That map is spec
+            # intent, not engine state; refuse rather than override.
+            raise ValueError(
+                f"column {col!r} is a source in TableSpec.rename "
+                f"({col!r} -> {self._user_rename[col]!r}); remove that "
+                "mapping before re-adding the name")
         if default is not None:
             # validate eagerly — a bad default must fail BEFORE any
             # rewrite work is scheduled
@@ -2981,6 +2990,13 @@ class CDCLake:
             spec.schema = _add_schema(spec.schema)
             self.dropped_cols = set(
                 getattr(self, "dropped_cols", set())) - {col}
+            # a rename_column SOURCE being re-added is a real column
+            # again — clear the DDL rename entry or arriving events
+            # named `col` would keep landing on the rename target
+            # (mirrors how dropped_cols is cleared above)
+            if col in spec.rename:
+                spec.rename = {k: v for k, v in spec.rename.items()
+                               if k != col}
 
         m = mf.read_manifest(self.root, spec.name)
         dropped_now = (set(m.get("dropped_cols", [])) if m
@@ -3021,6 +3037,19 @@ class CDCLake:
                     .take_all()
                 )
                 remap = {r["src"]: r["dst"] for r in out}
+            def _rewrite_stats(st: dict | None) -> dict | None:
+                # a dropped-then-readded name may carry a STALE pre-drop
+                # [min,max] for `col`; the rewritten data is all
+                # default/NULL, so always strip the old entry first or
+                # _stats_disprove could wrongly prune files whose rows
+                # all equal the new default (ADVICE r4)
+                if st is None:
+                    return None
+                st = {k: v for k, v in st.items() if k != col}
+                if isinstance(default, (int, float, str, bool)):
+                    st[col] = [default, default]
+                return st
+
             partitions = {}
             for p, info in m["partitions"].items():
                 fstats = info.get("file_stats", {})
@@ -3028,12 +3057,7 @@ class CDCLake:
                     **info,
                     "files": [remap[f] for f in info["files"]],
                     "file_stats": {
-                        remap[f]: (None if st is None
-                                   else ({**st, col: [default, default]}
-                                         if isinstance(
-                                             default,
-                                             (int, float, str, bool))
-                                         else st))
+                        remap[f]: _rewrite_stats(st)
                         for f, st in fstats.items() if f in remap
                     },
                 }
@@ -3049,6 +3073,10 @@ class CDCLake:
             "lineage": list(m.get("lineage", [])) + [record],
             "dropped_cols": sorted(
                 set(m.get("dropped_cols", [])) - {col}),
+            "renamed_cols": {
+                k: v for k, v in m.get("renamed_cols", {}).items()
+                if k != col
+            },
         }
         self._commit_quiesced(manifest, m)
         _sync_spec()

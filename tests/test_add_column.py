@@ -3,7 +3,9 @@
 Nullable add (default=None) is logical-only — one manifest commit,
 reads fill NULL on scan.  Backfill add (default=value) rewrites live
 files with the constant appended, then swaps the manifest once.
-Re-adding a dropped name is refused until compact() clears the bytes.
+Re-adding a dropped name forces the physical-rewrite path (drop is
+logical, so stale bytes may survive in live files): the old column is
+replaced with the default/NULL instead of resurrected.
 """
 
 import pyarrow as pa
@@ -115,3 +117,72 @@ def test_add_after_drop_never_resurrects(tmp_path):
     assert rec2["files_rewritten"] > 0
     st2 = _state(lake)
     assert pc.all(pc.equal(st2.column("size_bytes"), 7)).as_py()
+
+
+def test_add_after_rename_clears_ddl_rename_source(tmp_path):
+    """ADVICE r4: after rename_column('lang','language'), re-adding
+    'lang' must clear the DDL rename entry — otherwise arriving events
+    named 'lang' keep landing on 'language' and the new column never
+    receives data (mirror of how dropped_cols is cleared)."""
+    spec = TableSpec(name="cdc", num_partitions=4)
+    lake = CDCLake(tmp_path, spec)
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    lake.rename_column("lang", "language")
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    assert m["renamed_cols"] == {"lang": "language"}
+
+    lake.add_column("lang", pa.string())
+    m2 = mf.read_manifest(str(tmp_path), "cdc")
+    assert "lang" not in m2.get("renamed_cols", {})
+    assert "lang" not in lake.spec.rename
+
+    # arriving events named 'lang' now land on 'lang', not 'language'
+    lake.apply_events(rd.from_arrow(BATCHES[1]))
+    st = _state(lake)
+    assert st.column("lang").null_count < st.num_rows
+
+    # a fresh handle re-derives spec.rename from the manifest — cleared
+    lake2 = CDCLake(tmp_path, TableSpec(name="cdc", num_partitions=4))
+    assert "lang" not in lake2.spec.rename
+
+
+def test_add_refuses_user_spec_rename_source(tmp_path):
+    """A name that is a source in the USER's ingest-time rename map is
+    refused (the map is spec intent — it would silently shadow the new
+    column)."""
+    spec = TableSpec(name="cdc", num_partitions=4,
+                     rename={"lng": "lang"})
+    lake = CDCLake(tmp_path, spec)
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    with pytest.raises(ValueError, match="TableSpec.rename"):
+        lake.add_column("lng", pa.string())
+
+
+def test_readd_strips_stale_cluster_stats(tmp_path):
+    """ADVICE r4: the dropped-then-readded rewrite must strip the
+    pre-drop [min,max] zone-map entry — the rewritten data is all
+    NULL/default, so a stale range could wrongly prune files on
+    predicate reads.  A scalar default gets tight [d, d] bounds."""
+    spec = TableSpec(name="cdc", num_partitions=4)
+    lake = CDCLake(tmp_path, spec)
+    lake.apply_events(rd.from_arrow(BATCHES[0]))
+    lake.cluster(["size_bytes"], files_per_partition=2)
+    m = mf.read_manifest(str(tmp_path), "cdc")
+    assert any("size_bytes" in (st or {})
+               for i in m["partitions"].values()
+               for st in i.get("file_stats", {}).values())
+
+    lake.drop_column("size_bytes")
+    lake.add_column("size_bytes", pa.int64())  # nullable re-add
+    m2 = mf.read_manifest(str(tmp_path), "cdc")
+    for info in m2["partitions"].values():
+        for st in info.get("file_stats", {}).values():
+            assert st is None or "size_bytes" not in st
+
+    lake.drop_column("size_bytes")
+    lake.add_column("size_bytes", pa.int64(), default=7)
+    m3 = mf.read_manifest(str(tmp_path), "cdc")
+    stats = [st for info in m3["partitions"].values()
+             for st in info.get("file_stats", {}).values()
+             if st is not None]
+    assert stats and all(st.get("size_bytes") == [7, 7] for st in stats)
