@@ -366,7 +366,13 @@ def set_similarity_self_join(
             # equal hashes), shared with dedup.dup_span_stats
             hs = np.unique(_doc_window_hashes(t, kk, pows))
             n = len(hs)
-            p = n - math.ceil(tau * n) + 1
+            # robust ⌈τ·n⌉: when τ·n is mathematically integral the FP
+            # product can round UP (τ=0.55, n=100 → 55.000…01 → ceil
+            # 56), shortening the prefix by one and producing a false
+            # negative the verify step never sees (ADVICE r4).  The
+            # epsilon only ever LENGTHENS the prefix — candidates it
+            # adds are removed by the exact j ≥ τ verification.
+            p = n - math.ceil(tau * n - 1e-9) + 1
             pay = hs.tobytes()
             out_h.append(hs[:p])
             out_id.append(np.full(p, did, np.int64))
@@ -421,7 +427,10 @@ def set_similarity_self_join(
         ns = g["n"].to_numpy()
         na, nb = ns[ia], ns[ib]
         lo, hi = np.minimum(na, nb), np.maximum(na, nb)
-        keep = (ids[ia] != ids[ib]) & (lo >= tau * hi)
+        # epsilon-relaxed length filter: a pair with lo/hi EXACTLY τ
+        # must survive to verification (same FP rounding hazard as the
+        # prefix length above; the exact j ≥ τ check is the gate)
+        keep = (ids[ia] != ids[ib]) & (lo >= tau * hi - 1e-9)
         ia, ib = ia[keep], ib[keep]
         if not len(ia):
             return empty

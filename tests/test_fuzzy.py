@@ -134,3 +134,41 @@ def test_set_similarity_self_join_complete_vs_brute_force():
         assert set(zip(got["id_a"], got["id_b"])) == want
         tw = got[(got["id_a"] == 0) & (got["id_b"] == 900)]
         assert tw["jaccard"].iloc[0] == 1.0
+
+
+def test_set_similarity_tau_boundary_pair_survives():
+    """ADVICE r4: τ=0.55 with J EXACTLY 0.55 (inter=55, union=100) used
+    to be a false negative — the FP product 0.55*100 = 55.000…01 failed
+    the length filter, and ceil(τ·n) over-shot the prefix length by
+    one.  The epsilon-robust thresholds must keep the pair (verified by
+    the exact j ≥ τ check)."""
+    import math
+
+    import pandas as pd
+
+    from standardized_omop_data_etl_ray.stages.fuzzy import (
+        set_similarity_self_join,
+    )
+
+    # 0.55*100 rounds UP in IEEE floats — this n actually triggers both
+    # hazards (smaller integral products like 0.55*20 happen to round
+    # to exactly 11.0 and never did)
+    assert 0.55 * 100 > 55 and math.ceil(0.55 * 100) == 56
+
+    # distinct tokens: doc B = t0..t101 → 100 3-shingles; doc A =
+    # t0..t56 → 55 shingles, all ⊂ B's.  J = 55 / 100 = 0.55 exactly.
+    toks = [f"t{i}" for i in range(102)]
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [" ".join(toks[:57]), " ".join(toks)],
+    })
+    got = (
+        set_similarity_self_join(
+            rd.from_arrow(pa.Table.from_pandas(df)), "text", "doc_id",
+            tau=0.55, shingle_k=3, num_buckets=2)
+        .to_pandas()
+    )
+    assert len(got) == 1
+    assert (got["id_a"].iloc[0], got["id_b"].iloc[0]) == (1, 2)
+    assert got["inter"].iloc[0] == 55
+    assert got["jaccard"].iloc[0] == 55 / 100
