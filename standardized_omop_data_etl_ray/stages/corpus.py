@@ -330,6 +330,7 @@ def doc_frequencies(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     return bucketed_sum(
         ds.map_batches(_df_partial(text_col), batch_format="pandas"),
         ["token"], ["df"], combine=False,
+        source_types={"token": pa.string(), "df": pa.int64()},
     )
 
 
@@ -351,7 +352,9 @@ def doc_frequency_delta(
         )
     from .joins import bucketed_sum
 
-    return bucketed_sum(parts, ["token"], ["df"], combine=False)
+    return bucketed_sum(parts, ["token"], ["df"], combine=False,
+                        source_types={"token": pa.string(),
+                                      "df": pa.int64()})
 
 
 def merge_doc_frequencies(
@@ -372,7 +375,9 @@ def merge_doc_frequencies(
     from .joins import bucketed_sum
 
     merged = bucketed_sum(committed.union(delta), ["token"], ["df"],
-                          combine=False)
+                          combine=False,
+                          source_types={"token": pa.string(),
+                                        "df": pa.int64()})
 
     def live(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("df"), 0))

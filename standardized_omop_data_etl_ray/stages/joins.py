@@ -167,6 +167,7 @@ def bucketed_sum(
     sum_cols: list[str],
     num_buckets: int | None = None,
     combine: bool = True,
+    source_types: dict[str, pa.DataType] | None = None,
 ) -> rd.Dataset:
     """groupby-SUM for HIGH-CARDINALITY keys: Ray's sort-based
     ``groupby().aggregate()`` reduce step pays ~0.1-1 ms of Python per
@@ -177,7 +178,7 @@ def bucketed_sum(
     (column order: keys then sums; nulls kept as groups)."""
     return bucketed_agg(
         ds, key_cols, {c: (c, "sum") for c in sum_cols}, num_buckets,
-        combine=combine,
+        combine=combine, source_types=source_types,
     )
 
 
@@ -187,6 +188,7 @@ def bucketed_agg(
     aggs: dict[str, tuple[str, str]],
     num_buckets: int | None = None,
     combine: bool = True,
+    source_types: dict[str, pa.DataType] | None = None,
 ) -> rd.Dataset:
     """General high-cardinality groupby aggregate (see ``bucketed_sum``
     for why): ``aggs`` maps output column → (source column, op) with
@@ -245,8 +247,14 @@ def bucketed_agg(
         except Exception:
             return {}
 
+    # ``source_types``: static (col → Arrow type) from the caller when
+    # the upstream partial's schema is known at authoring time — the
+    # derived fetch is not free: schema(fetch_if_missing=True) (and the
+    # limit(1) fallback) EXECUTES the first upstream block, which
+    # showed up as the round-4 incremental_doc_frequencies regression
+    # (three bucketed_sum calls → three partial lineage executions).
     out_types: dict[str, pa.DataType] = {}
-    src_t = _source_arrow_types()
+    src_t = dict(source_types) if source_types else _source_arrow_types()
     for o, (c, op) in aggs.items():
         st = src_t.get(c)
         if op == "count":
