@@ -1808,7 +1808,7 @@ p AS (
 )
 SELECT w.error_event_id,
        COALESCE(p.n_prior, 0) AS n_prior,
-       COALESCE(p.sum_prior_cents, 0) AS sum_prior_cents
+       CAST(COALESCE(p.sum_prior_cents, 0) AS BIGINT) AS sum_prior_cents
 FROM w LEFT JOIN p USING (error_event_id)
 """
 
@@ -2289,7 +2289,8 @@ def events_json_props_stats(sf_dir: str):
 _JSON_PROPS_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
 FROM events GROUP BY event_type
 """
