@@ -339,11 +339,12 @@ def set_similarity_self_join(
     round-4i lesson: candidate pairs never materialize as a dataset
     and no join-back shuffle exists); per bucket, pair generation and
     the length filter are vectorized, duplicate candidates collapse
-    before verification, and each pair's intersection is one C-side
-    ``np.intersect1d`` over pre-sorted uint64 arrays (the per-pair
-    Python dispatch is the known cost at millions of candidates —
-    a fully vectorized sort-merge over the pair-exploded frame is the
-    next upgrade if a corpus ever needs it).  A final pair-hash
+    before verification, and verification itself is FULLY vectorized
+    (round-5 upgrade from per-pair ``np.intersect1d`` dispatch): all
+    candidate pairs' hash sets explode into one (pair, hash) frame
+    whose duplicates after a single C-speed lexsort ARE the
+    intersection counts, chunked at ~2M exploded elements so per-task
+    memory stays bounded at any candidate count.  A final pair-hash
     distinct collapses pairs that met in several buckets.
     Jaccard = i/(na+nb−i) is exact integer division — bit-identical
     to any SQL engine, so τ-boundary pairs cannot flip."""
@@ -442,23 +443,78 @@ def set_similarity_self_join(
         ib2 = np.where(swap, ia, ib)
         cand = pd.DataFrame({"ia": ia2, "ib": ib2}).drop_duplicates()
         pays = g["payload"].to_numpy()
-        rows = []
-        for ra, rb in zip(cand["ia"].to_numpy(), cand["ib"].to_numpy()):
-            sa = np.frombuffer(pays[ra], dtype=np.uint64)
-            sb = np.frombuffer(pays[rb], dtype=np.uint64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            un = len(sa) + len(sb) - inter
+        # decode each row's payload ONCE (np.frombuffer is a zero-copy
+        # view), concatenate to one flat hash array with offsets —
+        # per-pair slices become fancy-indexed ranges
+        row_arrays = [np.frombuffer(p, dtype=np.uint64) for p in pays]
+        lens = np.fromiter((len(a) for a in row_arrays), np.int64,
+                           count=len(row_arrays))
+        flat = np.concatenate(row_arrays) if len(row_arrays) \
+            else np.array([], np.uint64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+
+        def _ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+            # [s0..s0+l0) ⧺ [s1..s1+l1) ⧺ …, fully vectorized
+            total = int(lengths.sum())
+            if not total:
+                return np.array([], np.int64)
+            ends = np.cumsum(lengths)
+            idx = np.arange(total)
+            rel = idx - np.repeat(ends - lengths, lengths)
+            return np.repeat(starts, lengths) + rel
+
+        # FULLY VECTORIZED pair verification (the round-4 disclosed
+        # upgrade): instead of a Python np.intersect1d call per pair,
+        # explode every candidate pair's two (sorted, unique) hash
+        # sets into one (pair, hash) frame and count duplicates after
+        # a single C-speed lexsort — a (pair, hash) key appearing
+        # twice is exactly one intersection hit.  Chunked so the
+        # exploded frame stays ~2M elements regardless of candidate
+        # count (per-task memory bound).
+        ra_all = cand["ia"].to_numpy()
+        rb_all = cand["ib"].to_numpy()
+        parts_out = []
+        CHUNK_ELEMS = 2_000_000
+        pos = 0
+        while pos < len(ra_all):
+            # grow the chunk until the exploded size cap
+            sizes = lens[ra_all[pos:]] + lens[rb_all[pos:]]
+            csum = np.cumsum(sizes)
+            take = max(1, int(np.searchsorted(csum, CHUNK_ELEMS)))
+            ra = ra_all[pos:pos + take]
+            rb = rb_all[pos:pos + take]
+            pos += take
+            la, lb = lens[ra], lens[rb]
+            # interleave (a-range, b-range) per pair
+            starts = np.empty(2 * len(ra), np.int64)
+            starts[0::2] = offsets[ra]
+            starts[1::2] = offsets[rb]
+            lengths = np.empty(2 * len(ra), np.int64)
+            lengths[0::2] = la
+            lengths[1::2] = lb
+            gidx = _ranges(starts, lengths)
+            vals = flat[gidx]
+            pair_rep = np.repeat(
+                np.repeat(np.arange(len(ra)), 2), lengths)
+            order = np.lexsort((vals, pair_rep))
+            pr, vv = pair_rep[order], vals[order]
+            dup = (pr[1:] == pr[:-1]) & (vv[1:] == vv[:-1])
+            inter = np.bincount(pr[1:][dup], minlength=len(ra))
+            un = la + lb - inter
             j = inter / un
-            if j >= tau:
-                rows.append((ids[ra], ids[rb], inter,
-                             len(sa), len(sb), j))
-        if not rows:
+            ok = j >= tau
+            if ok.any():
+                parts_out.append(pd.DataFrame({
+                    "id_a": ids[ra[ok]].astype(np.int64),
+                    "id_b": ids[rb[ok]].astype(np.int64),
+                    "inter": inter[ok].astype(np.int64),
+                    "n_a": la[ok].astype(np.int64),
+                    "n_b": lb[ok].astype(np.int64),
+                    "jaccard": j[ok].astype(np.float64),
+                }))
+        if not parts_out:
             return empty
-        out = pd.DataFrame(rows, columns=[
-            "id_a", "id_b", "inter", "n_a", "n_b", "jaccard"])
-        return out.astype({"id_a": "int64", "id_b": "int64",
-                           "inter": "int64", "n_a": "int64",
-                           "n_b": "int64", "jaccard": "float64"})
+        return pd.concat(parts_out, ignore_index=True)
 
     pref = ds.map_batches(prefix_rows, batch_format="pandas")
     verified = bucketed_groupby(pref, ["ph"], per_bucket, num_buckets)
