@@ -5838,6 +5838,33 @@ def weighted_sample_docs(sf_dir: str):
     return weighted_sample(withw, "doc_id", "w").drop_columns(["w"])
 
 
+def weighted_topk_sample_docs(sf_dir: str):
+    """Fixed-budget weighted sample (stages/corpus.
+    weighted_topk_sample — Efraimidis–Spirakis A-Res): exactly 100
+    docs drawn WITHOUT replacement with length-proportional inclusion,
+    deterministic from md5-uniforms of doc_id — per-block top-k
+    partials, one k·blocks merge, reproducible on any cluster size.
+    The oracle states the same key closed-form in SQL."""
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        weighted_topk_sample,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars"], rows_hint=n)
+    return weighted_topk_sample(docs, "doc_id", "n_chars", 100)
+
+
+_WEIGHTED_TOPK_SQL = """
+SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+    FROM documents WHERE n_chars > 0
+) ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
 _WEIGHTED_SQL = """
 SELECT doc_id, n_chars FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -6981,6 +7008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_dates_orders": normalize_dates_orders,
         "redundant_sources_lineitem": redundant_sources_lineitem,
         "weighted_sample_docs": weighted_sample_docs,
+        "weighted_topk_sample_docs": weighted_topk_sample_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "chunk_docs_64": chunk_docs_64,
         "cap_docs_per_source": cap_docs_per_source,
@@ -7166,6 +7194,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_join_highvalue_lineitems": _BLOOM_JOIN_SQL,
         "skew_join_user_purchases": _SKEW_JOIN_SQL,
         "weighted_sample_docs": _WEIGHTED_SQL,
+        "weighted_topk_sample_docs": _WEIGHTED_TOPK_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

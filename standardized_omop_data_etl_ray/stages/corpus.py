@@ -653,6 +653,80 @@ def weighted_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_topk_sample(
+    ds: rd.Dataset, id_col: str, weight_col: str, k: int
+) -> rd.Dataset:
+    """Deterministic weighted sample of EXACTLY ``k`` rows WITHOUT
+    replacement (Efraimidis–Spirakis A-Res, 2006): each row draws a
+    deterministic uniform u from a 32-bit md5 fraction of its id and
+    scores ``key = ln(u) / w``; the k LARGEST keys are the sample.
+    Inclusion probabilities follow the weights; the result is a pure
+    function of (id, weight) — identical on any cluster size, resume
+    or partitioning, and SQL-mirrorable exactly (``ORDER BY
+    ln((md5_u32 + 0.5)/2^32) / w DESC LIMIT k``).
+
+    Complements :func:`weighted_sample` (Bernoulli keep-probability,
+    variable output size): this is the fixed-budget form — "give me
+    exactly k docs, length-weighted" — used for corpus subsampling to
+    a token budget.
+
+    Scale shape: per-block vectorized top-k partial (argpartition, ≤k
+    rows per block survive) → ONE merge task over ≤ k·num_blocks
+    candidate rows.  For k·blocks beyond one task's memory, chain a
+    second partial level (tree merge) — same partial, documented
+    rather than silently assumed.  Rows with w ≤ 0 or NULL are
+    excluded (zero weight = zero inclusion probability)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import _HAVE_DUCKDB, _con
+
+        if t.num_rows == 0:
+            return t.append_column("__es_key",
+                                   pa.array([], pa.float64()))
+        sv = pa.table({"v": t.column(id_col).cast(pa.string())})
+        if _HAVE_DUCKDB:
+            h = (
+                _con()
+                .execute(
+                    "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT)"
+                    " AS u FROM sv"
+                )
+                .fetch_arrow_table().column("u")
+                .to_numpy(zero_copy_only=False)
+            )
+        else:  # pragma: no cover - duckdb is a baked-in dependency
+            import hashlib
+
+            h = np.array([
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                for s in sv.column("v").to_pylist()
+            ], dtype=np.int64)
+        w = (t.column(weight_col).to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        ok = np.isfinite(w) & (w > 0)
+        key = np.full(len(w), -np.inf)
+        key[ok] = np.log((h[ok] + 0.5) / 4294967296.0) / w[ok]
+        t = t.append_column("__es_key", pa.array(key, pa.float64()))
+        t = t.filter(pa.array(ok))
+        if t.num_rows <= k:
+            return t
+        kk = t.column("__es_key").to_numpy()
+        top = np.argpartition(-kk, k - 1)[:k]
+        return t.take(pa.array(np.sort(top)))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__es_key", id_col],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+        .drop_columns(["__es_key"])
+    )
+
+
 def grouped_sequence(
     ds: rd.Dataset,
     key_cols: list[str],

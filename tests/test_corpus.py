@@ -377,3 +377,42 @@ def test_weighted_sample_deterministic_and_monotone():
     assert ids(df.assign(w=0.0), 2) == set()
     bumped = ids(df.assign(w=np.minimum(1.0, df["w"] + 0.3)), 2)
     assert a <= bumped  # monotone in weight
+
+
+def test_weighted_topk_sample_exact_k_deterministic_and_weighted():
+    """Efraimidis–Spirakis fixed-budget sample: exactly k rows, pure
+    function of (id, weight) so any partitioning gives the SAME set,
+    heavier rows over-represented, w<=0/NULL excluded."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        weighted_topk_sample,
+    )
+
+    n = 2000
+    # half the rows weigh 10x the other half
+    w = np.where(np.arange(n) % 2 == 0, 100.0, 10.0)
+    w[7] = 0.0      # excluded outright
+    t = pa.table({"rid": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+
+    sets = []
+    for parts in (1, 7):
+        out = (
+            weighted_topk_sample(
+                rd.from_arrow(t).repartition(parts), "rid", "w", 300)
+            .to_pandas()
+        )
+        assert len(out) == 300
+        assert 7 not in set(out["rid"])
+        sets.append(frozenset(out["rid"]))
+    assert sets[0] == sets[1]  # partitioning-invariant
+
+    heavy = sum(1 for r in sets[0] if r % 2 == 0)
+    # E[heavy] >> 150 with 10x weights; this bound fails with
+    # probability ~0 under correct weighting
+    assert heavy > 180
+
+    # k >= population returns everything with positive weight
+    allr = weighted_topk_sample(rd.from_arrow(t), "rid", "w", 5000)
+    assert allr.count() == n - 1
