@@ -2423,6 +2423,64 @@ def nb_lang_classify_docs(sf_dir: str):
         out_col="pred_lang", score_col="score")
 
 
+def bigram_perplexity_docs(sf_dir: str):
+    """Perplexity-style LM quality score (stages/classify
+    train_bigram_lm / score_bigram_lm): fit add-one-smoothed bigram
+    counts distributed (mergeable (t1,t2) partials → bucketed reduce),
+    broadcast the model once, score every doc's mean negative
+    log-likelihood with one vectorized merge per batch — the
+    CCNet-style fluency gate.  The oracle restates the identical
+    closed form from the bigram count table in SQL."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.stages.classify import (
+        score_bigram_lm, train_bigram_lm,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+    model = train_bigram_lm(docs, "text")
+    out = score_bigram_lm(docs, "text", "doc_id", model)
+
+    def final(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("avg_nll")
+        return t.set_column(
+            i, "avg_nll",
+            pa.array(round_half_away(
+                t.column("avg_nll").to_numpy(zero_copy_only=False), 6)),
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+_BIGRAM_PPL_SQL = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS token,
+           generate_subscripts(
+               string_split_regex(trim(text), '\s+'), 1) AS idx
+    FROM documents WHERE trim(text) <> ''
+),
+big AS (
+    SELECT a.doc_id, a.token AS t1, b.token AS t2
+    FROM tok a JOIN tok b
+      ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+),
+cnt AS (SELECT t1, t2, count(*) AS c FROM big GROUP BY t1, t2),
+ctx AS (SELECT t1, sum(c) AS ctx1 FROM cnt GROUP BY t1),
+v AS (SELECT count(DISTINCT t2) AS v FROM cnt)
+SELECT big.doc_id,
+       count(*) AS n_bigrams,
+       ROUND(-avg(ln((cnt.c + 1.0) / (ctx.ctx1 + v.v))), 6) AS avg_nll
+FROM big
+JOIN cnt USING (t1, t2)
+JOIN ctx USING (t1)
+CROSS JOIN v
+GROUP BY big.doc_id
+"""
+
+
 _NB_CLASSIFY_SQL = r"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -6944,6 +7002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_journeys": user_event_journeys,
         "funnel_signup_purchase": funnel_signup_purchase,
         "nb_lang_classify_docs": nb_lang_classify_docs,
+        "bigram_perplexity_docs": bigram_perplexity_docs,
         "constraint_audit_tpch": constraint_audit_tpch,
         "time_range_user_stats": time_range_user_stats,
         "value_outliers_by_event_type": value_outliers_by_event_type,
@@ -7130,6 +7189,7 @@ def oracle_sql() -> dict[str, str]:
         "events_key_skew": _KEY_SKEW_SQL,
         "user_event_journeys": _JOURNEYS_SQL,
         "funnel_signup_purchase": _FUNNEL_SQL,
+        "bigram_perplexity_docs": _BIGRAM_PPL_SQL,
         "nb_lang_classify_docs": _NB_CLASSIFY_SQL,
         "constraint_audit_tpch": _CONSTRAINT_AUDIT_SQL,
         "time_range_user_stats": _TIME_RANGE_SQL,

@@ -171,3 +171,130 @@ def classify_naive_bayes(
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------- bigram LM --
+
+@dataclass
+class BigramLM:
+    """Add-one-smoothed bigram language model, defined entirely from
+    the bigram count table (so the SQL oracle can restate it exactly):
+
+    - ``c12``: corpus count of bigram (t1, t2)
+    - ``ctx1 = Σ_t2 c12``: context count of t1
+    - ``V``: number of distinct successor tokens (COUNT(DISTINCT t2))
+    - ``P(t2 | t1) = (c12 + 1) / (ctx1 + V)``
+
+    ``lnp`` is precomputed per distinct bigram on the driver
+    (vectorized, once); unseen bigrams at score time fall back to
+    ``ln(1 / (ctx1 + V))`` for a known context, ``ln(1 / V)`` for an
+    unknown one."""
+
+    big: pd.DataFrame     # columns t1, t2, lnp
+    ctx: pd.DataFrame     # columns t1, ln_floor  (= -ln(ctx1 + V))
+    v: int
+
+
+def train_bigram_lm(ds: rd.Dataset, text_col: str) -> BigramLM:
+    """Fit bigram counts distributed (per-block pandas groupby partial
+    → ``bucketed_sum`` keyed (t1, t2): ≤1 row per distinct bigram per
+    block crosses the exchange), then reduce the DISTINCT-BIGRAM table
+    to the model on the driver.  The driver holds the bigram
+    vocabulary only — at web scale cap it first with a heavy-hitter
+    pass (``sketches.heavy_hitters``), same disclosed trade as
+    ``train_naive_bayes``."""
+    from .joins import bucketed_sum
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = _ws_tokens(df[text_col])
+        arrs = [np.asarray(t, dtype=object) for t in toks if len(t) >= 2]
+        if not arrs:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        t1 = np.concatenate([a[:-1] for a in arrs])
+        t2 = np.concatenate([a[1:] for a in arrs])
+        g = (pd.DataFrame({"t1": t1, "t2": t2})
+             .groupby(["t1", "t2"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({"t1": pa.array(g["t1"], pa.string()),
+                         "t2": pa.array(g["t2"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    counts = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["t1", "t2"], ["c"], combine=False,
+        source_types={"t1": pa.string(), "t2": pa.string(),
+                      "c": pa.int64()},
+    ).to_pandas()
+    v = int(counts["t2"].nunique())
+    ctx = counts.groupby("t1", sort=False)["c"].sum().reset_index(
+        name="ctx1")
+    counts = counts.merge(ctx, on="t1")
+    counts["lnp"] = np.log(
+        (counts["c"].to_numpy(np.float64) + 1.0)
+        / (counts["ctx1"].to_numpy(np.float64) + v)
+    )
+    ctx["ln_floor"] = -np.log(ctx["ctx1"].to_numpy(np.float64) + v)
+    return BigramLM(big=counts[["t1", "t2", "lnp"]],
+                    ctx=ctx[["t1", "ln_floor"]], v=v)
+
+
+def score_bigram_lm(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    model: BigramLM,
+    nll_col: str = "avg_nll",
+) -> rd.Dataset:
+    """Per-document mean negative log-likelihood under a broadcast
+    bigram LM — the perplexity-style quality score CCNet-era curation
+    pipelines gate on (low = fluent under the corpus LM, high =
+    boilerplate/noise).  Output: (id, n_bigrams, avg_nll), docs with
+    ≥1 bigram only; ``perplexity = exp(avg_nll)``.
+
+    The model ships once via ``ray.put`` (bounded broadcast cache);
+    each batch explodes its bigram occurrences, joins the broadcast
+    lnp table with ONE vectorized merge, and folds per-doc means —
+    no Python per token."""
+    import ray
+
+    from .joins import _cached_get
+
+    ref = ray.put(model)
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        m: BigramLM = _cached_get(ref)
+        toks = _ws_tokens(df[text_col])
+        keep = toks.map(len).to_numpy(dtype=np.int64) >= 2
+        ids = df[id_col].to_numpy()[keep]
+        arrs = [np.asarray(t, dtype=object)
+                for t in toks[keep] if len(t) >= 2]
+        if not arrs:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                nll_col: pa.array([], pa.float64()),
+            })
+        lens = np.array([len(a) - 1 for a in arrs], np.int64)
+        occ = pd.DataFrame({
+            "__doc": np.repeat(np.arange(len(arrs)), lens),
+            "t1": np.concatenate([a[:-1] for a in arrs]),
+            "t2": np.concatenate([a[1:] for a in arrs]),
+        })
+        occ = occ.merge(m.big, on=["t1", "t2"], how="left")
+        miss = occ["lnp"].isna()
+        if miss.any():  # unseen bigram: smoothed floor by context
+            fl = occ.loc[miss, ["t1"]].merge(m.ctx, on="t1", how="left")
+            occ.loc[miss, "lnp"] = fl["ln_floor"].fillna(
+                -np.log(max(m.v, 1))).to_numpy()
+        agg = occ.groupby("__doc", sort=True)["lnp"].agg(["size", "mean"])
+        didx = agg.index.to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[didx]),
+            "n_bigrams": pa.array(agg["size"].to_numpy(np.int64)),
+            nll_col: pa.array(-agg["mean"].to_numpy(np.float64),
+                              pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

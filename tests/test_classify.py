@@ -113,3 +113,49 @@ def test_nb_unseen_tokens_and_transfer():
     assert got["pred"].tolist()[2] == "x"
     want_pred, want_s = _ref_fit_score(train, test)
     assert np.allclose(got["s"].to_numpy(), want_s, atol=1e-9)
+
+
+def test_bigram_lm_hand_computed_and_unseen_floor():
+    """Tiny corpus with a hand-derived bigram table; held-out docs hit
+    the known-context and unknown-context smoothing floors."""
+    from standardized_omop_data_etl_ray.stages.classify import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    train = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b a b", "b c"],
+    })
+    # bigrams: (a,b)x2, (b,a)x1, (b,c)x1 → ctx a=2, b=2; V = |{a,b,c}| = 3
+    m = train_bigram_lm(rd.from_pandas(train).repartition(2), "text")
+    assert m.v == 3
+    big = {(r.t1, r.t2): r.lnp for r in m.big.itertuples()}
+    assert math.isclose(big[("a", "b")], math.log((2 + 1) / (2 + 3)))
+    assert math.isclose(big[("b", "a")], math.log((1 + 1) / (2 + 3)))
+    assert math.isclose(big[("b", "c")], math.log((1 + 1) / (2 + 3)))
+
+    test = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [
+            "a b",       # seen bigram
+            "a c",       # unseen bigram, KNOWN context a → 1/(2+3)
+            "z z",       # unseen bigram, UNKNOWN context → 1/V
+            "solo",      # <2 tokens → no output row
+        ],
+    })
+    got = (
+        score_bigram_lm(rd.from_pandas(test), "text", "doc_id", m)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == [10, 11, 12]
+    assert got["n_bigrams"].tolist() == [1, 1, 1]
+    want = [-math.log(3 / 5), -math.log(1 / 5), -math.log(1 / 3)]
+    assert np.allclose(got["avg_nll"].to_numpy(), want, atol=1e-12)
+
+    # self-scoring the training corpus: every bigram seen, finite nll
+    self_s = (
+        score_bigram_lm(rd.from_pandas(train), "text", "doc_id", m)
+        .to_pandas()
+    )
+    assert len(self_s) == 2 and np.isfinite(self_s["avg_nll"]).all()
