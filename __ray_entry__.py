@@ -1909,6 +1909,85 @@ def _pc_mod(arr, k: int):
     return pc.subtract(arr, pc.multiply(pc.divide(arr, k), k))
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table
+    (stages/ann.distributed_kmeans): per-iteration centroid broadcast +
+    mergeable per-block (count, vector-sum) partials — the corpus
+    streams, the driver holds k×d floats.  Deterministic smallest-id
+    init, rounded-distance argmin, centroids re-rounded each update,
+    so the 3-iteration SQL unroll reproduces assignments exactly."""
+    from standardized_omop_data_etl_ray.stages.ann import (
+        distributed_kmeans,
+    )
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = distributed_kmeans(emb, "embedding", "vec_id",
+                                   k=8, n_iter=3)
+    return assign
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
+    """Unrolled fixed-iteration Lloyd mirror: assignment = argmin of
+    ROUND(list_distance, 6) with ties to the lowest cluster id;
+    centroid update = per-dimension ROUND(avg, 6); empty clusters keep
+    the previous centroid (COALESCE)."""
+    parts = [f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+           list_transform(v, x -> ROUND(x, 6)) AS cv
+    FROM e ORDER BY vec_id LIMIT {k}
+)"""]
+    prev = "c0"
+    # each iteration i: assign under c{i-1}, update to c{i}; the FINAL
+    # labeling pass assigns under c{n_iter} — mirroring the engine's
+    # "n_iter updates, then label" order exactly
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+a{i} AS (
+    SELECT vec_id, cl, v FROM (
+        SELECT e.vec_id, c.cl, e.v,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_distance(e.v, c.cv), 6), c.cl
+               ) AS rn
+        FROM e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+),
+m{i} AS (
+    SELECT cl, idx, ROUND(avg(val), 6) AS mv
+    FROM (SELECT cl, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS idx
+          FROM a{i})
+    GROUP BY cl, idx
+),
+c{i} AS (
+    SELECT p.cl, COALESCE(m.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN (
+        SELECT cl, list(mv ORDER BY idx) AS cv FROM m{i} GROUP BY cl
+    ) m USING (cl)
+)""")
+        prev = f"c{i}"
+    parts.append(f"""
+SELECT vec_id, CAST(cl AS INT) AS cluster FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(list_distance(e.v, c.cv), 6), c.cl
+           ) AS rn
+    FROM e CROSS JOIN {prev} c
+) WHERE rn = 1
+""")
+    return "".join(parts)
+
+
+_KMEANS_SQL = _kmeans_sql()
+
+
 _INC_DF_SQL = r"""
 WITH live AS (
     SELECT doc_id, text FROM documents
@@ -6996,6 +7075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity / ANN ------------------------------------------
         "ivf_topk_cosine": ivf_topk_cosine,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "kmeans_embeddings": kmeans_embeddings,
         "lineitem_moment_stats": lineitem_moment_stats,
         "fuzzy_join_doc_prefixes": fuzzy_join_doc_prefixes,
         "events_key_skew": events_key_skew,
@@ -7184,6 +7264,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_widen_column": _CDC_WIDEN_SQL,
         "cdc_add_column": _CDC_ADD_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
+        "kmeans_embeddings": _KMEANS_SQL,
         "lineitem_moment_stats": _MOMENT_STATS_SQL,
         "fuzzy_join_doc_prefixes": _FUZZY_JOIN_SQL,
         "events_key_skew": _KEY_SKEW_SQL,

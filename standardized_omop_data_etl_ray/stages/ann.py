@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 import ray
@@ -211,3 +212,97 @@ def maybe_refit(
         n_cells=index.n_cells, n_iter=index.n_iter, seed=index.seed
     ).fit(fresh_sample)
     return refit, refit.assign_cells(ds, emb_col), stats, True
+
+
+def distributed_kmeans(
+    ds: rd.Dataset,
+    emb_col: str,
+    id_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+    round_digits: int = 6,
+):
+    """Fully DISTRIBUTED Lloyd k-means (the iterate-with-broadcast
+    shape ``IVFIndex.fit`` approximates on a driver-held sample): each
+    iteration broadcasts the k×d centroid matrix once (``ray.put``),
+    every block emits per-cluster MERGEABLE partials (count +
+    vector sum — ≤ k rows per block cross the driver, never a point),
+    and the driver folds them into new means.  The corpus streams; the
+    driver only ever holds k×d floats.
+
+    Deterministic and ORACLE-MIRRORABLE: init = the k smallest-id
+    vectors; assignment = argmin of the ROUNDED (``round_digits``)
+    euclidean distance with ties to the lowest cluster id; centroids
+    are re-ROUNDED after every update (DuckDB half-away semantics via
+    ``functions.rounding.round_half_away``).  The rounding quantizes
+    away FP summation-order differences between the distributed fold
+    and a sequential SQL replay, so a fixed-iteration SQL unroll
+    reproduces the assignment EXACTLY; empty clusters keep their
+    previous centroid (COALESCE in the mirror).
+
+    Returns ``(centroids ndarray, assignments Dataset[id, cluster])``.
+    """
+    from ..functions.rounding import round_half_away
+    from .joins import _cached_get
+
+    init = ds.sort(id_col).limit(k).to_pandas()
+    C = round_half_away(
+        np.stack(init[emb_col].to_numpy()).astype(np.float64).ravel(),
+        round_digits,
+    ).reshape(len(init), -1)
+    d = C.shape[1]
+
+    def _assign(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # n×k×d diff matches the oracle's list_distance term order;
+        # argmin over the ROUNDED distance, first-min = lowest cluster
+        dist = np.sqrt(((X[:, None, :] - c[None, :, :]) ** 2).sum(-1))
+        dr = round_half_away(dist.ravel(), round_digits).reshape(dist.shape)
+        return dr.argmin(axis=1)
+
+    for _ in range(int(n_iter)):
+        cref = ray.put(C)
+
+        def partial(df: pd.DataFrame) -> pa.Table:
+            c = _cached_get(cref)
+            if not len(df):
+                return pa.table({
+                    "cluster": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "vecsum": pa.array([], pa.list_(pa.float64())),
+                })
+            X = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+            a = _assign(X, c)
+            sums = np.zeros((len(c), X.shape[1]), np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=len(c))
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int32)),
+                "n": pa.array(counts.astype(np.int64)),
+                "vecsum": pa.array(list(sums)),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pandas").take_all()
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["vecsum"], np.float64)
+            counts[r["cluster"]] += r["n"]
+        nz = counts > 0
+        newC = C.copy()
+        newC[nz] = sums[nz] / counts[nz, None]
+        C = round_half_away(newC.ravel(), round_digits).reshape(k, d)
+
+    cref = ray.put(C)
+
+    def label(df: pd.DataFrame) -> pa.Table:
+        c = _cached_get(cref)
+        if not len(df):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int32())})
+        X = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        return pa.table({
+            id_col: pa.Array.from_pandas(df[id_col]),
+            "cluster": pa.array(_assign(X, c).astype(np.int32)),
+        })
+
+    return C, ds.map_batches(label, batch_format="pandas")

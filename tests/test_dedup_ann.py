@@ -570,3 +570,40 @@ def test_remove_dup_spans_planted():
         assert g.loc[4, "n_removed"] == 0
         assert g.loc[5, "clean_text"] == "short doc"
         assert g.loc[6, "clean_text"] == "" and g.loc[6, "n_tokens"] == 0
+
+
+def test_distributed_kmeans_partition_invariant_and_separates():
+    """3 planted gaussian blobs: the distributed Lloyd fold must give
+    identical assignments on any partitioning (rounded-centroid
+    determinism) and separate the blobs perfectly."""
+    from standardized_omop_data_etl_ray.stages.ann import (
+        distributed_kmeans,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[5.0, 0.0], [-5.0, 4.0], [0.0, -6.0]])
+    X = np.concatenate([
+        centers[i] + 0.3 * rng.standard_normal((40, 2))
+        for i in range(3)
+    ])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float64())),
+    })
+
+    results = []
+    for parts in (1, 6):
+        C, assign = distributed_kmeans(
+            rd.from_arrow(t).repartition(parts), "embedding", "vec_id",
+            k=3, n_iter=4)
+        df = assign.to_pandas().sort_values("vec_id",
+                                            ignore_index=True)
+        results.append(df["cluster"].to_numpy())
+    assert (results[0] == results[1]).all()
+
+    # blob purity: every planted blob maps to exactly one cluster
+    lab = results[0]
+    blobs = [set(lab[i * 40:(i + 1) * 40]) for i in range(3)]
+    assert all(len(b) == 1 for b in blobs)
+    assert len(set().union(*blobs)) == 3
