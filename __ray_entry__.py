@@ -7036,12 +7036,86 @@ def entry() -> Any:
     return cdc_full_replay_docs("/root/testdata/sf0.001")
 
 
+# The driver verifies the FIRST 50 queries() entries against
+# oracle_sql().  Round-5 window (VERDICT r4 #3 — rotate demoted-green
+# rows back through): the flagship, this round's new/changed operators,
+# the four formerly-red rows (dtype-pinned this round), a ~21-query
+# ROTATION COHORT last driver-verified in rounds 1-3 (relational core,
+# the minhash/simhash/near-dup family, sampling/splits), and a retained
+# r4-green CDC core.  Every remaining entry keeps its prior order below
+# the window; nothing is unregistered.
+_WINDOW_R5 = [
+    # flagship
+    "omop_full_pipeline",
+    # new round-5 operators
+    "bigram_perplexity_docs",
+    "kmeans_embeddings",
+    "weighted_topk_sample_docs",
+    # round-4 driver reds, dtype-pinned this round
+    "incremental_lang_stats",
+    "time_range_user_stats",
+    "scd2_history_docs",
+    "pack_sequences_docs",
+    # latent dtype pins found by the strict sweep
+    "events_before_errors",
+    "events_before_errors_banded",
+    "events_json_props_stats",
+    # operators changed this round
+    "dedup_exact_docs",
+    "constraint_audit_tpch",
+    "set_similarity_join_docs",
+    "incremental_doc_frequencies",
+    # rotation cohort: last driver-verified r1-r3
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q10_returned_customers",
+    "q6_revenue_forecast",
+    "minhash_self_near_dups",
+    "simhash_self_near_dups",
+    "jaccard_near_dups",
+    "embedding_self_near_dups",
+    "near_dup_groups",
+    "incremental_near_dup_groups",
+    "dedup_canonical_docs",
+    "decontaminate_docs",
+    "ann_topk_cosine",
+    "weighted_sample_docs",
+    "stratified_sample_docs",
+    "split_docs",
+    "shuffle_docs_deterministic",
+    "langid_docs",
+    "sessionize_events",
+    "token_counts_docs",
+    # retained r4-green CDC / similarity core
+    "cdc_curated_replay_docs",
+    "cdc_dml_replay",
+    "cdc_merge_into",
+    "cdc_time_travel",
+    "cdc_restore_replay",
+    "cdc_incremental_vocab",
+    "cdc_incremental_join",
+    "cdc_scd2_view",
+    "cdc_left_join",
+    "cdc_patch_replay",
+    "cdc_replicate_docs",
+    "cdc_verify_replica_docs",
+    "ivf_topk_cosine",
+    "semantic_dedup_embeddings",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    # NOTE on ordering: the driver verifies the FIRST 50 entries against
-    # oracle_sql() — rank the flagship pipeline, the CDC family, and the
-    # newest operators first; TPC-style rows already driver-green in
-    # rounds 1-2 (see CORRECTNESS_r0{1,2}.json) and the by-design
-    # rows-only queries sit in the back half.
+    base = _queries_base()
+    assert len(_WINDOW_R5) == 50 and set(_WINDOW_R5) <= set(base)
+    ordered: dict[str, Callable[[str], Any]] = {
+        n: base[n] for n in _WINDOW_R5
+    }
+    ordered.update({n: f for n, f in base.items() if n not in ordered})
+    return ordered
+
+
+def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         # -- flagship + CDC family -------------------------------------
         "omop_full_pipeline": omop_full_pipeline,

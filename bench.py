@@ -288,6 +288,9 @@ QUERY_SUBSET = [
     "ewma_user_values", "extract_long_words_docs", "cdc_add_column",
     "price_histogram_lineitem", "nth_order_value_per_customer",
     "set_similarity_join_docs", "quartile_bucket_orders",
+    # round-5 operators
+    "weighted_topk_sample_docs", "bigram_perplexity_docs",
+    "kmeans_embeddings",
 ]
 
 
