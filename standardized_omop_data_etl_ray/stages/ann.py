@@ -245,7 +245,18 @@ def distributed_kmeans(
     from ..functions.rounding import round_half_away
     from .joins import _cached_get
 
-    init = ds.sort(id_col).limit(k).to_pandas()
+    # init = the k smallest-id vectors WITHOUT a global sort: per-block
+    # bottom-k combiner (≤k rows per block cross the exchange) → one
+    # tiny driver merge — a full Dataset.sort here would be an
+    # all-to-all shuffle to pick k rows
+    def _bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, id_col)[[id_col, emb_col]]
+
+    init = (
+        ds.map_batches(_bottomk, batch_format="pandas")
+        .to_pandas().nsmallest(k, id_col)
+        .sort_values(id_col, ignore_index=True)
+    )
     C = round_half_away(
         np.stack(init[emb_col].to_numpy()).astype(np.float64).ravel(),
         round_digits,

@@ -1233,8 +1233,14 @@ def semantic_dedup(
     from .joins import _cached_get
 
     k = int(n_clusters)
+    # k smallest-id vectors WITHOUT a global sort: per-block bottom-k
+    # combiner (≤k rows per block cross) → tiny driver merge (same
+    # pattern as ann.distributed_kmeans init)
     cent_pd = (
-        ds.sort(id_col).limit(k).to_pandas()
+        ds.map_batches(lambda df: df.nsmallest(k, id_col),
+                       batch_format="pandas")
+        .to_pandas().nsmallest(k, id_col)
+        .sort_values(id_col, ignore_index=True)
     )
     C = np.stack(cent_pd[emb_col].to_numpy()).astype(np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
