@@ -888,6 +888,42 @@ SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
 
+def incremental_exact_dedup_docs(sf_dir: str):
+    """Crawl-vs-corpus exact dedup (stages/dedup.
+    incremental_exact_dedup): the committed corpus (doc_id%4≠0)
+    contributes only its content-sha stream; the new batch (doc_id%4=0)
+    drops rows whose content the corpus already holds, then keeps the
+    min-id copy of each remaining sha — one narrow bucketed exchange +
+    an id-partitioned join-back, no broadcast of the corpus-sized
+    committed set."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        add_content_hash,
+        incremental_exact_dedup,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+    base, added, _ = _live_split(docs)
+    committed = add_content_hash(base, "text").select_columns(
+        ["content_sha"])
+    return incremental_exact_dedup(added, committed, "text", "doc_id",
+                                   num_rows=n)
+
+
+_INC_EXACT_DEDUP_SQL = """
+WITH committed AS (
+    SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0
+),
+new AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+)
+SELECT MIN(doc_id) AS doc_id, text
+FROM new
+WHERE text NOT IN (SELECT text FROM committed)
+GROUP BY text
+"""
+
+
 def token_counts_docs(sf_dir: str):
     from standardized_omop_data_etl_ray.functions.text import token_counts
 
@@ -7086,7 +7122,7 @@ _WINDOW_R5 = [
     "shuffle_docs_deterministic",
     "langid_docs",
     "sessionize_events",
-    "token_counts_docs",
+    "incremental_exact_dedup_docs",
     # retained r4-green CDC / similarity core
     "cdc_curated_replay_docs",
     "cdc_dml_replay",
@@ -7232,6 +7268,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup_groups": incremental_near_dup_groups,
         "cdc_lww_upsert": cdc_lww_upsert,
         "dedup_exact_docs": dedup_exact_docs,
+        "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
         "quality_stats_docs": quality_stats_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "lang_distribution": lang_distribution,
@@ -7381,6 +7418,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles_selfcheck": _APPROX_Q_SQL,
         "approx_distinct_selfcheck": _APPROX_DISTINCT_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
+        "incremental_exact_dedup_docs": _INC_EXACT_DEDUP_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,
         "repetition_stats_docs": _REPETITION_SQL,

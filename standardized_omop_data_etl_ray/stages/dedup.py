@@ -114,6 +114,72 @@ def exact_dedup(
     return joined.drop_columns([f"{id_col}_r"])
 
 
+def incremental_exact_dedup(
+    new: rd.Dataset,
+    committed_shas: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    sha_col: str = "content_sha",
+    num_buckets: int | None = None,
+    num_rows: int | None = None,
+) -> rd.Dataset:
+    """Dedup a NEW batch against an already-committed corpus by content
+    hash — "drop from the new crawl everything the corpus already has,
+    then keep one copy (min id) of what remains".  The incremental form
+    of :func:`exact_dedup`: the committed corpus is never re-read
+    beyond its sha column, and composes directly with the CDC lake
+    (``CDCLake.read_state(columns=["content_sha"])`` — content_sha is
+    an engine column every lake row already carries).
+
+    Scale shape: the dedupe exchange is NARROW on both sides — the
+    committed side ships (sha) rows only and the new side (sha,
+    integer id) rows (never text, never a broadcast: the committed set
+    is corpus-sized, which is exactly when ``decontaminate``'s
+    broadcast contract is wrong); both sides co-locate by sha hash,
+    each bucket resolves vectorized (seen-set membership + min-id
+    drop_duplicates in one pandas pass), and the winning ids join the
+    full rows back with the same id-partitioned join as
+    ``exact_dedup(winner_keys_only=True)``.  ``id_col`` must be
+    integer-typed (it crosses the exchange as int64)."""
+    from .joins import auto_hash_join, bucketed_groupby, default_buckets
+
+    if num_buckets is None:
+        num_buckets = default_buckets(num_rows, rows_per_bucket=100_000)
+    hashed = add_content_hash(new, text_col, out_col=sha_col)
+
+    def tag_new(t: pa.Table) -> pa.Table:
+        return pa.table({
+            sha_col: t.column(sha_col).cast(pa.string()),
+            id_col: t.column(id_col).cast(pa.int64()),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def tag_committed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            sha_col: t.column(sha_col).cast(pa.string()),
+            id_col: pa.nulls(t.num_rows, pa.int64()),
+            "__side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    union = hashed.map_batches(tag_new, batch_format="pyarrow").union(
+        committed_shas.map_batches(tag_committed, batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        seen = set(g.loc[side == 1, sha_col])
+        fresh = g[(side == 0) & ~g[sha_col].isin(seen).to_numpy()]
+        fresh = fresh.sort_values(id_col, kind="mergesort")
+        fresh = fresh.drop_duplicates(sha_col, keep="first")
+        # a bucket that held committed rows converts id to float64
+        # (their ids are null) — pin back to int64 so blocks agree
+        return pd.DataFrame({id_col: fresh[id_col].astype("int64")})
+
+    won = bucketed_groupby(union, [sha_col], per_bucket, num_buckets)
+    joined = auto_hash_join(new, won, [id_col], right_rows=num_rows)
+    return joined.drop_columns([f"{id_col}_r"])
+
+
 # -------------------------------------------------------------- minhash --
 
 class MinHasher:

@@ -607,3 +607,40 @@ def test_distributed_kmeans_partition_invariant_and_separates():
     blobs = [set(lab[i * 40:(i + 1) * 40]) for i in range(3)]
     assert all(len(b) == 1 for b in blobs)
     assert len(set().union(*blobs)) == 3
+
+
+def test_incremental_exact_dedup_vs_committed():
+    """New batch deduped against a committed sha stream: corpus-known
+    content drops, within-batch dups keep min id, unique new survives;
+    identical on any partitioning."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        add_content_hash,
+        incremental_exact_dedup,
+    )
+
+    committed_docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["known one", "known two"],
+    })
+    new_docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": [
+            "known one",      # already committed → dropped
+            "fresh a",        # new, unique
+            "fresh b",        # new, duplicated within batch
+            "fresh b",        #   → only min id 12 survives
+            "known two",      # already committed → dropped
+        ],
+    })
+    committed = add_content_hash(
+        rd.from_arrow(committed_docs), "text").select_columns(
+        ["content_sha"])
+    for parts in (1, 4):
+        out = (
+            incremental_exact_dedup(
+                rd.from_arrow(new_docs).repartition(parts), committed,
+                "text", "doc_id", num_buckets=3)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        assert out["doc_id"].tolist() == [11, 12]
+        assert out["text"].tolist() == ["fresh a", "fresh b"]
