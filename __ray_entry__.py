@@ -6038,6 +6038,40 @@ SELECT doc_id, n_chars FROM (
 """
 
 
+def grouped_weighted_topk_docs(sf_dir: str):
+    """Per-domain fixed budget (stages/corpus.grouped_weighted_topk):
+    exactly 20 docs per source, length-weighted within the source —
+    one coarse-bucket co-location, every group resolved in a single
+    vectorized pass; same deterministic Efraimidis–Spirakis keys as
+    the global sampler, so the SQL window mirror is exact."""
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        grouped_weighted_topk,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"],
+               rows_hint=n)
+    return grouped_weighted_topk(docs, "source", "doc_id", "n_chars",
+                                 20)
+
+
+_GROUPED_WEIGHTED_TOPK_SQL = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY
+                 ln((CAST(('0x' ||
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE) DESC,
+                 doc_id
+           ) AS rn
+    FROM documents WHERE n_chars > 0
+) WHERE rn <= 20
+"""
+
+
 _WEIGHTED_SQL = """
 SELECT doc_id, n_chars FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -7258,6 +7292,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "redundant_sources_lineitem": redundant_sources_lineitem,
         "weighted_sample_docs": weighted_sample_docs,
         "weighted_topk_sample_docs": weighted_topk_sample_docs,
+        "grouped_weighted_topk_docs": grouped_weighted_topk_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "chunk_docs_64": chunk_docs_64,
         "cap_docs_per_source": cap_docs_per_source,
@@ -7448,6 +7483,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_user_purchases": _SKEW_JOIN_SQL,
         "weighted_sample_docs": _WEIGHTED_SQL,
         "weighted_topk_sample_docs": _WEIGHTED_TOPK_SQL,
+        "grouped_weighted_topk_docs": _GROUPED_WEIGHTED_TOPK_SQL,
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),

@@ -653,6 +653,33 @@ def weighted_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _md5_u32(id_arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 32-bit hash of the stringified id — the uniform
+    source every hash-decided sampler shares (SQL mirror:
+    ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS BIGINT)``)."""
+    from ..functions.hashing import _HAVE_DUCKDB, _con
+
+    sv = pa.table({"v": pa.chunked_array([id_arr]).cast(pa.string())
+                   if not isinstance(id_arr, pa.ChunkedArray)
+                   else id_arr.cast(pa.string())})
+    if _HAVE_DUCKDB:
+        return (
+            _con()
+            .execute(
+                "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT)"
+                " AS u FROM sv"
+            )
+            .fetch_arrow_table().column("u")
+            .to_numpy(zero_copy_only=False)
+        )
+    import hashlib  # pragma: no cover - duckdb is a baked-in dependency
+
+    return np.array([
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        for s in sv.column("v").to_pylist()
+    ], dtype=np.int64)
+
+
 def weighted_topk_sample(
     ds: rd.Dataset, id_col: str, weight_col: str, k: int
 ) -> rd.Dataset:
@@ -678,29 +705,10 @@ def weighted_topk_sample(
     excluded (zero weight = zero inclusion probability)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import _HAVE_DUCKDB, _con
-
         if t.num_rows == 0:
             return t.append_column("__es_key",
                                    pa.array([], pa.float64()))
-        sv = pa.table({"v": t.column(id_col).cast(pa.string())})
-        if _HAVE_DUCKDB:
-            h = (
-                _con()
-                .execute(
-                    "SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT)"
-                    " AS u FROM sv"
-                )
-                .fetch_arrow_table().column("u")
-                .to_numpy(zero_copy_only=False)
-            )
-        else:  # pragma: no cover - duckdb is a baked-in dependency
-            import hashlib
-
-            h = np.array([
-                int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                for s in sv.column("v").to_pylist()
-            ], dtype=np.int64)
+        h = _md5_u32(t.column(id_col))
         w = (t.column(weight_col).to_numpy(zero_copy_only=False)
              .astype(np.float64))
         ok = np.isfinite(w) & (w > 0)
@@ -725,6 +733,55 @@ def weighted_topk_sample(
         .map_batches(final, batch_format="pandas")
         .drop_columns(["__es_key"])
     )
+
+
+def grouped_weighted_topk(
+    ds: rd.Dataset,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-GROUP fixed-budget weighted sample without replacement — the
+    corpus-mixing primitive "exactly k docs from every domain,
+    weight-proportional within the domain" (per-domain token budgets).
+    Same deterministic Efraimidis–Spirakis key as
+    :func:`weighted_topk_sample` (``ln(md5-uniform)/w``, k largest per
+    group); rows with w ≤ 0 or NULL excluded.
+
+    Scale shape: keys are computed in a map pass; groups co-locate by
+    the ONE coarse-bucket exchange (``bucketed_groupby``) and every
+    group in a bucket resolves in a single vectorized pandas pass
+    (sort + grouped cumcount < k) — no Python per group, no global
+    sort."""
+    from .joins import bucketed_groupby
+
+    def add_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__es_key",
+                                   pa.array([], pa.float64()))
+        h = _md5_u32(t.column(id_col))
+        w = (t.column(weight_col).to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        ok = np.isfinite(w) & (w > 0)
+        key = np.full(len(w), -np.inf)
+        key[ok] = np.log((h[ok] + 0.5) / 4294967296.0) / w[ok]
+        t = t.append_column("__es_key", pa.array(key, pa.float64()))
+        return t.filter(pa.array(ok))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "__es_key", id_col],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        keep = g.groupby(group_col, sort=False).cumcount() < k
+        return g[keep.to_numpy()]
+
+    out = bucketed_groupby(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        [group_col], per_bucket, num_buckets,
+    )
+    return out.drop_columns(["__es_key"])
 
 
 def grouped_sequence(

@@ -416,3 +416,48 @@ def test_weighted_topk_sample_exact_k_deterministic_and_weighted():
     # k >= population returns everything with positive weight
     allr = weighted_topk_sample(rd.from_arrow(t), "rid", "w", 5000)
     assert allr.count() == n - 1
+
+
+def test_grouped_weighted_topk_budget_and_invariance():
+    """Exactly k per group, partitioning-invariant, heavier rows
+    over-represented within each group, w<=0 excluded; a group smaller
+    than k keeps all its (positive-weight) rows."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.corpus import (
+        grouped_weighted_topk,
+    )
+
+    n = 1200
+    grp = np.where(np.arange(n) < 1000, "big", "small")
+    w = np.where(np.arange(n) % 2 == 0, 50.0, 5.0)
+    w[2] = 0.0
+    t = pa.table({
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array(grp),
+        "w": pa.array(w, pa.float64()),
+    })
+
+    sets = []
+    for parts in (1, 5):
+        out = (
+            grouped_weighted_topk(
+                rd.from_arrow(t).repartition(parts), "g", "rid", "w",
+                150, num_buckets=3)
+            .to_pandas()
+        )
+        assert (out.groupby("g").size()["big"]) == 150
+        # 'small' has 200 rows (one zero-weight) → capped at 150
+        assert (out.groupby("g").size()["small"]) == 150
+        assert 2 not in set(out["rid"])
+        sets.append(frozenset(out["rid"]))
+    assert sets[0] == sets[1]
+
+    big = sets[0] & set(range(1000))
+    heavy = sum(1 for r in big if r % 2 == 0)
+    assert heavy > 90  # 10x weights dominate the 150-budget
+
+    # k larger than any group: everything with positive weight kept
+    allr = grouped_weighted_topk(rd.from_arrow(t), "g", "rid", "w",
+                                 5000, num_buckets=2)
+    assert allr.count() == n - 1
