@@ -1718,6 +1718,132 @@ WHERE q.n_words >= 5 AND rep.dup_trigram_frac <= 0.3
 """
 
 
+def corpus_full_pipeline(sf_dir: str):
+    """The training-data flagship COMPOSITION (the corpus counterpart
+    of ``omop_full_pipeline``): quality/repetition/langid gates →
+    exact dedup (min-id per text) → benchmark decontamination (drop
+    docs sharing ≥5 distinct 3-shingles with the ``doc_id%50=0`` eval
+    slice, benchmark members dropped outright) → per-source cap (20
+    longest docs per source).  Every stage is an already-oracle-green
+    operator (curate_docs / dedup_exact_docs / decontaminate_docs /
+    cap_docs_per_source); this runs them END-TO-END through one
+    streaming plan — gates and dedup combiners run map-side, the only
+    exchanges are the dedup groupby, the (id)-join that filters
+    contaminated survivors, and the per-source cap co-location; the
+    benchmark shingle set broadcasts once.  The oracle chains the same
+    four stages as SQL CTEs."""
+    from standardized_omop_data_etl_ray.functions.rounding import (
+        round_half_away,
+    )
+    from standardized_omop_data_etl_ray.functions.text import (
+        detect_language,
+        quality_features,
+        repetition_features,
+    )
+    from standardized_omop_data_etl_ray.stages.corpus import cap_per_key
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        benchmark_shingle_hashes,
+        decontaminate,
+        exact_dedup,
+    )
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents",
+               ["doc_id", "text", "source", "n_chars"], rows_hint=n)
+
+    def gates(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(df["text"])
+        r = repetition_features(df["text"])
+        lang = detect_language(df["text"])
+        dup3 = round_half_away(r["dup_trigram_frac"].to_numpy(), 6)
+        top2 = round_half_away(r["top_bigram_frac"].to_numpy(), 6)
+        keep = (
+            (q["n_words"].to_numpy() >= 5)
+            & (dup3 <= 0.3)
+            & (top2 <= 0.5)
+            & (lang.to_numpy() != "und")
+        )
+        return df[keep]
+
+    gated = docs.map_batches(gates, batch_format="pandas")
+    deduped = exact_dedup(gated, "text", "doc_id", num_rows=n)
+
+    # benchmark slice comes from the FULL corpus (the eval set exists
+    # regardless of the training gates); survivors that ARE benchmark
+    # members leave the corpus outright
+    bench = docs.map_batches(
+        lambda t: t.filter(pc.equal(_pc_mod(t.column("doc_id"), 50), 0)),
+        batch_format="pyarrow",
+    )
+    corpus_side = deduped.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(_pc_mod(t.column("doc_id"), 50), 0)),
+        batch_format="pyarrow",
+    )
+    bh = benchmark_shingle_hashes(bench, "text")
+    dec = decontaminate(corpus_side, bh, "text", "doc_id", min_hits=5,
+                        keep_cols=["source", "n_chars"])
+    clean = dec.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("contaminated"), False)
+        ).select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+    return cap_per_key(clean, "source", "n_chars", 20, "doc_id")
+
+
+def _corpus_pipeline_sql() -> str:
+    return rf"""
+WITH kept AS (
+{_curate_sql()}
+),
+sv AS (
+    SELECT min(d.doc_id) AS doc_id
+    FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.text
+),
+tok2 AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+    FROM documents
+),
+sh2 AS (
+    SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(generate_series(1, len(w)-2),
+                                    i -> w[i] || ' ' || w[i+1] || ' '
+                                         || w[i+2])
+           END AS s
+    FROM tok2
+),
+ds2 AS (SELECT doc_id, list_distinct(s) AS s FROM sh2),
+bset AS (SELECT DISTINCT unnest(s) AS g FROM ds2 WHERE doc_id % 50 = 0),
+ex AS (
+    SELECT d2.doc_id, unnest(d2.s) AS g
+    FROM ds2 d2 JOIN sv ON d2.doc_id = sv.doc_id
+    WHERE d2.doc_id % 50 <> 0
+),
+ov AS (SELECT e.doc_id, count(b.g) AS n
+       FROM ex e LEFT JOIN bset b ON e.g = b.g GROUP BY e.doc_id),
+clean AS (
+    SELECT sv.doc_id FROM sv
+    LEFT JOIN ov ON sv.doc_id = ov.doc_id
+    WHERE sv.doc_id % 50 <> 0 AND COALESCE(ov.n, 0) < 5
+),
+final AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY d.n_chars DESC, d.doc_id
+           ) AS rn
+    FROM documents d JOIN clean c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, source, n_chars FROM final WHERE rn <= 20
+"""
+
+
 def events_before_errors(sf_dir: str, banded: bool = False):
     """Interval-containment join (event attribution): for every error
     event, the count and value-sum of the SAME user's events in the
@@ -7115,8 +7241,9 @@ def entry() -> Any:
 # r4-green CDC core.  Every remaining entry keeps its prior order below
 # the window; nothing is unregistered.
 _WINDOW_R5 = [
-    # flagship
+    # flagship (relational + corpus)
     "omop_full_pipeline",
+    "corpus_full_pipeline",
     # new round-5 operators
     "bigram_perplexity_docs",
     "kmeans_embeddings",
@@ -7155,7 +7282,6 @@ _WINDOW_R5 = [
     "split_docs",
     "shuffle_docs_deterministic",
     "langid_docs",
-    "sessionize_events",
     "incremental_exact_dedup_docs",
     # retained r4-green CDC / similarity core
     "cdc_curated_replay_docs",
@@ -7241,6 +7367,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "curate_docs": curate_docs,
+        "corpus_full_pipeline": corpus_full_pipeline,
         "incremental_doc_frequencies": incremental_doc_frequencies_docs,
         "dup_span_stats_docs": dup_span_stats_docs,
         "incremental_window_histogram": incremental_window_histogram_docs,
@@ -7487,6 +7614,7 @@ def oracle_sql() -> dict[str, str]:
         "events_before_errors": _INTERVAL_SQL,
         "events_before_errors_banded": _INTERVAL_SQL,
         "curate_docs": _curate_sql(),
+        "corpus_full_pipeline": _corpus_pipeline_sql(),
         "ann_topk_cosine": _ANN_SQL,
         "ivf_topk_cosine": _IVF_AUDIT_SQL,
         "normalize_dates_orders": _NORM_DATES_SQL,

@@ -923,6 +923,7 @@ def decontaminate(
     id_col: str,
     shingle_k: int = 3,
     min_hits: int = 5,
+    keep_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Flag corpus documents that share ≥ ``min_hits`` DISTINCT word
     shingles with the benchmark set (the pretraining decontamination
@@ -931,8 +932,11 @@ def decontaminate(
     The benchmark hash set broadcasts once via the object store
     (``ray.put`` + per-process cache); the corpus streams through
     ``map_batches`` with a vectorized ``searchsorted`` membership test
-    per document.  Emits ``(id, n_overlap, contaminated)`` for EVERY
-    corpus doc so downstream can filter or audit."""
+    per document.  Emits ``(id, [keep_cols…,] n_overlap,
+    contaminated)`` for EVERY corpus doc so downstream can filter or
+    audit — ``keep_cols`` ride through so a composing pipeline can
+    drop contaminated rows WITHOUT a join-back (which would execute
+    the upstream lineage twice)."""
     import ray
 
     from .joins import _cached_get
@@ -952,13 +956,12 @@ def decontaminate(
                 pos = np.searchsorted(bh, u)
                 pos[pos == len(bh)] = len(bh) - 1
                 counts[i] = int((bh[pos] == u).sum())
-        return pa.table(
-            {
-                id_col: ids,
-                "n_overlap": pa.array(counts, pa.int64()),
-                "contaminated": pa.array(counts >= min_hits, pa.bool_()),
-            }
-        )
+        cols = {id_col: ids}
+        for c in keep_cols or []:
+            cols[c] = batch.column(c)
+        cols["n_overlap"] = pa.array(counts, pa.int64())
+        cols["contaminated"] = pa.array(counts >= min_hits, pa.bool_())
+        return pa.table(cols)
 
     return corpus.map_batches(fn, batch_format="pyarrow")
 
