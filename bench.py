@@ -290,7 +290,8 @@ QUERY_SUBSET = [
     "set_similarity_join_docs", "quartile_bucket_orders",
     # round-5 operators
     "weighted_topk_sample_docs", "bigram_perplexity_docs",
-    "kmeans_embeddings",
+    "kmeans_embeddings", "incremental_exact_dedup_docs",
+    "grouped_weighted_topk_docs", "corpus_full_pipeline",
 ]
 
 
