@@ -3033,6 +3033,38 @@ QUALIFY abs(zscore) > 2.5
 """
 
 
+def robust_outliers_by_event_type(sf_dir: str):
+    """Per-group MEDIAN/MAD anomaly gate (stages/aggregates.
+    grouped_robust_outliers) — the robust complement of the z-score
+    gate: a spike can't inflate its own detection threshold.  Events
+    whose |value − group median| exceeds 3.5 · MAD, with the rounded
+    med/mad; one bucketed shuffle, vectorized grouped medians."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        grouped_robust_outliers,
+    )
+
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    return grouped_robust_outliers(ev, "event_type", "value", 3.5,
+                                   ["event_id", "event_type", "value"])
+
+
+_ROBUST_OUTLIERS_SQL = """
+WITH m AS (
+    SELECT event_id, event_type, value,
+           ROUND(median(value) OVER (PARTITION BY event_type), 6) AS med
+    FROM events
+),
+d AS (SELECT *, abs(value - med) AS dev FROM m),
+w AS (
+    SELECT *, ROUND(median(dev) OVER (PARTITION BY event_type), 6)
+                  AS mad
+    FROM d
+)
+SELECT event_id, event_type, value, med, mad
+FROM w WHERE dev > 3.5 * mad
+"""
+
+
 def constraint_audit_tpch(sf_dir: str):
     """Data-quality gate (stages/audit): unique / not-null /
     foreign-key / range / accepted-values constraints over the
@@ -7356,6 +7388,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "constraint_audit_tpch": constraint_audit_tpch,
         "time_range_user_stats": time_range_user_stats,
         "value_outliers_by_event_type": value_outliers_by_event_type,
+        "robust_outliers_by_event_type": robust_outliers_by_event_type,
         "remove_dup_spans_docs": remove_dup_spans_docs,
         "ewma_user_values": ewma_user_values,
         "extract_long_words_docs": extract_long_words_docs,
@@ -7548,6 +7581,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_audit_tpch": _CONSTRAINT_AUDIT_SQL,
         "time_range_user_stats": _TIME_RANGE_SQL,
         "value_outliers_by_event_type": _OUTLIERS_SQL,
+        "robust_outliers_by_event_type": _ROBUST_OUTLIERS_SQL,
         "remove_dup_spans_docs": _REMOVE_DUP_SPANS_SQL,
         "ewma_user_values": _EWMA_SQL,
         "extract_long_words_docs": _EXTRACT_ALL_SQL,

@@ -855,6 +855,59 @@ def grouped_outliers(
                             per_bucket, num_buckets)
 
 
+def grouped_robust_outliers(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    threshold: float,
+    keep_cols: list[str],
+    num_buckets: int | None = None,
+    round_digits: int = 6,
+) -> rd.Dataset:
+    """Per-group MEDIAN/MAD outlier detection — the robust complement
+    of :func:`grouped_outliers`: a z-score gate moves its own goalposts
+    (one huge spike inflates the stddev and hides itself); the median
+    and the median-absolute-deviation don't.  Emits rows where
+    ``|value − median(group)| > threshold · MAD(group)`` with the
+    rounded per-group ``med``/``mad`` columns (SQL mirror: DuckDB
+    ``median`` twice + a filter).
+
+    Scale shape: ONE bucketed shuffle co-locates each key; within a
+    bucket both medians come from vectorized ``groupby().transform``.
+    ``med``/``mad`` are ROUNDED (``round_digits``, DuckDB half-away
+    semantics) before the comparison on BOTH engine and oracle —
+    pandas computes an even-count median as (a+b)/2 while SQL
+    interpolates a+(b−a)/2, which differ in the last ulp; rounding
+    makes the boundary decision identical.  NULL values take no part
+    and are never outliers; a zero-MAD group (>50% identical values)
+    flags every non-median value — SQL agrees by the same formula."""
+    from ..functions.rounding import round_half_away
+    from .joins import bucketed_groupby
+
+    cols = list(dict.fromkeys(keep_cols + [key_col, value_col]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(key_col, sort=False)[value_col]
+        med = round_half_away(
+            gb.transform("median").to_numpy(dtype=np.float64),
+            round_digits)
+        dev = np.abs(g[value_col].to_numpy(dtype=np.float64) - med)
+        mad = round_half_away(
+            pd.Series(dev).groupby(
+                g[key_col].to_numpy(), sort=False
+            ).transform("median").to_numpy(dtype=np.float64),
+            round_digits)
+        with np.errstate(invalid="ignore"):
+            keep = dev > threshold * mad
+        out = g.loc[keep, cols].copy()
+        out["med"] = med[keep]
+        out["mad"] = mad[keep]
+        return out
+
+    return bucketed_groupby(ds.select_columns(cols), [key_col],
+                            per_bucket, num_buckets)
+
+
 def equi_width_histogram(
     ds: rd.Dataset,
     col: str,

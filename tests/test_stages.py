@@ -1145,3 +1145,46 @@ def test_quantile_bucket_transform_boundaries_and_nulls():
         # a value exactly equal to an edge stays in the lower bucket
         eq_edge = df[df["v"] == edges[1]]
         assert got.loc[got["id"].isin(eq_edge["id"]), "q_bucket"].iloc[0] == 1
+
+
+def test_grouped_robust_outliers_spike_detected_zscore_blind():
+    """The MAD gate's reason to exist: one huge spike inflates the
+    stddev enough that the z-score gate (threshold 2.5) misses a
+    second, smaller anomaly — the median/MAD gate flags both.  Also:
+    NULLs never flag; partitioning-invariant."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        grouped_outliers,
+        grouped_robust_outliers,
+    )
+
+    base = list(np.linspace(9.0, 11.0, 40))     # tight cluster ~10
+    vals = base + [1000.0, 25.0, None]          # huge spike + small one
+    t = pa.table({
+        "rid": pa.array(range(len(vals)), pa.int64()),
+        "k": pa.array(["a"] * len(vals)),
+        "v": pa.array(vals, pa.float64()),
+    })
+
+    robust_sets = []
+    for parts in (1, 3):
+        rob = grouped_robust_outliers(
+            rd.from_arrow(t).repartition(parts), "k", "v", 3.5,
+            ["rid", "k", "v"], num_buckets=2,
+        ).to_pandas()
+        robust_sets.append(frozenset(rob["rid"]))
+    assert robust_sets[0] == robust_sets[1]
+    assert {40, 41} <= robust_sets[0]           # both anomalies caught
+    assert 42 not in robust_sets[0]             # NULL never flags
+    assert len(robust_sets[0]) == 2
+
+    z = grouped_outliers(
+        rd.from_arrow(t), "k", "v", 2.5, ["rid", "k", "v"],
+        num_buckets=2,
+    ).to_pandas()
+    zset = set(z["rid"])
+    assert 40 in zset and 41 not in zset        # z-score blind to #41
