@@ -6971,6 +6971,84 @@ FROM filled WHERE event_type = 'error'
 """
 
 
+def asof_tolerance_purchases(sf_dir: str):
+    """Two-input AS-OF join with tolerance (stages/joins.asof_join —
+    pandas merge_asof semantics distributed): each error event enriched
+    with the SAME user's most recent at-or-before purchase value, but
+    only within a 1-hour lookback — the trade-quote / sensor-alignment
+    shape as a first-class operator (the older
+    asof_last_purchase_before_error is the unbounded single-table
+    composition).  Right side pre-deduped to one purchase per
+    (user, ts) (max event_id) per the operator's determinism contract;
+    one bucketed co-location, one C-speed merge_asof per bucket."""
+    from standardized_omop_data_etl_ray.stages.joins import (
+        asof_join,
+        bucketed_groupby,
+    )
+
+    ev = _pq(sf_dir, "events",
+             ["event_id", "user_id", "ts", "event_type", "value"])
+    errors = ev.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("event_type"), "error")
+        ).select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    purchases = ev.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("event_type"), "purchase")
+        ).select(["user_id", "ts", "event_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        g = g.drop_duplicates(["user_id", "ts"], keep="last")
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "ts": g["ts"],
+            "purchase_value": g["value"].astype("float64"),
+        })
+
+    right = bucketed_groupby(purchases, ["user_id"], dedupe)
+    lschema = pa.schema([("event_id", pa.int64()),
+                         ("user_id", pa.int64()),
+                         ("ts", pa.timestamp("us"))])
+    rschema = pa.schema([("user_id", pa.int64()),
+                         ("ts", pa.timestamp("us")),
+                         ("purchase_value", pa.float64())])
+    return asof_join(
+        errors, right, ["user_id"], "ts",
+        direction="backward", tolerance=pd.Timedelta(hours=1),
+        left_schema=lschema, right_schema=rschema,
+    )
+
+
+_ASOF_TOL_SQL = """
+WITH p AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+),
+e AS (
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.ts, pv.value AS purchase_value
+FROM e LEFT JOIN LATERAL (
+    SELECT value FROM p
+    WHERE p.user_id = e.user_id AND p.ts <= e.ts
+      AND e.ts - p.ts <= INTERVAL 1 HOUR
+    ORDER BY p.ts DESC LIMIT 1
+) pv ON true
+"""
+
+
 def running_user_totals(sf_dir: str):
     """Per-key ordered running aggregate (cumulative sum)."""
     from standardized_omop_data_etl_ray.stages.joins import bucketed_groupby
@@ -7498,6 +7576,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": sessionize_events,
         "regex_extract_rekey": regex_extract_rekey,
         "asof_last_purchase_before_error": asof_last_purchase_before_error,
+        "asof_tolerance_purchases": asof_tolerance_purchases,
         "running_user_totals": running_user_totals,
         "top3_customers_per_segment": top3_customers_per_segment,
         "distinct_users_per_type": distinct_users_per_type,
@@ -7539,6 +7618,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_SQL,
         "regex_extract_rekey": _REGEX_REKEY_SQL,
         "asof_last_purchase_before_error": _ASOF_SQL,
+        "asof_tolerance_purchases": _ASOF_TOL_SQL,
         "running_user_totals": _RUNNING_SQL,
         "top3_customers_per_segment": _TOP3_SQL,
         "distinct_users_per_type": _DISTINCT_USERS_SQL,

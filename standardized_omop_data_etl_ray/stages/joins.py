@@ -914,6 +914,103 @@ def usagi_join(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by_cols: list[str],
+    ts_col: str,
+    direction: str = "backward",
+    tolerance=None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+    num_buckets: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+) -> rd.Dataset:
+    """Distributed AS-OF join (pandas ``merge_asof`` semantics as a
+    first-class two-input operator): every left row picks the nearest
+    right row of the same ``by_cols`` key at-or-before
+    (``backward``), at-or-after (``forward``) or closest
+    (``nearest``) in ``ts_col``, optionally within ``tolerance`` —
+    the enrich-with-latest-dimension-version / sensor-alignment /
+    trade-quote join Ray Data has no native form of.
+
+    Left rows with no qualifying right row keep NULL right columns
+    (left-outer, merge_asof's contract).  Right columns that collide
+    with left names get ``suffix``.  DETERMINISM: the right side must
+    be unique per (key, ts) — with several equal-ts right rows the
+    winner would be input-order-dependent; de-duplicate upstream
+    (e.g. max-lsn per (key, ts)) as the documented contract.
+
+    Scale shape: ONE coarse-bucket exchange co-locates each key's rows
+    from BOTH sides (side-tagged union through ``bucketed_groupby``);
+    per bucket a single C-speed ``pd.merge_asof`` resolves every key
+    at once (it requires only ts-sorted frames and handles the ``by``
+    grouping internally).  Output dtypes are pinned from the two
+    sides' Arrow schemas so a bucket whose int columns picked up
+    NaN during the mixed-schema exchange cannot flip block dtypes."""
+    import numpy as np
+
+    lschema = (left_schema or getattr(left, "_graft_schema", None)
+               or _as_arrow_schema(left.schema()))
+    rschema = (right_schema or getattr(right, "_graft_schema", None)
+               or _as_arrow_schema(right.schema()))
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c not in by_cols + [ts_col]]
+    lset = set(lcols)
+    out_fields = [lschema.field(c) for c in lcols] + [
+        pa.field(c + (suffix if c in lset else ""),
+                 rschema.field(c).type)
+        for c in rcols
+    ]
+    # right values are NULL for unmatched left rows — nullable ints
+    # land as float64 from pandas, so pin those fields to float64
+    out_schema = pa.schema([
+        pa.field(f.name, pa.float64())
+        if f.name not in lset and pa.types.is_integer(f.type) else f
+        for f in out_fields
+    ])
+
+    def tag(side: int, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    union = left.map_batches(
+        tag(0, lcols), batch_format="pyarrow"
+    ).union(right.map_batches(
+        tag(1, list(by_cols) + [ts_col] + rcols), batch_format="pyarrow"
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        side = g["__side"].to_numpy()
+        lg = g.loc[side == 0, lcols].sort_values(
+            ts_col, kind="mergesort")
+        rg = g.loc[side == 1, list(by_cols) + [ts_col] + rcols]
+        rg = rg.sort_values(ts_col, kind="mergesort")
+        # the exchange degrades int/ts dtypes in mixed buckets (the
+        # other side's rows are NaN there) — restore the on-key dtype
+        # so merge_asof's exact comparisons hold
+        want_ts = lschema.field(ts_col).type.to_pandas_dtype()
+        lg = lg.astype({ts_col: want_ts})
+        rg = rg.astype({ts_col: want_ts})
+        out = pd.merge_asof(
+            lg, rg, on=ts_col, by=list(by_cols),
+            direction=direction, tolerance=tolerance,
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", suffix),
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).select(out_schema.names).cast(out_schema)
+
+    out = bucketed_groupby(union, list(by_cols), per_bucket, num_buckets)
+    out._graft_schema = out_schema
+    return out
+
+
 def interval_join(
     left: rd.Dataset,
     right: rd.Dataset,

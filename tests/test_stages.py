@@ -1188,3 +1188,58 @@ def test_grouped_robust_outliers_spike_detected_zscore_blind():
     ).to_pandas()
     zset = set(z["rid"])
     assert 40 in zset and 41 not in zset        # z-score blind to #41
+
+
+def test_asof_join_directions_tolerance_and_unmatched():
+    """merge_asof semantics distributed: backward/forward/nearest,
+    tolerance cutoffs, unmatched-left NULLs, partitioning invariance,
+    int right-payloads pinned to float64 (nullable)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.joins import asof_join
+
+    left = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "t": pa.array([10, 20, 35, 5], pa.int64()),
+        "lid": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    right = pa.table({
+        "k": ["a", "a", "b"],
+        "t": pa.array([8, 21, 50], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64()),
+    })
+    ls = pa.schema([("k", pa.string()), ("t", pa.int64()),
+                    ("lid", pa.int64())])
+    rs = pa.schema([("k", pa.string()), ("t", pa.int64()),
+                    ("rv", pa.int64())])
+
+    def run(**kw):
+        outs = []
+        for parts in (1, 3):
+            out = asof_join(
+                rd.from_arrow(left).repartition(parts),
+                rd.from_arrow(right).repartition(parts),
+                ["k"], "t", left_schema=ls, right_schema=rs,
+                num_buckets=2, **kw,
+            ).to_pandas().sort_values("lid", ignore_index=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        return outs[0]
+
+    def vals(df):
+        return [None if pd.isna(v) else v for v in df["rv"]]
+
+    back = run(direction="backward")
+    assert vals(back) == [100.0, 100.0, 200.0, None]
+    assert str(back["rv"].dtype) == "float64"   # nullable int → float64
+
+    fwd = run(direction="forward")
+    assert vals(fwd) == [200.0, 200.0, None, 300.0]
+
+    near = run(direction="nearest")
+    assert vals(near) == [100.0, 200.0, 200.0, 300.0]
+
+    tol = run(direction="backward", tolerance=5)
+    assert vals(tol) == [100.0, None, None, None]
