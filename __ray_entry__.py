@@ -3065,6 +3065,49 @@ FROM w WHERE dev > 3.5 * mad
 """
 
 
+def range_join_price_bands(sf_dir: str):
+    """KEYLESS range join (stages/joins.range_join — grid
+    partitioning): every lineitem price paired with every ±500 price
+    band around the sampled orders' totals — ``ON v >= lo AND v < hi``
+    with no equi-key, the ip-range-lookup shape.  Intervals replicate
+    to ≤2 grid cells (width 1000 ≈ band length); points land in exactly
+    one cell, so pairs meet once and need no distinct pass."""
+    from standardized_omop_data_etl_ray.stages.joins import range_join
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    iv = orders.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "lo": pc.subtract(t.column("o_totalprice"), 500.0),
+            "hi": pc.add(t.column("o_totalprice"), 500.0),
+        }).filter(pc.equal(_pc_mod(t.column("o_orderkey"), 500), 0)),
+        batch_format="pyarrow",
+    )
+    ps = pa.schema([("l_orderkey", pa.int64()),
+                    ("l_linenumber", pa.int32()),
+                    ("l_extendedprice", pa.float64())])
+    isch = pa.schema([("o_orderkey", pa.int64()),
+                      ("lo", pa.float64()), ("hi", pa.float64())])
+    return range_join(li, iv, "l_extendedprice", "lo", "hi",
+                      cell_width=1000.0, point_schema=ps,
+                      interval_schema=isch)
+
+
+_RANGE_JOIN_SQL = """
+WITH iv AS (
+    SELECT o_orderkey, o_totalprice - 500 AS lo,
+           o_totalprice + 500 AS hi
+    FROM orders WHERE o_orderkey % 500 = 0
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+       iv.o_orderkey, iv.lo, iv.hi
+FROM lineitem l JOIN iv ON l.l_extendedprice >= iv.lo
+                       AND l.l_extendedprice < iv.hi
+"""
+
+
 def constraint_audit_tpch(sf_dir: str):
     """Data-quality gate (stages/audit): unique / not-null /
     foreign-key / range / accepted-values constraints over the
@@ -7463,6 +7506,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "funnel_signup_purchase": funnel_signup_purchase,
         "nb_lang_classify_docs": nb_lang_classify_docs,
         "bigram_perplexity_docs": bigram_perplexity_docs,
+        "range_join_price_bands": range_join_price_bands,
         "constraint_audit_tpch": constraint_audit_tpch,
         "time_range_user_stats": time_range_user_stats,
         "value_outliers_by_event_type": value_outliers_by_event_type,
@@ -7658,6 +7702,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_signup_purchase": _FUNNEL_SQL,
         "bigram_perplexity_docs": _BIGRAM_PPL_SQL,
         "nb_lang_classify_docs": _NB_CLASSIFY_SQL,
+        "range_join_price_bands": _RANGE_JOIN_SQL,
         "constraint_audit_tpch": _CONSTRAINT_AUDIT_SQL,
         "time_range_user_stats": _TIME_RANGE_SQL,
         "value_outliers_by_event_type": _OUTLIERS_SQL,

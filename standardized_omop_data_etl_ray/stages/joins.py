@@ -985,6 +985,10 @@ def asof_join(
     ))
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # a bucket fed by only one side's blocks lacks the other
+        # side's columns entirely — reindex to the union first
+        g = g.reindex(columns=list(dict.fromkeys(
+            lcols + list(by_cols) + [ts_col] + rcols + ["__side"])))
         side = g["__side"].to_numpy()
         lg = g.loc[side == 0, lcols].sort_values(
             ts_col, kind="mergesort")
@@ -1007,6 +1011,111 @@ def asof_join(
         ).select(out_schema.names).cast(out_schema)
 
     out = bucketed_groupby(union, list(by_cols), per_bucket, num_buckets)
+    out._graft_schema = out_schema
+    return out
+
+
+def range_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    val_col: str,
+    start_col: str,
+    end_col: str,
+    cell_width: float,
+    num_buckets: int | None = None,
+    point_schema: pa.Schema | None = None,
+    interval_schema: pa.Schema | None = None,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """KEYLESS range join (grid partitioning): pair every point row
+    with every interval row whose ``[start, end)`` contains the
+    point's ``val_col`` — SQL ``JOIN ... ON v >= start AND v < end``
+    with NO equi-key (the ip-range-lookup / price-band /
+    genomic-overlap shape ``interval_join`` cannot express, since that
+    operator co-locates by an equi-key).
+
+    Grid scheme: the value axis is cut into ``cell_width`` cells; each
+    interval REPLICATES to every cell it covers (fan-out =
+    ⌈length/cell_width⌉ + 1 — choose the width near the typical
+    interval length so replication stays O(1)); each point lands in
+    exactly ONE cell, so every qualifying (point, interval) pair meets
+    exactly once and needs NO distinct pass.  One bucketed exchange on
+    the cell id; per bucket one vectorized pandas merge on the cell +
+    band filter.  COST: a cell's points × intervals materializes
+    before the filter — size ``cell_width`` (and bucket count) so a
+    cell stays block-sized; a pathological mega-interval is better
+    pre-split upstream.  Output dtypes pin from the two sides' Arrow
+    schemas (inner join — no null-extension)."""
+    import numpy as np
+
+    pschema = (point_schema or getattr(points, "_graft_schema", None)
+               or _as_arrow_schema(points.schema()))
+    ischema = (interval_schema
+               or getattr(intervals, "_graft_schema", None)
+               or _as_arrow_schema(intervals.schema()))
+    pcols = list(pschema.names)
+    icols = list(ischema.names)
+    pset = set(pcols)
+    out_schema = pa.schema(
+        [pschema.field(c) for c in pcols]
+        + [pa.field(c + (suffix if c in pset else ""),
+                    ischema.field(c).type) for c in icols]
+    )
+
+    def cell_of(v: np.ndarray) -> np.ndarray:
+        return np.floor(v / cell_width).astype(np.int64)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        t = t.select(pcols)
+        t = t.append_column("__cell", pa.array(cell_of(v)))
+        return t.append_column(
+            "__side", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def explode_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[start_col].to_numpy(dtype=np.float64)
+        hi = df[end_col].to_numpy(dtype=np.float64)
+        c0 = cell_of(lo)
+        # end-exclusive: the last covered cell holds end − ε
+        c1 = np.maximum(c0, np.floor(
+            np.nextafter(hi, -np.inf) / cell_width).astype(np.int64))
+        reps = (c1 - c0 + 1).clip(min=0)
+        idx = np.repeat(np.arange(len(df)), reps)
+        offs = (np.arange(int(reps.sum()))
+                - np.repeat(np.cumsum(reps) - reps, reps))
+        out = df.iloc[idx][icols].reset_index(drop=True)
+        out["__cell"] = c0[idx] + offs
+        out["__side"] = np.ones(len(out), np.int8)
+        return out
+
+    union = points.map_batches(
+        tag_points, batch_format="pyarrow"
+    ).union(intervals.map_batches(
+        explode_intervals, batch_format="pandas"
+    ))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # a bucket fed by only one side's blocks lacks the other
+        # side's columns entirely — reindex to the union first
+        g = g.reindex(columns=list(dict.fromkeys(
+            pcols + icols + ["__cell", "__side"])))
+        is_point = (g["__side"].to_numpy() == 0)
+        pg = g.loc[is_point, pcols + ["__cell"]]
+        ig = g.loc[~is_point, icols + ["__cell"]]
+        merged = pg.merge(ig, on="__cell", suffixes=("", suffix))
+        sc = start_col + (suffix if start_col in pset else "")
+        ec = end_col + (suffix if end_col in pset else "")
+        v = merged[val_col].to_numpy(dtype=np.float64)
+        lo = merged[sc].to_numpy(dtype=np.float64)
+        hi = merged[ec].to_numpy(dtype=np.float64)
+        keep = (v >= lo) & (v < hi)
+        out = merged.loc[keep, out_schema.names]
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).select(out_schema.names).cast(out_schema)
+
+    out = bucketed_groupby(union, ["__cell"], per_bucket, num_buckets)
     out._graft_schema = out_schema
     return out
 

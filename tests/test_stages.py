@@ -1243,3 +1243,56 @@ def test_asof_join_directions_tolerance_and_unmatched():
 
     tol = run(direction="backward", tolerance=5)
     assert vals(tol) == [100.0, None, None, None]
+
+
+def test_range_join_matches_brute_force_incl_boundaries():
+    """Keyless grid range join vs O(n*m) brute force: end-exclusive
+    boundaries, intervals spanning multiple cells, empty cells,
+    one-sided buckets, partitioning invariance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(11)
+    pv = np.round(rng.uniform(0, 100, 200), 3)
+    pts = pa.table({"pid": pa.array(np.arange(200), pa.int64()),
+                    "v": pa.array(pv, pa.float64())})
+    lo = np.round(rng.uniform(0, 95, 30), 3)
+    ln = np.round(rng.uniform(0.5, 25, 30), 3)  # spans several cells
+    iv = pa.table({"iid": pa.array(np.arange(30) + 1000, pa.int64()),
+                   "lo": pa.array(lo, pa.float64()),
+                   "hi": pa.array(lo + ln, pa.float64())})
+    want = sorted(
+        (int(p), 1000 + int(i))
+        for p in range(200) for i in range(30)
+        if lo[i] <= pv[p] < lo[i] + ln[i]
+    )
+    ps = pa.schema([("pid", pa.int64()), ("v", pa.float64())])
+    isch = pa.schema([("iid", pa.int64()), ("lo", pa.float64()),
+                      ("hi", pa.float64())])
+    for parts in (1, 5):
+        out = range_join(
+            rd.from_arrow(pts).repartition(parts),
+            rd.from_arrow(iv).repartition(parts),
+            "v", "lo", "hi", cell_width=7.0, num_buckets=4,
+            point_schema=ps, interval_schema=isch,
+        ).to_pandas()
+        got = sorted(zip(out["pid"], out["iid"]))
+        assert got == want
+
+    # exact boundary: v == lo matches, v == hi does not
+    p2 = pa.table({"pid": pa.array([0, 1], pa.int64()),
+                   "v": pa.array([10.0, 20.0], pa.float64())})
+    i2 = pa.table({"iid": pa.array([7], pa.int64()),
+                   "lo": pa.array([10.0], pa.float64()),
+                   "hi": pa.array([20.0], pa.float64())})
+    out = range_join(rd.from_arrow(p2), rd.from_arrow(i2), "v", "lo",
+                     "hi", cell_width=5.0, num_buckets=2,
+                     point_schema=pa.schema([("pid", pa.int64()),
+                                             ("v", pa.float64())]),
+                     interval_schema=pa.schema([
+                         ("iid", pa.int64()), ("lo", pa.float64()),
+                         ("hi", pa.float64())])).to_pandas()
+    assert out["pid"].tolist() == [0]
