@@ -292,6 +292,8 @@ QUERY_SUBSET = [
     "weighted_topk_sample_docs", "bigram_perplexity_docs",
     "kmeans_embeddings", "incremental_exact_dedup_docs",
     "grouped_weighted_topk_docs", "corpus_full_pipeline",
+    "robust_outliers_by_event_type", "asof_tolerance_purchases",
+    "range_join_price_bands",
 ]
 
 
