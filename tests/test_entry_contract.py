@@ -61,6 +61,14 @@ SUBSET = [
     "dedup_exact_docs",
     "ann_topk_cosine",
     "sessionize_events",
+    # round-5 operators
+    "weighted_topk_sample_docs",
+    "grouped_weighted_topk_docs",
+    "incremental_exact_dedup_docs",
+    "kmeans_embeddings",
+    "asof_tolerance_purchases",
+    "range_join_price_bands",
+    "robust_outliers_by_event_type",
 ]
 
 
@@ -79,6 +87,16 @@ def test_every_query_has_callable_and_oracle_coverage():
     assert set(os_) <= set(qs)
     # the vast majority must carry a SQL oracle (rows-only is the exception)
     assert len(os_) >= 25
+
+
+def test_driver_window_integrity():
+    """The first-50 window (the driver's correctness gate) must be the
+    declared _WINDOW_R5 order, every entry oracle-backed."""
+    qs, os_ = E.queries(), E.oracle_sql()
+    window = list(qs)[:50]
+    assert window == E._WINDOW_R5
+    assert all(n in os_ for n in window), [
+        n for n in window if n not in os_]
 
 
 def test_entry_smoke():
