@@ -376,6 +376,56 @@ def resize_images(
     )
 
 
+class AudioResampler:
+    """Actor-pool stage: REAL sample-rate conversion of WAV/PCM16
+    payloads by linear interpolation (numpy only — no audio libs in
+    this container, and linear resampling is the honest baseline;
+    swap a polyphase kernel in ``__init__`` when scipy is present).
+    Non-audio rows pass through untouched."""
+
+    def __init__(self, out_rate: int = 16_000):
+        self.out_rate = int(out_rate)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for p, m in zip(
+            batch.column("payload"), batch.column("mime").to_pylist()
+        ):
+            raw = p.as_py()
+            if m == "audio/wav":
+                samples, rate = decode_wav_pcm16(raw)
+                if rate != self.out_rate and len(samples) > 1:
+                    n_out = max(1, int(round(
+                        len(samples) * self.out_rate / rate)))
+                    x_out = np.arange(n_out) * (rate / self.out_rate)
+                    y = np.interp(
+                        x_out, np.arange(len(samples)),
+                        samples.astype(np.float64))
+                    samples = np.clip(
+                        np.rint(y), -32768, 32767).astype(np.int16)
+                raw = encode_wav_pcm16(samples, self.out_rate)
+            payloads.append(raw)
+        i = batch.column_names.index("payload")
+        return batch.set_column(
+            i, "payload", pa.array(payloads, pa.binary()))
+
+
+def resample_audio(
+    ds: rd.Dataset, out_rate: int = 16_000,
+    concurrency=2, batch_size: int = 256,
+) -> rd.Dataset:
+    """Audio rows re-encoded at ``out_rate`` (actor pool — setup once
+    per actor, per-batch decode/interp/encode; small batches because
+    binary payloads dominate block bytes)."""
+    return ds.map_batches(
+        AudioResampler,
+        fn_constructor_kwargs=dict(out_rate=out_rate),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class FrameSampler:
     """Actor-pool stage: REAL video frame sampling — PPM-stream rows
     fan out 1→K to per-frame IMAGE rows (every ``every_k``-th frame,

@@ -145,3 +145,41 @@ def test_sample_frames_real_fanout():
         img = decode_ppm(row["payload"])
         assert img.shape == (row["height"], row["width"], 3)
         assert row["frame_idx"] % 3 == 0
+
+
+def test_resample_audio_real():
+    """Linear resample of WAV/PCM16 payloads: output rate and duration
+    preserved (±1 sample), a pure sine survives recognizably (the
+    dominant DFT bin maps to the same frequency), non-audio rows pass
+    through byte-identical."""
+    import numpy as np
+
+    from standardized_omop_data_etl_ray.stages.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        resample_audio,
+    )
+
+    rate_in, rate_out, freq = 8_000, 16_000, 440.0
+    t = np.arange(rate_in) / rate_in  # 1 second
+    sine = (np.sin(2 * np.pi * freq * t) * 20_000).astype(np.int16)
+    wav = encode_wav_pcm16(sine, rate_in)
+    png = b"not-audio-bytes"
+    tbl = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "mime": ["audio/wav", "image/x-portable-pixmap"],
+        "payload": pa.array([wav, png], pa.binary()),
+    })
+    out = (
+        resample_audio(rd.from_arrow(tbl), out_rate=rate_out,
+                       concurrency=1, batch_size=8)
+        .to_pandas().set_index("media_id")
+    )
+    assert out.loc[2, "payload"] == png  # passthrough untouched
+
+    samples, rate = decode_wav_pcm16(out.loc[1, "payload"])
+    assert rate == rate_out
+    assert abs(len(samples) - rate_out) <= 1  # still ~1 second
+    spec = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    peak_hz = np.argmax(spec[1:]) + 1  # bin ≈ Hz for a 1 s clip
+    assert abs(peak_hz - freq) <= 2
