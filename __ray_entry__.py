@@ -4308,9 +4308,13 @@ def incremental_lang_stats_docs(sf_dir: str):
             pc.add(pc.multiply(v, n), d),
         )
 
+    # materialize the synthesized 3-version event log ONCE: each
+    # epoch's lsn-window filter would otherwise re-execute the full
+    # derivation lineage (in production the binlog is already durable
+    # parquet and this is a plain pruned read) — measured 0.4 s/epoch
     events = events_from_documents(docs, 3).map_batches(
         version_major, batch_format="pyarrow"
-    )
+    ).materialize()
     lake = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_view_"),
                    TableSpec(name="docs_cdc", num_partitions=16))
 
@@ -4415,9 +4419,11 @@ def cdc_incremental_join_docs(sf_dir: str):
             pc.add(pc.multiply(v, n), d),
         )
 
+    # materialized once: per-epoch lsn filters would re-execute the
+    # derivation lineage (see incremental_lang_stats note)
     doc_events = events_from_documents(docs, 3).map_batches(
         version_major, batch_format="pyarrow"
-    )
+    ).materialize()
     doc_lake = CDCLake(tempfile.mkdtemp(prefix="cdc_join_docs_"),
                        TableSpec(name="docs_cdc", num_partitions=16))
 
@@ -4602,7 +4608,7 @@ def cdc_left_join_docs(sf_dir: str):
 
     events = events_from_documents(docs, 3).map_batches(
         version_major, batch_format="pyarrow"
-    )
+    ).materialize()  # per-epoch filters re-read, not re-derive
     lake = CDCLake(tempfile.mkdtemp(prefix="cdc_ljoin_"),
                    TableSpec(name="docs_cdc", num_partitions=16))
 
@@ -5538,7 +5544,7 @@ def cdc_merge_branch_docs(sf_dir: str):
 
     events = events_from_documents(docs, 3).map_batches(
         version_major, batch_format="pyarrow"
-    )
+    ).materialize()  # per-epoch filters re-read, not re-derive
     parent = CDCLake(tempfile.mkdtemp(prefix="cdc_lake_mb_"),
                      TableSpec(name="docs_cdc", num_partitions=16))
     for v in range(2):  # v0 inserts, v1 updates/deletes → the fork state
