@@ -888,6 +888,72 @@ SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
 
+def minhash_cross_near_dups(sf_dir: str):
+    """Cross-corpus LSH dedup (stages/dedup.minhash_cross_pairs): a
+    "new crawl" (planted committed twins + genuinely-new docs) LSH-
+    banded against the committed corpus — only NEW×COMMITTED pairs
+    generate (never the union self-join), sha-verified inline.
+    Identical texts share every band (recall 1), so the exact-text
+    cross join IS the closed-form oracle — the probabilistic near-dup
+    tail rides the same machinery (same contract as
+    minhash_self_near_dups)."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        minhash_cross_pairs,
+    )
+    from standardized_omop_data_etl_ray.stages.joins import default_buckets
+
+    n = _nrows(sf_dir, "documents")
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"], rows_hint=n)
+
+    committed = docs.map_batches(
+        lambda t: t.filter(pc.not_equal(_pc_mod(t.column("doc_id"), 4),
+                                        0)),
+        batch_format="pyarrow",
+    )
+    twins = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.add(t.column("doc_id"), 1_000_000),
+            "text": t.column("text"),
+        }).filter(pc.and_(
+            pc.not_equal(_pc_mod(t.column("doc_id"), 4), 0),
+            pc.equal(_pc_mod(t.column("doc_id"), 8), 1),
+        )),
+        batch_format="pyarrow",
+    )
+    fresh = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.add(t.column("doc_id"), 2_000_000),
+            "text": t.column("text"),
+        }).filter(pc.equal(_pc_mod(t.column("doc_id"), 4), 0)),
+        batch_format="pyarrow",
+    )
+    pairs = minhash_cross_pairs(
+        twins.union(fresh), committed, "text", "doc_id",
+        carry_sha=True, num_buckets=default_buckets(n),
+    )
+    return pairs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("sha_a"),
+                                    t.column("sha_b"))
+                           ).select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+    )
+
+
+_MINHASH_CROSS_SQL = """
+WITH committed AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+),
+new AS (
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 4 <> 0 AND doc_id % 8 = 1
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0
+)
+SELECT n.doc_id AS id_a, c.doc_id AS id_b
+FROM new n JOIN committed c ON n.text = c.text
+"""
+
+
 def incremental_exact_dedup_docs(sf_dir: str):
     """Crawl-vs-corpus exact dedup (stages/dedup.
     incremental_exact_dedup): the committed corpus (doc_id%4≠0)
@@ -7592,6 +7658,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_upsert": cdc_lww_upsert,
         "dedup_exact_docs": dedup_exact_docs,
         "incremental_exact_dedup_docs": incremental_exact_dedup_docs,
+        "minhash_cross_near_dups": minhash_cross_near_dups,
         "quality_stats_docs": quality_stats_docs,
         "repetition_stats_docs": repetition_stats_docs,
         "lang_distribution": lang_distribution,
@@ -7746,6 +7813,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_selfcheck": _APPROX_DISTINCT_SQL,
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "incremental_exact_dedup_docs": _INC_EXACT_DEDUP_SQL,
+        "minhash_cross_near_dups": _MINHASH_CROSS_SQL,
         "token_counts_docs": _TOKEN_COUNTS_SQL,
         "quality_stats_docs": _QUALITY_SQL,
         "repetition_stats_docs": _REPETITION_SQL,

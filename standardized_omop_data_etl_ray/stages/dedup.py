@@ -294,6 +294,84 @@ def minhash_candidate_pairs(
     return pair_distinct(pairs, num_buckets=B) if distinct else pairs
 
 
+def minhash_cross_pairs(
+    new: rd.Dataset,
+    committed: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    concurrency=(1, 4),
+    carry_sha: bool = False,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """CROSS-corpus LSH candidates: (new doc, committed doc) pairs
+    sharing any MinHash band bucket — the near-dup analog of
+    :func:`incremental_exact_dedup` ("which of the new crawl's docs
+    look like something the corpus already holds"), WITHOUT the n²
+    self-join over the union: only cross-side pairs are generated, so
+    a band bucket with a new docs and b committed docs emits a·b
+    pairs, never (a+b)².
+
+    Both sides run the same signature parameters (identical
+    permutations — signatures are comparable by construction); pairs
+    orient (id_a = new, id_b = committed).  Same coarse-bucket pair
+    generation and pair-distinct as the self-join; identical texts
+    share every band, so exact twins have recall 1 (what the planted
+    oracle checks), near-dups the usual banding probability.
+
+    NB: TWO actor pools run (one per side) — the default autoscaling
+    ``concurrency=(1, 4)`` always fits; a fixed integer must leave
+    room for both pools on the session's cpus."""
+    from .joins import default_buckets
+
+    def banded(ds_side: rd.Dataset, side: int) -> rd.Dataset:
+        rows = ds_side.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                text_col=text_col, id_col=id_col,
+                num_hashes=num_hashes, bands=bands,
+                shingle_k=shingle_k, carry_sha=carry_sha,
+            ),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        return rows.map_batches(
+            lambda t, s=side: t.append_column(
+                "__side", pa.array(np.full(t.num_rows, s, np.int8))),
+            batch_format="pyarrow",
+        )
+
+    band_rows = banded(new, 0).union(banded(committed, 1))
+    B = num_buckets if num_buckets is not None else default_buckets()
+
+    def coarsen(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy()
+        return t.append_column(
+            "cb", pa.array((bh % np.uint64(B)).astype(np.int32)))
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        ng = g[side == 0]
+        cg = g[side == 1]
+        j = ng.merge(cg, on=["band", "band_hash"],
+                     suffixes=("_l", "_r"))
+        out = {"id_a": j[f"{id_col}_l"].to_numpy(),
+               "id_b": j[f"{id_col}_r"].to_numpy()}
+        if carry_sha:
+            out["sha_a"] = j["sha_l"].to_numpy()
+            out["sha_b"] = j["sha_r"].to_numpy()
+        return pd.DataFrame(out).drop_duplicates(["id_a", "id_b"])
+
+    pairs = (
+        band_rows.map_batches(coarsen, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(pairs_in_coarse, batch_format="pandas")
+    )
+    return pair_distinct(pairs, num_buckets=B)
+
+
 def pair_distinct(pairs: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     """Global distinct over (id_a, id_b) pair rows: partition by a pair
     hash, one vectorized dedupe per partition (a pair can surface from

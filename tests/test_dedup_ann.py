@@ -644,3 +644,43 @@ def test_incremental_exact_dedup_vs_committed():
         )
         assert out["doc_id"].tolist() == [11, 12]
         assert out["text"].tolist() == ["fresh a", "fresh b"]
+
+
+def test_minhash_cross_pairs_only_cross_side():
+    """Cross-corpus LSH: exact committed twins found (recall 1 for
+    identical texts), near-twin proposed as a candidate, and NO
+    new-new or committed-committed pairs ever emitted — even when both
+    sides contain their own internal duplicates."""
+    from standardized_omop_data_etl_ray.stages.dedup import (
+        minhash_cross_pairs,
+    )
+
+    docs = _docs()  # 33 docs, ids 0..29 + 100/101/102
+    committed = rd.from_arrow(docs).repartition(2)
+    # new side: exact twin of doc 3, near twin of doc 4, a fresh doc,
+    # and an internal new-side duplicate pair (500/501)
+    texts = docs.column("text").to_pylist()
+    new = pa.table({
+        "doc_id": pa.array([500, 501, 502, 503], pa.int64()),
+        "text": [texts[3], texts[3],
+                 texts[4].replace("lazy", "rapid"),
+                 "entirely novel content never seen before " * 4],
+    })
+    # concurrency=1: the operator builds one actor pool PER SIDE —
+    # the 4-cpu test session can't host 2 x 4 default actors
+    pairs = minhash_cross_pairs(
+        rd.from_arrow(new).repartition(2), committed, "text",
+        "doc_id", carry_sha=True, num_buckets=4, concurrency=1,
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (500, 3) in got and (501, 3) in got
+    # orientation: id_a is ALWAYS a new-side id
+    assert (pairs["id_a"] >= 500).all()
+    assert (pairs["id_b"] < 500).all()
+    assert (500, 501) not in got            # no new-new pair
+    exact = pairs[pairs["sha_a"] == pairs["sha_b"]]
+    assert set(zip(exact["id_a"], exact["id_b"])) == {(500, 3),
+                                                      (501, 3)}
+    # near twin proposed by banding (not sha-equal)
+    assert 502 in set(pairs["id_a"])
+    assert 503 not in set(pairs["id_a"])    # fresh doc pairs with nothing
