@@ -2220,6 +2220,153 @@ SELECT vec_id, CAST(cl AS INT) AS cluster FROM (
 _KMEANS_SQL = _kmeans_sql()
 
 
+def incremental_kmeans_embeddings(sf_dir: str):
+    """CDC-MAINTAINED k-means (stages/ann.IncrementalKMeans): four
+    single-op epochs over the embeddings table — add the base slice
+    (%4≠0), add the delta slice (%4=0), RETRACT the %5 sub-slice from
+    the clusters they were assigned to at insertion (stored in the
+    distributed assignment table, never recomputed), then re-add them
+    under the post-retraction centroids.  The driver holds only k×d
+    state; change sets stream; rounded folds make the whole protocol
+    reproducible by the SQL CTE unroll (retraction is load-bearing:
+    the final wave's assignments depend on the retracted centroids)."""
+    from standardized_omop_data_etl_ray.stages.ann import (
+        IncrementalKMeans,
+    )
+
+    k = 8
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part(pred):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pred(t.column("vec_id")))
+        return fn
+
+    w0 = emb.map_batches(part(lambda i: pc.not_equal(_pc_mod(i, 4), 0)),
+                         batch_format="pyarrow")
+    w1 = emb.map_batches(part(lambda i: pc.equal(_pc_mod(i, 4), 0)),
+                         batch_format="pyarrow")
+    rm = emb.map_batches(
+        part(lambda i: pc.and_(pc.not_equal(_pc_mod(i, 4), 0),
+                               pc.equal(_pc_mod(i, 5), 0))),
+        batch_format="pyarrow")
+
+    init = (
+        w0.map_batches(lambda df: df.nsmallest(k, "vec_id"),
+                       batch_format="pandas")
+        .to_pandas().nsmallest(k, "vec_id")
+        .sort_values("vec_id", ignore_index=True)
+    )
+    km = IncrementalKMeans(
+        np.stack(init["embedding"].to_numpy()).astype(np.float64))
+    km.add(w0, "embedding", "vec_id")
+    km.add(w1, "embedding", "vec_id")
+    km.remove(rm, "embedding", "vec_id")
+    km.add(rm, "embedding", "vec_id")
+    return km.assignments
+
+
+def _inc_kmeans_sql(k: int = 8) -> str:
+    """SQL unroll of the 4-epoch incremental protocol: assignment =
+    rounded-distance argmin; state fold n += Δn, s = ROUND(s + Δs, 6);
+    centroid = ROUND(s/n, 6) where n>0, else the previous value."""
+    grid = "(SELECT cl FROM c0) g CROSS JOIN " \
+           "(SELECT DISTINCT idx FROM pc0) gi"
+
+    def assign(name: str, wave: str, ctab: str) -> str:
+        return f"""
+a{name} AS (
+    SELECT vec_id, cl, v FROM (
+        SELECT w.vec_id, c.cl, w.v,
+               row_number() OVER (
+                   PARTITION BY w.vec_id
+                   ORDER BY ROUND(list_distance(w.v, c.cv), 6), c.cl
+               ) AS rn
+        FROM {wave} w CROSS JOIN {ctab} c
+    ) WHERE rn = 1
+)"""
+
+    def fold(t: int, prev_n: str, prev_s: str, delta: str,
+             sign: str) -> str:
+        # delta: a table (vec_id, cl, v)
+        return f"""
+dn{t} AS (SELECT cl, count(*) AS n FROM {delta} GROUP BY cl),
+dsv{t} AS (
+    SELECT cl, idx, sum(val) AS sv FROM (
+        SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS idx
+        FROM {delta})
+    GROUP BY cl, idx
+),
+n{t} AS (
+    SELECT g.cl,
+           COALESCE(p.n, 0) {sign} COALESCE(d.n, 0) AS n
+    FROM (SELECT cl FROM c0) g
+    LEFT JOIN {prev_n} p ON g.cl = p.cl
+    LEFT JOIN dn{t} d ON g.cl = d.cl
+),
+s{t} AS (
+    SELECT g.cl, gi.idx,
+           ROUND(COALESCE(p.sv, 0) {sign} COALESCE(d.sv, 0), 6) AS sv
+    FROM {grid}
+    LEFT JOIN {prev_s} p ON g.cl = p.cl AND gi.idx = p.idx
+    LEFT JOIN dsv{t} d ON g.cl = d.cl AND gi.idx = d.idx
+),
+pc{t} AS (
+    SELECT s{t}.cl, s{t}.idx,
+           CASE WHEN n{t}.n > 0 THEN ROUND(s{t}.sv / n{t}.n, 6)
+                ELSE prev.val END AS val
+    FROM s{t}
+    JOIN n{t} ON s{t}.cl = n{t}.cl
+    JOIN pc{t - 1} prev
+      ON s{t}.cl = prev.cl AND s{t}.idx = prev.idx
+),
+c{t} AS (
+    SELECT cl, list(val ORDER BY idx) AS cv
+    FROM pc{t} GROUP BY cl
+)"""
+
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+w0 AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+w1 AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+rm AS (SELECT * FROM w0 WHERE vec_id % 5 = 0),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+           list_transform(v, x -> ROUND(x, 6)) AS cv
+    FROM w0 ORDER BY vec_id LIMIT {k}
+),
+pc0 AS (
+    SELECT cl, unnest(cv) AS val, generate_subscripts(cv, 1) AS idx
+    FROM c0
+),
+n0 AS (SELECT cl, 0 AS n FROM c0),
+s0 AS (SELECT cl, idx, 0.0 AS sv FROM pc0),
+{assign('1', 'w0', 'c0').lstrip()},
+{fold(1, 'n0', 's0', 'a1', '+').lstrip()},
+{assign('2', 'w1', 'c1').lstrip()},
+{fold(2, 'n1', 's1', 'a2', '+').lstrip()},
+rm_assigned AS (
+    SELECT a1.vec_id, a1.cl, a1.v
+    FROM a1 JOIN rm ON a1.vec_id = rm.vec_id
+),
+{fold(3, 'n2', 's2', 'rm_assigned', '-').lstrip()},
+{assign('4', 'rm', 'c3').lstrip()}
+SELECT vec_id, CAST(cl AS INT) AS cluster FROM (
+    SELECT vec_id, cl FROM a1
+    WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+    UNION ALL SELECT vec_id, cl FROM a2
+    UNION ALL SELECT vec_id, cl FROM a4
+)
+"""
+
+
+_INC_KMEANS_SQL = _inc_kmeans_sql()
+
+
 _INC_DF_SQL = r"""
 WITH live AS (
     SELECT doc_id, text FROM documents
@@ -7575,6 +7722,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_cosine": ivf_topk_cosine,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "kmeans_embeddings": kmeans_embeddings,
+        "incremental_kmeans_embeddings": incremental_kmeans_embeddings,
         "lineitem_moment_stats": lineitem_moment_stats,
         "fuzzy_join_doc_prefixes": fuzzy_join_doc_prefixes,
         "events_key_skew": events_key_skew,
@@ -7772,6 +7920,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_add_column": _CDC_ADD_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "kmeans_embeddings": _KMEANS_SQL,
+        "incremental_kmeans_embeddings": _INC_KMEANS_SQL,
         "lineitem_moment_stats": _MOMENT_STATS_SQL,
         "fuzzy_join_doc_prefixes": _FUZZY_JOIN_SQL,
         "events_key_skew": _KEY_SKEW_SQL,

@@ -317,3 +317,166 @@ def distributed_kmeans(
         })
 
     return C, ds.map_batches(label, batch_format="pandas")
+
+
+class IncrementalKMeans:
+    """CDC-MAINTAINED k-means state: per-cluster (count, vector-sum)
+    folded from SIGNED change sets — adds assign under the CURRENT
+    centroids and contribute (+1, +x); removals retract (−1, −x) from
+    the cluster they were ASSIGNED to at insertion (kept in a
+    distributed assignment table, never recomputed), so centroids track
+    the live corpus without ever re-reading it.  The online analog of
+    :func:`distributed_kmeans`'s batch Lloyd — and the clustering
+    counterpart of the incremental doc-frequency / window views.
+
+    Determinism contract (oracle-mirrorable): per epoch the folded
+    vector sums are re-ROUNDED (``round_digits``) and centroids are
+    ``ROUND(S/N, round_digits)``; assignment is the same
+    rounded-distance argmin as ``distributed_kmeans``.  A fixed
+    sequence of add/remove waves is therefore reproducible by a SQL
+    CTE unroll.
+
+    Scale shape: the driver holds ONLY (k × d sums, k counts,
+    centroids); per epoch the change set streams through one
+    ``map_batches`` emitting ≤ k partial rows per block; removals
+    resolve their stored cluster with a map-only semi-join against the
+    assignment table (removal ids broadcast — change-set-sized);
+    the assignment table itself is a Dataset maintained by union +
+    anti-filter, never driver-held."""
+
+    def __init__(self, init_centroids: np.ndarray,
+                 round_digits: int = 6):
+        from ..functions.rounding import round_half_away
+
+        self._round = lambda a: round_half_away(
+            np.asarray(a, np.float64).ravel(), round_digits
+        ).reshape(np.asarray(a).shape)
+        self.C = self._round(np.asarray(init_centroids, np.float64))
+        self.k, self.d = self.C.shape
+        self.S = np.zeros((self.k, self.d), np.float64)
+        self.N = np.zeros(self.k, np.int64)
+        self.round_digits = round_digits
+        self.assignments: rd.Dataset | None = None  # (id, cluster)
+
+    def _assign(self, X: np.ndarray, c: np.ndarray) -> np.ndarray:
+        from ..functions.rounding import round_half_away
+
+        dist = np.sqrt(((X[:, None, :] - c[None, :, :]) ** 2).sum(-1))
+        dr = round_half_away(dist.ravel(), self.round_digits
+                             ).reshape(dist.shape)
+        return dr.argmin(axis=1)
+
+    def add(self, ds: rd.Dataset, emb_col: str, id_col: str) -> None:
+        """Fold an ADD wave: assign under the current centroids,
+        accumulate (+count, +sum), append (id, cluster) rows."""
+        cref = ray.put(self.C)
+        k = self.k
+        rdg = self.round_digits
+
+        def partial(df: pd.DataFrame) -> pa.Table:
+            from ..stages.joins import _cached_get
+
+            c = _cached_get(cref)
+            if not len(df):
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "vecsum": pa.array([], pa.list_(pa.float64())),
+                })
+            X = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+            dist = np.sqrt(
+                ((X[:, None, :] - c[None, :, :]) ** 2).sum(-1))
+            from ..functions.rounding import round_half_away
+
+            dr = round_half_away(dist.ravel(), rdg).reshape(dist.shape)
+            a = dr.argmin(axis=1)
+            sums = np.zeros((k, X.shape[1]), np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k)
+            # first k rows: per-cluster partials; then per-doc rows
+            return pa.table({
+                id_col: pa.array(
+                    np.concatenate([np.full(k, -1),
+                                    df[id_col].to_numpy()]).astype(
+                        np.int64)),
+                "cluster": pa.array(
+                    np.concatenate([np.arange(k), a]).astype(np.int32)),
+                "n": pa.array(
+                    np.concatenate([counts,
+                                    np.zeros(len(df))]).astype(
+                        np.int64)),
+                "vecsum": pa.array(
+                    list(sums) + [None] * len(df),
+                    pa.list_(pa.float64())),
+            })
+
+        out = ds.map_batches(partial, batch_format="pandas"
+                             ).materialize()
+        # fold the ≤k-per-block partial rows on the driver
+        for r in out.filter(expr=f"{id_col} == -1").take_all():
+            self.S[r["cluster"]] += np.asarray(r["vecsum"], np.float64)
+            self.N[r["cluster"]] += r["n"]
+        assigned = out.filter(expr=f"{id_col} >= 0").select_columns(
+            [id_col, "cluster"])
+        self.assignments = (
+            assigned if self.assignments is None
+            else self.assignments.union(assigned).materialize()
+        )
+        self._refresh()
+
+    def remove(self, ds: rd.Dataset, emb_col: str, id_col: str) -> None:
+        """Fold a REMOVE wave: retract each doc's vector from the
+        cluster it was assigned to at insertion."""
+        ids_pd = ds.select_columns([id_col]).to_pandas()
+        rm = set(ids_pd[id_col].tolist())
+        rmref = ray.put(rm)
+        # stored cluster of each removed id (map-only semi-join:
+        # removal ids broadcast, assignment table streams)
+        def keep_removed(df: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.joins import _cached_get
+
+            return df[df[id_col].isin(_cached_get(rmref))]
+
+        hit = self.assignments.map_batches(
+            keep_removed, batch_format="pandas"
+        ).to_pandas()
+        cluster_of = dict(zip(hit[id_col], hit["cluster"]))
+        cref = ray.put(cluster_of)
+        k = self.k
+
+        def partial(df: pd.DataFrame) -> pa.Table:
+            from ..stages.joins import _cached_get
+
+            cm: dict = _cached_get(cref)
+            X = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+            a = df[id_col].map(cm).to_numpy(np.int64)
+            sums = np.zeros((k, X.shape[1]), np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int32)),
+                "n": pa.array(counts.astype(np.int64)),
+                "vecsum": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        for r in ds.map_batches(partial,
+                                batch_format="pandas").take_all():
+            self.S[r["cluster"]] -= np.asarray(r["vecsum"], np.float64)
+            self.N[r["cluster"]] -= r["n"]
+        def drop_removed(df: pd.DataFrame) -> pd.DataFrame:
+            from ..stages.joins import _cached_get
+
+            return df[~df[id_col].isin(_cached_get(rmref))]
+
+        self.assignments = self.assignments.map_batches(
+            drop_removed, batch_format="pandas"
+        ).materialize()
+        self._refresh()
+
+    def _refresh(self) -> None:
+        self.S = self._round(self.S)
+        nz = self.N > 0
+        newC = self.C.copy()
+        newC[nz] = self.S[nz] / self.N[nz, None]
+        self.C = self._round(newC)

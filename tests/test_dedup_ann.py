@@ -684,3 +684,43 @@ def test_minhash_cross_pairs_only_cross_side():
     # near twin proposed by banding (not sha-equal)
     assert 502 in set(pairs["id_a"])
     assert 503 not in set(pairs["id_a"])    # fresh doc pairs with nothing
+
+
+def test_incremental_kmeans_retraction_load_bearing():
+    """Add/remove/re-add with insertion-time assignments: the state
+    retracts exactly what was added (counts return to the pre-epoch
+    value), the live assignment table tracks membership, and the
+    retraction demonstrably moves the centroids (C after remove !=
+    C before)."""
+    from standardized_omop_data_etl_ray.stages.ann import (
+        IncrementalKMeans,
+    )
+
+    rng = np.random.default_rng(7)
+    X = np.concatenate([
+        np.array([[8.0, 0.0]]) + 0.2 * rng.standard_normal((30, 2)),
+        np.array([[-8.0, 0.0]]) + 0.2 * rng.standard_normal((30, 2)),
+    ])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float64())),
+    })
+    base = rd.from_arrow(t).repartition(3)
+    km = IncrementalKMeans(X[:2].copy())
+    km.add(base, "embedding", "vec_id")
+    assert km.N.sum() == 60
+    C_before = km.C.copy()
+
+    # remove one whole blob half — centroid of its cluster must move
+    rm = rd.from_arrow(t.slice(0, 15))
+    km.remove(rm, "embedding", "vec_id")
+    assert km.N.sum() == 45
+    assert not np.allclose(km.C, C_before)
+    live = km.assignments.to_pandas()
+    assert len(live) == 45 and set(live["vec_id"]) == set(range(15, 60))
+
+    # re-add: counts restored, membership complete again
+    km.add(rm, "embedding", "vec_id")
+    assert km.N.sum() == 60
+    assert set(km.assignments.to_pandas()["vec_id"]) == set(range(60))
