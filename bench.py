@@ -293,7 +293,8 @@ QUERY_SUBSET = [
     "kmeans_embeddings", "incremental_exact_dedup_docs",
     "grouped_weighted_topk_docs", "corpus_full_pipeline",
     "robust_outliers_by_event_type", "asof_tolerance_purchases",
-    "range_join_price_bands",
+    "range_join_price_bands", "minhash_cross_near_dups",
+    "incremental_kmeans_embeddings",
 ]
 
 
