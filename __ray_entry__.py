@@ -3250,6 +3250,71 @@ QUALIFY abs(zscore) > 2.5
 """
 
 
+def psi_drift_events(sf_dir: str):
+    """Population Stability Index drift gate (stages/aggregates.
+    population_stability): the value distribution of purchase events
+    vs click events over shared 20-bin [0, 200] edges with a disclosed
+    overflow bin — per-bin rates and psi terms, Laplace-smoothed so a
+    one-sided empty bin can't blow up to ±inf; SUM(psi_bin) is the
+    headline drift statistic.  Both sides stream the same per-block
+    bincount combiner; one tiny reduce."""
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        population_stability,
+    )
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def side(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind))
+        return fn
+
+    a = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    b = ev.map_batches(side("click"), batch_format="pyarrow")
+    return population_stability(a, b, "value", 0.0, 200.0, 20)
+
+
+_PSI_SQL = """
+WITH ha AS (
+    SELECT CASE WHEN value IS NULL OR value < 0 OR value > 200 THEN -1
+                ELSE LEAST(CAST(floor(value / 10.0) AS BIGINT), 19)
+           END AS bin, count(*) AS n
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+hb AS (
+    SELECT CASE WHEN value IS NULL OR value < 0 OR value > 200 THEN -1
+                ELSE LEAST(CAST(floor(value / 10.0) AS BIGINT), 19)
+           END AS bin, count(*) AS n
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+bins AS (
+    SELECT DISTINCT bin FROM (
+        SELECT bin FROM ha UNION ALL SELECT bin FROM hb)
+),
+tot AS (
+    SELECT CAST((SELECT sum(n) FROM ha) AS DOUBLE) AS ta,
+           CAST((SELECT sum(n) FROM hb) AS DOUBLE) AS tb,
+           CAST((SELECT count(*) FROM bins) AS DOUBLE) AS k
+),
+rates AS (
+    SELECT b.bin,
+           CAST(COALESCE(ha.n, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_b,
+           (COALESCE(ha.n, 0) + 0.5) / (tot.ta + 0.5 * tot.k) AS pa_,
+           (COALESCE(hb.n, 0) + 0.5) / (tot.tb + 0.5 * tot.k) AS pb_
+    FROM bins b
+    LEFT JOIN ha ON b.bin = ha.bin
+    LEFT JOIN hb ON b.bin = hb.bin
+    CROSS JOIN tot
+)
+SELECT bin, n_a, n_b,
+       ROUND(pa_, 6) AS p_a,
+       ROUND(pb_, 6) AS p_b,
+       ROUND((pa_ - pb_) * ln(pa_ / pb_), 6) AS psi_bin
+FROM rates
+"""
+
+
 def robust_outliers_by_event_type(sf_dir: str):
     """Per-group MEDIAN/MAD anomaly gate (stages/aggregates.
     grouped_robust_outliers) — the robust complement of the z-score
@@ -7735,6 +7800,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "time_range_user_stats": time_range_user_stats,
         "value_outliers_by_event_type": value_outliers_by_event_type,
         "robust_outliers_by_event_type": robust_outliers_by_event_type,
+        "psi_drift_events": psi_drift_events,
         "remove_dup_spans_docs": remove_dup_spans_docs,
         "ewma_user_values": ewma_user_values,
         "extract_long_words_docs": extract_long_words_docs,
@@ -7933,6 +7999,7 @@ def oracle_sql() -> dict[str, str]:
         "time_range_user_stats": _TIME_RANGE_SQL,
         "value_outliers_by_event_type": _OUTLIERS_SQL,
         "robust_outliers_by_event_type": _ROBUST_OUTLIERS_SQL,
+        "psi_drift_events": _PSI_SQL,
         "remove_dup_spans_docs": _REMOVE_DUP_SPANS_SQL,
         "ewma_user_values": _EWMA_SQL,
         "extract_long_words_docs": _EXTRACT_ALL_SQL,

@@ -968,6 +968,89 @@ def equi_width_histogram(
     return summed.map_batches(edges, batch_format="pyarrow")
 
 
+def population_stability(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    laplace: float = 0.5,
+    round_digits: int = 6,
+) -> rd.Dataset:
+    """Population Stability Index between two slices of a numeric
+    column — the drift gate ML-ops pipelines run between corpus /
+    feature versions (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted).  Per equi-width bin (shared [lo, hi] edges, out-of-range
+    and NULL into the disclosed ``bin=-1`` overflow):
+    ``psi_bin = (p_a − p_b) · ln(p_a / p_b)`` with add-``laplace``
+    smoothing so an empty bin on one side cannot produce ±inf; output
+    is one row per bin (bin, n_a, n_b, p_a, p_b, psi_bin) with the
+    rates and psi ROUNDED — the SQL mirror computes the identical
+    closed form, and ``SUM(psi_bin)`` is the headline statistic.
+
+    Scale shape: both sides stream through the same per-block bincount
+    combiner as :func:`equi_width_histogram` (≤bins+1 tiny rows per
+    block, side-tagged) → ONE vectorized bucketed sum → a single-task
+    final fold over ≤2·(bins+1) rows."""
+    from ..functions.rounding import round_half_away
+    from .joins import bucketed_sum
+
+    w = (float(hi) - float(lo)) / int(bins)
+
+    def partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            ok = ~np.isnan(v) & (v >= lo) & (v <= hi)
+            b = np.floor((v[ok] - lo) / w).astype(np.int64)
+            b[b == bins] = bins - 1
+            cnt = np.bincount(b, minlength=bins)
+            nz = np.nonzero(cnt)[0]
+            out_bin = nz.astype(np.int64)
+            out_n = cnt[nz].astype(np.int64)
+            n_out = int(len(v) - ok.sum())
+            if n_out:
+                out_bin = np.concatenate([out_bin, [-1]])
+                out_n = np.concatenate([out_n, [n_out]])
+            return pa.table({
+                "bin": pa.array(out_bin, pa.int64()),
+                "side": pa.array(np.full(len(out_bin), side, np.int64)),
+                "n": pa.array(out_n, pa.int64()),
+            })
+        return fn
+
+    both = ds_a.select_columns([col]).map_batches(
+        partial(0), batch_format="pyarrow"
+    ).union(ds_b.select_columns([col]).map_batches(
+        partial(1), batch_format="pyarrow"))
+    summed = bucketed_sum(both, ["bin", "side"], ["n"], combine=False)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        na = df[df["side"] == 0].set_index("bin")["n"]
+        nb = df[df["side"] == 1].set_index("bin")["n"]
+        all_bins = sorted(set(na.index) | set(nb.index))
+        a = na.reindex(all_bins).fillna(0).to_numpy(np.float64)
+        b = nb.reindex(all_bins).fillna(0).to_numpy(np.float64)
+        ta, tb = a.sum(), b.sum()
+        k = len(all_bins)
+        pa_ = (a + laplace) / (ta + laplace * k)
+        pb_ = (b + laplace) / (tb + laplace * k)
+        psi = (pa_ - pb_) * np.log(pa_ / pb_)
+        return pa.table({
+            "bin": pa.array(np.asarray(all_bins, np.int64)),
+            "n_a": pa.array(a.astype(np.int64)),
+            "n_b": pa.array(b.astype(np.int64)),
+            "p_a": pa.array(round_half_away(pa_, round_digits)),
+            "p_b": pa.array(round_half_away(pb_, round_digits)),
+            "psi_bin": pa.array(round_half_away(psi, round_digits)),
+        })
+
+    # ≤ 2·(bins+1) rows — one final task
+    return summed.repartition(1).map_batches(fold,
+                                             batch_format="pandas")
+
+
 def quantile_bucket_transform(
     ds: rd.Dataset,
     col: str,

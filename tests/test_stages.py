@@ -1296,3 +1296,42 @@ def test_range_join_matches_brute_force_incl_boundaries():
                          ("iid", pa.int64()), ("lo", pa.float64()),
                          ("hi", pa.float64())])).to_pandas()
     assert out["pid"].tolist() == [0]
+
+
+def test_population_stability_detects_shift_and_smooths_empty_bins():
+    """PSI ≈ 0 for identical distributions; large for a shifted one;
+    a bin empty on one side stays finite (Laplace); NULL/out-of-range
+    counted in the overflow bin; partitioning invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        population_stability,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.uniform(10, 40, 4000)
+    same = rng.uniform(10, 40, 4000)
+    shifted = rng.uniform(60, 90, 4000)         # disjoint support
+
+    def ds(vals, extra=()):
+        v = list(map(float, vals)) + list(extra)
+        return rd.from_arrow(pa.table({"v": pa.array(v, pa.float64())})
+                             ).repartition(3)
+
+    flat = population_stability(ds(base), ds(same), "v", 0.0, 100.0,
+                                10).to_pandas()
+    assert abs(flat["psi_bin"].sum()) < 0.01
+    assert np.isfinite(flat["psi_bin"]).all()
+
+    drift = population_stability(ds(base), ds(shifted), "v", 0.0,
+                                 100.0, 10).to_pandas()
+    assert drift["psi_bin"].sum() > 0.25        # "shifted" verdict
+    assert np.isfinite(drift["psi_bin"]).all()  # empty bins smoothed
+
+    # overflow bin: NULL + out-of-range rows land in bin -1
+    ov = population_stability(
+        ds(base, extra=[None, 500.0, -3.0]), ds(same), "v",
+        0.0, 100.0, 10).to_pandas().set_index("bin")
+    assert ov.loc[-1, "n_a"] == 3 and ov.loc[-1, "n_b"] == 0
