@@ -294,7 +294,7 @@ QUERY_SUBSET = [
     "grouped_weighted_topk_docs", "corpus_full_pipeline",
     "robust_outliers_by_event_type", "asof_tolerance_purchases",
     "range_join_price_bands", "minhash_cross_near_dups",
-    "incremental_kmeans_embeddings",
+    "incremental_kmeans_embeddings", "psi_drift_events",
 ]
 
 
