@@ -7688,7 +7688,14 @@ _WINDOW_R5 = [
     # new round-5 operators
     "bigram_perplexity_docs",
     "kmeans_embeddings",
+    "incremental_kmeans_embeddings",
     "weighted_topk_sample_docs",
+    "grouped_weighted_topk_docs",
+    "minhash_cross_near_dups",
+    "asof_tolerance_purchases",
+    "range_join_price_bands",
+    "psi_drift_events",
+    "robust_outliers_by_event_type",
     # round-4 driver reds, dtype-pinned this round
     "incremental_lang_stats",
     "time_range_user_stats",
@@ -7715,8 +7722,6 @@ _WINDOW_R5 = [
     "embedding_self_near_dups",
     "near_dup_groups",
     "incremental_near_dup_groups",
-    "dedup_canonical_docs",
-    "decontaminate_docs",
     "ann_topk_cosine",
     "weighted_sample_docs",
     "stratified_sample_docs",
@@ -7732,11 +7737,6 @@ _WINDOW_R5 = [
     "cdc_restore_replay",
     "cdc_incremental_vocab",
     "cdc_incremental_join",
-    "cdc_scd2_view",
-    "cdc_left_join",
-    "cdc_patch_replay",
-    "cdc_replicate_docs",
-    "cdc_verify_replica_docs",
     "ivf_topk_cosine",
     "semantic_dedup_embeddings",
 ]
