@@ -7315,10 +7315,14 @@ def asof_tolerance_purchases(sf_dir: str):
     from standardized_omop_data_etl_ray.stages.joins import (
         asof_join,
         bucketed_groupby,
+        default_buckets,
     )
 
+    n = _nrows(sf_dir, "events")
+    nb = default_buckets(n)
     ev = _pq(sf_dir, "events",
-             ["event_id", "user_id", "ts", "event_type", "value"])
+             ["event_id", "user_id", "ts", "event_type", "value"],
+             rows_hint=n)
     errors = ev.map_batches(
         lambda t: t.filter(
             pc.equal(t.column("event_type"), "error")
@@ -7342,7 +7346,7 @@ def asof_tolerance_purchases(sf_dir: str):
             "purchase_value": g["value"].astype("float64"),
         })
 
-    right = bucketed_groupby(purchases, ["user_id"], dedupe)
+    right = bucketed_groupby(purchases, ["user_id"], dedupe, nb)
     lschema = pa.schema([("event_id", pa.int64()),
                          ("user_id", pa.int64()),
                          ("ts", pa.timestamp("us"))])
@@ -7352,7 +7356,7 @@ def asof_tolerance_purchases(sf_dir: str):
     return asof_join(
         errors, right, ["user_id"], "ts",
         direction="backward", tolerance=pd.Timedelta(hours=1),
-        left_schema=lschema, right_schema=rschema,
+        left_schema=lschema, right_schema=rschema, num_buckets=nb,
     )
 
 
