@@ -3250,6 +3250,34 @@ QUALIFY abs(zscore) > 2.5
 """
 
 
+def winsorize_lineitem_price(sf_dir: str):
+    """Quantile clipping (stages/aggregates.winsorize): lineitem
+    prices clipped at the exact p01/p99 quantile_disc edges — the
+    outlier-robust feature-scaling step; one rank-targeted edge pass,
+    then a closure-broadcast vectorized clip."""
+    from standardized_omop_data_etl_ray.stages.aggregates import winsorize
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return winsorize(li, "l_extendedprice", 0.01, 0.99,
+                     ["l_orderkey", "l_linenumber"],
+                     out_col="price_w")
+
+
+_WINSORIZE_SQL = """
+WITH e AS (
+    SELECT quantile_disc(l_extendedprice, 0.01) AS lo,
+           quantile_disc(l_extendedprice, 0.99) AS hi
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CASE WHEN l_extendedprice IS NULL THEN NULL
+            ELSE LEAST(GREATEST(l_extendedprice, e.lo), e.hi)
+       END AS price_w
+FROM lineitem CROSS JOIN e
+"""
+
+
 def psi_drift_events(sf_dir: str):
     """Population Stability Index drift gate (stages/aggregates.
     population_stability): the value distribution of purchase events
@@ -7805,6 +7833,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "value_outliers_by_event_type": value_outliers_by_event_type,
         "robust_outliers_by_event_type": robust_outliers_by_event_type,
         "psi_drift_events": psi_drift_events,
+        "winsorize_lineitem_price": winsorize_lineitem_price,
         "remove_dup_spans_docs": remove_dup_spans_docs,
         "ewma_user_values": ewma_user_values,
         "extract_long_words_docs": extract_long_words_docs,
@@ -8004,6 +8033,7 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers_by_event_type": _OUTLIERS_SQL,
         "robust_outliers_by_event_type": _ROBUST_OUTLIERS_SQL,
         "psi_drift_events": _PSI_SQL,
+        "winsorize_lineitem_price": _WINSORIZE_SQL,
         "remove_dup_spans_docs": _REMOVE_DUP_SPANS_SQL,
         "ewma_user_values": _EWMA_SQL,
         "extract_long_words_docs": _EXTRACT_ALL_SQL,

@@ -1051,6 +1051,45 @@ def population_stability(
                                              batch_format="pandas")
 
 
+def winsorize(
+    ds: rd.Dataset,
+    col: str,
+    q_lo: float,
+    q_hi: float,
+    keep_cols: list[str],
+    out_col: str | None = None,
+) -> rd.Dataset:
+    """Winsorization (quantile clipping): replace values below the
+    exact ``q_lo`` quantile / above ``q_hi`` with the edge value — the
+    outlier-robust feature-scaling step (companion of
+    :func:`quantile_bucket_transform`, same edge machinery).  Edges
+    are EXACT ``quantile_disc`` values (actual data values, so the
+    clip comparison is bit-identical on any engine); NULLs pass
+    through NULL.  One edge pass (rank-targeted block reads), then a
+    broadcast-free vectorized clip per batch (the two edge scalars are
+    closure-captured).  ``out_col=None`` overwrites ``col``."""
+    import pyarrow.compute as pc
+
+    edges = exact_quantiles(ds, col, [q_lo, q_hi])
+    lo_v, hi_v = edges.column("value").to_pylist()
+    out = out_col or col
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        # skip_nulls=False: element-wise min/max otherwise treat null
+        # as missing and return the edge — NULL must stay NULL
+        c = pc.min_element_wise(
+            pc.max_element_wise(v, lo_v, skip_nulls=False),
+            hi_v, skip_nulls=False)
+        if out in t.column_names:
+            return t.set_column(t.schema.get_field_index(out), out, c)
+        return t.append_column(out, c)
+
+    cols = list(dict.fromkeys(keep_cols + [col]))
+    return ds.select_columns(cols).map_batches(
+        clip, batch_format="pyarrow")
+
+
 def quantile_bucket_transform(
     ds: rd.Dataset,
     col: str,

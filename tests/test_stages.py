@@ -1335,3 +1335,35 @@ def test_population_stability_detects_shift_and_smooths_empty_bins():
         ds(base, extra=[None, 500.0, -3.0]), ds(same), "v",
         0.0, 100.0, 10).to_pandas().set_index("bin")
     assert ov.loc[-1, "n_a"] == 3 and ov.loc[-1, "n_b"] == 0
+
+
+def test_winsorize_exact_edges_and_nulls():
+    """Clip at exact quantile_disc edges: interior values untouched,
+    tails clipped to actual data values, NULL passes through."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from standardized_omop_data_etl_ray.stages.aggregates import (
+        exact_quantiles,
+        winsorize,
+    )
+
+    vals = list(np.arange(1.0, 101.0)) + [None]
+    t = pa.table({"rid": pa.array(range(101), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    out = (
+        winsorize(rd.from_arrow(t).repartition(4), "v", 0.05, 0.95,
+                  ["rid"], out_col="w")
+        .to_pandas().sort_values("rid", ignore_index=True)
+    )
+    edges = exact_quantiles(
+        rd.from_arrow(t), "v", [0.05, 0.95]
+    ).column("value").to_pylist()
+    lo, hi = edges
+    assert out.loc[0, "w"] == lo and out.loc[1, "w"] == lo
+    assert out.loc[99, "w"] == hi
+    assert out.loc[50, "w"] == 51.0      # interior untouched
+    assert np.isnan(out.loc[100, "w"])   # NULL stays NULL
+    assert set(out["w"].dropna()) <= set(np.clip(
+        np.arange(1.0, 101.0), lo, hi))
