@@ -295,6 +295,7 @@ QUERY_SUBSET = [
     "robust_outliers_by_event_type", "asof_tolerance_purchases",
     "range_join_price_bands", "minhash_cross_near_dups",
     "incremental_kmeans_embeddings", "psi_drift_events",
+    "winsorize_lineitem_price",
 ]
 
 
