@@ -69,6 +69,11 @@ SUBSET = [
     "asof_tolerance_purchases",
     "range_join_price_bands",
     "robust_outliers_by_event_type",
+    "psi_drift_events",
+    "winsorize_lineitem_price",
+    "minhash_cross_near_dups",
+    "incremental_kmeans_embeddings",
+    "corpus_full_pipeline",
 ]
 
 
